@@ -1,0 +1,264 @@
+"""Query execution: AST → DataFrame plan → BM25 top-k.
+
+Spark form of the reference's QUERY_THEN_FETCH lifecycle (SURVEY.md §3.1)
+with DFS-global statistics baked in at build time:
+
+  1. driver-side rewrite: analyze query text with the index's analyzer,
+     normalize bool/minimum_should_match (queries.py) — the analogue of
+     Rewriteable.rewrite on the coordinator.
+  2. per-clause plan: postings_for(terms) [partition-pruned scan]
+     ⋈ broadcast(stats_for(terms) with idf) → score expression — all
+     whole-stage-codegen'd JVM expressions, zero Python in the hot path.
+  3. combine: groupBy(docid) for OR/msm, inner joins for AND, left_anti for
+     must_not (SURVEY.md §2.7 set ops).
+  4. global top-k: orderBy(score desc, docid asc).limit(k) — Spark's
+     TakeOrderedAndProject = per-partition top-k + merge, exactly the
+     reference's per-shard collector + coordinator mergeTopDocs
+     (sv/action/search/SearchPhaseController.java:191-249).
+  5. fetch: broadcast join of the k-row result against docs for url — the
+     FetchPhase equivalent (sv/search/fetch/FetchPhase.java:96-268).
+
+Phrase queries intersect position arrays with built-in array functions
+(array_intersect over shifted positions) — no UDF.
+
+Scoring (bm25.py semantics, as Catalyst expressions):
+  idf   = ln(1 + (N - df + 0.5)/(df + 0.5))
+  score = idf * (k1+1) * tf / (tf + k1*(1 - b + b*dl_q/avgdl))
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sparksearch import bm25
+from sparksearch.analysis import analyze
+from sparksearch.index import IndexReader
+from sparksearch.queries import (
+    Bool, Exists, Ids, Match, MatchAll, MatchNone, MatchPhrase, Prefix,
+    Query, Range, Term, Terms, calculate_min_should_match,
+)
+
+__all__ = ["Executor"]
+
+
+def _idf_col(n_docs: int) -> Column:
+    df = F.col("df").cast("double")
+    return F.log1p((F.lit(float(n_docs)) - df + 0.5) / (df + 0.5))
+
+
+def _tf_norm(tf: Column, dl_q: Column, avgdl: float,
+             k1: float = bm25.K1, b: float = bm25.B) -> Column:
+    tf = tf.cast("double")
+    denom = tf + k1 * (1.0 - b + b * dl_q.cast("double") / float(avgdl))
+    return F.lit(k1 + 1.0) * tf / denom
+
+
+class Executor:
+    """Executes Query ASTs against an IndexReader."""
+
+    def __init__(self, index: IndexReader):
+        self.ix = index
+
+    # ---- public API --------------------------------------------------------
+    def search(self, q: Query, k: int = 10, fetch: bool = True) -> DataFrame:
+        """Top-k (docid, score[, url]) — score desc, docid asc."""
+        scored = self._plan(q, scored=True)
+        topk = (scored
+                .orderBy(F.col("score").desc(), F.col("docid").asc())
+                .limit(k))
+        if fetch:
+            # FetchPhase: k-row result broadcast against the corpus-side dict
+            topk = (self.ix.docs.select("docid", "url")
+                    .join(F.broadcast(topk), "docid")
+                    .select("docid", "url", "score")
+                    .orderBy(F.col("score").desc(), F.col("docid").asc()))
+        return topk
+
+    def count(self, q: Query) -> int:
+        return self._plan(q, scored=False).count()
+
+    # ---- planning: Query -> DataFrame(docid, score) ------------------------
+    def _plan(self, q: Query, scored: bool) -> DataFrame:
+        ix = self.ix
+        if isinstance(q, MatchAll):
+            return ix.docs.select(
+                "docid", F.lit(1.0 if scored else 0.0).alias("score"))
+        if isinstance(q, MatchNone):
+            return self._empty()
+        if isinstance(q, Match):
+            return self._plan_match(q, scored)
+        if isinstance(q, MatchPhrase):
+            return self._plan_phrase(q, scored)
+        if isinstance(q, (Term, Terms, Range, Exists, Prefix, Ids)):
+            return self._plan_docvalue_filter(q)
+        if isinstance(q, Bool):
+            return self._plan_bool(q, scored)
+        raise TypeError(f"unsupported query: {q!r}")
+
+    def _empty(self) -> DataFrame:
+        return (self.ix.docs.select("docid", F.lit(0.0).alias("score"))
+                .limit(0))
+
+    def _term_scores(self, terms: list[str], scored: bool) -> DataFrame:
+        """(docid, term, score) for every posting of the given terms."""
+        p = self.ix.postings_for(terms).select("term", "docid", "tf", "dl_q")
+        s = self.ix.stats_for(terms).withColumn("idf", _idf_col(self.ix.n_docs))
+        j = p.join(F.broadcast(s.select("term", "idf")), "term")
+        score = (F.col("idf") * _tf_norm(F.col("tf"), F.col("dl_q"),
+                                         self.ix.avgdl)
+                 if scored else F.lit(0.0))
+        return j.select("docid", "term", score.alias("score"))
+
+    def _plan_match(self, q: Match, scored: bool) -> DataFrame:
+        terms = [t for t, _ in analyze(q.text, q.analyzer or self.ix.analyzer)]
+        if not terms:
+            return self._empty()  # zero_terms_query NONE
+        # a term appearing w times in the query text yields w SHOULD clauses
+        # in the reference → weight both score and clause count by w
+        from collections import Counter
+        cnt = Counter(terms)
+        uniq = sorted(cnt)
+        per = self._term_scores(uniq, scored)
+        wmap = F.create_map(*[x for t, c in cnt.items()
+                              for x in (F.lit(t), F.lit(float(c)))])
+        w = F.element_at(wmap, F.col("term"))
+        if q.operator == "and":
+            msm = len(terms)
+        else:
+            msm = calculate_min_should_match(
+                len(terms), q.minimum_should_match, has_required=False)
+        agg = (per.groupBy("docid")
+                  .agg(F.sum(F.col("score") * w).alias("score"),
+                       F.sum(w).cast("int").alias("_n")))
+        if msm > 1:
+            agg = agg.filter(F.col("_n") >= msm)
+        return agg.select("docid", "score")
+
+    def _plan_phrase(self, q: MatchPhrase, scored: bool) -> DataFrame:
+        terms = [t for t, _ in analyze(q.text, q.analyzer or self.ix.analyzer)]
+        if not terms:
+            return self._empty()
+        if len(terms) == 1:
+            return self._plan_match(
+                Match(q.field_name, q.text, analyzer=q.analyzer), scored)
+        # n-way docid join of the member terms' postings; phrase frequency =
+        # |pos_0 ∩ (pos_1 - 1) ∩ ... ∩ (pos_i - i)| — built-in array ops only
+        uniq = sorted(set(terms))
+        p = self.ix.postings_for(uniq).select("term", "docid", "positions", "dl_q")
+        def shift_by(i: int):
+            # single-arg lambda only: a two-arg lambda would make Spark bind
+            # the second parameter to the array element index
+            return lambda x: x - F.lit(i)
+
+        legs = []
+        for i, t in enumerate(terms):
+            leg = (p.filter(F.col("term") == t)
+                    .select(F.col("docid"),
+                            (F.transform(F.col("positions"), shift_by(i))
+                             if i else F.col("positions")).alias(f"pos{i}"),
+                            *( [F.col("dl_q")] if i == 0 else [] )))
+            legs.append(leg)
+        joined = reduce(lambda a, b: a.join(b, "docid"), legs)
+        pf = reduce(lambda acc, i: F.array_intersect(acc, F.col(f"pos{i}")),
+                    range(1, len(terms)), F.col("pos0"))
+        joined = joined.select("docid", "dl_q", F.size(pf).alias("pf")) \
+                       .filter(F.col("pf") > 0)
+        if not scored:
+            return joined.select("docid", F.lit(0.0).alias("score"))
+        # pseudo-term scoring: idf = sum of member idfs, tf = phrase freq
+        sum_idf = (self.ix.stats_for(uniq)
+                   .withColumn("idf", _idf_col(self.ix.n_docs)))
+        # duplicate terms in the phrase contribute idf once per occurrence
+        from collections import Counter
+        cnt = Counter(terms)
+        sum_idf = sum_idf.select(
+            F.sum(F.col("idf") *
+                  F.element_at(
+                      F.create_map(*[x for t2, c in cnt.items()
+                                     for x in (F.lit(t2), F.lit(float(c)))]),
+                      F.col("term"))).alias("sum_idf"))
+        score = (F.col("sum_idf") *
+                 _tf_norm(F.col("pf"), F.col("dl_q"), self.ix.avgdl))
+        return (joined.crossJoin(F.broadcast(sum_idf))
+                .select("docid", score.alias("score")))
+
+    def _plan_docvalue_filter(self, q: Query) -> DataFrame:
+        """Metadata-field predicates answered from the docs table (the
+        engine's doc-values columnar store) with full Catalyst pushdown."""
+        d = self.ix.docs
+        if isinstance(q, Term):
+            cond = F.col(q.field_name) == F.lit(q.value)
+        elif isinstance(q, Terms):
+            cond = F.col(q.field_name).isin(list(q.values))
+        elif isinstance(q, Exists):
+            cond = F.col(q.field_name).isNotNull()
+        elif isinstance(q, Prefix):
+            cond = F.col(q.field_name).startswith(q.value)
+        elif isinstance(q, Ids):
+            cond = F.col("url").isin(list(q.values))
+        elif isinstance(q, Range):
+            cond = F.lit(True)
+            if q.gte is not None:
+                cond = cond & (F.col(q.field_name) >= F.lit(q.gte))
+            if q.gt is not None:
+                cond = cond & (F.col(q.field_name) > F.lit(q.gt))
+            if q.lte is not None:
+                cond = cond & (F.col(q.field_name) <= F.lit(q.lte))
+            if q.lt is not None:
+                cond = cond & (F.col(q.field_name) < F.lit(q.lt))
+        else:
+            raise TypeError(q)
+        return d.filter(cond).select("docid", F.lit(0.0).alias("score"))
+
+    def _plan_bool(self, q: Bool, scored: bool) -> DataFrame:
+        must, should, must_not, filt = (list(q.must), list(q.should),
+                                        list(q.must_not), list(q.filter))
+        if not must and not should and not filt and must_not:
+            must = [MatchAll()]  # pure-negative fix (BoolQueryBuilder.java:85)
+
+        req: DataFrame | None = None
+        for c in must:
+            leg = self._plan(c, scored)
+            req = leg if req is None else (
+                req.join(leg.withColumnRenamed("score", "_s"), "docid")
+                   .select("docid",
+                           (F.col("score") + F.col("_s")).alias("score")))
+        for c in filt:
+            leg = self._plan(c, scored=False).select("docid")
+            req = (leg.select("docid", F.lit(0.0).alias("score"))
+                   if req is None else req.join(leg, "docid", "left_semi"))
+
+        opt: DataFrame | None = None
+        if should:
+            legs = [self._plan(c, scored) for c in should]
+            unioned = reduce(lambda a, b: a.unionAll(b), legs)
+            opt = (unioned.groupBy("docid")
+                   .agg(F.sum("score").alias("_opt_score"),
+                        F.count("*").alias("_n_opt")))
+
+        msm = calculate_min_should_match(
+            len(should), q.minimum_should_match, has_required=req is not None)
+
+        if req is not None:
+            out = req
+            if opt is not None:
+                out = out.join(opt, "docid", "left")
+                if msm > 0:
+                    out = out.filter(F.coalesce(F.col("_n_opt"), F.lit(0)) >= msm)
+                out = out.select(
+                    "docid",
+                    (F.col("score")
+                     + F.coalesce(F.col("_opt_score"), F.lit(0.0))).alias("score"))
+        elif opt is not None:
+            out = (opt.filter(F.col("_n_opt") >= msm) if msm > 0 else opt) \
+                .select("docid", F.col("_opt_score").alias("score"))
+        else:
+            out = self._plan(MatchAll(), scored)
+
+        for c in must_not:
+            excl = self._plan(c, scored=False).select("docid")
+            out = out.join(excl, "docid", "left_anti")
+        return out

@@ -1,0 +1,70 @@
+"""Index dataset handle: lazy DataFrames over the build output."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["IndexReader"]
+
+
+class IndexReader:
+    """Handle over an index directory produced by build.build_index.
+
+    DataFrames are lazy; term lookups prune by `bucket` directory partition
+    + parquet row-group min/max on the sorted `term` column.
+    """
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        with open(f"{index_dir}/meta.json") as f:
+            self.meta = json.load(f)
+        self.n_docs: int = self.meta["n_docs"]
+        self.avgdl: float = self.meta["avgdl"]
+        self.analyzer: str = self.meta["analyzer"]
+        self.n_buckets: int = self.meta["n_buckets"]
+
+    @property
+    def docs(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.index_dir}/docs")
+
+    @property
+    def postings(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.index_dir}/postings")
+
+    @property
+    def stats(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.index_dir}/stats")
+
+    def bucket_of(self, term: str) -> int:
+        """Driver-side bucket id for a term — must equal pmod(xxhash64(term), B)."""
+        row = (self.spark.range(1)
+               .select(F.pmod(F.xxhash64(F.lit(term)), F.lit(self.n_buckets))
+                       .alias("b")).collect())
+        return int(row[0]["b"])
+
+    def postings_for(self, terms: list[str]) -> DataFrame:
+        """Postings restricted to the query terms (partition-pruned)."""
+        if not terms:
+            return self.postings.limit(0)
+        uniq = sorted(set(terms))
+        # one scan; bucket IN (...) prunes directories, term IN (...) prunes
+        # row groups via min/max on the sorted term column
+        buckets = self._buckets_of(uniq)
+        return (self.postings
+                .filter(F.col("bucket").isin(buckets))
+                .filter(F.col("term").isin(uniq)))
+
+    def _buckets_of(self, terms: list[str]) -> list[int]:
+        rows = (self.spark.createDataFrame([(t,) for t in terms], "term string")
+                .select(F.pmod(F.xxhash64("term"), F.lit(self.n_buckets))
+                        .alias("b")).distinct().collect())
+        return [int(r["b"]) for r in rows]
+
+    def stats_for(self, terms: list[str]) -> DataFrame:
+        if not terms:
+            return self.stats.limit(0)
+        return self.stats.filter(F.col("term").isin(sorted(set(terms))))

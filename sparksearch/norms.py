@@ -89,3 +89,13 @@ def int_to_byte4_np(arr: np.ndarray) -> np.ndarray:
 def quantize_length_np(arr: np.ndarray) -> np.ndarray:
     """Vectorized decode(encode(length)) via the 256-entry LUT."""
     return DECODE_LUT[int_to_byte4_np(arr)]
+
+
+def quantized_dl_sql(dl: str) -> str:
+    """decode(encode(dl)) as an ANSI SQL expression that parses identically
+    in Spark SQL and DuckDB (pure Catalyst JVM path — no UDF): keep the top
+    4 bits via (dl >> s) << s with s = ⌊log2 dl⌋ - 3; exact below 8.
+    log2 is exact at powers of two in IEEE doubles, so the floor is safe."""
+    s = f"(cast(floor(log2({dl})) as int) - 3)"
+    return (f"(CASE WHEN ({dl}) < 8 THEN ({dl}) "
+            f"ELSE (({dl}) >> {s}) << {s} END)")

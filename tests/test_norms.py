@@ -48,3 +48,13 @@ def test_np_matches_scalar(xs):
 def test_byte_roundtrip_all_256():
     for b in range(256):
         assert int_to_byte4(byte4_to_int(b)) == b
+
+
+def test_quantized_dl_sql_matches_python_duckdb():
+    import duckdb
+    from sparksearch.norms import quantized_dl_sql
+    expr = quantized_dl_sql("i")
+    got = duckdb.sql(
+        f"SELECT i, {expr} AS q FROM range(0, 5000) t(i)").fetchall()
+    for i, q in got:
+        assert q == quantize_length(i), (i, q, quantize_length(i))
