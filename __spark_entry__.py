@@ -1,38 +1,211 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)    — flagship BM25 match query via the full engine at sf0.001.
+queries()       — one entry per implemented operator (SURVEY.md §2).
+oracle_sql()    — DuckDB-equivalent SQL for the correctness gate.
+
+All fulltext queries run through the real engine (inverted-index build into
+a temp dir, cached per sf_dir + Executor plans); oracles recompute the same
+semantics in pure SQL over the documents table. Scores are rounded to 4
+decimals and ties broken by docid on both sides so top-k sets are stable.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparksearch import contract as C
+from sparksearch.queries import Bool, Match, MatchPhrase, Range, Term
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 for a 3-term match on sf0.001 via the engine."""
+    _, ex = C.get_engine(spark, "/root/testdata/sf0.001")
+    return C.topk_rounded(ex, Match("text", "hash join table"), k=10)
 
+
+# ---------------------------------------------------------------------------
+# fulltext engine queries
+# ---------------------------------------------------------------------------
+
+def _q_match(text, operator="or", msm=None, k=10):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _, ex = C.get_engine(spark, sf_dir)
+        return C.topk_rounded(
+            ex, Match("text", text, operator=operator,
+                      minimum_should_match=msm), k=k)
+    return run
+
+
+def _q_phrase(text, k=10):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _, ex = C.get_engine(spark, sf_dir)
+        return C.topk_rounded(ex, MatchPhrase("text", text), k=k)
+    return run
+
+
+def _q_docs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ix, _ = C.get_engine(spark, sf_dir)
+    return ix.docs.select("docid", "url", "dl", "dl_q").orderBy("docid")
+
+
+def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ix, _ = C.get_engine(spark, sf_dir)
+    return ix.stats.select("term", "df", "cf").orderBy("term")
+
+
+def _q_hit_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, ex = C.get_engine(spark, sf_dir)
+    q = Match("text", "hash join", operator="and")
+    return (ex._plan(q, scored=False)
+            .agg(F.count("*").cast("long").alias("hits")))
+
+
+def _q_bool_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, ex = C.get_engine(spark, sf_dir)
+    q = Bool(must=[Match("text", "join")],
+             should=[Match("text", "fast"), Match("text", "slow")],
+             must_not=[Match("text", "error")])
+    return C.topk_rounded(ex, q, k=10)
+
+
+def _q_bool_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, ex = C.get_engine(spark, sf_dir)
+    q = Bool(must=[Match("text", "join")],
+             filter=[Term("lang", "en"),
+                     Range("warc_ts", gte="2025-01-01 00:01:00")])
+    return C.topk_rounded(ex, q, k=10)
+
+
+def _q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset pagination: page 2 (rows 11-20) of the match_or result."""
+    _, ex = C.get_engine(spark, sf_dir)
+    q = Match("text", "hash join table")
+    page1 = C.topk_rounded(ex, q, k=10).collect()
+    last_score, last_doc = page1[-1]["score"], page1[-1]["docid"]
+    scored = (ex._plan(q, scored=True)
+              .select("docid", F.round("score", 4).alias("score")))
+    after = scored.filter(
+        (F.col("score") < F.lit(last_score))
+        | ((F.col("score") == F.lit(last_score))
+           & (F.col("docid") > F.lit(last_doc))))
+    topk = after.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(10)
+    return (ex.ix.docs.select("docid", "url")
+            .join(F.broadcast(topk), "docid")
+            .select("docid", "url", "score"))
+
+
+def _search_after_sql() -> str:
+    inner = C.match_sql("hash join table", k=20)
+    return f"""
+WITH page2 AS ( {inner} )
+SELECT docid, url, score FROM page2
+ORDER BY score DESC, docid ASC
+LIMIT 10 OFFSET 10
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # engine core
+        "docs_table": _q_docs_table,
+        "term_stats": _q_term_stats,
+        "match_single": _q_match("spark"),
+        "match_or": _q_match("hash join table"),
+        "match_and": _q_match("hash join table", operator="and"),
+        "match_msm": _q_match("scan slow fast", msm=2),
+        "phrase_2": _q_phrase("hash join"),
+        "phrase_3": _q_phrase("key agg row"),
+        "bool_mixed": _q_bool_mixed,
+        "bool_filter": _q_bool_filter,
+        "hit_count": _q_hit_count,
+        "search_after": _q_search_after,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    P, TOK, DL = C._PAGES, C._TOK, C._DL
+    qdl = __import__("sparksearch.norms", fromlist=["quantized_dl_sql"]) \
+        .quantized_dl_sql
+    return {
+        "docs_table": f"""
+WITH {P}, {TOK}, {DL}
+SELECT p.docid, p.url, CAST(dlq.dl AS BIGINT) AS dl,
+       CAST(dlq.dl_q AS BIGINT) AS dl_q
+FROM pages p JOIN dlq USING (docid) ORDER BY p.docid
+""".strip(),
+        "term_stats": f"""
+WITH {P}, {TOK}
+SELECT term, CAST(count(DISTINCT docid) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS cf
+FROM tok GROUP BY term ORDER BY term
+""".strip(),
+        "match_single": C.match_sql("spark"),
+        "match_or": C.match_sql("hash join table"),
+        "match_and": C.match_sql("hash join table", operator="and"),
+        "match_msm": C.match_sql("scan slow fast", msm=2),
+        "phrase_2": C.phrase_sql("hash join"),
+        "phrase_3": C.phrase_sql("key agg row"),
+        "bool_mixed": _bool_mixed_sql(),
+        "bool_filter": _bool_filter_sql(),
+        "hit_count": f"""
+WITH {P}, {TOK},
+m AS ( SELECT docid FROM tok WHERE term IN ('hash','join')
+       GROUP BY docid HAVING count(DISTINCT term) = 2 )
+SELECT CAST(count(*) AS BIGINT) AS hits FROM m
+""".strip(),
+        "search_after": _search_after_sql(),
+    }
+
+
+def _bool_mixed_sql() -> str:
+    P, TOK, DL = C._PAGES, C._TOK, C._DL
+    idf = C._idf_sql
+    tfn = C._tfn_sql
+    return f"""
+WITH {P}, {TOK}, {DL},
+tf AS ( SELECT docid, term, count(*) AS tf FROM tok
+        WHERE term IN ('join','fast','slow','error') GROUP BY docid, term ),
+dft AS ( SELECT term, count(*) AS df FROM tf GROUP BY term ),
+sc AS ( SELECT tf.docid, tf.term,
+               {idf('dft.df', 'g.n')} * {tfn('tf.tf', 'dlq.dl_q', 'g.avgdl')} AS s
+        FROM tf JOIN dft USING (term) JOIN dlq USING (docid) CROSS JOIN g ),
+agg AS (
+  SELECT docid,
+         sum(CASE WHEN term = 'join' THEN s ELSE 0 END) AS s_must,
+         sum(CASE WHEN term IN ('fast','slow') THEN s ELSE 0 END) AS s_opt,
+         bool_or(term = 'join') AS has_must,
+         bool_or(term = 'error') AS has_not
+  FROM sc GROUP BY docid )
+SELECT p.docid, p.url, round(agg.s_must + agg.s_opt, 4) AS score
+FROM agg JOIN pages p USING (docid)
+WHERE agg.has_must AND NOT agg.has_not
+ORDER BY round(agg.s_must + agg.s_opt, 4) DESC, p.docid ASC
+LIMIT 10
+""".strip()
+
+
+def _bool_filter_sql() -> str:
+    P, TOK, DL = C._PAGES, C._TOK, C._DL
+    return f"""
+WITH {P}, {TOK}, {DL},
+tf AS ( SELECT docid, term, count(*) AS tf FROM tok
+        WHERE term = 'join' GROUP BY docid, term ),
+dft AS ( SELECT term, count(*) AS df FROM tf GROUP BY term ),
+sc AS ( SELECT tf.docid,
+               {C._idf_sql('dft.df', 'g.n')} *
+               {C._tfn_sql('tf.tf', 'dlq.dl_q', 'g.avgdl')} AS score
+        FROM tf JOIN dft USING (term) JOIN dlq USING (docid) CROSS JOIN g )
+SELECT p.docid, p.url, round(sc.score, 4) AS score
+FROM sc JOIN pages p USING (docid)
+WHERE p.lang = 'en' AND p.warc_ts >= TIMESTAMP '2025-01-01 00:01:00'
+ORDER BY round(sc.score, 4) DESC, p.docid ASC
+LIMIT 10
+""".strip()
