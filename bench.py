@@ -1,0 +1,214 @@
+#!/usr/bin/env python
+"""Headline benchmark for the sparksearch engine (driver contract).
+
+Measures, at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]:
+
+  1. index-build wall time for the sf corpus (cold build into a fresh dir);
+  2. p50 latency of the headline BM25 queries (match or/and, phrase, bool);
+  3. index-build throughput (docs/sec) on a larger synthesized corpus at TWO
+     parallelism levels — local[N] vs local[4N] in separate JVMs — standing in
+     for N- vs 4N-executor clusters (BASELINE.json north rule: scaling
+     efficiency >= 0.8). Efficiency = (T_N / T_4N) / 4.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "build": {...}, "scaling": {...}}
+
+Scaling probes run as subprocesses (`python bench.py --probe CORES NDOCS`)
+because one process = one JVM = one fixed master. Disable them (fast mode)
+with SPARK_GRAFT_SCALING=0.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+PROBE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"))
+RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
+
+
+def make_spark(cores: int):
+    from pyspark.sql import SparkSession
+    return (SparkSession.builder
+            .master(f"local[{cores}]")
+            .appName(f"sparksearch-bench-{cores}")
+            .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.driver.memory", "16g")
+            .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate())
+
+
+def probe(cores: int, n_docs: int) -> None:
+    """Subprocess entry: synthesize corpus, build index, print JSON."""
+    from sparksearch.build import build_index
+    from sparksearch.corpus import synthesize_pages
+
+    spark = make_spark(cores)
+    # tmpfs keeps the probe CPU-bound: page-cache writeback from a previous
+    # probe's parquet/shuffle writes otherwise bleeds into this run's timing
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    out = tempfile.mkdtemp(prefix=f"sparksearch_probe_{cores}_", dir=base)
+    try:
+        # Partitioning is a property of the DATA (fixed), parallelism of the
+        # CLUSTER (varies) — the N vs 4N executor comparison holds the plan
+        # constant and varies only compute slots.
+        parts = int(os.environ.get("SPARK_GRAFT_BENCH_PARTS", "64"))
+        doc_len = int(os.environ.get("SPARK_GRAFT_BENCH_DOC_LEN", "300"))
+        corpus_dir = os.environ.get("SPARK_GRAFT_BENCH_CORPUS", "")
+        if not corpus_dir:
+            corpus_dir = os.path.join(out, "_corpus")
+        if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
+            (synthesize_pages(spark, n_docs, partitions=parts,
+                              min_len=doc_len // 2, max_len=doc_len * 3 // 2)
+             .write.mode("overwrite").parquet(corpus_dir))
+        pages = spark.read.parquet(corpus_dir)
+        # min over reps inside ONE warm JVM = steady-state throughput (JIT
+        # warmed, python workers reused) and robust to shared-host noise.
+        reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+        times = []
+        for i in range(reps):
+            tgt = os.path.join(out, f"ix{i}")
+            t0 = time.time()
+            build_index(pages, tgt, n_buckets=16, partitions=parts)
+            times.append(time.time() - t0)
+            shutil.rmtree(tgt, ignore_errors=True)
+        dt = min(times)
+        print(json.dumps({"cores": cores, "n_docs": n_docs,
+                          "build_sec": round(dt, 3),
+                          "build_secs_all": [round(t, 3) for t in times],
+                          "docs_per_sec": round(n_docs / dt, 1)}))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        spark.stop()
+
+
+def run_probe(cores: int, n_docs: int, corpus_dir: str = "") -> dict | None:
+    env = dict(os.environ)
+    if corpus_dir:
+        env["SPARK_GRAFT_BENCH_CORPUS"] = corpus_dir
+    subprocess.run(["sync"], timeout=120)
+    time.sleep(10)  # let the previous JVM's writeback/reaping settle
+    r = subprocess.run([sys.executable, os.path.abspath(__file__),
+                        "--probe", str(cores), str(n_docs)],
+                       capture_output=True, text=True, env=env, timeout=1800)
+    for line in reversed(r.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except json.JSONDecodeError:
+            continue
+    sys.stderr.write(f"probe cores={cores} failed:\n{r.stderr[-2000:]}\n")
+    return None
+
+
+def median_time(fn, reps: int = 3) -> float:
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        ts.append(time.time() - t0)
+    return statistics.median(ts)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from sparksearch import contract as C
+    from sparksearch.build import build_index
+    from sparksearch.corpus import pages_from_documents
+    from sparksearch.exec import Executor
+    from sparksearch.index import IndexReader
+    from sparksearch.queries import Bool, Match, MatchPhrase, Range, Term
+
+    spark = make_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    results: dict[str, float] = {}
+    total_t0 = time.time()
+
+    # -- 1. cold index build on the sf corpus --------------------------------
+    ix_dir = tempfile.mkdtemp(prefix="sparksearch_bench_ix_")
+    shutil.rmtree(ix_dir, ignore_errors=True)
+    pages = pages_from_documents(spark, SF_DIR)
+    n_docs = pages.count()
+    t0 = time.time()
+    build_index(pages, ix_dir, n_buckets=8, partitions=CPUS)
+    build_sec = time.time() - t0
+    results["build_sf"] = round(build_sec, 3)
+
+    ix = IndexReader(spark, ix_dir)
+    ex = Executor(ix)
+
+    # -- 2. headline query latency (p50 of 3 reps, after 1 warmup) -----------
+    headline = {
+        "q_match_or": Match("text", "hash join table"),
+        "q_match_and": Match("text", "hash join table", operator="and"),
+        "q_match_msm": Match("text", "scan slow fast", minimum_should_match=2),
+        "q_phrase": MatchPhrase("text", "hash join"),
+        "q_bool": Bool(must=[Match("text", "join")],
+                       should=[Match("text", "fast"), Match("text", "slow")],
+                       must_not=[Match("text", "error")],
+                       filter=[Term("lang", "en")]),
+    }
+    for name, q in headline.items():
+        run = lambda: ex.search(q, k=10).collect()
+        run()  # warmup (plan + scan caches)
+        results[name] = round(median_time(run, reps=3), 3)
+
+    # -- 3. scaling probes: N vs 4N cores, same input -------------------------
+    scaling = {}
+    if RUN_SCALING:
+        n_lo = max(2, CPUS // 4)
+        corpus = tempfile.mkdtemp(
+            prefix="sparksearch_probe_corpus_",
+            dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
+        shutil.rmtree(corpus, ignore_errors=True)
+        lo = run_probe(n_lo, PROBE_DOCS, corpus)
+        hi = run_probe(CPUS, PROBE_DOCS, corpus)
+        shutil.rmtree(corpus, ignore_errors=True)
+        if lo and hi:
+            eff = (lo["build_sec"] / hi["build_sec"]) / (CPUS / n_lo)
+            scaling = {
+                "n_docs": PROBE_DOCS,
+                "cores_n": n_lo, "cores_4n": CPUS,
+                "build_sec_n": lo["build_sec"],
+                "build_sec_4n": hi["build_sec"],
+                "docs_per_sec_n": lo["docs_per_sec"],
+                "docs_per_sec_4n": hi["docs_per_sec"],
+                "efficiency": round(eff, 3),
+            }
+
+    value = round(sum(results.values()), 3)
+    out = {
+        "metric": "fulltext_index_build_plus_topk_p50",
+        "value": value,
+        "unit": "sec",
+        "queries": results,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "n_docs_sf": n_docs,
+        "build_docs_per_sec_sf": round(n_docs / build_sec, 1),
+        "scaling": scaling,
+        "total_bench_sec": round(time.time() - total_t0, 1),
+    }
+    shutil.rmtree(ix_dir, ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) >= 2 and sys.argv[1] == "--probe":
+        probe(int(sys.argv[2]), int(sys.argv[3]))
+    else:
+        main()

@@ -71,6 +71,43 @@ def tokenize_udf(analyzer: str = "standard"):
     return _tok
 
 
+_DOC_POSTINGS_SCHEMA = T.StructType([
+    T.StructField("dl", T.IntegerType(), False),
+    T.StructField("entries", T.ArrayType(T.StructType([
+        T.StructField("term", T.StringType(), False),
+        T.StructField("tf", T.IntegerType(), False),
+        T.StructField("positions", T.ArrayType(T.IntegerType()), False),
+    ])), False),
+])
+
+
+def doc_postings_udf(analyzer: str = "standard"):
+    """Arrow-batched analyzer emitting per-doc postings directly:
+    text → struct(dl, entries: array<struct(term, tf, positions)>).
+
+    This is the Lucene shape — the per-document term vector is aggregated
+    map-side inside the writer (InternalEngine.index →
+    indexWriter.addDocuments), so the build shuffle moves one compact row per
+    (doc, distinct term) instead of one row per token occurrence, and no
+    token-level groupBy/collect_list is needed downstream.
+    """
+
+    @F.pandas_udf(_DOC_POSTINGS_SCHEMA)
+    def _tok(texts: pd.Series) -> pd.DataFrame:
+        dls, entries = [], []
+        for t in texts:
+            toks = analyze(t or "", analyzer)
+            by_term: dict[str, list[int]] = {}
+            for term, pos in toks:
+                by_term.setdefault(term, []).append(pos)
+            dls.append(len(toks))
+            entries.append([(term, len(ps), ps)
+                            for term, ps in sorted(by_term.items())])
+        return pd.DataFrame({"dl": dls, "entries": entries})
+
+    return _tok
+
+
 def assign_docids(df: DataFrame, order_col: str = "url",
                   partitions: int | None = None) -> DataFrame:
     """Add a deterministic dense ``docid`` ordered globally by `order_col`.
@@ -109,7 +146,9 @@ def assign_docids(df: DataFrame, order_col: str = "url",
             out.insert(0, "docid", range(base, base + n))
             yield out
 
-    return ranged.mapInPandas(add_ids, schema=out_schema)
+    out = ranged.mapInPandas(add_ids, schema=out_schema)
+    out._sparksearch_cached = ranged  # for the caller to unpersist
+    return out
 
 
 def quantized_dl_col(dl_col_name: str):
@@ -134,6 +173,14 @@ def build_index(pages: DataFrame, out_dir: str, analyzer: str = "standard",
     """
     spark = pages.sparkSession
     t0 = time.time()
+    _timing = os.environ.get("SPARKSEARCH_TIMING") == "1"
+    _last = [t0]
+
+    def _mark(stage: str) -> None:
+        if _timing:
+            now = time.time()
+            print(f"[build_index] {stage}: {now - _last[0]:.1f}s", flush=True)
+            _last[0] = now
 
     def done(stage: str) -> bool:
         return resume and os.path.exists(f"{out_dir}/{stage}/_SUCCESS")
@@ -150,15 +197,64 @@ def build_index(pages: DataFrame, out_dir: str, analyzer: str = "standard",
         if bad:
             raise ValueError(f"{bad} rows violate extract(html)==text")
 
-    with_ids = assign_docids(
-        pages.select("url", "warc_ts", "lang", "text"), "url", partitions)
+    # One fused Python pass: range-partition by url, then a single mapInPandas
+    # assigns dense docids (per-partition offsets) AND runs the analyzer —
+    # one Arrow round-trip of the text instead of two, one python worker pool.
+    p = partitions or spark.sparkContext.defaultParallelism
+    slim = pages.select("url", "warc_ts", "lang", "text")
+    ranged = (slim.repartitionByRange(p, F.col("url"))
+                  .sortWithinPartitions("url")
+                  .withColumn("_pid", F.spark_partition_id())
+                  .persist())
+    counts = {r["_pid"]: r["cnt"] for r in
+              ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
 
-    tok = with_ids.withColumn("_t", tokenize_udf(analyzer)(F.col("text")))
-    tok = tok.select(
-        "docid", "url", "warc_ts", "lang",
-        F.col("_t.terms").alias("terms"), F.col("_t.poss").alias("poss"),
-        F.size("_t.terms").cast("long").alias("dl"),
-    ).withColumn("dl_q", quantized_dl_col("dl"))
+    tok_schema = T.StructType([
+        T.StructField("docid", T.LongType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("dl", T.LongType(), False),
+        T.StructField("entries", _DOC_POSTINGS_SCHEMA["entries"].dataType, False),
+    ])
+
+    def ids_and_analyze(iterator):
+        local = 0
+        for batch in iterator:
+            n = len(batch)
+            if n == 0:
+                continue
+            base = offsets[int(batch["_pid"].iloc[0])] + local
+            local += n
+            dls, entries = [], []
+            for t in batch["text"]:
+                toks = analyze(t or "", analyzer)
+                by_term: dict[str, list[int]] = {}
+                for term, pos in toks:
+                    by_term.setdefault(term, []).append(pos)
+                dls.append(len(toks))
+                entries.append([(term, len(ps), ps)
+                                for term, ps in sorted(by_term.items())])
+            yield pd.DataFrame({
+                "docid": range(base, base + n),
+                "url": batch["url"].values,
+                "warc_ts": batch["warc_ts"].values,
+                "lang": batch["lang"].values,
+                "dl": dls,
+                "entries": entries,
+            })
+
+    tok = (ranged.mapInPandas(ids_and_analyze, schema=tok_schema)
+                 .withColumn("dl_q", quantized_dl_col("dl")))
+    # One materialization of the analyzer UDF feeds every downstream stage
+    # (docs + postings + stats). MEMORY_AND_DISK: spills, never recomputes —
+    # at cluster scale this is the standard "analyzed tokens" stage cache.
+    from pyspark import StorageLevel
+    tok = tok.persist(StorageLevel.MEMORY_AND_DISK)
 
     # docs table — the forward index / docid↔url dictionary
     if not done("docs"):
@@ -167,24 +263,21 @@ def build_index(pages: DataFrame, out_dir: str, analyzer: str = "standard",
             .sortWithinPartitions("docid")
             .write.mode("overwrite").parquet(f"{out_dir}/docs"))
 
-    docs = spark.read.parquet(f"{out_dir}/docs")
-    n_docs = docs.count()
-    total_tf = docs.agg(F.sum("dl")).collect()[0][0] or 0
-    avgdl = (total_tf / n_docs) if n_docs else 1.0
+    _mark("docs_write")
+    # n_docs is already known exactly from the docid-offset pass (acc);
+    # total_tf comes from the stats aggregation below (sum cf) — no extra job.
+    n_docs = acc
 
-    # postings — term-major transpose
+    # postings — term-major transpose. Per-doc term vectors were already
+    # aggregated map-side inside the analyzer UDF, so this is a pure explode
+    # of compact (term, tf, positions) rows: the only token-granular shuffle
+    # in the build is the repartition below, keyed by (bucket, term).
     if not done("postings"):
-        exploded = (tok
-                    .select("docid", "dl_q",
-                            F.explode(F.arrays_zip("terms", "poss")).alias("tp"))
-                    .select("docid", "dl_q",
-                            F.col("tp.terms").alias("term"),
-                            F.col("tp.poss").alias("pos")))
-        postings = (exploded
-                    .groupBy("term", "docid")
-                    .agg(F.count("*").cast("int").alias("tf"),
-                         F.sort_array(F.collect_list("pos")).alias("positions"),
-                         F.first("dl_q").alias("dl_q"))
+        postings = (tok
+                    .select("docid", "dl_q", F.explode("entries").alias("e"))
+                    .select(F.col("e.term").alias("term"), "docid",
+                            F.col("e.tf").alias("tf"),
+                            F.col("e.positions").alias("positions"), "dl_q")
                     .withColumn("bucket",
                                 F.pmod(F.xxhash64("term"), F.lit(n_buckets))))
         (postings
@@ -193,6 +286,7 @@ def build_index(pages: DataFrame, out_dir: str, analyzer: str = "standard",
          .write.mode("overwrite").partitionBy("bucket")
          .parquet(f"{out_dir}/postings"))
 
+    _mark("postings_write")
     # term statistics (global df/cf — DFS semantics by construction)
     if not done("stats"):
         (spark.read.parquet(f"{out_dir}/postings")
@@ -202,10 +296,15 @@ def build_index(pages: DataFrame, out_dir: str, analyzer: str = "standard",
          .coalesce(max(1, (partitions or 8) // 4))
          .write.mode("overwrite").parquet(f"{out_dir}/stats"))
 
+    _mark("stats_write")
     stats = spark.read.parquet(f"{out_dir}/stats")
-    n_terms = stats.count()
-    max_df = stats.agg(F.max("df")).collect()[0][0] or 0
+    srow = stats.agg(F.count("*").alias("n"), F.max("df").alias("m"),
+                     F.sum("cf").alias("ttf")).collect()[0]
+    n_terms, max_df = srow["n"], srow["m"] or 0
+    total_tf = srow["ttf"] or 0
+    avgdl = (total_tf / n_docs) if n_docs else 1.0
 
+    _mark("stats_agg")
     meta = {
         "version": 1,
         "analyzer": analyzer,
@@ -223,4 +322,6 @@ def build_index(pages: DataFrame, out_dir: str, analyzer: str = "standard",
     os.makedirs(out_dir, exist_ok=True)
     with open(f"{out_dir}/meta.json", "w") as f:
         json.dump(meta, f, indent=2)
+    tok.unpersist()
+    ranged.unpersist()
     return meta

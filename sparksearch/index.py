@@ -59,10 +59,19 @@ class IndexReader:
                 .filter(F.col("term").isin(uniq)))
 
     def _buckets_of(self, terms: list[str]) -> list[int]:
-        rows = (self.spark.createDataFrame([(t,) for t in terms], "term string")
-                .select(F.pmod(F.xxhash64("term"), F.lit(self.n_buckets))
-                        .alias("b")).distinct().collect())
-        return [int(r["b"]) for r in rows]
+        cache = getattr(self, "_bucket_cache", None)
+        if cache is None:
+            cache = self._bucket_cache = {}
+        missing = [t for t in terms if t not in cache]
+        if missing:
+            rows = (self.spark.createDataFrame(
+                        [(t,) for t in missing], "term string")
+                    .select("term",
+                            F.pmod(F.xxhash64("term"), F.lit(self.n_buckets))
+                            .alias("b")).collect())
+            for r in rows:
+                cache[r["term"]] = int(r["b"])
+        return sorted({cache[t] for t in terms})
 
     def stats_for(self, terms: list[str]) -> DataFrame:
         if not terms:
