@@ -1,0 +1,119 @@
+"""NumPy-vectorized LEB128 varint + delta codec for posting blocks.
+
+The reference's posting lists are delta-encoded and block-compressed by
+Lucene's codec (configured at
+/root/reference/server/src/main/java/org/opensearch/index/codec/CodecService.java:37-69;
+the byte format itself is Lucene 9.4 public Lucene90PostingsFormat: 128-doc
+blocks, FOR/varint, per-block impact metadata). This module implements the
+same *shape* — strictly-increasing docids stored as first-absolute +
+gap-varints, term frequencies as varints, per-doc position deltas — with a
+vectorized unsigned-LEB128 codec (no per-element Python in the hot path).
+
+All encode inputs are int64 arrays; values must be non-negative and < 2^63.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "varint_encode",
+    "varint_decode",
+    "delta_encode_docids",
+    "delta_decode_docids",
+    "encode_positions",
+    "decode_positions",
+    "BLOCK_SIZE",
+]
+
+#: docs per posting block (Lucene90PostingsFormat block size).
+BLOCK_SIZE = 128
+
+
+def varint_encode(arr: np.ndarray) -> bytes:
+    """Unsigned LEB128 encode of a non-negative int array (vectorized)."""
+    arr = np.asarray(arr, dtype=np.uint64)
+    n = len(arr)
+    if n == 0:
+        return b""
+    out = np.zeros((n, 10), dtype=np.uint8)
+    tmp = arr.copy()
+    cont = np.ones(n, dtype=bool)
+    lengths = np.zeros(n, dtype=np.int64)
+    for i in range(10):
+        byte = (tmp & np.uint64(0x7F)).astype(np.uint8)
+        tmp >>= np.uint64(7)
+        more = tmp > 0
+        out[:, i] = np.where(cont, byte | (more.astype(np.uint8) << 7), 0)
+        lengths += cont
+        cont &= more
+        if not cont.any():
+            break
+    mask = np.arange(10) < lengths[:, None]
+    return out[mask].tobytes()
+
+
+def varint_decode(buf: bytes) -> np.ndarray:
+    """Decode LEB128 bytes back to an int64 array (vectorized)."""
+    if not buf:
+        return np.zeros(0, dtype=np.int64)
+    b = np.frombuffer(buf, dtype=np.uint8)
+    ends = np.nonzero((b & 0x80) == 0)[0]
+    starts = np.empty(len(ends), dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    idx = np.arange(len(b))
+    group = np.searchsorted(ends, idx)
+    shift = ((idx - starts[group]) * 7).astype(np.uint64)
+    vals = np.zeros(len(ends), dtype=np.uint64)
+    np.add.at(vals, group, (b & np.uint8(0x7F)).astype(np.uint64) << shift)
+    return vals.astype(np.int64)
+
+
+def delta_encode_docids(docids: np.ndarray) -> bytes:
+    """Strictly-increasing docids → [first, gap, gap, ...] varints."""
+    docids = np.asarray(docids, dtype=np.int64)
+    if len(docids) == 0:
+        return b""
+    deltas = np.empty_like(docids)
+    deltas[0] = docids[0]
+    deltas[1:] = np.diff(docids)
+    return varint_encode(deltas)
+
+
+def delta_decode_docids(buf: bytes) -> np.ndarray:
+    deltas = varint_decode(buf)
+    return np.cumsum(deltas)
+
+
+def encode_positions(positions_concat: np.ndarray, tfs: np.ndarray) -> bytes:
+    """Per-doc position lists (concatenated, doc boundaries given by tfs) →
+    per-doc delta varints (first position absolute within each doc)."""
+    positions_concat = np.asarray(positions_concat, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    if len(positions_concat) == 0:
+        return b""
+    deltas = np.empty_like(positions_concat)
+    deltas[0] = positions_concat[0]
+    deltas[1:] = np.diff(positions_concat)
+    # reset the delta at each doc boundary to the absolute first position
+    starts = np.zeros(len(tfs), dtype=np.int64)
+    starts[1:] = np.cumsum(tfs)[:-1]
+    deltas[starts] = positions_concat[starts]
+    return varint_encode(deltas)
+
+
+def decode_positions(buf: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Inverse of encode_positions → concatenated absolute positions."""
+    deltas = varint_decode(buf)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    if len(deltas) == 0:
+        return deltas
+    # segmented cumsum: subtract the running total at each doc start
+    csum = np.cumsum(deltas)
+    starts = np.zeros(len(tfs), dtype=np.int64)
+    starts[1:] = np.cumsum(tfs)[:-1]
+    base = np.zeros(len(deltas), dtype=np.int64)
+    base[starts[1:]] = csum[starts[1:] - 1]
+    np.maximum.accumulate(base, out=base)
+    return csum - base

@@ -63,12 +63,24 @@ class Executor:
         self.ix = index
 
     # ---- public API --------------------------------------------------------
-    def search(self, q: Query, k: int = 10, fetch: bool = True) -> DataFrame:
-        """Top-k (docid, score[, url]) — score desc, docid asc."""
-        scored = self._plan(q, scored=True)
-        topk = (scored
-                .orderBy(F.col("score").desc(), F.col("docid").asc())
-                .limit(k))
+    def search(self, q: Query, k: int = 10, fetch: bool = True,
+               mode: str = "auto") -> DataFrame:
+        """Top-k (docid, score[, url]) — score desc, docid asc.
+
+        mode: "auto" uses the block-max WAND pruned path (wand.py) for match
+        queries when packed segments are available; "wand" forces it;
+        "plan" forces the generic DataFrame plan.
+        """
+        use_wand = (mode in ("auto", "wand") and isinstance(q, Match)
+                    and self.ix.use_segments)
+        if use_wand:
+            from sparksearch.wand import wand_topk
+            topk = wand_topk(self.ix, q, k)
+        else:
+            scored = self._plan(q, scored=True)
+            topk = (scored
+                    .orderBy(F.col("score").desc(), F.col("docid").asc())
+                    .limit(k))
         if fetch:
             # FetchPhase: k-row result broadcast against the corpus-side dict
             topk = (self.ix.docs.select("docid", "url")

@@ -17,7 +17,8 @@ class IndexReader:
     + parquet row-group min/max on the sorted `term` column.
     """
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 use_segments: bool = False):
         self.spark = spark
         self.index_dir = index_dir
         with open(f"{index_dir}/meta.json") as f:
@@ -26,6 +27,17 @@ class IndexReader:
         self.avgdl: float = self.meta["avgdl"]
         self.analyzer: str = self.meta["analyzer"]
         self.n_buckets: int = self.meta["n_buckets"]
+        #: read postings from packed segment blocks (segments.py) instead of
+        #: the row-postings parquet; same schema, so the executor is shared.
+        self.use_segments = use_segments
+        self._segments = None
+
+    @property
+    def segments(self):
+        if self._segments is None:
+            from sparksearch.segments import SegmentsReader
+            self._segments = SegmentsReader(self.spark, self.index_dir)
+        return self._segments
 
     @property
     def docs(self) -> DataFrame:
@@ -54,6 +66,8 @@ class IndexReader:
         # one scan; bucket IN (...) prunes directories, term IN (...) prunes
         # row groups via min/max on the sorted term column
         buckets = self._buckets_of(uniq)
+        if self.use_segments:
+            return self.segments.postings_for(uniq, buckets)
         return (self.postings
                 .filter(F.col("bucket").isin(buckets))
                 .filter(F.col("term").isin(uniq)))

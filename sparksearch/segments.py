@@ -1,0 +1,288 @@
+"""Packed posting segments: delta+varint blocks with block-max metadata.
+
+The Spark analogue of Lucene's segment files (reference wiring:
+/root/reference/server/src/main/java/org/opensearch/index/codec/CodecService.java:37-69
+selects Lucene90PostingsFormat [Lucene 9.4, public]: 128-doc blocks,
+delta/varint compression, per-block impacts for block-max WAND;
+/root/reference/server/src/main/java/org/opensearch/index/engine/InternalEngine.java:844-1116
+is the write path). Layout under <index_dir>/segments/:
+
+  gen=G/chunk=J/bucket=B/part-*.parquet   one row per posting BLOCK:
+      term, salt, block_id, n, first_docid, last_docid,
+      docids BINARY (first absolute + gap varints),
+      tfs BINARY (varints), norms BINARY (1 byte/doc, SmallFloat byte4),
+      positions BINARY (per-doc delta varints),
+      max_tfn DOUBLE (block impact: max tf/(tf+k1*(1-b+b*dl_q/avgdl)))
+  gen=G/_manifest/chunk-J.json            per-chunk lineage + metrics
+  segments_meta.json                      generations, params
+
+Scale design:
+  - the encode shuffle is keyed by (term, salt): head terms (Zipf — default
+    standard analyzer keeps stopwords!) are range-salted by docid
+    (salt = docid * S / n_docs, S = ceil(df / salt_target)) so no single
+    task ever materializes more than ~salt_target postings; dense docids
+    make the ranges perfectly balanced, and range (not hash) salting keeps
+    each salted run contiguous so blocks stay globally docid-ordered.
+  - chunked writes (term-hash chunks, each with its own _SUCCESS +
+    manifest) give mid-build resume at sub-index granularity — the batch
+    analogue of the reference's per-shard translog checkpoints
+    (sv/index/seqno/LocalCheckpointTracker.java:47-143).
+  - encode/decode are NumPy-vectorized inside applyInPandas/mapInPandas
+    (Arrow batches; no per-row Python).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sparksearch import bm25
+from sparksearch.codec import (
+    BLOCK_SIZE,
+    delta_decode_docids,
+    delta_encode_docids,
+    decode_positions,
+    encode_positions,
+    varint_decode,
+    varint_encode,
+)
+from sparksearch.norms import DECODE_LUT, int_to_byte4_np
+
+__all__ = ["build_segments", "SegmentsReader", "decoded_postings"]
+
+_BLOCK_SCHEMA = T.StructType([
+    T.StructField("bucket", T.IntegerType(), False),
+    T.StructField("term", T.StringType(), False),
+    T.StructField("salt", T.IntegerType(), False),
+    T.StructField("block_id", T.IntegerType(), False),
+    T.StructField("n", T.IntegerType(), False),
+    T.StructField("first_docid", T.LongType(), False),
+    T.StructField("last_docid", T.LongType(), False),
+    T.StructField("docids", T.BinaryType(), False),
+    T.StructField("tfs", T.BinaryType(), False),
+    T.StructField("norms", T.BinaryType(), False),
+    T.StructField("positions", T.BinaryType(), False),
+    T.StructField("max_tfn", T.DoubleType(), False),
+])
+
+
+def _tfn(tf: np.ndarray, dl_q: np.ndarray, avgdl: float) -> np.ndarray:
+    tf = tf.astype(np.float64)
+    return tf / (tf + bm25.K1 * (1.0 - bm25.B + bm25.B * dl_q / avgdl))
+
+
+def _encode_group(avgdl: float):
+    """applyInPandas encoder for one (bucket, term, salt) posting group."""
+
+    def enc(key, pdf):
+        bucket, term, salt = int(key[0]), key[1], int(key[2])
+        order = np.argsort(pdf["docid"].values, kind="stable")
+        docids = pdf["docid"].values[order]
+        tfs = pdf["tf"].values[order].astype(np.int64)
+        dl_q = pdf["dl_q"].values[order].astype(np.int64)
+        poss = pdf["positions"].values[order]
+        norms = int_to_byte4_np(dl_q).astype(np.uint8)
+        tfns = _tfn(tfs, dl_q.astype(np.float64), avgdl)
+        rows = []
+        for b0 in range(0, len(docids), BLOCK_SIZE):
+            b1 = min(b0 + BLOCK_SIZE, len(docids))
+            btfs = tfs[b0:b1]
+            bpos = np.concatenate([np.asarray(p, dtype=np.int64)
+                                   for p in poss[b0:b1]]) \
+                if b1 > b0 else np.zeros(0, np.int64)
+            rows.append((
+                bucket, term, salt, b0 // BLOCK_SIZE, b1 - b0,
+                int(docids[b0]), int(docids[b1 - 1]),
+                delta_encode_docids(docids[b0:b1]),
+                varint_encode(btfs),
+                norms[b0:b1].tobytes(),
+                encode_positions(bpos, btfs),
+                float(tfns[b0:b1].max()),
+            ))
+        return pd.DataFrame(rows, columns=[f.name for f in _BLOCK_SCHEMA])
+
+    return enc
+
+
+def build_segments(spark: SparkSession, index_dir: str, *, gen: int = 0,
+                   salt_target: int = 65536, n_chunks: int = 4,
+                   partitions: int | None = None,
+                   resume: bool = False) -> dict:
+    """Encode the row-postings of `index_dir` into packed segment blocks.
+
+    Chunk c holds terms with pmod(xxhash64(term), n_chunks) == c; each chunk
+    is one atomic write with its own manifest, so a killed build resumes at
+    the first incomplete chunk (`resume=True`).
+    """
+    with open(f"{index_dir}/meta.json") as f:
+        meta = json.load(f)
+    avgdl, n_docs = float(meta["avgdl"]), int(meta["n_docs"])
+    gen_dir = f"{index_dir}/segments/gen={gen}"
+    os.makedirs(f"{gen_dir}/_manifest", exist_ok=True)
+    p = partitions or spark.sparkContext.defaultParallelism
+
+    # salting plan for head terms, from the global stats table (driver-side:
+    # Zipf head is tiny — terms needing >1 salt are those with df > target)
+    stats = spark.read.parquet(f"{index_dir}/stats")
+    head = (stats.filter(F.col("df") > salt_target)
+            .select("term", F.ceil(F.col("df") / salt_target)
+                    .cast("int").alias("nsalts")))
+    head_rows = head.collect()
+    nsalt_map = {r["term"]: r["nsalts"] for r in head_rows}
+
+    postings = spark.read.parquet(f"{index_dir}/postings")
+    manifests = []
+    for c in range(n_chunks):
+        chunk_dir = f"{gen_dir}/chunk={c}"
+        mpath = f"{gen_dir}/_manifest/chunk-{c}.json"
+        if resume and os.path.exists(f"{chunk_dir}/_SUCCESS") \
+                and os.path.exists(mpath):
+            with open(mpath) as f:
+                manifests.append(json.load(f))
+            continue
+        t0 = time.time()
+        part = postings.filter(
+            F.pmod(F.xxhash64("term"), F.lit(n_chunks)) == c)
+        if nsalt_map:
+            ns_col = F.coalesce(
+                F.element_at(
+                    F.create_map(*[x for t, s in nsalt_map.items()
+                                   for x in (F.lit(t), F.lit(s))]),
+                    F.col("term")),
+                F.lit(1)).cast("long")
+        else:
+            ns_col = F.lit(1).cast("long")
+        salted = part.withColumn(
+            "salt",
+            ((F.col("docid") * ns_col) / F.lit(max(1, n_docs)))
+            .cast("int"))
+        blocks = (salted
+                  .repartition(p, "term", "salt")
+                  .groupBy("bucket", "term", "salt")
+                  .applyInPandas(_encode_group(avgdl), schema=_BLOCK_SCHEMA))
+        (blocks.write.mode("overwrite").partitionBy("bucket")
+               .parquet(chunk_dir))
+        # lineage + metrics from the written blocks (one cheap agg)
+        m = (spark.read.parquet(chunk_dir)
+             .agg(F.count("*").alias("blocks"),
+                  F.sum("n").alias("postings"),
+                  F.sum(F.octet_length("docids") + F.octet_length("tfs")
+                        + F.octet_length("norms")
+                        + F.octet_length("positions")).alias("payload_bytes"),
+                  F.countDistinct("term").alias("terms"),
+                  F.max("n").alias("max_block_n")).collect()[0])
+        man = {"chunk": c, "gen": gen,
+               "blocks": int(m["blocks"] or 0),
+               "postings": int(m["postings"] or 0),
+               "payload_bytes": int(m["payload_bytes"] or 0),
+               "terms": int(m["terms"] or 0),
+               "elapsed_sec": round(time.time() - t0, 3)}
+        with open(mpath, "w") as f:
+            json.dump(man, f)
+        manifests.append(man)
+
+    total_postings = sum(m["postings"] for m in manifests)
+    seg_meta = {
+        "gen": gen,
+        "n_chunks": n_chunks,
+        "salt_target": salt_target,
+        "salted_terms": len(nsalt_map),
+        "max_nsalts": max(nsalt_map.values(), default=1),
+        "block_size": BLOCK_SIZE,
+        "postings": total_postings,
+        "payload_bytes": sum(m["payload_bytes"] for m in manifests),
+        "skew_ratio": (max(nsalt_map.values(), default=1) * salt_target
+                       / max(1.0, total_postings
+                             / max(1, sum(m["terms"] for m in manifests)))),
+        "chunks": manifests,
+    }
+    with open(f"{index_dir}/segments_meta.json", "w") as f:
+        json.dump(seg_meta, f, indent=2)
+    return seg_meta
+
+
+_DECODED_SCHEMA = T.StructType([
+    T.StructField("term", T.StringType(), False),
+    T.StructField("docid", T.LongType(), False),
+    T.StructField("tf", T.IntegerType(), False),
+    T.StructField("positions", T.ArrayType(T.IntegerType()), False),
+    T.StructField("dl_q", T.LongType(), False),
+])
+
+
+def _decode_blocks(with_positions: bool):
+    """mapInPandas: block rows → row-postings (term, docid, tf, positions,
+    dl_q). Vectorized; one output row per posting."""
+
+    def dec(batches):
+        for pdf in batches:
+            outs = []
+            for r in pdf.itertuples(index=False):
+                docids = delta_decode_docids(r.docids)
+                tfs = varint_decode(r.tfs)
+                dl_q = DECODE_LUT[np.frombuffer(r.norms, dtype=np.uint8)]
+                if with_positions and len(r.positions):
+                    pos = decode_positions(r.positions, tfs)
+                    bounds = np.cumsum(tfs)[:-1]
+                    plists = [a.tolist() for a in np.split(pos, bounds)]
+                else:
+                    plists = [[]] * len(docids)
+                outs.append(pd.DataFrame({
+                    "term": r.term, "docid": docids,
+                    "tf": tfs.astype(np.int32), "positions": plists,
+                    "dl_q": dl_q}))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return dec
+
+
+class SegmentsReader:
+    """Reader over packed segment generations of an index directory."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        with open(f"{index_dir}/segments_meta.json") as f:
+            self.meta = json.load(f)
+        self.gen = self.meta["gen"]
+
+    @property
+    def blocks(self) -> DataFrame:
+        return self.spark.read.option("basePath", f"{self.index_dir}/segments") \
+            .parquet(f"{self.index_dir}/segments/gen={self.gen}")
+
+    def blocks_for(self, terms: list[str], buckets: list[int]) -> DataFrame:
+        uniq = sorted(set(terms))
+        if not uniq:
+            return self.blocks.limit(0)
+        return (self.blocks
+                .filter(F.col("bucket").isin(buckets))
+                .filter(F.col("term").isin(uniq)))
+
+    def postings_for(self, terms: list[str], buckets: list[int],
+                     with_positions: bool = True) -> DataFrame:
+        """Decode the packed blocks back to the row-postings schema — the
+        whole query executor runs unchanged on packed segments."""
+        return (self.blocks_for(terms, buckets)
+                .select("term", "docids", "tfs", "norms", "positions")
+                .mapInPandas(_decode_blocks(with_positions),
+                             schema=_DECODED_SCHEMA))
+
+
+def decoded_postings(spark: SparkSession, index_dir: str,
+                     with_positions: bool = True) -> DataFrame:
+    """Full decode of every block (for merge / verification jobs)."""
+    r = SegmentsReader(spark, index_dir)
+    return (r.blocks
+            .select("term", "docids", "tfs", "norms", "positions")
+            .mapInPandas(_decode_blocks(with_positions),
+                         schema=_DECODED_SCHEMA))

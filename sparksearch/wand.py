@@ -1,0 +1,149 @@
+"""Block-max WAND top-k over packed segments.
+
+The reference's hot query path is Lucene's TopScoreDocCollector with
+block-max WAND pruning, enabled because track_total_hits defaults to 10k
+(/root/reference/server/src/main/java/org/opensearch/search/query/TopDocsCollectorContext.java:348-363,
+/root/reference/server/src/main/java/org/opensearch/search/internal/SearchContext.java:92-94;
+the WAND machinery itself is Lucene 9.4 public: impacts +
+setMinCompetitiveScore). A batch engine can't do Lucene's doc-at-a-time
+cursor dance, so this is the *set-oriented* equivalent with the same
+guarantee (provably identical top-k):
+
+  phase A (threshold seed): decode only the J highest-impact blocks per
+      query term, aggregate partial scores, take the k-th best → θ.
+      Partial sums under-estimate true scores, so θ is a valid lower
+      bound of the true k-th score.
+  phase B (prune + score): a block of term t can contain a top-k doc only
+      if  ub(B) = w_t·idf_t·max_tfn(B) + Σ_{t'≠t} w_t'·idf_t'·gmax_t' ≥ θ.
+      Every doc of a pruned block has true score ≤ ub(B) < θ ≤ true k-th
+      score, so pruning is exact; and any true top-k doc (including k-th
+      ties) sits only in surviving blocks, so its score and its
+      minimum_should_match term count are computed exactly.
+
+Both phases are DataFrame plans: parquet scans pruned by (bucket, term),
+block filters on JVM-side metadata columns, one vectorized decode
+mapInPandas, groupBy(docid) partial+final aggregation, and Spark's
+TakeOrderedAndProject as the per-partition-top-k + merge
+(= per-shard collector + SearchPhaseController.mergeTopDocs,
+sv/action/search/SearchPhaseController.java:191-249).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sparksearch import bm25
+from sparksearch.analysis import analyze
+from sparksearch.codec import BLOCK_SIZE, delta_decode_docids, varint_decode
+from sparksearch.norms import DECODE_LUT
+from sparksearch.queries import Match, calculate_min_should_match
+
+__all__ = ["wand_topk"]
+
+_SCORE_SCHEMA = T.StructType([
+    T.StructField("docid", T.LongType(), False),
+    T.StructField("term", T.StringType(), False),
+    T.StructField("score", T.DoubleType(), False),
+])
+
+
+def _decode_score(widf: dict[str, float], avgdl: float):
+    """mapInPandas: packed blocks → (docid, term, w·idf·tfn) rows."""
+    k1, b = bm25.K1, bm25.B
+
+    def dec(batches):
+        for pdf in batches:
+            outs = []
+            for r in pdf.itertuples(index=False):
+                docids = delta_decode_docids(r.docids)
+                tfs = varint_decode(r.tfs).astype(np.float64)
+                dl_q = DECODE_LUT[np.frombuffer(r.norms, dtype=np.uint8)] \
+                    .astype(np.float64)
+                tfn = tfs / (tfs + k1 * (1.0 - b + b * dl_q / avgdl))
+                outs.append(pd.DataFrame({
+                    "docid": docids, "term": r.term,
+                    "score": widf[r.term] * tfn}))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return dec
+
+
+def wand_topk(ix, q: Match, k: int = 10) -> DataFrame:
+    """Exact BM25 top-k for a match query via block-max pruning.
+
+    Returns DataFrame(docid, score), score desc / docid asc, ≤ k rows.
+    `ix` is an IndexReader with packed segments built.
+    """
+    terms = [t for t, _ in analyze(q.text, q.analyzer or ix.analyzer)]
+    if not terms:
+        return ix.docs.select(
+            "docid", F.lit(0.0).alias("score")).limit(0)
+    cnt = Counter(terms)
+    uniq = sorted(cnt)
+    if q.operator == "and":
+        msm = len(terms)
+    else:
+        msm = calculate_min_should_match(
+            len(terms), q.minimum_should_match, has_required=False)
+
+    # tiny driver-side stats: idf per term, global max impact per term
+    srows = ix.stats_for(uniq).collect()
+    idf = {r["term"]: bm25.idf(r["df"], ix.n_docs) for r in srows}
+    # (k1+1) folded into the per-term weight: decode emits plain
+    # tf/(tf+k1·norm), so score = w·idf·(k1+1)·tfn = LegacyBM25Similarity
+    widf = {t: cnt[t] * idf.get(t, 0.0) * (bm25.K1 + 1.0) for t in uniq}
+    present = [t for t in uniq if t in idf]
+    if not present:
+        return ix.docs.select("docid", F.lit(0.0).alias("score")).limit(0)
+
+    buckets = ix._buckets_of(present)
+    blocks = ix.segments.blocks_for(present, buckets)
+    gm = {r["term"]: r["gmax"] for r in
+          blocks.groupBy("term").agg(F.max("max_tfn").alias("gmax")).collect()}
+    sum_all = sum(widf[t] * gm.get(t, 0.0) for t in present)
+
+    dec = _decode_score(widf, ix.avgdl)
+    payload = ["term", "docids", "tfs", "norms"]
+
+    def agg_scores(df: DataFrame) -> DataFrame:
+        per = df.select(*payload).mapInPandas(dec, schema=_SCORE_SCHEMA)
+        out = (per.groupBy("docid")
+               .agg(F.sum("score").alias("score"),
+                    F.countDistinct("term").alias("_nt")))
+        if msm > 1:
+            out = out.filter(F.col("_nt") >= msm)
+        return out.select("docid", "score")
+
+    # phase A: threshold seed from the highest-impact blocks of each term
+    j = max(1, math.ceil(k / BLOCK_SIZE)) + 1
+    from pyspark.sql import Window
+    wnd = Window.partitionBy("term").orderBy(
+        F.col("max_tfn").desc(), F.col("salt"), F.col("block_id"))
+    seed = (blocks.withColumn("_rn", F.row_number().over(wnd))
+            .filter(F.col("_rn") <= j))
+    seed_top = (agg_scores(seed)
+                .orderBy(F.col("score").desc(), F.col("docid").asc())
+                .limit(k).collect())
+    theta = seed_top[k - 1]["score"] if len(seed_top) >= k else 0.0
+
+    # phase B: prune blocks whose best-possible doc can't reach θ, then
+    # score the survivors exactly
+    gmax_other = {t: sum_all - widf[t] * gm.get(t, 0.0) for t in present}
+    ub_other = F.create_map(*[x for t in present
+                              for x in (F.lit(t), F.lit(gmax_other[t]))])
+    ub_widf = F.create_map(*[x for t in present
+                             for x in (F.lit(t), F.lit(widf[t]))])
+    survivors = blocks.filter(
+        F.element_at(ub_widf, F.col("term")) * F.col("max_tfn")
+        + F.element_at(ub_other, F.col("term")) >= F.lit(theta))
+    return (agg_scores(survivors)
+            .orderBy(F.col("score").desc(), F.col("docid").asc())
+            .limit(k))
