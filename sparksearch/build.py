@@ -1,37 +1,38 @@
-"""Distributed inverted-index build: pages → docs + postings + stats.
+"""Distributed inverted-index build: pages -> docs + postings + stats.
 
-Spark trace of the reference's indexing path (_bulk → DocumentParser →
-InternalEngine.index → Lucene segments; SURVEY.md §3.2):
+Spark trace of the reference's indexing path (_bulk -> DocumentParser ->
+InternalEngine.index -> Lucene segments; SURVEY.md 3.2):
 
   pages
-    → extract/verify text (Arrow UDF; byte-identical gate)
-    → assign deterministic dense docids (global url order — the engine's
-      tie-break contract, mirroring Lucene docID + TopDocs.merge order,
-      sv/action/search/SearchPhaseController.java:246-249)
-    → tokenize (Arrow-batched pandas UDF — the analyzer, SURVEY.md §1.3)
-    → explode → groupBy(term, docid) [shuffle #1, high-cardinality key,
-      map-side partial aggregation — no skew problem]
-    → postings rows (term, docid, tf, positions, dl_q denormalized like a
-      Lucene norm so the query path never joins the docs table)
-    → stats: groupBy(term) [shuffle #2, Zipf-skewed key but map-side combine
-      reduces each partition to ≤|vocab| rows before the exchange]
-    → write parquet: postings hash-bucketed by term (directory partition
-      `bucket=pmod(xxhash64(term), B)`) and sorted by (term, docid) within
-      files → query-term lookups prune B-1/B of the data via partition
-      pruning + row-group min/max on `term`.
+    -> extract/verify text (Arrow UDF; byte-identical gate)
+    -> ONE fused Arrow pass (mapInPandas) that assigns deterministic dense
+      docids (two-pass range-partition + per-partition offsets -- the
+      tie-break contract mirroring Lucene docID order + TopDocs.merge,
+      sv/action/search/SearchPhaseController.java:246-249) AND runs the
+      analyzer, emitting per-doc term vectors (term, tf, positions) the way
+      Lucene's writer aggregates them map-side (InternalEngine.java:844-1116)
+    -> postings = pure explode of the per-doc vectors; the only
+      token-granular shuffle is the repartition by (bucket, term)
+    -> stats: groupBy(term) with map-side partial aggregation
+    -> layout (generation-aware; meta.json is the atomic commit point, the
+      analogue of Lucene's segments_N manifest):
+        docs/gen=G/                docid, url, warc_ts, lang, dl, dl_q
+        postings/gen=G/bucket=B/   term, docid, tf, positions, dl_q
+        stats_gG/                  (named by meta["stats_path"]) term, df, cf
+        meta.json                  n_docs, avgdl, generations, analyzer
 
 Scale notes (100 TB / 10^12 docs):
   - docid assignment is the classic two-pass range-partition + per-partition
-    offset scheme (one tiny P-row collect; no global window).
-  - the only Python in the build is the analyzer UDF (Arrow batches) — all
-    shuffles, aggregations and encodes stay JVM-side.
-  - `bucket` count scales with cluster size; head-term salting applies to the
-    packed segment encode (segments.py), not these row-postings, because
-    groupBy(term, docid) keys are uniform.
+    offset scheme (one tiny P-row collect; no global window, no driver data).
+  - the only Python in the build is the fused analyzer pass (Arrow batches);
+    every shuffle/aggregation/write stays JVM-side.
+  - `bucket` count scales with cluster size; head-term salting applies to
+    the packed segment encode (segments.py) where whole posting lists must
+    be materialized per task -- groupBy keys here are uniform.
 
-Resume: each output (docs/postings/stats/meta) is a separate atomic parquet
-write with a _SUCCESS marker; `build_index(..., resume=True)` skips completed
-stages — the batch analogue of the reference's translog checkpoint replay
+Resume: each output (docs/postings/stats) is an atomic parquet write with a
+_SUCCESS marker; `build_index(..., resume=True)` skips completed stages --
+the batch analogue of translog checkpoint replay
 (sv/index/seqno/LocalCheckpointTracker.java:47-143).
 """
 
@@ -48,7 +49,18 @@ from pyspark.sql import types as T
 
 from sparksearch.analysis import analyze
 
-__all__ = ["tokenize_udf", "assign_docids", "quantized_dl_col", "build_index"]
+__all__ = [
+    "tokenize_udf",
+    "doc_postings_udf",
+    "assign_docids",
+    "analyze_pages",
+    "quantized_dl_col",
+    "build_index",
+    "write_meta",
+    "INDEX_VERSION",
+]
+
+INDEX_VERSION = 2
 
 _TOKENS_SCHEMA = T.StructType([
     T.StructField("terms", T.ArrayType(T.StringType()), False),
@@ -57,7 +69,7 @@ _TOKENS_SCHEMA = T.StructType([
 
 
 def tokenize_udf(analyzer: str = "standard"):
-    """Arrow-batched analyzer: text → struct(terms array, positions array)."""
+    """Arrow-batched analyzer: text -> struct(terms array, positions array)."""
 
     @F.pandas_udf(_TOKENS_SCHEMA)
     def _tok(texts: pd.Series) -> pd.DataFrame:
@@ -83,14 +95,7 @@ _DOC_POSTINGS_SCHEMA = T.StructType([
 
 def doc_postings_udf(analyzer: str = "standard"):
     """Arrow-batched analyzer emitting per-doc postings directly:
-    text → struct(dl, entries: array<struct(term, tf, positions)>).
-
-    This is the Lucene shape — the per-document term vector is aggregated
-    map-side inside the writer (InternalEngine.index →
-    indexWriter.addDocuments), so the build shuffle moves one compact row per
-    (doc, distinct term) instead of one row per token occurrence, and no
-    token-level groupBy/collect_list is needed downstream.
-    """
+    text -> struct(dl, entries: array<struct(term, tf, positions)>)."""
 
     @F.pandas_udf(_DOC_POSTINGS_SCHEMA)
     def _tok(texts: pd.Series) -> pd.DataFrame:
@@ -153,53 +158,22 @@ def assign_docids(df: DataFrame, order_col: str = "url",
 
 def quantized_dl_col(dl_col_name: str):
     """SmallFloat decode(encode(dl)) as a pure Catalyst expression
-    (norms.quantized_dl_sql — JVM-side, no UDF)."""
+    (norms.quantized_dl_sql -- JVM-side, no UDF)."""
     from sparksearch.norms import quantized_dl_sql
     return F.expr(quantized_dl_sql(dl_col_name)).cast("long")
 
 
-def build_index(pages: DataFrame, out_dir: str, analyzer: str = "standard",
-                n_buckets: int = 8, partitions: int | None = None,
-                resume: bool = False, verify_extract: bool = False) -> dict:
-    """Build the full index dataset under ``out_dir``.
+def analyze_pages(pages: DataFrame, analyzer: str = "standard",
+                  partitions: int | None = None, docid_base: int = 0):
+    """The fused docid-assignment + analysis stage.
 
-    Layout:
-      docs/      docid, url, warc_ts, lang, dl, dl_q        (sorted by docid)
-      postings/  bucket=*/ term, docid, tf, positions, dl_q (sorted term,docid)
-      stats/     term, df, cf
-      meta.json  n_docs, total_tf, avgdl, analyzer, metrics
-
-    Returns the meta dict.
+    Returns (tok, ranged, n_new): `tok` is the persisted analyzed DataFrame
+    (docid, url, warc_ts, lang, dl, entries, dl_q); `ranged` must be
+    unpersisted by the caller when done; `n_new` is the batch row count.
+    Docids are `docid_base + rank-by-url-within-batch` -- dense and
+    deterministic per generation (per-segment arrival order, like Lucene).
     """
     spark = pages.sparkSession
-    t0 = time.time()
-    _timing = os.environ.get("SPARKSEARCH_TIMING") == "1"
-    _last = [t0]
-
-    def _mark(stage: str) -> None:
-        if _timing:
-            now = time.time()
-            print(f"[build_index] {stage}: {now - _last[0]:.1f}s", flush=True)
-            _last[0] = now
-
-    def done(stage: str) -> bool:
-        return resume and os.path.exists(f"{out_dir}/{stage}/_SUCCESS")
-
-    if verify_extract:
-        from sparksearch.extract import extract_text
-
-        @F.pandas_udf(T.BooleanType())
-        def _ok(html: pd.Series, text: pd.Series) -> pd.Series:
-            return pd.Series(
-                [extract_text(h) == (t or "") for h, t in zip(html, text)])
-
-        bad = pages.filter(~_ok(F.col("html"), F.col("text"))).count()
-        if bad:
-            raise ValueError(f"{bad} rows violate extract(html)==text")
-
-    # One fused Python pass: range-partition by url, then a single mapInPandas
-    # assigns dense docids (per-partition offsets) AND runs the analyzer —
-    # one Arrow round-trip of the text instead of two, one python worker pool.
     p = partitions or spark.sparkContext.defaultParallelism
     slim = pages.select("url", "warc_ts", "lang", "text")
     ranged = (slim.repartitionByRange(p, F.col("url"))
@@ -208,10 +182,11 @@ def build_index(pages: DataFrame, out_dir: str, analyzer: str = "standard",
                   .persist())
     counts = {r["_pid"]: r["cnt"] for r in
               ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
-    offsets, acc = {}, 0
+    offsets, acc = {}, docid_base
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
+    n_new = acc - docid_base
 
     tok_schema = T.StructType([
         T.StructField("docid", T.LongType(), False),
@@ -219,7 +194,8 @@ def build_index(pages: DataFrame, out_dir: str, analyzer: str = "standard",
         T.StructField("warc_ts", T.TimestampType(), True),
         T.StructField("lang", T.StringType(), True),
         T.StructField("dl", T.LongType(), False),
-        T.StructField("entries", _DOC_POSTINGS_SCHEMA["entries"].dataType, False),
+        T.StructField("entries", _DOC_POSTINGS_SCHEMA["entries"].dataType,
+                      False),
     ])
 
     def ids_and_analyze(iterator):
@@ -248,31 +224,24 @@ def build_index(pages: DataFrame, out_dir: str, analyzer: str = "standard",
                 "entries": entries,
             })
 
-    tok = (ranged.mapInPandas(ids_and_analyze, schema=tok_schema)
-                 .withColumn("dl_q", quantized_dl_col("dl")))
-    # One materialization of the analyzer UDF feeds every downstream stage
-    # (docs + postings + stats). MEMORY_AND_DISK: spills, never recomputes —
-    # at cluster scale this is the standard "analyzed tokens" stage cache.
     from pyspark import StorageLevel
-    tok = tok.persist(StorageLevel.MEMORY_AND_DISK)
+    tok = (ranged.mapInPandas(ids_and_analyze, schema=tok_schema)
+                 .withColumn("dl_q", quantized_dl_col("dl"))
+                 .persist(StorageLevel.MEMORY_AND_DISK))
+    return tok, ranged, n_new
 
-    # docs table — the forward index / docid↔url dictionary
-    if not done("docs"):
+
+def write_docs_postings(tok: DataFrame, out_dir: str, gen: int,
+                        n_buckets: int, partitions: int | None,
+                        skip_docs: bool = False,
+                        skip_postings: bool = False) -> None:
+    """Write one generation's docs + postings from an analyzed batch."""
+    if not skip_docs:
         (tok.select("docid", "url", "warc_ts", "lang", "dl", "dl_q")
             .repartitionByRange(max(1, (partitions or 8) // 2), "docid")
             .sortWithinPartitions("docid")
-            .write.mode("overwrite").parquet(f"{out_dir}/docs"))
-
-    _mark("docs_write")
-    # n_docs is already known exactly from the docid-offset pass (acc);
-    # total_tf comes from the stats aggregation below (sum cf) — no extra job.
-    n_docs = acc
-
-    # postings — term-major transpose. Per-doc term vectors were already
-    # aggregated map-side inside the analyzer UDF, so this is a pure explode
-    # of compact (term, tf, positions) rows: the only token-granular shuffle
-    # in the build is the repartition below, keyed by (bucket, term).
-    if not done("postings"):
+            .write.mode("overwrite").parquet(f"{out_dir}/docs/gen={gen}"))
+    if not skip_postings:
         postings = (tok
                     .select("docid", "dl_q", F.explode("entries").alias("e"))
                     .select(F.col("e.term").alias("term"), "docid",
@@ -284,44 +253,103 @@ def build_index(pages: DataFrame, out_dir: str, analyzer: str = "standard",
          .repartition(partitions or n_buckets, "bucket", "term")
          .sortWithinPartitions("term", "docid")
          .write.mode("overwrite").partitionBy("bucket")
-         .parquet(f"{out_dir}/postings"))
+         .parquet(f"{out_dir}/postings/gen={gen}"))
 
-    _mark("postings_write")
-    # term statistics (global df/cf — DFS semantics by construction)
-    if not done("stats"):
-        (spark.read.parquet(f"{out_dir}/postings")
-         .groupBy("term")
-         .agg(F.count("*").cast("long").alias("df"),
-              F.sum("tf").cast("long").alias("cf"))
-         .coalesce(max(1, (partitions or 8) // 4))
-         .write.mode("overwrite").parquet(f"{out_dir}/stats"))
 
-    _mark("stats_write")
-    stats = spark.read.parquet(f"{out_dir}/stats")
+def write_stats(spark: SparkSession, out_dir: str, stats_df: DataFrame,
+                stats_path: str, partitions: int | None):
+    """Write a stats table version; returns (n_terms, max_df, total_tf)."""
+    (stats_df.coalesce(max(1, (partitions or 8) // 4))
+     .write.mode("overwrite").parquet(f"{out_dir}/{stats_path}"))
+    spark0 = spark
+    stats = spark0.read.parquet(f"{out_dir}/{stats_path}")
     srow = stats.agg(F.count("*").alias("n"), F.max("df").alias("m"),
                      F.sum("cf").alias("ttf")).collect()[0]
-    n_terms, max_df = srow["n"], srow["m"] or 0
-    total_tf = srow["ttf"] or 0
-    avgdl = (total_tf / n_docs) if n_docs else 1.0
+    return srow["n"], srow["m"] or 0, srow["ttf"] or 0
 
-    _mark("stats_agg")
+
+def write_meta(out_dir: str, meta: dict) -> None:
+    """Atomic meta.json replace -- the index's commit point (segments_N)."""
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = f"{out_dir}/meta.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=2)
+    os.replace(tmp, f"{out_dir}/meta.json")
+
+
+def build_index(pages: DataFrame, out_dir: str, analyzer: str = "standard",
+                n_buckets: int = 8, partitions: int | None = None,
+                resume: bool = False, verify_extract: bool = False) -> dict:
+    """Build generation 0 of the index dataset under ``out_dir``.
+
+    Returns the meta dict. Incremental batches: merge.add_generation.
+    """
+    spark = pages.sparkSession
+    t0 = time.time()
+    _timing = os.environ.get("SPARKSEARCH_TIMING") == "1"
+    _last = [t0]
+
+    def _mark(stage: str) -> None:
+        if _timing:
+            now = time.time()
+            print(f"[build_index] {stage}: {now - _last[0]:.1f}s", flush=True)
+            _last[0] = now
+
+    def done(stage: str) -> bool:
+        return resume and os.path.exists(f"{out_dir}/{stage}/_SUCCESS")
+
+    if verify_extract:
+        from sparksearch.extract import extract_text
+
+        @F.pandas_udf(T.BooleanType())
+        def _ok(html: pd.Series, text: pd.Series) -> pd.Series:
+            return pd.Series(
+                [extract_text(h) == (t or "") for h, t in zip(html, text)])
+
+        bad = pages.filter(~_ok(F.col("html"), F.col("text"))).count()
+        if bad:
+            raise ValueError(f"{bad} rows violate extract(html)==text")
+
+    tok, ranged, n_docs = analyze_pages(pages, analyzer, partitions)
+    write_docs_postings(tok, out_dir, 0, n_buckets, partitions,
+                        skip_docs=done("docs/gen=0"),
+                        skip_postings=done("postings/gen=0"))
+    _mark("docs_postings_write")
+
+    stats_path = "stats_g0"
+    if not done(stats_path):
+        stats_df = (spark.read.parquet(f"{out_dir}/postings/gen=0")
+                    .groupBy("term")
+                    .agg(F.count("*").cast("long").alias("df"),
+                         F.sum("tf").cast("long").alias("cf")))
+        n_terms, max_df, total_tf = write_stats(
+            spark, out_dir, stats_df, stats_path, partitions)
+    else:
+        stats = spark.read.parquet(f"{out_dir}/{stats_path}")
+        srow = stats.agg(F.count("*").alias("n"), F.max("df").alias("m"),
+                         F.sum("cf").alias("ttf")).collect()[0]
+        n_terms, max_df, total_tf = srow["n"], srow["m"] or 0, srow["ttf"] or 0
+    _mark("stats_write")
+
+    avgdl = (total_tf / n_docs) if n_docs else 1.0
     meta = {
-        "version": 1,
+        "version": INDEX_VERSION,
         "analyzer": analyzer,
         "n_docs": int(n_docs),
         "total_tf": int(total_tf),
         "avgdl": float(avgdl),
         "n_terms": int(n_terms),
         "n_buckets": int(n_buckets),
+        "generations": [0],
+        "stats_path": stats_path,
         "metrics": {
             "build_sec": round(time.time() - t0, 3),
             "max_df": int(max_df),
-            "skew_ratio_df": float(max_df) / max(1.0, total_tf / max(1, n_terms)),
+            "skew_ratio_df": float(max_df) / max(1.0,
+                                                 total_tf / max(1, n_terms)),
         },
     }
-    os.makedirs(out_dir, exist_ok=True)
-    with open(f"{out_dir}/meta.json", "w") as f:
-        json.dump(meta, f, indent=2)
+    write_meta(out_dir, meta)
     tok.unpersist()
     ranged.unpersist()
     return meta

@@ -162,14 +162,24 @@ def get_engine(spark: SparkSession, sf_dir: str):
     from sparksearch.exec import Executor
     from sparksearch.index import IndexReader
 
+    from sparksearch.build import INDEX_VERSION
+
     key = os.path.realpath(sf_dir)
     if key not in _ENGINES:
         out = os.path.join(tempfile.gettempdir(),
                            "sparksearch_ix_" + key.strip("/").replace("/", "_"))
-        if not os.path.exists(os.path.join(out, "meta.json")):
+        meta_path = os.path.join(out, "meta.json")
+        stale = True
+        if os.path.exists(meta_path):
+            import json as _json
+            with open(meta_path) as f:
+                stale = _json.load(f).get("version") != INDEX_VERSION
+        if stale:
+            import shutil as _shutil
+            _shutil.rmtree(out, ignore_errors=True)
             pages = pages_from_documents(spark, sf_dir)
             build_index(pages, out, analyzer="standard", n_buckets=8,
-                        partitions=8, resume=True)
+                        partitions=8, resume=False)
         ix = IndexReader(spark, out)
         _ENGINES[key] = (ix, Executor(ix))
     return _ENGINES[key]

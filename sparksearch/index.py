@@ -27,10 +27,16 @@ class IndexReader:
         self.avgdl: float = self.meta["avgdl"]
         self.analyzer: str = self.meta["analyzer"]
         self.n_buckets: int = self.meta["n_buckets"]
+        self.generations: list[int] = self.meta.get("generations", [0])
+        self.stats_path: str = self.meta.get("stats_path", "stats")
         #: read postings from packed segment blocks (segments.py) instead of
         #: the row-postings parquet; same schema, so the executor is shared.
         self.use_segments = use_segments
         self._segments = None
+
+    def reload(self) -> "IndexReader":
+        """Re-read meta.json (after add_generation / merge commits)."""
+        return IndexReader(self.spark, self.index_dir, self.use_segments)
 
     @property
     def segments(self):
@@ -39,17 +45,23 @@ class IndexReader:
             self._segments = SegmentsReader(self.spark, self.index_dir)
         return self._segments
 
+    def _gen_union(self, root: str) -> DataFrame:
+        base = f"{self.index_dir}/{root}"
+        df = self.spark.read.option("basePath", base).parquet(
+            *[f"{base}/gen={g}" for g in self.generations])
+        return df
+
     @property
     def docs(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.index_dir}/docs")
+        return self._gen_union("docs")
 
     @property
     def postings(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.index_dir}/postings")
+        return self._gen_union("postings")
 
     @property
     def stats(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.index_dir}/stats")
+        return self.spark.read.parquet(f"{self.index_dir}/{self.stats_path}")
 
     def bucket_of(self, term: str) -> int:
         """Driver-side bucket id for a term — must equal pmod(xxhash64(term), B)."""

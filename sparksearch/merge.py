@@ -1,0 +1,159 @@
+"""Incremental index generations + log-structured segment merge.
+
+The reference separates (a) making new writes searchable — refresh creates
+new small Lucene segments (sv/index/IndexSettings.java:298, default 1 s) —
+from (b) background tiered merges that compact them
+(sv/index/OpenSearchTieredMergePolicy.java; defaults
+sv/index/MergePolicyConfig.java:136-236, segmentsPerTier=10). The batch
+analogues here:
+
+  add_generation(spark, dir, new_pages)
+      Analyze the batch with docids starting at the current n_docs, write
+      docs/gen=G + postings/gen=G + segments/gen=G, recompute global stats
+      as old-stats ∪ delta (groupBy sum — no corpus rescan), then commit by
+      atomically replacing meta.json (the segments_N analogue). Readers see
+      either the old or the new index, never a partial one. Global df/N/
+      avgdl move, which is exactly DFS_QUERY_THEN_FETCH semantics
+      (sv/search/dfs/DfsPhase.java:57-104) — and block impact metadata is
+      stored avgdl-independent (max_tf, min_dlq) so WAND bounds stay sound.
+
+  merge_segments(spark, dir)
+      The compaction pass: decode every live generation's blocks back to
+      row postings, re-encode them through the same salted
+      (term, salt)-keyed encoder into one consolidated generation, commit
+      segments_meta.json, and delete the old generation dirs. Blocks are
+      self-contained (absolute first docid per block), so merging never
+      rewrites docids; per-term block sets from disjoint docid ranges
+      simply interleave.
+
+should_merge() applies the segmentsPerTier-style trigger (default 10 live
+generations, MergePolicyConfig.java:203-236).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparksearch.build import (
+    INDEX_VERSION,
+    analyze_pages,
+    write_docs_postings,
+    write_meta,
+    write_stats,
+)
+from sparksearch.segments import (
+    SegmentsReader,
+    _DECODED_SCHEMA,
+    _decode_blocks,
+    _load_seg_meta,
+    _write_seg_meta,
+    build_segments,
+)
+
+__all__ = ["add_generation", "merge_segments", "should_merge",
+           "SEGMENTS_PER_TIER"]
+
+#: merge trigger — the reference's default segmentsPerTier
+SEGMENTS_PER_TIER = 10
+
+
+def add_generation(spark: SparkSession, index_dir: str, new_pages: DataFrame,
+                   partitions: int | None = None,
+                   salt_target: int = 65536, n_chunks: int = 1,
+                   with_segments: bool = True) -> dict:
+    """Index a new batch of pages as the next generation. Returns new meta."""
+    with open(f"{index_dir}/meta.json") as f:
+        meta = json.load(f)
+    assert meta["version"] == INDEX_VERSION, "index version mismatch"
+    gen = max(meta["generations"]) + 1
+    base = int(meta["n_docs"])
+    analyzer = meta["analyzer"]
+    n_buckets = int(meta["n_buckets"])
+
+    tok, ranged, n_new = analyze_pages(new_pages, analyzer, partitions,
+                                       docid_base=base)
+    write_docs_postings(tok, index_dir, gen, n_buckets, partitions)
+
+    # stats: old ∪ delta, summed — never rescans older generations
+    delta = (spark.read.parquet(f"{index_dir}/postings/gen={gen}")
+             .groupBy("term")
+             .agg(F.count("*").cast("long").alias("df"),
+                  F.sum("tf").cast("long").alias("cf")))
+    old = spark.read.parquet(f"{index_dir}/{meta['stats_path']}")
+    merged = (old.unionByName(delta)
+              .groupBy("term")
+              .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf")))
+    stats_path = f"stats_g{gen}"
+    n_terms, max_df, total_tf = write_stats(
+        spark, index_dir, merged, stats_path, partitions)
+
+    tok.unpersist()
+    ranged.unpersist()
+
+    n_docs = base + n_new
+    meta.update({
+        "n_docs": int(n_docs),
+        "total_tf": int(total_tf),
+        "avgdl": float(total_tf / n_docs) if n_docs else 1.0,
+        "n_terms": int(n_terms),
+        "generations": meta["generations"] + [gen],
+        "stats_path": stats_path,
+    })
+    meta["metrics"]["max_df"] = int(max_df)
+    write_meta(index_dir, meta)  # commit point
+
+    if with_segments:
+        build_segments(spark, index_dir, gen=gen, salt_target=salt_target,
+                       n_chunks=n_chunks, partitions=partitions)
+    return meta
+
+
+def should_merge(index_dir: str,
+                 segments_per_tier: int = SEGMENTS_PER_TIER) -> bool:
+    seg = _load_seg_meta(index_dir)
+    return len(seg.get("generations", [])) >= segments_per_tier
+
+
+def merge_segments(spark: SparkSession, index_dir: str,
+                   partitions: int | None = None,
+                   salt_target: int = 65536, n_chunks: int = 1) -> dict:
+    """Compact all live segment generations into one (log-structured merge).
+
+    Exact: the merged generation decodes to the identical posting set, and
+    every query is rank-identical before vs after (scores depend only on
+    global stats, which merging does not touch).
+    """
+    t0 = time.time()
+    seg_meta = _load_seg_meta(index_dir)
+    old_gens = list(seg_meta.get("generations", []))
+    if len(old_gens) <= 1:
+        return seg_meta
+    new_gen = max(old_gens) + 1
+
+    reader = SegmentsReader(spark, index_dir)
+    with open(f"{index_dir}/meta.json") as f:
+        n_buckets = json.load(f)["n_buckets"]
+    decoded = (reader.blocks
+               .select("term", "docids", "tfs", "norms", "positions")
+               .mapInPandas(_decode_blocks(True), schema=_DECODED_SCHEMA)
+               .withColumn("bucket",
+                           F.pmod(F.xxhash64("term"), F.lit(n_buckets))))
+    gen_meta = build_segments(spark, index_dir, gen=new_gen,
+                              salt_target=salt_target, n_chunks=n_chunks,
+                              partitions=partitions, postings_df=decoded)
+
+    # commit: merged generation replaces the old ones, then GC their dirs
+    seg_meta = _load_seg_meta(index_dir)
+    seg_meta["generations"] = [new_gen]
+    seg_meta["merged_from"] = old_gens
+    seg_meta["gens"] = {str(new_gen): gen_meta}
+    seg_meta["merge_sec"] = round(time.time() - t0, 3)
+    _write_seg_meta(index_dir, seg_meta)
+    for g in old_gens:
+        shutil.rmtree(f"{index_dir}/segments/gen={g}", ignore_errors=True)
+    return seg_meta

@@ -12,7 +12,9 @@ is the write path). Layout under <index_dir>/segments/:
       docids BINARY (first absolute + gap varints),
       tfs BINARY (varints), norms BINARY (1 byte/doc, SmallFloat byte4),
       positions BINARY (per-doc delta varints),
-      max_tfn DOUBLE (block impact: max tf/(tf+k1*(1-b+b*dl_q/avgdl)))
+      max_tf INT, min_dlq BIGINT (the block impact pair — like Lucene's
+      (freq, norm) impacts, stored avgdl-independent so the bound stays
+      sound when later generations shift global avgdl/N)
   gen=G/_manifest/chunk-J.json            per-chunk lineage + metrics
   segments_meta.json                      generations, params
 
@@ -44,7 +46,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from sparksearch import bm25
 from sparksearch.codec import (
     BLOCK_SIZE,
     delta_decode_docids,
@@ -70,16 +71,12 @@ _BLOCK_SCHEMA = T.StructType([
     T.StructField("tfs", T.BinaryType(), False),
     T.StructField("norms", T.BinaryType(), False),
     T.StructField("positions", T.BinaryType(), False),
-    T.StructField("max_tfn", T.DoubleType(), False),
+    T.StructField("max_tf", T.IntegerType(), False),
+    T.StructField("min_dlq", T.LongType(), False),
 ])
 
 
-def _tfn(tf: np.ndarray, dl_q: np.ndarray, avgdl: float) -> np.ndarray:
-    tf = tf.astype(np.float64)
-    return tf / (tf + bm25.K1 * (1.0 - bm25.B + bm25.B * dl_q / avgdl))
-
-
-def _encode_group(avgdl: float):
+def _encode_group():
     """applyInPandas encoder for one (bucket, term, salt) posting group."""
 
     def enc(key, pdf):
@@ -90,7 +87,6 @@ def _encode_group(avgdl: float):
         dl_q = pdf["dl_q"].values[order].astype(np.int64)
         poss = pdf["positions"].values[order]
         norms = int_to_byte4_np(dl_q).astype(np.uint8)
-        tfns = _tfn(tfs, dl_q.astype(np.float64), avgdl)
         rows = []
         for b0 in range(0, len(docids), BLOCK_SIZE):
             b1 = min(b0 + BLOCK_SIZE, len(docids))
@@ -105,7 +101,8 @@ def _encode_group(avgdl: float):
                 varint_encode(btfs),
                 norms[b0:b1].tobytes(),
                 encode_positions(bpos, btfs),
-                float(tfns[b0:b1].max()),
+                int(btfs.max()),
+                int(dl_q[b0:b1].min()),
             ))
         return pd.DataFrame(rows, columns=[f.name for f in _BLOCK_SCHEMA])
 
@@ -115,30 +112,36 @@ def _encode_group(avgdl: float):
 def build_segments(spark: SparkSession, index_dir: str, *, gen: int = 0,
                    salt_target: int = 65536, n_chunks: int = 4,
                    partitions: int | None = None,
-                   resume: bool = False) -> dict:
-    """Encode the row-postings of `index_dir` into packed segment blocks.
+                   resume: bool = False,
+                   postings_df: DataFrame | None = None) -> dict:
+    """Encode one generation's row-postings into packed segment blocks.
 
     Chunk c holds terms with pmod(xxhash64(term), n_chunks) == c; each chunk
     is one atomic write with its own manifest, so a killed build resumes at
-    the first incomplete chunk (`resume=True`).
+    the first incomplete chunk (`resume=True`). `postings_df` overrides the
+    input (used by the merge pass to feed decoded multi-gen postings).
     """
     with open(f"{index_dir}/meta.json") as f:
         meta = json.load(f)
-    avgdl, n_docs = float(meta["avgdl"]), int(meta["n_docs"])
+    n_docs = int(meta["n_docs"])
     gen_dir = f"{index_dir}/segments/gen={gen}"
     os.makedirs(f"{gen_dir}/_manifest", exist_ok=True)
     p = partitions or spark.sparkContext.defaultParallelism
 
     # salting plan for head terms, from the global stats table (driver-side:
     # Zipf head is tiny — terms needing >1 salt are those with df > target)
-    stats = spark.read.parquet(f"{index_dir}/stats")
+    stats = spark.read.parquet(
+        f"{index_dir}/{meta.get('stats_path', 'stats')}")
     head = (stats.filter(F.col("df") > salt_target)
             .select("term", F.ceil(F.col("df") / salt_target)
                     .cast("int").alias("nsalts")))
     head_rows = head.collect()
     nsalt_map = {r["term"]: r["nsalts"] for r in head_rows}
 
-    postings = spark.read.parquet(f"{index_dir}/postings")
+    if postings_df is not None:
+        postings = postings_df
+    else:
+        postings = spark.read.parquet(f"{index_dir}/postings/gen={gen}")
     manifests = []
     for c in range(n_chunks):
         chunk_dir = f"{gen_dir}/chunk={c}"
@@ -167,7 +170,7 @@ def build_segments(spark: SparkSession, index_dir: str, *, gen: int = 0,
         blocks = (salted
                   .repartition(p, "term", "salt")
                   .groupBy("bucket", "term", "salt")
-                  .applyInPandas(_encode_group(avgdl), schema=_BLOCK_SCHEMA))
+                  .applyInPandas(_encode_group(), schema=_BLOCK_SCHEMA))
         (blocks.write.mode("overwrite").partitionBy("bucket")
                .parquet(chunk_dir))
         # lineage + metrics from the written blocks (one cheap agg)
@@ -190,7 +193,7 @@ def build_segments(spark: SparkSession, index_dir: str, *, gen: int = 0,
         manifests.append(man)
 
     total_postings = sum(m["postings"] for m in manifests)
-    seg_meta = {
+    gen_meta = {
         "gen": gen,
         "n_chunks": n_chunks,
         "salt_target": salt_target,
@@ -204,9 +207,27 @@ def build_segments(spark: SparkSession, index_dir: str, *, gen: int = 0,
                              / max(1, sum(m["terms"] for m in manifests)))),
         "chunks": manifests,
     }
-    with open(f"{index_dir}/segments_meta.json", "w") as f:
+    seg_meta = _load_seg_meta(index_dir)
+    seg_meta["generations"] = sorted(set(seg_meta.get("generations", [])
+                                         + [gen]))
+    seg_meta.setdefault("gens", {})[str(gen)] = gen_meta
+    _write_seg_meta(index_dir, seg_meta)
+    return gen_meta
+
+
+def _load_seg_meta(index_dir: str) -> dict:
+    path = f"{index_dir}/segments_meta.json"
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return {"generations": [], "gens": {}}
+
+
+def _write_seg_meta(index_dir: str, seg_meta: dict) -> None:
+    tmp = f"{index_dir}/segments_meta.json.tmp"
+    with open(tmp, "w") as f:
         json.dump(seg_meta, f, indent=2)
-    return seg_meta
+    os.replace(tmp, f"{index_dir}/segments_meta.json")
 
 
 _DECODED_SCHEMA = T.StructType([
@@ -253,12 +274,13 @@ class SegmentsReader:
         self.index_dir = index_dir
         with open(f"{index_dir}/segments_meta.json") as f:
             self.meta = json.load(f)
-        self.gen = self.meta["gen"]
+        self.generations: list[int] = self.meta["generations"]
 
     @property
     def blocks(self) -> DataFrame:
-        return self.spark.read.option("basePath", f"{self.index_dir}/segments") \
-            .parquet(f"{self.index_dir}/segments/gen={self.gen}")
+        base = f"{self.index_dir}/segments"
+        return self.spark.read.option("basePath", base).parquet(
+            *[f"{base}/gen={g}" for g in self.generations])
 
     def blocks_for(self, terms: list[str], buckets: list[int]) -> DataFrame:
         uniq = sorted(set(terms))

@@ -106,8 +106,19 @@ def wand_topk(ix, q: Match, k: int = 10) -> DataFrame:
 
     buckets = ix._buckets_of(present)
     blocks = ix.segments.blocks_for(present, buckets)
+    # block upper bound from the stored (max_tf, min_dlq) impact pair and the
+    # CURRENT global avgdl — tfn is monotone up in tf, down in dl, so this
+    # dominates every doc in the block even after avgdl drifted across
+    # generations
+    k1, b = bm25.K1, bm25.B
+    tfn_ub = (F.col("max_tf").cast("double")
+              / (F.col("max_tf")
+                 + F.lit(k1) * (1.0 - b
+                                + b * F.col("min_dlq").cast("double")
+                                / float(ix.avgdl))))
+    blocks = blocks.withColumn("_tfn_ub", tfn_ub)
     gm = {r["term"]: r["gmax"] for r in
-          blocks.groupBy("term").agg(F.max("max_tfn").alias("gmax")).collect()}
+          blocks.groupBy("term").agg(F.max("_tfn_ub").alias("gmax")).collect()}
     sum_all = sum(widf[t] * gm.get(t, 0.0) for t in present)
 
     dec = _decode_score(widf, ix.avgdl)
@@ -126,7 +137,7 @@ def wand_topk(ix, q: Match, k: int = 10) -> DataFrame:
     j = max(1, math.ceil(k / BLOCK_SIZE)) + 1
     from pyspark.sql import Window
     wnd = Window.partitionBy("term").orderBy(
-        F.col("max_tfn").desc(), F.col("salt"), F.col("block_id"))
+        F.col("_tfn_ub").desc(), F.col("salt"), F.col("block_id"))
     seed = (blocks.withColumn("_rn", F.row_number().over(wnd))
             .filter(F.col("_rn") <= j))
     seed_top = (agg_scores(seed)
@@ -142,7 +153,7 @@ def wand_topk(ix, q: Match, k: int = 10) -> DataFrame:
     ub_widf = F.create_map(*[x for t in present
                              for x in (F.lit(t), F.lit(widf[t]))])
     survivors = blocks.filter(
-        F.element_at(ub_widf, F.col("term")) * F.col("max_tfn")
+        F.element_at(ub_widf, F.col("term")) * F.col("_tfn_ub")
         + F.element_at(ub_other, F.col("term")) >= F.lit(theta))
     return (agg_scores(survivors)
             .orderBy(F.col("score").desc(), F.col("docid").asc())

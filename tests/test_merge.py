@@ -1,0 +1,142 @@
+"""Incremental generations + log-structured merge: score parity with a
+single-shot build, exactness of the merge pass, tier trigger."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _pages(spark, sf_dir="/root/testdata/sf0.001"):
+    from sparksearch.corpus import pages_from_documents
+    return pages_from_documents(spark, sf_dir)
+
+
+def _queries():
+    from sparksearch.queries import Match, MatchPhrase
+    return [
+        Match("text", "spark"),
+        Match("text", "hash join table"),
+        Match("text", "hash join table", operator="and"),
+        MatchPhrase("text", "hash join"),
+    ]
+
+
+def _url_scores(ex, q, k=10, mode="plan", drop_boundary_ties=False):
+    rows = ex.search(q, k=k, fetch=True, mode=mode).collect()
+    pairs = sorted((r["url"], round(r["score"], 9)) for r in rows)
+    if drop_boundary_ties and pairs:
+        # docid tie-break order differs between batch-ordered (incremental)
+        # and global-url-ordered (single-shot) builds, exactly as it does
+        # between segment orders in the reference — equal-scored docs at the
+        # k-boundary may legitimately differ, so exclude them
+        kth = min(s for _, s in pairs)
+        pairs = [(u, s) for u, s in pairs if s != kth]
+    return pairs
+
+
+@pytest.fixture(scope="module")
+def incr_index(spark, tmp_path_factory):
+    """gen0 = first half of the corpus (by url), gen1 = second half."""
+    from sparksearch.build import build_index
+    from sparksearch.merge import add_generation
+
+    out = str(tmp_path_factory.mktemp("incrix"))
+    shutil.rmtree(out, ignore_errors=True)
+    pages = _pages(spark)
+    half1 = pages.filter(F.crc32(F.col("url")) % 2 == 0)
+    half2 = pages.filter(F.crc32(F.col("url")) % 2 == 1)
+    build_index(half1, out, n_buckets=4, partitions=4)
+    from sparksearch.segments import build_segments
+    build_segments(spark, out, salt_target=64, n_chunks=2, partitions=4)
+    meta = add_generation(spark, out, half2, partitions=4, salt_target=64)
+    assert meta["generations"] == [0, 1]
+    return out
+
+
+@pytest.fixture(scope="module")
+def full_index(spark, tmp_path_factory):
+    from sparksearch.build import build_index
+    from sparksearch.segments import build_segments
+
+    out = str(tmp_path_factory.mktemp("fullix"))
+    shutil.rmtree(out, ignore_errors=True)
+    build_index(_pages(spark), out, n_buckets=4, partitions=4)
+    build_segments(spark, out, salt_target=64, n_chunks=2, partitions=4)
+    return out
+
+
+def test_incremental_score_parity(spark, incr_index, full_index):
+    """BM25 depends only on global stats (df, N, avgdl) and per-doc dl —
+    all identical between incremental and single-shot builds — so (url,
+    score) results must match even though docids differ."""
+    from sparksearch.exec import Executor
+    from sparksearch.index import IndexReader
+
+    incr = Executor(IndexReader(spark, incr_index, use_segments=False))
+    full = Executor(IndexReader(spark, full_index, use_segments=False))
+    for q in _queries():
+        assert _url_scores(incr, q, 10, drop_boundary_ties=True) \
+            == _url_scores(full, q, 10, drop_boundary_ties=True), q
+
+
+def test_incremental_stats_match_full(spark, incr_index, full_index):
+    from sparksearch.index import IndexReader
+
+    a = IndexReader(spark, incr_index)
+    b = IndexReader(spark, full_index)
+    assert a.n_docs == b.n_docs
+    assert abs(a.avgdl - b.avgdl) < 1e-9
+    sa = {(r["term"], r["df"], r["cf"]) for r in a.stats.collect()}
+    sb = {(r["term"], r["df"], r["cf"]) for r in b.stats.collect()}
+    assert sa == sb
+
+
+def test_incremental_segments_rank_identical(spark, incr_index):
+    """Multi-generation packed segments (incl. WAND with avgdl-drift-proof
+    bounds) must equal the row-postings plan on the same index."""
+    from sparksearch.exec import Executor
+    from sparksearch.index import IndexReader
+    from sparksearch.queries import Match
+
+    row_ex = Executor(IndexReader(spark, incr_index, use_segments=False))
+    seg_ex = Executor(IndexReader(spark, incr_index, use_segments=True))
+    for q in _queries():
+        assert _url_scores(row_ex, q, 10, "plan") \
+            == _url_scores(seg_ex, q, 10, "auto"), q
+
+
+def test_merge_exact_and_gc(spark, incr_index):
+    from sparksearch.exec import Executor
+    from sparksearch.index import IndexReader
+    from sparksearch.merge import merge_segments
+    from sparksearch.segments import decoded_postings
+
+    before_posts = {(r["term"], r["docid"], r["tf"]) for r in
+                    decoded_postings(spark, incr_index,
+                                     with_positions=False).collect()}
+    seg_ex = Executor(IndexReader(spark, incr_index, use_segments=True))
+    before = {q.text: _url_scores(seg_ex, q, 10, "auto") for q in _queries()}
+
+    seg_meta = merge_segments(spark, incr_index, partitions=4,
+                              salt_target=64)
+    assert seg_meta["generations"] == [2]
+    assert seg_meta["merged_from"] == [0, 1]
+    assert not os.path.exists(f"{incr_index}/segments/gen=0")
+    assert not os.path.exists(f"{incr_index}/segments/gen=1")
+
+    after_posts = {(r["term"], r["docid"], r["tf"]) for r in
+                   decoded_postings(spark, incr_index,
+                                    with_positions=False).collect()}
+    assert before_posts == after_posts
+
+    seg_ex2 = Executor(IndexReader(spark, incr_index, use_segments=True))
+    for q in _queries():
+        assert _url_scores(seg_ex2, q, 10, "auto") == before[q.text], q
+
+
+def test_should_merge_trigger(incr_index):
+    from sparksearch.merge import should_merge
+    assert not should_merge(incr_index, segments_per_tier=10)
+    assert should_merge(incr_index, segments_per_tier=1)

@@ -155,8 +155,10 @@ def test_segment_resume_chunk_level(spark, seg_index, tmp_path):
 def test_manifest_metrics(seg_index):
     with open(f"{seg_index}/segments_meta.json") as f:
         meta = json.load(f)
-    assert meta["postings"] > 0
-    assert meta["payload_bytes"] > 0
-    assert len(meta["chunks"]) == 3
-    for ch in meta["chunks"]:
+    assert meta["generations"] == [0]
+    g0 = meta["gens"]["0"]
+    assert g0["postings"] > 0
+    assert g0["payload_bytes"] > 0
+    assert len(g0["chunks"]) == 3
+    for ch in g0["chunks"]:
         assert ch["blocks"] > 0 and ch["elapsed_sec"] >= 0
