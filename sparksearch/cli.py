@@ -1,0 +1,164 @@
+"""spark-submit entry points: build / add / merge / segments / query / bench.
+
+Usage (cluster):
+    spark-submit --py-files sparksearch.zip -m sparksearch.cli build \
+        --input /data/pages_iceberg_or_parquet --output /data/index \
+        --partitions 4096 --buckets 512 --resume
+    spark-submit ... -m sparksearch.cli segments --index /data/index \
+        --salt-target 1000000 --chunks 16 --resume
+    spark-submit ... -m sparksearch.cli add --index /data/index \
+        --input /data/new_batch
+    spark-submit ... -m sparksearch.cli merge --index /data/index
+    spark-submit ... -m sparksearch.cli query --index /data/index \
+        --match "hash join" --k 10 [--wand]
+
+The driver-side session builder honors an existing SparkSession when run
+under spark-submit (getOrCreate) — master/cores/memory come from the
+submit command, not from here. Zip the package with:
+    cd <repo> && zip -r sparksearch.zip sparksearch
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _spark(app: str):
+    from pyspark.sql import SparkSession
+    return SparkSession.builder.appName(app).getOrCreate()
+
+
+def _read_pages(spark, path: str):
+    reader = spark.read
+    if path.endswith(".json") or path.endswith(".jsonl"):
+        return reader.json(path)
+    try:
+        return reader.format("iceberg").load(path)
+    except Exception:
+        return reader.parquet(path)
+
+
+def cmd_build(args) -> int:
+    from sparksearch.build import build_index
+    spark = _spark("sparksearch-build")
+    pages = _read_pages(spark, args.input)
+    meta = build_index(pages, args.output, analyzer=args.analyzer,
+                       n_buckets=args.buckets, partitions=args.partitions,
+                       resume=args.resume, verify_extract=args.verify_extract)
+    print(json.dumps(meta))
+    return 0
+
+
+def cmd_segments(args) -> int:
+    from sparksearch.segments import build_segments
+    spark = _spark("sparksearch-segments")
+    meta = build_segments(spark, args.index, gen=args.gen,
+                          salt_target=args.salt_target,
+                          n_chunks=args.chunks,
+                          partitions=args.partitions, resume=args.resume)
+    print(json.dumps(meta))
+    return 0
+
+
+def cmd_add(args) -> int:
+    from sparksearch.merge import add_generation, merge_segments, should_merge
+    spark = _spark("sparksearch-add")
+    pages = _read_pages(spark, args.input)
+    meta = add_generation(spark, args.index, pages,
+                          partitions=args.partitions,
+                          salt_target=args.salt_target)
+    if args.auto_merge and should_merge(args.index):
+        merge_segments(spark, args.index, partitions=args.partitions,
+                       salt_target=args.salt_target)
+    print(json.dumps(meta))
+    return 0
+
+
+def cmd_merge(args) -> int:
+    from sparksearch.merge import merge_segments
+    spark = _spark("sparksearch-merge")
+    meta = merge_segments(spark, args.index, partitions=args.partitions,
+                          salt_target=args.salt_target)
+    print(json.dumps(meta))
+    return 0
+
+
+def cmd_query(args) -> int:
+    from sparksearch.exec import Executor
+    from sparksearch.index import IndexReader
+    from sparksearch.queries import Match, MatchPhrase
+    spark = _spark("sparksearch-query")
+    ix = IndexReader(spark, args.index, use_segments=args.wand)
+    ex = Executor(ix)
+    if args.match:
+        q = Match("text", args.match,
+                  operator="and" if args.op == "and" else "or")
+    elif args.phrase:
+        q = MatchPhrase("text", args.phrase)
+    else:
+        print("one of --match/--phrase required", file=sys.stderr)
+        return 2
+    t0 = time.time()
+    rows = ex.search(q, k=args.k,
+                     mode="wand" if args.wand else "auto").collect()
+    out = [{"docid": r["docid"], "url": r["url"], "score": r["score"]}
+           for r in rows]
+    print(json.dumps({"hits": out, "took_sec": round(time.time() - t0, 3)}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="sparksearch")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--input", required=True)
+    b.add_argument("--output", required=True)
+    b.add_argument("--analyzer", default="standard")
+    b.add_argument("--buckets", type=int, default=8)
+    b.add_argument("--partitions", type=int, default=None)
+    b.add_argument("--resume", action="store_true")
+    b.add_argument("--verify-extract", action="store_true")
+    b.set_defaults(fn=cmd_build)
+
+    s = sub.add_parser("segments")
+    s.add_argument("--index", required=True)
+    s.add_argument("--gen", type=int, default=0)
+    s.add_argument("--salt-target", type=int, default=65536)
+    s.add_argument("--chunks", type=int, default=4)
+    s.add_argument("--partitions", type=int, default=None)
+    s.add_argument("--resume", action="store_true")
+    s.set_defaults(fn=cmd_segments)
+
+    a = sub.add_parser("add")
+    a.add_argument("--index", required=True)
+    a.add_argument("--input", required=True)
+    a.add_argument("--salt-target", type=int, default=65536)
+    a.add_argument("--partitions", type=int, default=None)
+    a.add_argument("--auto-merge", action="store_true")
+    a.set_defaults(fn=cmd_add)
+
+    m = sub.add_parser("merge")
+    m.add_argument("--index", required=True)
+    m.add_argument("--salt-target", type=int, default=65536)
+    m.add_argument("--partitions", type=int, default=None)
+    m.set_defaults(fn=cmd_merge)
+
+    q = sub.add_parser("query")
+    q.add_argument("--index", required=True)
+    q.add_argument("--match")
+    q.add_argument("--phrase")
+    q.add_argument("--op", default="or", choices=["or", "and"])
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--wand", action="store_true")
+    q.set_defaults(fn=cmd_query)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
