@@ -113,7 +113,9 @@ LIMIT 10 OFFSET 10
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    from sparksearch import contract_dataops as CD
+    out = dict(CD.queries())
+    out.update({
         # engine core
         "docs_table": _q_docs_table,
         "term_stats": _q_term_stats,
@@ -127,10 +129,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_filter": _q_bool_filter,
         "hit_count": _q_hit_count,
         "search_after": _q_search_after,
-    }
+    })
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
+    from sparksearch import contract_dataops as CD
+    out = dict(CD.oracle_sql())
+    out.update(_fulltext_oracle_sql())
+    return out
+
+
+def _fulltext_oracle_sql() -> dict[str, str]:
     P, TOK, DL = C._PAGES, C._TOK, C._DL
     qdl = __import__("sparksearch.norms", fromlist=["quantized_dl_sql"]) \
         .quantized_dl_sql

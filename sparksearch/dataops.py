@@ -1,0 +1,466 @@
+"""Training-data pipeline operators over web-text corpora.
+
+Beyond the reference's search surface, a 100 TB corpus pipeline needs
+dedup / similarity / text-quality operators. Everything here is pure
+DataFrame algebra (joins, groupBys, window functions, built-in expressions)
+— no UDFs — so Catalyst gets full pushdown and whole-stage codegen, and
+every operator has an exact ANSI-SQL twin for the DuckDB oracle gate.
+
+Hashing: operators that need pseudo-randomness (MinHash permutations,
+SimHash bit mixing, hyperplane LSH) default to md5-derived values because
+md5 is bit-identical in Spark SQL and DuckDB (oracle parity). At cluster
+scale swap `hash_mode="xxhash64"` for the JVM-fused 64-bit hash — same
+algebra, ~3-5× cheaper, no longer oracle-comparable.
+
+Scale notes per operator are in each docstring. The common theme: candidate
+generation is always a bucketed equi-join (band bucket, simhash chunk, LSH
+cell) — never an all-pairs cross join — so shuffles stay proportional to
+candidate count; exact verification runs only on candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "exact_dedup",
+    "shingles",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_fingerprints",
+    "simhash_pairs",
+    "brute_force_knn",
+    "lsh_knn",
+    "language_id",
+    "quality_score",
+    "token_stats",
+    "winnow_fingerprints",
+]
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _digit(col: Column, i: int) -> Column:
+    """i-th (1-based) hex digit of an md5 string as int 0..15."""
+    return (F.instr(F.lit("0123456789abcdef"),
+                    F.substring(col, i, 1)) - 1).cast("int")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate removal: keep the smallest id per identical text.
+
+    One hash-partitioned groupBy on md5(text) — the canonical map-side
+    combinable dedup; at 10^12 docs the shuffle carries one (hash, min_id)
+    pair per distinct text per partition.
+    Returns (doc_id, n_copies) for the kept docs, ordered by doc_id.
+    """
+    return (docs.groupBy(F.md5(F.col(text_col)).alias("_h"))
+            .agg(F.min(id_col).alias(id_col),
+                 F.count("*").cast("long").alias("n_copies"))
+            .select(id_col, "n_copies")
+            .orderBy(id_col))
+
+
+# ---------------------------------------------------------------------------
+# shingling + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def shingles(docs: DataFrame, k: int = 3, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Distinct word k-gram shingles per doc: (doc_id, shingle).
+
+    Token explode + window-free self-zip via posexplode and slicing —
+    all built-ins, distinct applied per doc.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.split(F.col(text_col), " ").alias("_t"))
+    n = F.size("_t")
+    grams = toks.select(
+        id_col,
+        F.explode(
+            F.when(n >= k,
+                   F.transform(F.sequence(F.lit(0), n - k),
+                               lambda i: F.concat_ws(
+                                   " ", F.slice("_t", i + 1, k))))
+            .otherwise(F.array())).alias("shingle"))
+    return grams.distinct()
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = 16,
+                       id_col: str = "doc_id") -> DataFrame:
+    """MinHash signature per doc: (doc_id, h0..h{m-1}).
+
+    Permutation i = min over shingles of md5(i || ':' || shingle) (string
+    min — portable across engines). One groupBy computes all m minima
+    (map-side combine keeps the shuffle at m values per doc per partition).
+    """
+    aggs = [F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))))
+            .alias(f"h{i}") for i in range(num_hashes)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, k: int = 3, num_hashes: int = 16,
+                      bands: int = 4, threshold: float = 0.7,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
+
+    rows_per_band = num_hashes / bands; docs sharing any band bucket become
+    candidates (bucketed equi-join — shuffle ∝ candidates, not n²);
+    candidates are verified with the exact shingle Jaccard, keeping pairs
+    ≥ threshold. Returns (id_a, id_b, jaccard), id_a < id_b, ordered.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sh = shingles(docs, k, text_col, id_col).persist()
+    sig = minhash_signatures(sh, num_hashes, id_col)
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"h{b * r + j}") for j in range(r)]))
+        .alias(f"b{b}") for b in range(bands)]
+    banded = sig.select(id_col, *band_cols)
+    melted = banded.select(
+        id_col,
+        F.explode(F.array(*[
+            F.concat(F.lit(f"{b}:"), F.col(f"b{b}")) for b in range(bands)
+        ])).alias("bucket"))
+    a = melted.alias("a")
+    b_ = melted.alias("b")
+    cand = (a.join(b_, "bucket")
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct())
+    verified = _jaccard_verify(cand, sh, id_col)
+    sh.unpersist()
+    return (verified.where(F.col("jaccard") >= threshold)
+            .orderBy("id_a", "id_b"))
+
+
+def _jaccard_verify(cand: DataFrame, sh: DataFrame,
+                    id_col: str = "doc_id") -> DataFrame:
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
+    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"))
+    inter = (cand.join(sh_a, "id_a").join(sh_b, ["id_b", "shingle"])
+             .groupBy("id_a", "id_b").agg(F.count("*").alias("inter")))
+    out = (cand
+           .join(inter, ["id_a", "id_b"], "left")
+           .join(sizes.withColumnRenamed(id_col, "id_a")
+                      .withColumnRenamed("sz", "sz_a"), "id_a")
+           .join(sizes.withColumnRenamed(id_col, "id_b")
+                      .withColumnRenamed("sz", "sz_b"), "id_b"))
+    j = (F.coalesce(F.col("inter"), F.lit(0)).cast("double")
+         / (F.col("sz_a") + F.col("sz_b")
+            - F.coalesce(F.col("inter"), F.lit(0))))
+    return out.select("id_a", "id_b", F.round(j, 6).alias("jaccard"))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.5,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (the small-scale oracle path).
+
+    Candidates = pairs sharing ≥1 shingle (inverted-index join on the
+    shingle itself), then the same exact verify. MinHash-LSH is the scale
+    path; this is exact and quadratic only within shingle buckets.
+    """
+    sh = shingles(docs, k, text_col, id_col).persist()
+    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    cand = (sh_a.join(sh_b, "shingle")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    out = (_jaccard_verify(cand, sh, id_col)
+           .where(F.col("jaccard") >= threshold)
+           .orderBy("id_a", "id_b"))
+    sh.unpersist()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_fingerprints(docs: DataFrame, bits: int = 64,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per doc as a 16-hex-digit string.
+
+    Token bit j comes from hex digit j//4 of md5(token) (portable across
+    engines); per doc, bit j of the fingerprint is the sign of
+    Σ_tokens (2·bit_j − 1). One explode + one groupBy with 16 digit sums.
+    """
+    assert bits == 64
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    toks = toks.where(F.col("tok") != "").withColumn("_h", F.md5("tok"))
+    digit_sums = []
+    for d in range(16):
+        v = _digit(F.col("_h"), d + 1)
+        # 4 bits per hex digit: accumulate each bit's +1/-1 vote packed per
+        # digit — emit 4 separate sums
+        for b in range(4):
+            bit = F.shiftright(v, b).bitwiseAND(F.lit(1))
+            digit_sums.append(
+                F.sum(bit * 2 - 1).alias(f"s{d * 4 + b}"))
+    agg = toks.groupBy(id_col).agg(*digit_sums)
+    # rebuild hex fingerprint: digit d = Σ_b (s_{4d+b} > 0) << b
+    digits = []
+    for d in range(16):
+        val = None
+        for b in range(4):
+            piece = (F.col(f"s{d * 4 + b}") > 0).cast("int") * (1 << b)
+            val = piece if val is None else (val + piece)
+        digits.append(F.lit("0123456789abcdef").substr(val + 1, F.lit(1)))
+    fp = F.concat(*digits).alias("simhash")
+    return agg.select(id_col, fp)
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance ≤ max_hamming.
+
+    Pigeonhole banding: split the 16 hex digits into max_hamming+1 chunks;
+    any pair within distance shares ≥1 identical chunk, so candidates come
+    from equality joins on chunks (shuffle ∝ candidates). Hamming distance
+    is then computed exactly on the two fingerprints (digit-wise popcount).
+    Returns (id_a, id_b, hamming), ordered.
+    """
+    fps = simhash_fingerprints(docs, 64, text_col, id_col).persist()
+    nchunks = max_hamming + 1
+    per = 16 // nchunks or 1
+    chunks = []
+    start = 1
+    for c in range(nchunks):
+        ln = per if c < nchunks - 1 else 16 - per * (nchunks - 1)
+        chunks.append(F.concat(F.lit(f"{c}:"),
+                               F.substring("simhash", start, ln))
+                      .alias(f"c{c}"))
+        start += ln
+    melted = (fps.select(id_col, "simhash", *chunks)
+              .select(id_col, "simhash",
+                      F.explode(F.array(*[F.col(f"c{c}")
+                                          for c in range(nchunks)]))
+                      .alias("bucket")))
+    a = melted.select(F.col(id_col).alias("id_a"),
+                      F.col("simhash").alias("fp_a"), "bucket")
+    b = melted.select(F.col(id_col).alias("id_b"),
+                      F.col("simhash").alias("fp_b"), "bucket")
+    cand = (a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "fp_a", "id_b", "fp_b").distinct())
+    # exact hamming via per-digit XOR popcount (popcount of 0..15 inline)
+    pop = F.lit("0112122312232334")  # popcount LUT for a hex nibble
+    ham = None
+    for d in range(1, 17):
+        va = _digit(F.col("fp_a"), d)
+        vb = _digit(F.col("fp_b"), d)
+        x = va.bitwiseXOR(vb)
+        # LUT chars are '0'..'4'; instr over the hex alphabet maps them
+        # back to ints 0..4
+        piece = (F.instr(F.lit("0123456789abcdef"),
+                         pop.substr(x + 1, F.lit(1))) - 1)
+        ham = piece if ham is None else ham + piece
+    out = (cand.select("id_a", "id_b", ham.cast("int").alias("hamming"))
+           .where(F.col("hamming") <= max_hamming)
+           .orderBy("id_a", "id_b"))
+    fps.unpersist()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# embedding similarity
+# ---------------------------------------------------------------------------
+
+def _cosine(a: Column, b: Column) -> Column:
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def brute_force_knn(emb: DataFrame, query_id: int, k: int = 10,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k against one query vector.
+
+    The query row is a 1-row broadcast cross join; the dot product is a
+    JVM-side higher-order function (zip_with + aggregate) — fully
+    distributed scan, TakeOrderedAndProject top-k, no Python.
+    """
+    q = emb.where(F.col(id_col) == query_id) \
+           .select(F.col(vec_col).alias("_qv"))
+    scored = (emb.crossJoin(F.broadcast(q))
+              .where(F.col(id_col) != query_id)
+              .select(id_col,
+                      F.round(_cosine(F.col(vec_col).cast("array<double>"),
+                                      F.col("_qv").cast("array<double>")),
+                              6).alias("cosine")))
+    return scored.orderBy(F.col("cosine").desc(),
+                          F.col(id_col).asc()).limit(k)
+
+
+def lsh_knn(emb: DataFrame, query_id: int, k: int = 10, planes: int = 8,
+            multiprobe: int = 1,
+            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH with multi-probe.
+
+    Hyperplane p's d-th component = (hexdigit(md5(p||'_'||d)) − 7.5)
+    (deterministic, portable). Cell = sign bits of the P plane dot
+    products; the exact scan covers the query's cell plus (multiprobe=1)
+    every cell at Hamming distance 1 — P+1 cells of 2^P, so the scan
+    fraction is ~(P+1)/2^P of the corpus while recall stays high. The
+    probe set is a tiny isin list (broadcast); candidates come from an
+    equi-semi-join on the cell id, never a full scan.
+    """
+    dim = len(emb.select(vec_col).first()[0])
+
+    def plane_comp(p: int, d: int) -> float:
+        # mirrors md5-digit extraction: value of first hex digit
+        import hashlib
+        h = hashlib.md5(f"{p}_{d}".encode()).hexdigest()
+        return int(h[0], 16) - 7.5
+
+    planes_vals = [[plane_comp(p, d) for d in range(dim)]
+                   for p in range(planes)]
+
+    def cell_expr(vc: Column) -> Column:
+        bits = []
+        for p in range(planes):
+            arr = F.array(*[F.lit(v) for v in planes_vals[p]])
+            dot = F.aggregate(F.zip_with(vc, arr, lambda x, y: x * y),
+                              F.lit(0.0), lambda acc, v: acc + v)
+            bits.append((dot > 0).cast("int").cast("string"))
+        return F.concat(*bits)
+
+    with_cell = emb.withColumn(
+        "_cell", cell_expr(F.col(vec_col).cast("array<double>")))
+    qrow = with_cell.where(F.col(id_col) == query_id) \
+        .select(vec_col, "_cell").first()
+    qcell = qrow["_cell"]
+    probe_cells = [qcell]
+    if multiprobe >= 1:
+        for p in range(planes):
+            flipped = qcell[:p] + ("0" if qcell[p] == "1" else "1") \
+                + qcell[p + 1:]
+            probe_cells.append(flipped)
+    qv = F.array(*[F.lit(float(v)) for v in qrow[vec_col]])
+    scored = (with_cell
+              .where(F.col("_cell").isin(probe_cells))
+              .where(F.col(id_col) != query_id)
+              .select(id_col,
+                      F.round(_cosine(F.col(vec_col).cast("array<double>"),
+                                      qv), 6).alias("cosine")))
+    return scored.orderBy(F.col("cosine").desc(),
+                          F.col(id_col).asc()).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "with", "for"],
+    "de": ["der", "die", "das", "und", "ist", "mit", "für", "nicht"],
+    "es": ["el", "la", "los", "las", "es", "con", "para", "por"],
+    "fr": ["le", "la", "les", "et", "est", "avec", "pour", "dans"],
+}
+
+
+def language_id(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Marker-word language ID: argmax of per-language marker hits
+    (deterministic tie-break by language code). One explode + pivot-free
+    conditional aggregation."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"))
+    aggs = [F.sum(F.col("tok").isin(ws).cast("int")).alias(f"n_{lg}")
+            for lg, ws in sorted(_LANG_MARKERS.items())]
+    per = toks.groupBy(id_col).agg(*aggs)
+    best = F.greatest(*[F.col(f"n_{lg}") for lg in sorted(_LANG_MARKERS)])
+    pick = None
+    for lg in sorted(_LANG_MARKERS, reverse=True):
+        cond = (F.col(f"n_{lg}") == best) & (best > 0)
+        pick = F.when(cond, F.lit(lg)).otherwise(
+            pick if pick is not None else F.lit("und"))
+    return per.select(id_col, pick.alias("lang_pred")).orderBy(id_col)
+
+
+def quality_score(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features + score: token count, mean token length,
+    stopword ratio, digit ratio. Pure column expressions."""
+    toks = F.split(F.col(text_col), " ")
+    n_toks = F.size(F.filter(toks, lambda t: t != ""))
+    text_len = F.length(F.col(text_col))
+    mean_tok_len = (text_len - (n_toks - 1)).cast("double") / n_toks
+    stop = ["the", "and", "of", "to", "in", "is", "a", "that"]
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(stop)))
+    stop_ratio = n_stop.cast("double") / n_toks
+    digit_ratio = (F.length(F.regexp_replace(F.col(text_col), "[^0-9]", ""))
+                   .cast("double") / F.greatest(text_len, F.lit(1)))
+    score = (F.least(n_toks / F.lit(100.0), F.lit(1.0)) * 0.4
+             + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.4
+             + (1.0 - F.least(digit_ratio * 10.0, F.lit(1.0))) * 0.2)
+    return docs.select(
+        F.col(id_col),
+        n_toks.cast("long").alias("n_tokens"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(score, 6).alias("quality"),
+    ).orderBy(id_col)
+
+
+def token_stats(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Token counting: whitespace tokens and a BPE-ish estimate
+    (ceil(chars/4) — the standard subword budget heuristic)."""
+    toks = F.split(F.col(text_col), " ")
+    n_ws = F.size(F.filter(toks, lambda t: t != ""))
+    n_bpe = F.ceil(F.length(F.col(text_col)) / F.lit(4.0))
+    return docs.select(
+        F.col(id_col),
+        n_ws.cast("long").alias("ws_tokens"),
+        n_bpe.cast("long").alias("bpe_tokens_est"),
+    ).orderBy(id_col)
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 4, window: int = 3,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Winnowing document fingerprints (rolling k-gram hash, min per
+    window) — the classic local fingerprinting scheme for copy detection.
+
+    k-gram hash = md5 (portable); the window min is a SQL window function
+    over token position. Returns distinct (doc_id, fp) ordered.
+    """
+    grams = docs.select(
+        F.col(id_col),
+        F.split(F.col(text_col), " ").alias("_t"))
+    n = F.size("_t")
+    kg = grams.select(
+        id_col,
+        F.posexplode(
+            F.when(n >= k,
+                   F.transform(F.sequence(F.lit(0), n - k),
+                               lambda i: F.md5(F.concat_ws(
+                                   " ", F.slice("_t", i + 1, k)))))
+            .otherwise(F.array())).alias("pos", "gh"))
+    w = (Window.partitionBy(id_col).orderBy("pos")
+         .rowsBetween(0, window - 1))
+    fps = kg.select(id_col, F.min("gh").over(w).alias("fp")).distinct()
+    return fps.orderBy(id_col, "fp")

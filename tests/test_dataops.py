@@ -1,0 +1,97 @@
+"""Training-data operators: algebraic invariants at sf0.001.
+
+Exact cross-engine value parity is enforced by the driver contract
+(contract_dataops oracle SQL); these tests pin the operator semantics.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_exact_dedup_partitions_corpus(spark, docs):
+    from sparksearch.dataops import exact_dedup
+    kept = exact_dedup(docs).agg(F.sum("n_copies")).collect()[0][0]
+    assert kept == docs.count()
+
+
+def test_minhash_pairs_subset_of_exact(spark, docs):
+    """Banding may miss pairs (probabilistic recall) but every surviving
+    pair is exactly verified — so minhash results ⊆ exact-jaccard results
+    at the same threshold."""
+    from sparksearch.dataops import minhash_lsh_pairs, ngram_jaccard_pairs
+    mh = {(r["id_a"], r["id_b"], r["jaccard"]) for r in
+          minhash_lsh_pairs(docs, k=3, num_hashes=16, bands=4,
+                            threshold=0.5).collect()}
+    ex = {(r["id_a"], r["id_b"], r["jaccard"]) for r in
+          ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()}
+    assert mh <= ex
+    assert len(mh) > 0
+    # near-duplicate synthetic corpus: high-jaccard dup pairs exist and are
+    # all caught by banding at this signature size
+    assert len(mh) / len(ex) >= 0.9
+
+
+def test_simhash_symmetric_and_bounded(spark, docs):
+    from sparksearch.dataops import simhash_fingerprints, simhash_pairs
+    fps = simhash_fingerprints(docs).collect()
+    assert all(len(r["simhash"]) == 16 for r in fps)
+    pairs = simhash_pairs(docs, max_hamming=3).collect()
+    assert all(0 <= r["hamming"] <= 3 for r in pairs)
+    assert all(r["id_a"] < r["id_b"] for r in pairs)
+
+
+def test_knn_lsh_cosines_exact_within_cell(spark, emb):
+    """LSH may lose recall but must never report a wrong cosine: every
+    (id, cosine) it returns appears identically in the brute-force scan."""
+    from sparksearch.dataops import brute_force_knn, lsh_knn
+    bf = {r["vec_id"]: r["cosine"] for r in
+          brute_force_knn(emb, 0, k=500).collect()}
+    lsh = lsh_knn(emb, 0, k=10, planes=4, multiprobe=1).collect()
+    assert len(lsh) > 0
+    for r in lsh:
+        assert bf[r["vec_id"]] == pytest.approx(r["cosine"], abs=1e-6)
+
+
+def test_quality_and_tokens_ranges(spark, docs):
+    from sparksearch.dataops import quality_score, token_stats
+    q = quality_score(docs).collect()
+    assert all(0.0 <= r["quality"] <= 1.0 for r in q)
+    t = {r["doc_id"]: r for r in token_stats(docs).collect()}
+    raw = docs.select("doc_id", "text").collect()
+    for r in raw[:50]:
+        assert t[r["doc_id"]]["ws_tokens"] == len(r["text"].split())
+
+
+def test_lang_id_majority_accuracy(spark, docs):
+    """The synthetic corpus is English-word based; lang_id should call the
+    overwhelming majority en (markers like 'the' appear in most docs)."""
+    from sparksearch.dataops import language_id
+    pred = language_id(docs).groupBy("lang_pred").count().collect()
+    by = {r["lang_pred"]: r["count"] for r in pred}
+    assert by.get("en", 0) > sum(by.values()) * 0.5
+
+
+def test_winnow_fingerprints_detect_duplicates(spark, docs):
+    """Exact duplicate docs must produce identical fingerprint sets."""
+    from sparksearch.dataops import exact_dedup, winnow_fingerprints
+    fps = winnow_fingerprints(docs, k=4, window=3)
+    sets = (fps.groupBy("doc_id")
+            .agg(F.sort_array(F.collect_list("fp")).alias("fpset")))
+    dups = (docs.groupBy("text")
+            .agg(F.collect_list("doc_id").alias("ids"), F.count("*").alias("n"))
+            .where(F.col("n") >= 2).limit(5).collect())
+    if dups:
+        m = {r["doc_id"]: tuple(r["fpset"]) for r in sets.collect()}
+        for d in dups:
+            ids = d["ids"]
+            assert len({m[i] for i in ids}) == 1
