@@ -113,8 +113,10 @@ LIMIT 10 OFFSET 10
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from sparksearch import contract_aggs as CA
     from sparksearch import contract_dataops as CD
     out = dict(CD.queries())
+    out.update(CA.queries())
     out.update({
         # engine core
         "docs_table": _q_docs_table,
@@ -134,8 +136,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from sparksearch import contract_aggs as CA
     from sparksearch import contract_dataops as CD
     out = dict(CD.oracle_sql())
+    out.update(CA.oracle_sql())
     out.update(_fulltext_oracle_sql())
     return out
 

@@ -1,0 +1,263 @@
+"""Aggregations over query-matched documents (SURVEY.md §2.4).
+
+The reference attaches aggregation collectors to the query phase
+(sv/search/aggregations/AggregationPhase.java wired at
+sv/search/query/QueryPhase.java:97-158; registrations
+sv/search/SearchModule.java:399-833) and reduces per-shard partials on the
+coordinator. In Spark the same shape falls out of Catalyst automatically:
+filter (the query's doc set) → groupBy (bucket agg) → partial+final
+aggregation — so every operator here is a short DataFrame pipeline over
+`matched_docs(ex, q)`, with map-side combine and exchange handled by the
+planner.
+
+Notable mappings:
+  terms            groupBy + count/metric + ORDER BY LIMIT (exact — the
+                   reference's shard_size over-fetch error bounds vanish
+                   because the aggregation is global)
+  date_histogram   date_trunc bucketing (calendar intervals)
+  histogram        floor(value/interval)*interval
+  range            CASE WHEN bucket expression
+  stats/extended   avg/sum/min/max/stddev/variance built-ins
+  percentiles      exact `percentile` (the reference's t-digest is an
+                   approximation of exactly this; approx_percentile is the
+                   100 TB path — same plan shape)
+  cardinality      exact count(DISTINCT) for the oracle gate;
+                   approx_count_distinct (HLL++, same family as the
+                   reference's HyperLogLogPlusPlus, default precision 14 —
+                   sv/.../cardinality/HyperLogLogPlusPlus.java:70) at scale
+  top_hits /       row_number() over (partition by bucket order by score
+  field collapse   desc, docid) — sv/search/collapse/CollapseBuilder.java
+  significant      JLH score from foreground/background term counts —
+  _terms           two groupBys + a join
+  pipeline aggs    window functions over the bucket table (cumulative_sum,
+                   derivative = lag) — sv/search/SearchModule.java:711-833
+  composite        keyset pagination on the bucket tuple
+  matrix_stats     corr/covar_pop built-ins
+                   (modules/aggs-matrix-stats/.../RunningStats.java)
+  rescore          re-rank only the top-`window` rows with a second score —
+                   sv/search/rescore/QueryRescorer.java
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "matched_docs",
+    "terms_agg",
+    "date_histogram",
+    "histogram",
+    "range_agg",
+    "stats_agg",
+    "percentiles_agg",
+    "cardinality_agg",
+    "top_hits",
+    "significant_terms",
+    "date_histogram_pipeline",
+    "composite_agg",
+    "collapse",
+    "rescore",
+    "matrix_stats",
+]
+
+
+def matched_docs(ex, q) -> DataFrame:
+    """The query-phase doc set: docs rows matching q (unscored filter)."""
+    hits = ex._plan(q, scored=False).select("docid")
+    return ex.ix.docs.join(hits, "docid")
+
+
+def scored_docs(ex, q) -> DataFrame:
+    """docs rows + BM25 score for q (the scored query phase)."""
+    hits = ex._plan(q, scored=True).select("docid", "score")
+    return ex.ix.docs.join(hits, "docid")
+
+
+def terms_agg(df: DataFrame, field: str, size: int = 10) -> DataFrame:
+    """Top-N buckets by doc count, count desc then key asc (the reference's
+    default terms order)."""
+    return (df.groupBy(F.col(field).alias("key"))
+            .agg(F.count("*").cast("long").alias("doc_count"))
+            .orderBy(F.col("doc_count").desc(), F.col("key").asc())
+            .limit(size))
+
+
+def date_histogram(df: DataFrame, field: str,
+                   interval: str = "day") -> DataFrame:
+    return (df.groupBy(F.date_trunc(interval, F.col(field)).alias("key"))
+            .agg(F.count("*").cast("long").alias("doc_count"))
+            .orderBy("key"))
+
+
+def histogram(df: DataFrame, field: str, interval: float) -> DataFrame:
+    key = (F.floor(F.col(field) / interval) * interval).cast("double")
+    return (df.groupBy(key.alias("key"))
+            .agg(F.count("*").cast("long").alias("doc_count"))
+            .orderBy("key"))
+
+
+def range_agg(df: DataFrame, field: str,
+              ranges: list[tuple[float | None, float | None]]) -> DataFrame:
+    """Overlap-capable ranges, [from, to): one sum(case) per range, then
+    unpivoted to (key, doc_count) rows ordered by range position."""
+    rows = []
+    for i, (lo, hi) in enumerate(ranges):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col(field) >= lo)
+        if hi is not None:
+            cond = cond & (F.col(field) < hi)
+        key = f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+        rows.append((i, key, F.sum(cond.cast("long")).alias(f"r{i}")))
+    agg = df.agg(*[r[2] for r in rows])
+    parts = [
+        F.struct(F.lit(i).alias("ord"), F.lit(key).alias("key"),
+                 F.col(f"r{i}").alias("doc_count"))
+        for i, key, _ in rows]
+    return (agg.select(F.explode(F.array(*parts)).alias("b"))
+            .select(F.col("b.key").alias("key"),
+                    F.col("b.doc_count").cast("long").alias("doc_count"),
+                    F.col("b.ord").alias("_o"))
+            .orderBy("_o").drop("_o"))
+
+
+def stats_agg(df: DataFrame, field: str, extended: bool = False) -> DataFrame:
+    c = F.col(field).cast("double")
+    aggs = [F.count(c).cast("long").alias("count"),
+            F.min(c).alias("min"), F.max(c).alias("max"),
+            F.round(F.avg(c), 6).alias("avg"),
+            F.round(F.sum(c), 6).alias("sum")]
+    if extended:
+        aggs += [F.round(F.var_pop(c), 6).alias("variance"),
+                 F.round(F.stddev_pop(c), 6).alias("std_deviation")]
+    return df.agg(*aggs)
+
+
+def percentiles_agg(df: DataFrame, field: str,
+                    pcts: list[float] = (0.25, 0.5, 0.75, 0.95),
+                    approx: bool = False) -> DataFrame:
+    c = F.col(field).cast("double")
+    if approx:
+        aggs = [F.percentile_approx(c, p).alias(f"p{int(p * 100)}")
+                for p in pcts]
+    else:
+        aggs = [F.round(F.percentile(c, F.lit(p)), 6)
+                .alias(f"p{int(p * 100)}") for p in pcts]
+    return df.agg(*aggs)
+
+
+def cardinality_agg(df: DataFrame, field: str,
+                    approx: bool = False) -> DataFrame:
+    c = F.col(field)
+    agg = (F.approx_count_distinct(c) if approx
+           else F.countDistinct(c)).cast("long").alias("cardinality")
+    return df.agg(agg)
+
+
+def top_hits(scored: DataFrame, bucket_field: str, n: int = 2) -> DataFrame:
+    """Per-bucket best hits by (score desc, docid asc)."""
+    w = Window.partitionBy(bucket_field).orderBy(
+        F.col("score").desc(), F.col("docid").asc())
+    return (scored
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= n)
+            .select(F.col(bucket_field).alias("key"), "rank", "docid",
+                    F.col("score"))
+            .orderBy("key", "rank"))
+
+
+def significant_terms(ex, q, size: int = 5,
+                      min_doc_count: int = 3) -> DataFrame:
+    """JLH-scored significant terms: foreground = docs matching q,
+    background = all docs (sv/search/aggregations/bucket/terms/ — the
+    heuristic (fg% − bg%)·(fg%/bg%))."""
+    ix = ex.ix
+    fg_docs = ex._plan(q, scored=False).select("docid")
+    fg_n = fg_docs.count()
+    bg_n = ix.n_docs
+    fg = (ix.postings.join(fg_docs, "docid")
+          .groupBy("term").agg(F.count("*").cast("long").alias("fg")))
+    bg = ix.stats.select("term", F.col("df").alias("bg"))
+    j = fg.join(bg, "term")
+    fgp = F.col("fg").cast("double") / float(fg_n)
+    bgp = F.col("bg").cast("double") / float(bg_n)
+    score = (fgp - bgp) * (fgp / bgp)
+    return (j.where(F.col("fg") >= min_doc_count)
+            .select("term", "fg", "bg", F.round(score, 6).alias("jlh"))
+            .orderBy(F.col("jlh").desc(), F.col("term").asc())
+            .limit(size))
+
+
+def date_histogram_pipeline(df: DataFrame, field: str,
+                            interval: str = "day") -> DataFrame:
+    """date_histogram + cumulative_sum + derivative (pipeline aggs as
+    window functions over the bucket table)."""
+    buckets = date_histogram(df, field, interval)
+    w = Window.orderBy("key").rowsBetween(Window.unboundedPreceding, 0)
+    lag_w = Window.orderBy("key")
+    return (buckets
+            .withColumn("cumulative", F.sum("doc_count").over(w))
+            .withColumn("derivative",
+                        (F.col("doc_count")
+                         - F.lag("doc_count").over(lag_w)).cast("long"))
+            .orderBy("key"))
+
+
+def composite_agg(df: DataFrame, sources: list[str], size: int,
+                  after: tuple | None = None) -> DataFrame:
+    """Composite agg: multi-source buckets in key order with keyset
+    pagination (`after`)."""
+    buckets = (df.groupBy(*[F.col(s) for s in sources])
+               .agg(F.count("*").cast("long").alias("doc_count")))
+    if after is not None:
+        cond = None
+        # lexicographic (k1, k2, ...) > after
+        for i in range(len(sources)):
+            eq = F.lit(True)
+            for j in range(i):
+                eq = eq & (F.col(sources[j]) == F.lit(after[j]))
+            gt = eq & (F.col(sources[i]) > F.lit(after[i]))
+            cond = gt if cond is None else (cond | gt)
+        buckets = buckets.where(cond)
+    return buckets.orderBy(*sources).limit(size)
+
+
+def collapse(scored: DataFrame, field: str, k: int = 10) -> DataFrame:
+    """Field collapsing: the single best hit per group, then global top-k
+    (sv/search/collapse/CollapseBuilder.java)."""
+    w = Window.partitionBy(field).orderBy(
+        F.col("score").desc(), F.col("docid").asc())
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1).drop("_rn")
+            .orderBy(F.col("score").desc(), F.col("docid").asc())
+            .limit(k))
+
+
+def rescore(ex, q, rescore_q, window_size: int = 20, k: int = 10,
+            query_weight: float = 1.0,
+            rescore_weight: float = 2.0) -> DataFrame:
+    """Rescore: re-rank only the top `window_size` primary hits with a
+    second query's score (sv/search/rescore/QueryRescorer.java — total =
+    query_weight·primary + rescore_weight·secondary)."""
+    primary = (ex._plan(q, scored=True)
+               .orderBy(F.col("score").desc(), F.col("docid").asc())
+               .limit(window_size))
+    secondary = ex._plan(rescore_q, scored=True) \
+        .withColumnRenamed("score", "_s2")
+    out = (primary.join(secondary, "docid", "left")
+           .select("docid",
+                   F.round(F.col("score") * query_weight
+                           + F.coalesce(F.col("_s2"), F.lit(0.0))
+                           * rescore_weight, 6).alias("score")))
+    return (out.orderBy(F.col("score").desc(), F.col("docid").asc())
+            .limit(k))
+
+
+def matrix_stats(df: DataFrame, f1: str, f2: str) -> DataFrame:
+    """Two-field covariance/correlation (modules/aggs-matrix-stats)."""
+    a, b = F.col(f1).cast("double"), F.col(f2).cast("double")
+    return df.agg(
+        F.count("*").cast("long").alias("count"),
+        F.round(F.covar_pop(a, b), 6).alias("covariance"),
+        F.round(F.corr(a, b), 6).alias("correlation"))
