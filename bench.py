@@ -36,7 +36,7 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-PROBE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"))
+PROBE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "150000"))
 RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 
 
