@@ -37,8 +37,10 @@ from sparksearch import bm25
 from sparksearch.analysis import analyze
 from sparksearch.index import IndexReader
 from sparksearch.queries import (
-    Bool, Exists, Ids, Match, MatchAll, MatchNone, MatchPhrase, Prefix,
-    Query, Range, Term, Terms, calculate_min_should_match,
+    Bool, Boosting, ConstantScore, DisMax, Exists, Fuzzy, Ids, Match,
+    MatchAll, MatchNone, MatchPhrase, MoreLikeThis, MultiMatch, Prefix,
+    Query, Range, Regexp, Term, Terms, TextPrefix, Wildcard,
+    calculate_min_should_match,
 )
 
 __all__ = ["Executor"]
@@ -108,7 +110,122 @@ class Executor:
             return self._plan_docvalue_filter(q)
         if isinstance(q, Bool):
             return self._plan_bool(q, scored)
+        if isinstance(q, (Wildcard, Regexp, Fuzzy, TextPrefix)):
+            return self._plan_multiterm(q, scored)
+        if isinstance(q, ConstantScore):
+            inner = self._plan(q.filter_query, scored=False).select("docid")
+            return inner.select(
+                "docid", F.lit(float(q.boost) if scored else 0.0)
+                .alias("score"))
+        if isinstance(q, DisMax):
+            return self._plan_dismax(q, scored)
+        if isinstance(q, Boosting):
+            return self._plan_boosting(q, scored)
+        if isinstance(q, MultiMatch):
+            return self._plan_multimatch(q, scored)
+        if isinstance(q, MoreLikeThis):
+            return self._plan_mlt(q, scored)
         raise TypeError(f"unsupported query: {q!r}")
+
+    def _plan_multiterm(self, q: Query, scored: bool) -> DataFrame:
+        """Dictionary-expansion queries (wildcard/regexp/fuzzy/prefix on the
+        analyzed field): filter the term dictionary (stats), join postings
+        on the matching terms (broadcast — the Zipf dictionary head is
+        small), emit constant score 1.0 per matching doc — Lucene's
+        CONSTANT_SCORE multi-term rewrite. Fully distributed: no driver-side
+        term collection."""
+        d = self.ix.stats.select("term")
+        if isinstance(q, Wildcard):
+            like = q.pattern.replace("%", r"\%").replace("_", r"\_") \
+                .replace("*", "%").replace("?", "_")
+            cond = F.col("term").like(like)
+        elif isinstance(q, Regexp):
+            cond = F.col("term").rlike(f"^(?:{q.pattern})$")
+        elif isinstance(q, Fuzzy):
+            cond = F.levenshtein(F.col("term"), F.lit(q.value)) \
+                <= int(q.fuzziness)
+        else:  # TextPrefix
+            cond = F.col("term").startswith(q.value)
+        matched = d.filter(cond)
+        docids = (self.ix.postings.join(F.broadcast(matched), "term")
+                  .select("docid").distinct())
+        return docids.select(
+            "docid", F.lit(1.0 if scored else 0.0).alias("score"))
+
+    def _plan_dismax(self, q: DisMax, scored: bool) -> DataFrame:
+        legs = [self._plan(sq, scored) for sq in q.queries]
+        if not legs:
+            return self._empty()
+        unioned = reduce(lambda a, b: a.unionAll(b), legs)
+        agg = (unioned.groupBy("docid")
+               .agg(F.max("score").alias("_mx"), F.sum("score").alias("_sm")))
+        score = (F.col("_mx")
+                 + F.lit(float(q.tie_breaker)) * (F.col("_sm") - F.col("_mx"))
+                 if scored else F.lit(0.0))
+        return agg.select("docid", score.alias("score"))
+
+    def _plan_boosting(self, q: Boosting, scored: bool) -> DataFrame:
+        pos = self._plan(q.positive, scored)
+        neg = (self._plan(q.negative, scored=False)
+               .select("docid", F.lit(True).alias("_neg")))
+        out = pos.join(neg, "docid", "left")
+        score = F.when(F.col("_neg"),
+                       F.col("score") * float(q.negative_boost)) \
+            .otherwise(F.col("score")) if scored else F.lit(0.0)
+        return out.select("docid", score.alias("score"))
+
+    def _plan_multimatch(self, q: MultiMatch, scored: bool) -> DataFrame:
+        """best_fields = dis_max(tie_breaker), most_fields = score sum
+        (MultiMatchQuery.java). Analyzed field 'text' scores BM25; keyword
+        doc-value fields score 1.0 on exact equality."""
+        legs = []
+        for f in q.fields:
+            if f == "text":
+                legs.append(self._plan(Match("text", q.text), scored))
+            else:
+                legs.append(
+                    self.ix.docs.filter(F.col(f) == F.lit(q.text))
+                    .select("docid",
+                            F.lit(1.0 if scored else 0.0).alias("score")))
+        if not legs:
+            return self._empty()
+        if q.type == "most_fields":
+            unioned = reduce(lambda a, b: a.unionAll(b), legs)
+            return (unioned.groupBy("docid")
+                    .agg(F.sum("score").alias("score")))
+        return self._dismax_of(legs, q.tie_breaker, scored)
+
+    def _dismax_of(self, legs: list[DataFrame], tie: float,
+                   scored: bool) -> DataFrame:
+        unioned = reduce(lambda a, b: a.unionAll(b), legs)
+        agg = (unioned.groupBy("docid")
+               .agg(F.max("score").alias("_mx"), F.sum("score").alias("_sm")))
+        score = (F.col("_mx") + F.lit(float(tie))
+                 * (F.col("_sm") - F.col("_mx"))) if scored else F.lit(0.0)
+        return agg.select("docid", score.alias("score"))
+
+    def _plan_mlt(self, q: MoreLikeThis, scored: bool) -> DataFrame:
+        """more_like_this (like_text form): rank the example's terms by
+        tf·idf (driver-side — stats for a handful of terms), keep the top
+        max_query_terms, then an ordinary OR match with msm."""
+        from collections import Counter
+        terms = [t for t, _ in analyze(q.like_text, self.ix.analyzer)]
+        if not terms:
+            return self._empty()
+        cnt = Counter(terms)
+        srows = self.ix.stats_for(sorted(cnt)).collect()
+        dfm = {r["term"]: r["df"] for r in srows}
+        ranked = sorted(
+            ((t, c * bm25.idf(dfm.get(t, 0), self.ix.n_docs))
+             for t, c in cnt.items()
+             if dfm.get(t, 0) >= q.min_doc_freq),
+            key=lambda x: (-x[1], x[0]))
+        selected = [t for t, _ in ranked[:q.max_query_terms]]
+        if not selected:
+            return self._empty()
+        return self._plan(
+            Match(q.field_name, " ".join(selected),
+                  minimum_should_match=q.minimum_should_match), scored)
 
     def _empty(self) -> DataFrame:
         return (self.ix.docs.select("docid", F.lit(0.0).alias("score"))

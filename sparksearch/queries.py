@@ -101,6 +101,91 @@ class Bool(Query):
     minimum_should_match: str | int | None = None
 
 
+@dataclass(frozen=True)
+class Wildcard(Query):
+    """`wildcard` — term-dictionary automaton scan (* and ?); docs matching
+    any expanded term score a constant 1.0 (Lucene MultiTermQuery
+    CONSTANT_SCORE rewrite — sv/index/query/WildcardQueryBuilder.java)."""
+    field_name: str
+    pattern: str
+
+
+@dataclass(frozen=True)
+class Regexp(Query):
+    """`regexp` — anchored regex over the term dictionary, constant score
+    (sv/index/query/RegexpQueryBuilder.java)."""
+    field_name: str
+    pattern: str
+
+
+@dataclass(frozen=True)
+class Fuzzy(Query):
+    """`fuzzy` — Levenshtein expansion over the term dictionary, constant
+    score (sv/index/query/FuzzyQueryBuilder.java; prefix_length 0)."""
+    field_name: str
+    value: str
+    fuzziness: int = 2
+
+
+@dataclass(frozen=True)
+class TextPrefix(Query):
+    """`prefix` on an analyzed text field — dictionary expansion, constant
+    score (sv/index/query/PrefixQueryBuilder.java). (`Prefix` is the
+    doc-values/keyword form.)"""
+    field_name: str
+    value: str
+
+
+@dataclass(frozen=True)
+class ConstantScore(Query):
+    """`constant_score` — filter context, fixed boost score
+    (sv/index/query/ConstantScoreQueryBuilder.java)."""
+    filter_query: Query = None
+    boost: float = 1.0
+
+
+@dataclass
+class DisMax(Query):
+    """`dis_max` — max of subquery scores + tie_breaker·(sum − max)
+    (sv/index/query/DisMaxQueryBuilder.java)."""
+    queries: list = field(default_factory=list)
+    tie_breaker: float = 0.0
+
+
+@dataclass(frozen=True)
+class Boosting(Query):
+    """`boosting` — positive query's score, multiplied by negative_boost
+    for docs that also match the negative query
+    (sv/index/query/BoostingQueryBuilder.java)."""
+    positive: Query = None
+    negative: Query = None
+    negative_boost: float = 0.5
+
+
+@dataclass
+class MultiMatch(Query):
+    """`multi_match` best_fields/most_fields across analyzed text fields
+    and keyword doc-value fields (term-equality legs score 1.0)
+    (sv/index/search/MultiMatchQuery.java)."""
+    fields: list = field(default_factory=list)
+    text: str = ""
+    type: str = "best_fields"       # 'best_fields' | 'most_fields'
+    tie_breaker: float = 0.0
+
+
+@dataclass(frozen=True)
+class MoreLikeThis(Query):
+    """`more_like_this` (like_text form) — rank the example text's terms by
+    tf·idf against the index stats, keep max_query_terms, run an OR match
+    with minimum_should_match (sv/index/query/MoreLikeThisQueryBuilder.java;
+    defaults max_query_terms=25, minimum_should_match='30%')."""
+    field_name: str
+    like_text: str
+    max_query_terms: int = 25
+    minimum_should_match: str | int | None = "30%"
+    min_doc_freq: int = 1
+
+
 def calculate_min_should_match(n_optional: int, spec: str | int | None,
                                has_required: bool) -> int:
     """Queries.calculateMinShouldMatch semantics (Queries.java:138-192).
