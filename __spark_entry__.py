@@ -115,10 +115,12 @@ LIMIT 10 OFFSET 10
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from sparksearch import contract_aggs as CA
     from sparksearch import contract_dataops as CD
+    from sparksearch import contract_misc as CM
     from sparksearch import contract_queries as CQ
     out = dict(CD.queries())
     out.update(CA.queries())
     out.update(CQ.queries())
+    out.update(CM.queries())
     out.update({
         # engine core
         "docs_table": _q_docs_table,
@@ -140,10 +142,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from sparksearch import contract_aggs as CA
     from sparksearch import contract_dataops as CD
+    from sparksearch import contract_misc as CM
     from sparksearch import contract_queries as CQ
     out = dict(CD.oracle_sql())
     out.update(CA.oracle_sql())
     out.update(CQ.oracle_sql())
+    out.update(CM.oracle_sql())
     out.update(_fulltext_oracle_sql())
     return out
 
