@@ -109,6 +109,18 @@ def q_rank_eval(spark, sf_dir):
                       .otherwise(F.lit(0.0))), 6).alias("mrr"))
 
 
+def q_media_manifest(spark, sf_dir):
+    """Multimodal manifest stats over the corpus's binary payload column
+    (html): exact byte counts + content hashes, JVM-side only."""
+    from sparksearch.multimodal import media_manifest
+    media = media_manifest(C.pages_df(spark, sf_dir))
+    return (media.select(
+        "media_id", "kind",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("content_md5"))
+        .orderBy("media_id"))
+
+
 def q_sort_by_field(spark, sf_dir):
     d = _ix(spark, sf_dir).docs
     return (d.select("docid", "url", "lang", "dl")
@@ -120,6 +132,22 @@ def q_sort_by_field(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # oracle SQL twins
 # ---------------------------------------------------------------------------
+
+def _media_manifest_sql() -> str:
+    # the html template keys its comment rule off the ORIGINAL doc_id, so
+    # derive straight from documents (the pages CTE's docid is the url rank)
+    from sparksearch.corpus import html_template_sql
+    html = html_template_sql("d.text", "d.doc_id")
+    return f"""
+SELECT 'https://site' || (d.doc_id % 97) || '.example/p/' ||
+       lpad(CAST(d.doc_id AS VARCHAR), 8, '0') AS media_id,
+       'html' AS kind,
+       CAST(octet_length(encode({html})) AS BIGINT) AS n_bytes,
+       md5({html}) AS content_md5
+FROM documents d
+ORDER BY media_id
+""".strip()
+
 
 def sqls() -> dict[str, str]:
     P, TOK, DL = C._PAGES, C._TOK, C._DL
@@ -193,6 +221,7 @@ SELECT CAST(round(sum(rel) / 10.0, 6) AS DOUBLE) AS precision_at_10,
             AS DOUBLE) AS mrr
 FROM j
 """.strip(),
+        "media_manifest": _media_manifest_sql(),
         "sort_by_field": f"""
 WITH {P}, {TOK}, {DL}
 SELECT p.docid, p.url, p.lang, CAST(dlq.dl AS BIGINT) AS dl
@@ -213,6 +242,7 @@ def queries() -> dict:
         "query_distance_feature": q_distance_feature,
         "rank_eval": q_rank_eval,
         "sort_by_field": q_sort_by_field,
+        "media_manifest": q_media_manifest,
     }
 
 
