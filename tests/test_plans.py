@@ -1,0 +1,99 @@
+"""Physical-plan assertions: the engine must produce the plans it promises
+— partition pruning on bucket, parquet filter pushdown on term, broadcast
+fetch joins, TakeOrderedAndProject top-k, whole-stage codegen scoring."""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    from sparksearch.build import build_index
+    from sparksearch.corpus import pages_from_documents
+    from sparksearch.exec import Executor
+    from sparksearch.index import IndexReader
+
+    out = str(tmp_path_factory.mktemp("planix"))
+    import shutil
+    shutil.rmtree(out, ignore_errors=True)
+    build_index(pages_from_documents(spark, "/root/testdata/sf0.001"),
+                out, n_buckets=4, partitions=4)
+    ix = IndexReader(spark, out)
+    return ix, Executor(ix)
+
+
+def _plan_str(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized_str(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_postings_scan_prunes_buckets_and_pushes_term(engine):
+    ix, _ = engine
+    df = ix.postings_for(["hash"])
+    plan = _plan_str(df)
+    # directory-partition pruning on bucket=...
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters", 1)[1][:300]
+    # row-group pushdown on the sorted term column
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters", 1)[1][:300]
+    assert "term" in pushed and ("EqualTo" in pushed or "In(" in pushed)
+
+
+def test_fetch_join_is_broadcast(engine):
+    from sparksearch.queries import Match
+    _, ex = engine
+    plan = _plan_str(ex.search(Match("text", "hash join"), k=10))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_is_take_ordered(engine):
+    from sparksearch.queries import Match
+    _, ex = engine
+    scored = ex._plan(Match("text", "hash"), scored=True)
+    from pyspark.sql import functions as F
+    topk = scored.orderBy(F.col("score").desc(),
+                          F.col("docid").asc()).limit(10)
+    assert "TakeOrderedAndProject" in _plan_str(topk)
+
+
+def test_scoring_is_whole_stage_codegen(engine):
+    """The BM25 score expression must run inside whole-stage codegen (no
+    Python in the query hot path)."""
+    from sparksearch.queries import Match
+    _, ex = engine
+    plan = _plan_str(ex._plan(Match("text", "hash join"), scored=True))
+    # zero Python nodes in the scoring plan (AQE hides WholeStageCodegen in
+    # the pre-execution string, so assert the absence of the Python escape
+    # hatches plus map-side partial aggregation instead)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "partial_sum" in plan  # map-side combine before the exchange
+
+
+def test_docvalue_filter_pushdown(engine):
+    from pyspark.sql import functions as F
+    ix, _ = engine
+    df = ix.docs.filter(F.col("lang") == "en").select("docid")
+    plan = _plan_str(df)
+    assert "PushedFilters" in plan
+    assert "lang" in plan.split("PushedFilters", 1)[1][:200]
+
+
+def test_stats_broadcast_in_term_scores(engine):
+    from sparksearch.queries import Match
+    _, ex = engine
+    plan = _plan_str(ex._plan(Match("text", "hash join"), scored=True))
+    assert "BroadcastHashJoin" in plan  # stats (idf) side is broadcast
+
+
+def test_column_pruning_docs(engine):
+    """A 2-column projection must not read the whole docs schema."""
+    ix, _ = engine
+    plan = _plan_str(ix.docs.select("docid", "url"))
+    rs = plan.split("ReadSchema", 1)[1][:250]
+    assert "docid" in rs and "url" in rs
+    assert "warc_ts" not in rs and "dl_q" not in rs
