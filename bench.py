@@ -85,6 +85,11 @@ def probe(cores: int, n_docs: int) -> None:
             tgt = os.path.join(out, f"ix{i}")
             t0 = time.time()
             build_index(pages, tgt, n_buckets=16, partitions=parts)
+            # full build includes packed-segment construction (the north
+            # rule's deliverable): salted encode + per-chunk manifests
+            from sparksearch.segments import build_segments
+            build_segments(spark, tgt, salt_target=65536, n_chunks=2,
+                           partitions=parts)
             times.append(time.time() - t0)
             shutil.rmtree(tgt, ignore_errors=True)
         dt = min(times)
@@ -149,8 +154,15 @@ def main() -> None:
     build_sec = time.time() - t0
     results["build_sf"] = round(build_sec, 3)
 
+    from sparksearch.segments import build_segments
+    t0 = time.time()
+    build_segments(spark, ix_dir, salt_target=4096, n_chunks=2,
+                   partitions=CPUS)
+    results["segments_sf"] = round(time.time() - t0, 3)
+
     ix = IndexReader(spark, ix_dir)
     ex = Executor(ix)
+    seg_ex = Executor(IndexReader(spark, ix_dir, use_segments=True))
 
     # -- 2. headline query latency (p50 of 3 reps, after 1 warmup) -----------
     headline = {
@@ -164,8 +176,15 @@ def main() -> None:
                        filter=[Term("lang", "en")]),
     }
     for name, q in headline.items():
-        run = lambda: ex.search(q, k=10).collect()
+        run = lambda: ex.search(q, k=10, mode="plan").collect()
         run()  # warmup (plan + scan caches)
+        results[name] = round(median_time(run, reps=3), 3)
+
+    # flagship path: block-max WAND over packed segments
+    for name, q in (("q_wand_or", headline["q_match_or"]),
+                    ("q_wand_and", headline["q_match_and"])):
+        run = lambda: seg_ex.search(q, k=10, mode="wand").collect()
+        run()
         results[name] = round(median_time(run, reps=3), 3)
 
     # -- 3. scaling probes: N vs 4N cores, same input -------------------------

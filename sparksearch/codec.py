@@ -30,12 +30,12 @@ __all__ = [
 BLOCK_SIZE = 128
 
 
-def varint_encode(arr: np.ndarray) -> bytes:
-    """Unsigned LEB128 encode of a non-negative int array (vectorized)."""
+def varint_encode_with_lengths(arr: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Unsigned LEB128 encode + per-value byte lengths (vectorized)."""
     arr = np.asarray(arr, dtype=np.uint64)
     n = len(arr)
     if n == 0:
-        return b""
+        return b"", np.zeros(0, dtype=np.int64)
     out = np.zeros((n, 10), dtype=np.uint8)
     tmp = arr.copy()
     cont = np.ones(n, dtype=bool)
@@ -50,7 +50,12 @@ def varint_encode(arr: np.ndarray) -> bytes:
         if not cont.any():
             break
     mask = np.arange(10) < lengths[:, None]
-    return out[mask].tobytes()
+    return out[mask].tobytes(), lengths
+
+
+def varint_encode(arr: np.ndarray) -> bytes:
+    """Unsigned LEB128 encode of a non-negative int array (vectorized)."""
+    return varint_encode_with_lengths(arr)[0]
 
 
 def varint_decode(buf: bytes) -> np.ndarray:

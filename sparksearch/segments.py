@@ -49,11 +49,9 @@ from pyspark.sql import types as T
 from sparksearch.codec import (
     BLOCK_SIZE,
     delta_decode_docids,
-    delta_encode_docids,
     decode_positions,
-    encode_positions,
     varint_decode,
-    varint_encode,
+    varint_encode_with_lengths,
 )
 from sparksearch.norms import DECODE_LUT, int_to_byte4_np
 
@@ -77,34 +75,81 @@ _BLOCK_SCHEMA = T.StructType([
 
 
 def _encode_group():
-    """applyInPandas encoder for one (bucket, term, salt) posting group."""
+    """applyInPandas encoder for one (bucket, term, salt) posting group.
+
+    Fully vectorized: ONE varint pass per payload over the whole group with
+    per-value byte lengths, then per-block byte-range slicing — no
+    per-block numpy calls (a group of 64k postings is ~10 numpy ops +
+    one slice comprehension over its ~500 blocks)."""
 
     def enc(key, pdf):
         bucket, term, salt = int(key[0]), key[1], int(key[2])
         order = np.argsort(pdf["docid"].values, kind="stable")
-        docids = pdf["docid"].values[order]
+        docids = pdf["docid"].values[order].astype(np.int64)
         tfs = pdf["tf"].values[order].astype(np.int64)
         dl_q = pdf["dl_q"].values[order].astype(np.int64)
         poss = pdf["positions"].values[order]
-        norms = int_to_byte4_np(dl_q).astype(np.uint8)
-        rows = []
-        for b0 in range(0, len(docids), BLOCK_SIZE):
-            b1 = min(b0 + BLOCK_SIZE, len(docids))
-            btfs = tfs[b0:b1]
-            bpos = np.concatenate([np.asarray(p, dtype=np.int64)
-                                   for p in poss[b0:b1]]) \
-                if b1 > b0 else np.zeros(0, np.int64)
-            rows.append((
-                bucket, term, salt, b0 // BLOCK_SIZE, b1 - b0,
-                int(docids[b0]), int(docids[b1 - 1]),
-                delta_encode_docids(docids[b0:b1]),
-                varint_encode(btfs),
-                norms[b0:b1].tobytes(),
-                encode_positions(bpos, btfs),
-                int(btfs.max()),
-                int(dl_q[b0:b1].min()),
-            ))
-        return pd.DataFrame(rows, columns=[f.name for f in _BLOCK_SCHEMA])
+        n = len(docids)
+        starts = np.arange(0, n, BLOCK_SIZE)
+        ends = np.minimum(starts + BLOCK_SIZE, n)
+        nb = len(starts)
+
+        norms_all = int_to_byte4_np(dl_q).astype(np.uint8).tobytes()
+
+        # docid gaps with the first value of each block absolute
+        dd = np.empty(n, np.int64)
+        dd[0] = docids[0]
+        dd[1:] = np.diff(docids)
+        dd[starts] = docids[starts]
+        dbytes, dlen = varint_encode_with_lengths(dd)
+        doff = np.zeros(n + 1, np.int64)
+        np.cumsum(dlen, out=doff[1:])
+
+        tbytes, tlen = varint_encode_with_lengths(tfs)
+        toff = np.zeros(n + 1, np.int64)
+        np.cumsum(tlen, out=toff[1:])
+
+        # positions: flat concat, per-doc delta resets, one varint pass
+        flat = (np.concatenate([np.asarray(p, dtype=np.int64) for p in poss])
+                if n else np.zeros(0, np.int64))
+        csum_tf = np.cumsum(tfs) if n else np.zeros(0, np.int64)
+        doc_starts = np.zeros(n, np.int64)
+        doc_starts[1:] = csum_tf[:-1]
+        if len(flat):
+            pdlt = np.empty(len(flat), np.int64)
+            pdlt[0] = flat[0]
+            pdlt[1:] = np.diff(flat)
+            pdlt[doc_starts] = flat[doc_starts]
+            pbytes, plen = varint_encode_with_lengths(pdlt)
+            poffv = np.zeros(len(flat) + 1, np.int64)
+            np.cumsum(plen, out=poffv[1:])
+        else:
+            pbytes, poffv = b"", np.zeros(1, np.int64)
+        blk_pos_lo = poffv[doc_starts[starts]] if n else poffv[:0]
+        blk_pos_hi = poffv[csum_tf[ends - 1]] if n else poffv[:0]
+
+        max_tf = np.maximum.reduceat(tfs, starts) if n else tfs
+        min_dlq = np.minimum.reduceat(dl_q, starts) if n else dl_q
+
+        rows = {
+            "bucket": np.full(nb, bucket, np.int32),
+            "term": [term] * nb,
+            "salt": np.full(nb, salt, np.int32),
+            "block_id": np.arange(nb, dtype=np.int32),
+            "n": (ends - starts).astype(np.int32),
+            "first_docid": docids[starts],
+            "last_docid": docids[ends - 1],
+            "docids": [dbytes[doff[s]:doff[e]]
+                       for s, e in zip(starts, ends)],
+            "tfs": [tbytes[toff[s]:toff[e]]
+                    for s, e in zip(starts, ends)],
+            "norms": [norms_all[s:e] for s, e in zip(starts, ends)],
+            "positions": [pbytes[lo:hi]
+                          for lo, hi in zip(blk_pos_lo, blk_pos_hi)],
+            "max_tf": max_tf.astype(np.int32),
+            "min_dlq": min_dlq,
+        }
+        return pd.DataFrame(rows)
 
     return enc
 
