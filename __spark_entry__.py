@@ -115,12 +115,14 @@ LIMIT 10 OFFSET 10
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from sparksearch import contract_aggs as CA
     from sparksearch import contract_dataops as CD
+    from sparksearch import contract_analysis as CAN
     from sparksearch import contract_misc as CM
     from sparksearch import contract_queries as CQ
     out = dict(CD.queries())
     out.update(CA.queries())
     out.update(CQ.queries())
     out.update(CM.queries())
+    out.update(CAN.queries())
     out.update({
         # engine core
         "docs_table": _q_docs_table,
@@ -142,12 +144,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from sparksearch import contract_aggs as CA
     from sparksearch import contract_dataops as CD
+    from sparksearch import contract_analysis as CAN
     from sparksearch import contract_misc as CM
     from sparksearch import contract_queries as CQ
     out = dict(CD.oracle_sql())
     out.update(CA.oracle_sql())
     out.update(CQ.oracle_sql())
     out.update(CM.oracle_sql())
+    # the correctness gate runs at sf0.01 (TESTDATA.md) — the english-
+    # analyzer oracles embed that corpus's stem dictionary
+    out.update(CAN.oracle_sql_for("/root/testdata/sf0.01"))
     out.update(_fulltext_oracle_sql())
     return out
 

@@ -47,18 +47,50 @@ def make_spark(cores: int):
             .appName(f"sparksearch-bench-{cores}")
             .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
             .config("spark.sql.adaptive.enabled", "true")
-            .config("spark.driver.memory", "16g")
+            .config("spark.driver.memory",
+                    os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
             .config("spark.ui.enabled", "false")
             .getOrCreate())
 
 
-def probe(cores: int, n_docs: int) -> None:
-    """Subprocess entry: synthesize corpus, build index, print JSON."""
+def make_spark_cluster(n_executors: int, cores_each: int = 8,
+                       mem_mb: int = 10240):
+    """True multi-JVM stand-in for an N-executor cluster: Spark
+    local-cluster mode spawns N separate executor JVMs with isolated heaps
+    and python worker pools — unlike local[n], whose shared heap makes GC
+    the bottleneck at high thread counts."""
+    os.environ.setdefault("SPARK_HOME",
+                          __import__("pyspark").__path__[0])
+    os.environ["PYSPARK_PYTHON"] = sys.executable
+    from pyspark.sql import SparkSession
+    spark = (SparkSession.builder
+             .master(f"local-cluster[{n_executors},{cores_each},{mem_mb}]")
+             .appName(f"sparksearch-bench-c{n_executors}")
+             .config("spark.sql.shuffle.partitions", "64")
+             .config("spark.executor.memory", f"{mem_mb - 1024}m")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "8g")
+             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    zip_path = os.path.join(tempfile.gettempdir(), "sparksearch_bench.zip")
+    if not os.path.exists(zip_path):
+        subprocess.run(["bash", "-c",
+                        f"cd {REPO} && zip -qr {zip_path} sparksearch"],
+                       check=True)
+    spark.sparkContext.addPyFile(zip_path)
+    return spark
+
+
+def probe(cores: int, n_docs: int, n_executors: int = 0) -> None:
+    """Subprocess entry: synthesize corpus, build index, print JSON.
+    n_executors > 0 → local-cluster mode (separate executor JVMs)."""
     from sparksearch.build import build_index
     from sparksearch.corpus import synthesize_pages
 
-    spark = make_spark(cores)
+    spark = make_spark_cluster(n_executors) if n_executors else \
+        make_spark(cores)
     # tmpfs keeps the probe CPU-bound: page-cache writeback from a previous
     # probe's parquet/shuffle writes otherwise bleeds into this run's timing
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
@@ -94,6 +126,7 @@ def probe(cores: int, n_docs: int) -> None:
             shutil.rmtree(tgt, ignore_errors=True)
         dt = min(times)
         print(json.dumps({"cores": cores, "n_docs": n_docs,
+                          "executors": n_executors,
                           "build_sec": round(dt, 3),
                           "build_secs_all": [round(t, 3) for t in times],
                           "docs_per_sec": round(n_docs / dt, 1)}))
@@ -102,14 +135,16 @@ def probe(cores: int, n_docs: int) -> None:
         spark.stop()
 
 
-def run_probe(cores: int, n_docs: int, corpus_dir: str = "") -> dict | None:
+def run_probe(cores: int, n_docs: int, corpus_dir: str = "",
+              n_executors: int = 0) -> dict | None:
     env = dict(os.environ)
     if corpus_dir:
         env["SPARK_GRAFT_BENCH_CORPUS"] = corpus_dir
     subprocess.run(["sync"], timeout=120)
     time.sleep(10)  # let the previous JVM's writeback/reaping settle
     r = subprocess.run([sys.executable, os.path.abspath(__file__),
-                        "--probe", str(cores), str(n_docs)],
+                        "--probe", str(cores), str(n_docs),
+                        str(n_executors)],
                        capture_output=True, text=True, env=env, timeout=1800)
     for line in reversed(r.stdout.strip().splitlines()):
         try:
@@ -190,19 +225,21 @@ def main() -> None:
     # -- 3. scaling probes: N vs 4N cores, same input -------------------------
     scaling = {}
     if RUN_SCALING:
-        n_lo = max(2, CPUS // 4)
+        # N vs 4N EXECUTORS (separate JVMs via local-cluster — isolated
+        # heaps/GC, the faithful stand-in for a real cluster), 8 cores each
         corpus = tempfile.mkdtemp(
             prefix="sparksearch_probe_corpus_",
             dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
         shutil.rmtree(corpus, ignore_errors=True)
-        lo = run_probe(n_lo, PROBE_DOCS, corpus)
-        hi = run_probe(CPUS, PROBE_DOCS, corpus)
+        lo = run_probe(8, PROBE_DOCS, corpus, n_executors=1)
+        hi = run_probe(32, PROBE_DOCS, corpus, n_executors=4)
         shutil.rmtree(corpus, ignore_errors=True)
         if lo and hi:
-            eff = (lo["build_sec"] / hi["build_sec"]) / (CPUS / n_lo)
+            eff = (lo["build_sec"] / hi["build_sec"]) / 4.0
             scaling = {
                 "n_docs": PROBE_DOCS,
-                "cores_n": n_lo, "cores_4n": CPUS,
+                "executors_n": 1, "executors_4n": 4,
+                "cores_per_executor": 8,
                 "build_sec_n": lo["build_sec"],
                 "build_sec_4n": hi["build_sec"],
                 "docs_per_sec_n": lo["docs_per_sec"],
@@ -228,6 +265,7 @@ def main() -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) >= 2 and sys.argv[1] == "--probe":
-        probe(int(sys.argv[2]), int(sys.argv[3]))
+        probe(int(sys.argv[2]), int(sys.argv[3]),
+              int(sys.argv[4]) if len(sys.argv) > 4 else 0)
     else:
         main()

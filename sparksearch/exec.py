@@ -233,7 +233,8 @@ class Executor:
 
     def _term_scores(self, terms: list[str], scored: bool) -> DataFrame:
         """(docid, term, score) for every posting of the given terms."""
-        p = self.ix.postings_for(terms).select("term", "docid", "tf", "dl_q")
+        p = self.ix.postings_for(terms, with_positions=False) \
+            .select("term", "docid", "tf", "dl_q")
         s = self.ix.stats_for(terms).withColumn("idf", _idf_col(self.ix.n_docs))
         j = p.join(F.broadcast(s.select("term", "idf")), "term")
         score = (F.col("idf") * _tf_norm(F.col("tf"), F.col("dl_q"),

@@ -70,8 +70,13 @@ class IndexReader:
                        .alias("b")).collect())
         return int(row[0]["b"])
 
-    def postings_for(self, terms: list[str]) -> DataFrame:
-        """Postings restricted to the query terms (partition-pruned)."""
+    def postings_for(self, terms: list[str],
+                     with_positions: bool = True) -> DataFrame:
+        """Postings restricted to the query terms (partition-pruned).
+
+        with_positions=False lets the packed-segment decoder skip the
+        position payload entirely (term/phrase queries that only need
+        (docid, tf, dl_q) — the common case)."""
         if not terms:
             return self.postings.limit(0)
         uniq = sorted(set(terms))
@@ -79,7 +84,8 @@ class IndexReader:
         # row groups via min/max on the sorted term column
         buckets = self._buckets_of(uniq)
         if self.use_segments:
-            return self.segments.postings_for(uniq, buckets)
+            return self.segments.postings_for(
+                uniq, buckets, with_positions=with_positions)
         return (self.postings
                 .filter(F.col("bucket").isin(buckets))
                 .filter(F.col("term").isin(uniq)))

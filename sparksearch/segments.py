@@ -338,9 +338,14 @@ class SegmentsReader:
     def postings_for(self, terms: list[str], buckets: list[int],
                      with_positions: bool = True) -> DataFrame:
         """Decode the packed blocks back to the row-postings schema — the
-        whole query executor runs unchanged on packed segments."""
+        whole query executor runs unchanged on packed segments.
+        with_positions=False skips the position payload at the SCAN (column
+        pruned from the parquet read), not just at decode."""
+        cols = ["term", "docids", "tfs", "norms"]
+        if with_positions:
+            cols.append("positions")
         return (self.blocks_for(terms, buckets)
-                .select("term", "docids", "tfs", "norms", "positions")
+                .select(*cols)
                 .mapInPandas(_decode_blocks(with_positions),
                              schema=_DECODED_SCHEMA))
 
