@@ -6,10 +6,12 @@ local[$SPARK_GRAFT_CPUS]:
 
   1. index-build wall time for the sf corpus (cold build into a fresh dir);
   2. p50 latency of the headline BM25 queries (match or/and, phrase, bool);
-  3. index-build throughput (docs/sec) on a larger synthesized corpus at TWO
-     parallelism levels — local[N] vs local[4N] in separate JVMs — standing in
-     for N- vs 4N-executor clusters (BASELINE.json north rule: scaling
-     efficiency >= 0.8). Efficiency = (T_N / T_4N) / 4.
+  3. index-build throughput (docs/sec) on a larger synthesized corpus at
+     1 vs 4 executor JVMs (Spark local-cluster mode, 8 cores each) — the
+     faithful sandbox stand-in for N- vs 4N-executor clusters (isolated
+     executor heaps/GC, real shuffle; BASELINE.json north rule).
+     Efficiency = (T_N / T_4N) / 4. See BASELINE.md for the measurement
+     set and the fixed-overhead decomposition.
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total headline sec>, "unit": "sec",
