@@ -222,6 +222,7 @@ SELECT CAST(round(sum(rel) / 10.0, 6) AS DOUBLE) AS precision_at_10,
 FROM j
 """.strip(),
         "media_manifest": _media_manifest_sql(),
+        "ingest_pipeline": _ingest_pipeline_sql(),
         "sort_by_field": f"""
 WITH {P}, {TOK}, {DL}
 SELECT p.docid, p.url, p.lang, CAST(dlq.dl AS BIGINT) AS dl
@@ -243,8 +244,72 @@ def queries() -> dict:
         "rank_eval": q_rank_eval,
         "sort_by_field": q_sort_by_field,
         "media_manifest": q_media_manifest,
+        "ingest_pipeline": q_ingest_pipeline,
     }
 
 
 def oracle_sql() -> dict:
     return sqls()
+
+
+# ---------------------------------------------------------------------------
+# ingest pipeline processors (SURVEY.md §2.1/§2.8: grok, json, date, csv,
+# gsub, convert — modules/ingest-common in the reference)
+# ---------------------------------------------------------------------------
+
+def q_ingest_pipeline(spark, sf_dir):
+    """The reference's ingest processors as a withColumn chain over a raw
+    log-line reconstruction: grok-style regexp field extraction, json
+    extraction, date parse roundtrip, csv split, gsub, numeric convert."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    log = F.concat(F.col("event_type"), F.lit(" user="),
+                   F.col("user_id").cast("string"),
+                   F.lit(" k="),
+                   F.get_json_object("props", "$.k"))
+    csvline = F.concat_ws(",", F.col("event_type"),
+                          F.col("user_id").cast("string"))
+    out = (ev
+           .withColumn("_log", log)
+           .select(
+               "event_id",
+               # grok: named-field extraction from the raw line
+               F.regexp_extract("_log", r"^(\w+) user=", 1).alias("g_type"),
+               F.regexp_extract("_log", r"user=([0-9]+)", 1)
+               .cast("long").alias("g_user"),
+               # json processor
+               F.get_json_object("props", "$.k").cast("int").alias("j_k"),
+               # date processor: format + reparse (second precision)
+               F.to_timestamp(
+                   F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+                   "yyyy-MM-dd HH:mm:ss").alias("d_ts"),
+               # csv processor
+               F.split(csvline, ",").getItem(1).cast("long").alias("c_user"),
+               # gsub + lowercase processors
+               F.regexp_replace(F.lower("event_type"), "[aeiou]", "*")
+               .alias("s_type"),
+               # convert processor (2-decimal fixed-point to integer cents)
+               F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+           )
+           .orderBy("event_id"))
+    return out
+
+
+def _ingest_pipeline_sql() -> str:
+    return r"""
+SELECT event_id,
+       regexp_extract(event_type || ' user=' || CAST(user_id AS VARCHAR)
+                      || ' k=' || json_extract_string(props, '$.k'),
+                      '^(\w+) user=', 1) AS g_type,
+       CAST(regexp_extract(event_type || ' user=' || CAST(user_id AS VARCHAR)
+                           || ' k=' || json_extract_string(props, '$.k'),
+                           'user=([0-9]+)', 1) AS BIGINT) AS g_user,
+       CAST(json_extract_string(props, '$.k') AS INT) AS j_k,
+       strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'),
+                '%Y-%m-%d %H:%M:%S') AS d_ts,
+       CAST(string_split(event_type || ',' || CAST(user_id AS VARCHAR),
+                         ',')[2] AS BIGINT) AS c_user,
+       regexp_replace(lower(event_type), '[aeiou]', '*', 'g') AS s_type,
+       CAST(round(value * 100) AS BIGINT) AS v_cents
+FROM events
+ORDER BY event_id
+""".strip()
