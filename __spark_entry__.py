@@ -40,10 +40,19 @@ def _q_match(text, operator="or", msm=None, k=10):
     return run
 
 
-def _q_phrase(text, k=10):
+def _q_phrase(text, k=10, slop=0):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _, ex = C.get_engine(spark, sf_dir)
-        return C.topk_rounded(ex, MatchPhrase("text", text), k=k)
+        return C.topk_rounded(ex, MatchPhrase("text", text, slop=slop), k=k)
+    return run
+
+
+def _q_wand(text, operator="or", k=10):
+    """Official gate for the block-max WAND path (packed segments)."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _, ex = C.get_engine_wand(spark, sf_dir)
+        return C.wand_topk_rounded(
+            ex, Match("text", text, operator=operator), k=k)
     return run
 
 
@@ -118,26 +127,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from sparksearch import contract_analysis as CAN
     from sparksearch import contract_misc as CM
     from sparksearch import contract_queries as CQ
-    out = dict(CD.queries())
-    out.update(CA.queries())
-    out.update(CQ.queries())
-    out.update(CM.queries())
-    out.update(CAN.queries())
-    out.update({
-        # engine core
+    # engine-core entries FIRST so a truncated/timed-out gate still records
+    # the flagship BM25 path
+    out = {
         "docs_table": _q_docs_table,
         "term_stats": _q_term_stats,
         "match_single": _q_match("spark"),
         "match_or": _q_match("hash join table"),
         "match_and": _q_match("hash join table", operator="and"),
         "match_msm": _q_match("scan slow fast", msm=2),
+        "match_dup_and": _q_match("the join the table", operator="and"),
         "phrase_2": _q_phrase("hash join"),
         "phrase_3": _q_phrase("key agg row"),
+        "phrase_slop": _q_phrase("join hash", slop=2),
+        "wand_match": _q_wand("hash join table"),
         "bool_mixed": _q_bool_mixed,
         "bool_filter": _q_bool_filter,
         "hit_count": _q_hit_count,
         "search_after": _q_search_after,
-    })
+    }
+    out.update(CAN.queries())
+    out.update(CQ.queries())
+    out.update(CA.queries())
+    out.update(CM.queries())
+    out.update(CD.queries())
     return out
 
 
@@ -179,8 +192,11 @@ FROM tok GROUP BY term ORDER BY term
         "match_or": C.match_sql("hash join table"),
         "match_and": C.match_sql("hash join table", operator="and"),
         "match_msm": C.match_sql("scan slow fast", msm=2),
+        "match_dup_and": C.match_sql("the join the table", operator="and"),
         "phrase_2": C.phrase_sql("hash join"),
         "phrase_3": C.phrase_sql("key agg row"),
+        "phrase_slop": C.sloppy_phrase_sql("join hash", slop=2),
+        "wand_match": C.match_sql("hash join table"),
         "bool_mixed": _bool_mixed_sql(),
         "bool_filter": _bool_filter_sql(),
         "hit_count": f"""

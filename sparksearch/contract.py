@@ -148,6 +148,48 @@ LIMIT {k}
 """.strip()
 
 
+def sloppy_phrase_sql(text: str, slop: int, k: int = 10) -> str:
+    """match_phrase with slop > 0 — displacement-sum semantics mirroring
+    exec._plan_phrase_sloppy: anchor each position of the first term; per
+    later term take the min |p_i − (p0+i)|; anchors with Σd ≤ slop weigh
+    1/(1+Σd) into the sloppy phrase frequency."""
+    terms = _terms_list(text)
+    assert len(terms) >= 2
+    dlegs = ",\n".join(
+        f"d{i} AS ( SELECT a.docid, a.pos, "
+        f"min(abs(t{i}.pos - (a.pos + {i}))) AS d\n"
+        f"  FROM a JOIN tokpos t{i} ON t{i}.docid = a.docid "
+        f"AND t{i}.term = '{t}'\n"
+        f"  GROUP BY a.docid, a.pos )"
+        for i, t in enumerate(terms[1:], start=1))
+    joins = " ".join(f"JOIN d{i} USING (docid, pos)"
+                     for i in range(1, len(terms)))
+    dsum = " + ".join(f"d{i}.d" for i in range(1, len(terms)))
+    idf_terms = " + ".join(
+        f"(SELECT {_idf_sql('count(*)', '(SELECT n FROM g)')} "
+        f"FROM (SELECT DISTINCT docid FROM tokpos WHERE term = '{t}'))"
+        for t in terms)
+    return f"""
+WITH {_PAGES},
+{_TOKPOS},
+tok AS ( SELECT docid, term FROM tokpos ),
+{_DL},
+a AS ( SELECT docid, pos FROM tokpos WHERE term = '{terms[0]}' ),
+{dlegs},
+m AS ( SELECT a.docid, CAST({dsum} AS DOUBLE) AS d
+       FROM a {joins} WHERE {dsum} <= {slop} ),
+ph AS ( SELECT docid, sum(1.0 / (1.0 + d)) AS pf FROM m GROUP BY docid ),
+sc AS (
+  SELECT ph.docid,
+         ({idf_terms}) * {_tfn_sql('ph.pf', 'dlq.dl_q', 'g.avgdl')} AS score
+  FROM ph JOIN dlq USING (docid) CROSS JOIN g )
+SELECT p.docid, p.url, round(sc.score, 4) AS score
+FROM sc JOIN pages p USING (docid)
+ORDER BY round(sc.score, 4) DESC, p.docid ASC
+LIMIT {k}
+""".strip()
+
+
 # ---------------------------------------------------------------------------
 # Spark side: cached engine instance per sf_dir
 # ---------------------------------------------------------------------------
@@ -183,6 +225,44 @@ def get_engine(spark: SparkSession, sf_dir: str):
         ix = IndexReader(spark, out)
         _ENGINES[key] = (ix, Executor(ix))
     return _ENGINES[key]
+
+
+_ENGINES_WAND: dict[str, "tuple"] = {}
+
+
+def get_engine_wand(spark: SparkSession, sf_dir: str):
+    """Executor over the SAME index dir with packed segments + WAND enabled.
+
+    Builds the segment blocks once (idempotent per dir); queries through
+    this executor take the block-max pruned path (wand.py)."""
+    from sparksearch.exec import Executor
+    from sparksearch.index import IndexReader
+
+    key = os.path.realpath(sf_dir)
+    if key not in _ENGINES_WAND:
+        ix, _ = get_engine(spark, sf_dir)
+        if not os.path.exists(f"{ix.index_dir}/segments_meta.json"):
+            from sparksearch.segments import build_segments
+            build_segments(spark, ix.index_dir, salt_target=4096, n_chunks=2,
+                           partitions=8)
+        wix = IndexReader(spark, ix.index_dir, use_segments=True)
+        _ENGINES_WAND[key] = (wix, Executor(wix))
+    return _ENGINES_WAND[key]
+
+
+def wand_topk_rounded(ex, q, k: int = 10, pool: int = 50) -> DataFrame:
+    """WAND-path top-k with oracle-stable rounding: take an exact top-`pool`
+    via block-max WAND, then re-sort by (4-dp rounded score, docid) and cut
+    to k — so the boundary tie-break matches the SQL oracle's rounded sort
+    (the pool is provably the exact top-`pool`, and >40 distinct docs inside
+    one 1e-4 rounding bucket at the boundary would be needed to diverge)."""
+    wide = ex.search(q, k=pool, fetch=False, mode="wand") \
+        .select("docid", F.round("score", 4).alias("score"))
+    topk = wide.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
+    return (ex.ix.docs.select("docid", "url")
+            .join(F.broadcast(topk), "docid")
+            .select("docid", "url", "score")
+            .orderBy(F.col("score").desc(), F.col("docid").asc()))
 
 
 def topk_rounded(ex, q, k: int = 10) -> DataFrame:

@@ -74,6 +74,17 @@ def q_english_match(spark, sf_dir):
     return C.topk_rounded(ex, q, k=10)
 
 
+def q_english_match_default(spark, sf_dir):
+    """Same query WITHOUT an explicit analyzer arg: Match.analyzer defaults
+    to None and must fall back to the INDEX analyzer (english) — the
+    reference defaults the search analyzer to the field's index analyzer
+    (sv/index/mapper/TextFieldMapper.java:326-389). Guards the silent
+    wrong-results trap of querying an english index with unstemmed terms."""
+    _, ex = _get_english_engine(spark, sf_dir)
+    q = Match("text", "the joined tables")
+    return C.topk_rounded(ex, q, k=10)
+
+
 def q_english_docs(spark, sf_dir):
     """Doc lengths under the english analyzer (stopwords removed from dl)."""
     ix, _ = _get_english_engine(spark, sf_dir)
@@ -183,6 +194,7 @@ ORDER BY analyzer, pos, term
 def queries() -> dict:
     return {
         "english_match": q_english_match,
+        "english_match_default": q_english_match_default,
         "english_docs": q_english_docs,
         "analyze_api": q_analyze_api,
     }
@@ -191,6 +203,7 @@ def queries() -> dict:
 def oracle_sql_for(sf_dir: str) -> dict:
     return {
         "english_match": sql_english_match(sf_dir),
+        "english_match_default": sql_english_match(sf_dir),
         "english_docs": sql_english_docs(sf_dir),
         "analyze_api": sql_analyze_api(),
     }

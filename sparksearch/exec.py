@@ -274,6 +274,8 @@ class Executor:
         if len(terms) == 1:
             return self._plan_match(
                 Match(q.field_name, q.text, analyzer=q.analyzer), scored)
+        if q.slop > 0:
+            return self._plan_phrase_sloppy(terms, q.slop, scored)
         # n-way docid join of the member terms' postings; phrase frequency =
         # |pos_0 ∩ (pos_1 - 1) ∩ ... ∩ (pos_i - i)| — built-in array ops only
         uniq = sorted(set(terms))
@@ -294,14 +296,61 @@ class Executor:
         joined = reduce(lambda a, b: a.join(b, "docid"), legs)
         pf = reduce(lambda acc, i: F.array_intersect(acc, F.col(f"pos{i}")),
                     range(1, len(terms)), F.col("pos0"))
-        joined = joined.select("docid", "dl_q", F.size(pf).alias("pf")) \
+        joined = joined.select("docid", "dl_q",
+                               F.size(pf).cast("double").alias("pf")) \
                        .filter(F.col("pf") > 0)
+        return self._phrase_score(joined, terms, scored)
+
+    def _plan_phrase_sloppy(self, terms: list[str], slop: int,
+                            scored: bool) -> DataFrame:
+        """Sloppy phrase (slop > 0): anchor at each position p0 of terms[0];
+        per later term i, displacement d_i = min over its positions of
+        |p_i − (p0+i)| via array_min/transform (JVM higher-order fns, no
+        explode of non-anchor legs); anchors with Σd_i ≤ slop contribute
+        sloppy weight 1/(1+Σd_i) to the phrase frequency — Lucene's
+        sloppyFreq rule over the displacement-sum distance
+        (sv/index/search/MatchQuery.java:171; slop=2 admits a transposition
+        exactly as Lucene's two-term matcher does)."""
+        uniq = sorted(set(terms))
+        p = self.ix.postings_for(uniq).select("term", "docid", "positions",
+                                              "dl_q")
+        cur = (p.filter(F.col("term") == terms[0])
+                .select("docid", "dl_q",
+                        F.explode("positions").alias("_p0")))
+        dcols = []
+        for i, t in enumerate(terms[1:], start=1):
+            leg = (p.filter(F.col("term") == t)
+                    .select("docid", F.col("positions").alias(f"_ps{i}")))
+            cur = cur.join(leg, "docid")
+
+            def dist_to_slot(i=i):
+                return lambda x: F.abs(x - (F.col("_p0") + F.lit(i)))
+
+            cur = (cur.withColumn(
+                        f"_d{i}",
+                        F.array_min(F.transform(F.col(f"_ps{i}"),
+                                                dist_to_slot())))
+                      .drop(f"_ps{i}"))
+            dcols.append(F.col(f"_d{i}"))
+        d_total = reduce(lambda a, b: a + b, dcols)
+        matched = (cur.withColumn("_d", d_total.cast("double"))
+                      .filter(F.col("_d") <= float(slop)))
+        joined = (matched.groupBy("docid", "dl_q")
+                  .agg(F.sum(F.lit(1.0) / (F.lit(1.0) + F.col("_d")))
+                       .alias("pf"))
+                  .select("docid", "dl_q", "pf"))
+        return self._phrase_score(joined, terms, scored)
+
+    def _phrase_score(self, joined: DataFrame, terms: list[str],
+                      scored: bool) -> DataFrame:
+        """Pseudo-term scoring shared by exact + sloppy phrase:
+        idf = Σ member idfs (duplicates counted per occurrence),
+        tf = (sloppy) phrase frequency."""
         if not scored:
             return joined.select("docid", F.lit(0.0).alias("score"))
-        # pseudo-term scoring: idf = sum of member idfs, tf = phrase freq
+        uniq = sorted(set(terms))
         sum_idf = (self.ix.stats_for(uniq)
                    .withColumn("idf", _idf_col(self.ix.n_docs)))
-        # duplicate terms in the phrase contribute idf once per occurrence
         from collections import Counter
         cnt = Counter(terms)
         sum_idf = sum_idf.select(

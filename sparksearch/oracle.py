@@ -102,6 +102,27 @@ class OracleIndex:
             if all((p0 + i) in plists[i] for i in range(1, len(terms)))
         )
 
+    def _sloppy_freq(self, terms: list[str], docid: int, slop: int) -> float:
+        """Sloppy phrase frequency: for each anchor position p0 of terms[0],
+        d = Σ_i min over positions p_i of |p_i - (p0 + i)|; an anchor with
+        d ≤ slop contributes weight 1/(1+d) (Lucene sloppyFreq analogue)."""
+        plists = []
+        for t in terms:
+            p = self.postings.get(t, {}).get(docid)
+            if p is None:
+                return 0.0
+            plists.append(sorted(p.positions))
+        spf = 0.0
+        for p0 in plists[0]:
+            d = 0
+            for i in range(1, len(terms)):
+                d += min(abs(pi - (p0 + i)) for pi in plists[i])
+                if d > slop:
+                    break
+            if d <= slop:
+                spf += 1.0 / (1.0 + d)
+        return spf
+
     # -- evaluation: query -> {docid: score} | None=all docs ---------------
     def _eval(self, q: Query, scored: bool = True) -> dict[int, float]:
         if isinstance(q, MatchAll):
@@ -110,7 +131,7 @@ class OracleIndex:
         if isinstance(q, MatchNone):
             return {}
         if isinstance(q, Match):
-            terms = [t for t, _ in analyze(q.text, q.analyzer)]
+            terms = [t for t, _ in analyze(q.text, q.analyzer or self.analyzer)]
             if not terms:
                 return {}  # zero_terms_query NONE
             per_term = [self._term_scores(t) for t in terms]
@@ -127,7 +148,7 @@ class OracleIndex:
                     cnt[d] = cnt.get(d, 0) + 1
             return {d: s for d, s in acc.items() if cnt[d] >= msm}
         if isinstance(q, MatchPhrase):
-            terms = [t for t, _ in analyze(q.text, q.analyzer)]
+            terms = [t for t, _ in analyze(q.text, q.analyzer or self.analyzer)]
             if not terms:
                 return {}
             if len(terms) == 1:
@@ -136,7 +157,8 @@ class OracleIndex:
             out = {}
             cand = self.postings.get(terms[0], {})
             for d in cand:
-                pf = self._phrase_freq(terms, d)
+                pf = (self._phrase_freq(terms, d) if q.slop == 0
+                      else self._sloppy_freq(terms, d, q.slop))
                 if pf > 0:
                     k1, b = bm25.K1, bm25.B
                     tfn = pf / (pf + k1 * (1 - b + b * self.dl_q[d] / self.avgdl))

@@ -40,19 +40,36 @@ class MatchNone(Query):
 
 @dataclass(frozen=True)
 class Match(Query):
+    """analyzer=None (default) falls back to the index's analyzer — the
+    reference defaults the search analyzer to the field's index analyzer
+    (sv/index/mapper/TextFieldMapper.java:326-389).
+
+    fuzziness: None = exact terms; int = max edit distance; "AUTO" = Lucene
+    ladder by term length (0 for <3 chars, 1 for 3-5, 2 for >5 —
+    sv/common/unit/Fuzziness.java). Each query term expands over the term
+    dictionary and a doc scores the MAX over matched expansions per clause
+    (top_terms_blended rewrite approximation, MatchQuery.java:291-342)."""
     field_name: str
     text: str
     operator: str = "or"            # 'or' | 'and' (MatchQuery default SHOULD)
     minimum_should_match: str | int | None = None
-    analyzer: str = "standard"
+    analyzer: str | None = None
+    fuzziness: int | str | None = None
 
 
 @dataclass(frozen=True)
 class MatchPhrase(Query):
+    """slop: max total positional displacement (sum over terms of the
+    distance from its exact in-phrase slot, anchored at the first term's
+    position). slop=0 is the exact consecutive-position intersection;
+    slop=2 admits a transposition, matching Lucene's two-term behavior
+    (MatchQuery.java:171; SloppyPhraseMatcher semantics approximated by
+    the displacement-sum rule — each anchor contributes sloppy weight
+    1/(1+d) to the phrase frequency, like Lucene's sloppyFreq)."""
     field_name: str
     text: str
     slop: int = 0
-    analyzer: str = "standard"
+    analyzer: str | None = None
 
 
 @dataclass(frozen=True)

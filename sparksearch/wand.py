@@ -123,12 +123,20 @@ def wand_topk(ix, q: Match, k: int = 10) -> DataFrame:
 
     dec = _decode_score(widf, ix.avgdl)
     payload = ["term", "docids", "tfs", "norms"]
+    # msm is counted over the analyzed token list INCLUDING duplicates (an
+    # operator='and' query with a repeated term needs msm = len(terms)), so
+    # clause-match counts must be weighted by the term's multiplicity cnt[t]
+    # — mirroring exec._plan_match; countDistinct(term) caps at len(uniq)
+    # and would make repeated-term AND queries unsatisfiable.
+    cnt_map = F.create_map(*[x for t in present
+                             for x in (F.lit(t), F.lit(int(cnt[t])))])
 
     def agg_scores(df: DataFrame) -> DataFrame:
         per = df.select(*payload).mapInPandas(dec, schema=_SCORE_SCHEMA)
         out = (per.groupBy("docid")
                .agg(F.sum("score").alias("score"),
-                    F.countDistinct("term").alias("_nt")))
+                    F.sum(F.element_at(cnt_map, F.col("term")))
+                     .alias("_nt")))
         if msm > 1:
             out = out.filter(F.col("_nt") >= msm)
         return out.select("docid", "score")

@@ -85,6 +85,11 @@ def _queries():
         Match("text", "scan slow fast", minimum_should_match=2),
         Match("text", "the join"),
         Match("text", "join join fast"),
+        # duplicate term + AND: msm = len(terms) counts multiplicity, so the
+        # WAND clause count must be weighted (regression for the
+        # countDistinct bug — a doc with both terms must still match)
+        Match("text", "the join the table", operator="and"),
+        Match("text", "join join", operator="and"),
         Match("text", "zzz-notfound"),
         MatchPhrase("text", "hash join"),
         Bool(must=[Match("text", "join")],

@@ -69,7 +69,12 @@ def test_match_rank_identity(index_sf0001, oracle_sf0001, q):
     MatchPhrase("text", "key agg row"),
     MatchPhrase("text", "value value"),      # repeated word
     MatchPhrase("text", "spark zzz_absent"),
-], ids=["ph2", "ph_the", "ph3", "ph_rep", "ph_zero"])
+    MatchPhrase("text", "join hash", slop=2),       # transposition
+    MatchPhrase("text", "hash table", slop=1),      # one-gap
+    MatchPhrase("text", "hash join", slop=3),       # superset of exact
+    MatchPhrase("text", "key agg row", slop=2),     # 3-term sloppy
+], ids=["ph2", "ph_the", "ph3", "ph_rep", "ph_zero",
+        "slop_transpose", "slop_gap", "slop_superset", "slop_3term"])
 def test_phrase_rank_identity(index_sf0001, oracle_sf0001, q):
     oracle, _ = oracle_sf0001
     got, want = run_both(index_sf0001, oracle, q)
