@@ -73,8 +73,15 @@ class Executor:
         queries when packed segments are available; "wand" forces it;
         "plan" forces the generic DataFrame plan.
         """
+        # auto mode additionally requires the packed segments to cover
+        # exactly the committed generations — in the window between a
+        # meta.json commit and the generation's segment build (crash or
+        # concurrent reader), WAND over stale segments would silently omit
+        # the new docs, so fall back to the row-postings plan instead.
+        # mode="wand" trusts the caller (tests that just built segments).
         use_wand = (mode in ("auto", "wand") and isinstance(q, Match)
-                    and self.ix.use_segments)
+                    and self.ix.use_segments
+                    and (mode == "wand" or self.ix.segments_cover_all()))
         if use_wand:
             from sparksearch.wand import wand_topk
             topk = wand_topk(self.ix, q, k)

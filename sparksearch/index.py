@@ -33,6 +33,7 @@ class IndexReader:
         #: the row-postings parquet; same schema, so the executor is shared.
         self.use_segments = use_segments
         self._segments = None
+        self._covered: bool | None = None
 
     def reload(self) -> "IndexReader":
         """Re-read meta.json (after add_generation / merge commits)."""
@@ -44,6 +45,27 @@ class IndexReader:
             from sparksearch.segments import SegmentsReader
             self._segments = SegmentsReader(self.spark, self.index_dir)
         return self._segments
+
+    def segments_cover_all(self) -> bool:
+        """True iff the registered segment generations represent EXACTLY the
+        committed meta generations — false in the crash/mid-build window
+        where meta committed a generation whose segments aren't registered
+        yet (segments would silently omit those docs) or segments hold an
+        uncommitted generation (phantom docs). postings_for and the WAND
+        path fall back to row postings until merge.ensure_segments repairs.
+        Cached per reader instance — IndexReader.reload() picks up commits,
+        matching the snapshot semantics of meta loaded at init."""
+        if self._covered is None:
+            import os
+            if not os.path.exists(f"{self.index_dir}/segments_meta.json"):
+                self._covered = False
+            else:
+                try:
+                    self._covered = (set(self.segments.covers)
+                                     == set(self.generations))
+                except Exception:
+                    self._covered = False
+        return self._covered
 
     def _gen_union(self, root: str) -> DataFrame:
         base = f"{self.index_dir}/{root}"
@@ -83,7 +105,7 @@ class IndexReader:
         # one scan; bucket IN (...) prunes directories, term IN (...) prunes
         # row groups via min/max on the sorted term column
         buckets = self._buckets_of(uniq)
-        if self.use_segments:
+        if self.use_segments and self.segments_cover_all():
             return self.segments.postings_for(
                 uniq, buckets, with_positions=with_positions)
         return (self.postings

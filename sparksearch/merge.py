@@ -55,8 +55,8 @@ from sparksearch.segments import (
     build_segments,
 )
 
-__all__ = ["add_generation", "merge_segments", "should_merge",
-           "SEGMENTS_PER_TIER"]
+__all__ = ["add_generation", "ensure_segments", "merge_segments",
+           "should_merge", "SEGMENTS_PER_TIER"]
 
 #: merge trigger — the reference's default segmentsPerTier
 SEGMENTS_PER_TIER = 10
@@ -65,8 +65,15 @@ SEGMENTS_PER_TIER = 10
 def add_generation(spark: SparkSession, index_dir: str, new_pages: DataFrame,
                    partitions: int | None = None,
                    salt_target: int = 65536, n_chunks: int = 1,
-                   with_segments: bool = True) -> dict:
-    """Index a new batch of pages as the next generation. Returns new meta."""
+                   with_segments: bool = True,
+                   batch_id: int | None = None) -> dict:
+    """Index a new batch of pages as the next generation. Returns new meta.
+
+    `batch_id` (streaming) is recorded inside meta.json's indexed_batches in
+    the SAME atomic commit as the generation itself — a crash can never
+    leave a committed generation whose batch id is unrecorded (which would
+    replay + duplicate the batch on restart; the old two-file scheme had
+    exactly that window)."""
     with open(f"{index_dir}/meta.json") as f:
         meta = json.load(f)
     assert meta["version"] == INDEX_VERSION, "index version mismatch"
@@ -105,12 +112,35 @@ def add_generation(spark: SparkSession, index_dir: str, new_pages: DataFrame,
         "stats_path": stats_path,
     })
     meta["metrics"]["max_df"] = int(max_df)
+    if batch_id is not None:
+        meta.setdefault("indexed_batches", {})[str(batch_id)] = gen
     write_meta(index_dir, meta)  # commit point
 
     if with_segments:
-        build_segments(spark, index_dir, gen=gen, salt_target=salt_target,
-                       n_chunks=n_chunks, partitions=partitions)
+        # repair-then-extend: builds segments for THIS generation and for
+        # any earlier committed generation whose segment build crashed
+        # before registering (readers fall back to row postings until then
+        # — Executor checks segments coverage before taking the WAND path)
+        ensure_segments(spark, index_dir, salt_target=salt_target,
+                        n_chunks=n_chunks, partitions=partitions)
     return meta
+
+
+def ensure_segments(spark: SparkSession, index_dir: str,
+                    partitions: int | None = None,
+                    salt_target: int = 65536, n_chunks: int = 1) -> list[int]:
+    """Build packed segments for every committed meta generation not yet
+    covered by segments_meta.json (the crash window between the meta.json
+    commit and the segment build/registration). Returns the repaired gens."""
+    with open(f"{index_dir}/meta.json") as f:
+        meta = json.load(f)
+    seg = _load_seg_meta(index_dir)
+    covered = set(seg.get("covers", seg.get("generations", [])))
+    missing = [g for g in meta["generations"] if g not in covered]
+    for g in missing:
+        build_segments(spark, index_dir, gen=g, salt_target=salt_target,
+                       n_chunks=n_chunks, partitions=partitions)
+    return missing
 
 
 def should_merge(index_dir: str,
@@ -136,6 +166,7 @@ def merge_segments(spark: SparkSession, index_dir: str,
     new_gen = max(old_gens) + 1
 
     reader = SegmentsReader(spark, index_dir)
+    covers = list(reader.covers)  # meta gens represented — unchanged by merge
     with open(f"{index_dir}/meta.json") as f:
         n_buckets = json.load(f)["n_buckets"]
     decoded = (reader.blocks
@@ -145,11 +176,13 @@ def merge_segments(spark: SparkSession, index_dir: str,
                            F.pmod(F.xxhash64("term"), F.lit(n_buckets))))
     gen_meta = build_segments(spark, index_dir, gen=new_gen,
                               salt_target=salt_target, n_chunks=n_chunks,
-                              partitions=partitions, postings_df=decoded)
+                              partitions=partitions, postings_df=decoded,
+                              covers=covers)
 
     # commit: merged generation replaces the old ones, then GC their dirs
     seg_meta = _load_seg_meta(index_dir)
     seg_meta["generations"] = [new_gen]
+    seg_meta["covers"] = sorted(covers)
     seg_meta["merged_from"] = old_gens
     seg_meta["gens"] = {str(new_gen): gen_meta}
     seg_meta["merge_sec"] = round(time.time() - t0, 3)

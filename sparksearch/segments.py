@@ -158,13 +158,21 @@ def build_segments(spark: SparkSession, index_dir: str, *, gen: int = 0,
                    salt_target: int = 65536, n_chunks: int = 4,
                    partitions: int | None = None,
                    resume: bool = False,
-                   postings_df: DataFrame | None = None) -> dict:
+                   postings_df: DataFrame | None = None,
+                   covers: list[int] | None = None) -> dict:
     """Encode one generation's row-postings into packed segment blocks.
 
     Chunk c holds terms with pmod(xxhash64(term), n_chunks) == c; each chunk
     is one atomic write with its own manifest, so a killed build resumes at
     the first incomplete chunk (`resume=True`). `postings_df` overrides the
     input (used by the merge pass to feed decoded multi-gen postings).
+
+    `covers` lists the meta (docs/postings) generations this segment
+    generation represents — defaults to [gen]. segments_meta.json tracks the
+    union as "covers"; readers compare it against meta["generations"] to
+    detect a crash window where meta committed a generation whose segments
+    were never built (the WAND path falls back to row postings until
+    merge.ensure_segments repairs it).
     """
     with open(f"{index_dir}/meta.json") as f:
         meta = json.load(f)
@@ -253,8 +261,11 @@ def build_segments(spark: SparkSession, index_dir: str, *, gen: int = 0,
         "chunks": manifests,
     }
     seg_meta = _load_seg_meta(index_dir)
+    prior_covers = set(seg_meta.get("covers", seg_meta.get("generations", [])))
     seg_meta["generations"] = sorted(set(seg_meta.get("generations", [])
                                          + [gen]))
+    seg_meta["covers"] = sorted(
+        prior_covers | set(covers if covers is not None else [gen]))
     seg_meta.setdefault("gens", {})[str(gen)] = gen_meta
     _write_seg_meta(index_dir, seg_meta)
     return gen_meta
@@ -320,6 +331,8 @@ class SegmentsReader:
         with open(f"{index_dir}/segments_meta.json") as f:
             self.meta = json.load(f)
         self.generations: list[int] = self.meta["generations"]
+        #: meta (docs/postings) generations represented by these segments
+        self.covers: list[int] = self.meta.get("covers", self.generations)
 
     @property
     def blocks(self) -> DataFrame:

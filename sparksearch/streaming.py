@@ -12,10 +12,14 @@ a file/Iceberg stream of page batches driven through
 
 Each micro-batch commits atomically via meta.json (readers never see a
 partial generation), exactly like the refresh publishing a new segment
-manifest. Late/duplicate batch delivery is handled by the generation
-numbering: foreachBatch gives (df, batch_id); batches already recorded in
-``streaming_state.json`` are skipped (idempotent restart — Structured
-Streaming's at-least-once contract + our dedup = exactly-once indexing).
+manifest. Late/duplicate batch delivery is handled by recording the batch
+id INSIDE the same meta.json commit as the generation itself
+(add_generation(batch_id=...)): replayed batch ids are skipped, and no
+crash point can separate "generation committed" from "batch recorded" —
+Structured Streaming's at-least-once contract + atomic dedup =
+exactly-once indexing. (An earlier design kept batch ids in a separate
+streaming_state.json written after the commit; a crash between the two
+writes replayed and double-indexed the batch.)
 """
 
 from __future__ import annotations
@@ -30,26 +34,19 @@ from sparksearch.merge import add_generation, merge_segments, should_merge
 __all__ = ["stream_index", "indexed_batches"]
 
 
-def _state_path(index_dir: str) -> str:
-    return f"{index_dir}/streaming_state.json"
-
-
 def indexed_batches(index_dir: str) -> dict[str, int]:
-    """batch_id (str) → generation it became."""
-    p = _state_path(index_dir)
-    if os.path.exists(p):
-        with open(p) as f:
-            return json.load(f)
-    return {}
-
-
-def _record_batch(index_dir: str, batch_id: int, gen: int) -> None:
-    state = indexed_batches(index_dir)
-    state[str(batch_id)] = gen
-    tmp = _state_path(index_dir) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(state, f)
-    os.replace(tmp, _state_path(index_dir))
+    """batch_id (str) → generation it became (from meta.json; merges any
+    legacy streaming_state.json left by the pre-atomic scheme)."""
+    out: dict[str, int] = {}
+    legacy = f"{index_dir}/streaming_state.json"
+    if os.path.exists(legacy):
+        with open(legacy) as f:
+            out.update(json.load(f))
+    meta_path = f"{index_dir}/meta.json"
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            out.update(json.load(f).get("indexed_batches", {}))
+    return out
 
 
 def stream_index(spark: SparkSession, source_dir: str, index_dir: str,
@@ -73,10 +70,10 @@ def stream_index(spark: SparkSession, source_dir: str, index_dir: str,
             return
         if str(batch_id) in indexed_batches(index_dir):
             return  # replayed batch after restart — already committed
-        meta = add_generation(spark, index_dir, batch_df,
-                              partitions=partitions,
-                              salt_target=salt_target)
-        _record_batch(index_dir, batch_id, meta["generations"][-1])
+        add_generation(spark, index_dir, batch_df,
+                       partitions=partitions,
+                       salt_target=salt_target,
+                       batch_id=batch_id)
         if should_merge(index_dir, segments_per_tier):
             merge_segments(spark, index_dir, partitions=partitions,
                            salt_target=salt_target)

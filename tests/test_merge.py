@@ -140,3 +140,54 @@ def test_should_merge_trigger(incr_index):
     from sparksearch.merge import should_merge
     assert not should_merge(incr_index, segments_per_tier=10)
     assert should_merge(incr_index, segments_per_tier=1)
+
+
+def test_crash_window_coverage_guard(spark, tmp_path_factory):
+    """meta.json committed but segments not yet built for the newest
+    generation: auto mode must fall back to the row-postings plan (no
+    silently-missing docs), ensure_segments must repair, and covers must
+    survive a merge."""
+    from sparksearch.build import build_index
+    from sparksearch.exec import Executor
+    from sparksearch.index import IndexReader
+    from sparksearch.merge import add_generation, ensure_segments, merge_segments
+    from sparksearch.queries import Match
+    from sparksearch.segments import build_segments
+
+    out = str(tmp_path_factory.mktemp("crashix"))
+    shutil.rmtree(out, ignore_errors=True)
+    pages = _pages(spark)
+    half1 = pages.filter(F.crc32(F.col("url")) % 2 == 0)
+    half2 = pages.filter(F.crc32(F.col("url")) % 2 == 1)
+    build_index(half1, out, n_buckets=4, partitions=4)
+    build_segments(spark, out, salt_target=64, n_chunks=1, partitions=4)
+
+    # simulate the crash: generation committed, segment build never ran
+    add_generation(spark, out, half2, partitions=4, with_segments=False,
+                   batch_id=7)
+
+    ix = IndexReader(spark, out, use_segments=True)
+    assert not ix.segments_cover_all()
+    q = Match("text", "join")
+    auto = {r["docid"] for r in
+            Executor(ix).search(q, k=10, fetch=False, mode="auto").collect()}
+    plan = {r["docid"] for r in
+            Executor(ix).search(q, k=10, fetch=False, mode="plan").collect()}
+    assert auto == plan  # fell back — includes gen-1 docs
+
+    # batch id was committed atomically with the generation
+    from sparksearch.streaming import indexed_batches
+    assert indexed_batches(out).get("7") == 1
+
+    repaired = ensure_segments(spark, out, partitions=4, salt_target=64)
+    assert repaired == [1]
+    ix = ix.reload()
+    assert ix.segments_cover_all()
+    wand = {r["docid"] for r in
+            Executor(ix).search(q, k=10, fetch=False, mode="wand").collect()}
+    assert wand == plan
+
+    # merge keeps covers == meta generations
+    merge_segments(spark, out, partitions=4, salt_target=64)
+    ix = ix.reload()
+    assert ix.segments_cover_all()
