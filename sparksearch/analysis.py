@@ -141,3 +141,114 @@ def analyze_values(values: list[str], analyzer: str = "standard") -> list[Token]
 
 
 ANALYZERS = ("standard", "standard_raw", "whitespace", "english", "keyword")
+
+
+# --- vectorized batch analysis (the build hot path) ------------------------
+
+def analyze_batch(texts, analyzer: str = "standard"):
+    """Vectorized analyze() over a pandas Series of texts.
+
+    Returns (dls, entries): dls[i] = analyzed token count of row i;
+    entries[i] = [(term, tf, positions), ...] sorted by term — exactly the
+    per-doc grouping analyze_pages needs, byte-identical to running
+    analyze() per row (asserted by tests/test_analysis.py goldens + a
+    randomized equivalence test).
+
+    The per-doc Python loop this replaces dominated index-build cost
+    (VERDICT r1). Here every heavy step is C-level: one pandas str.findall
+    regex pass, one str.lower, stopword/stem applied over the FACTORIZED
+    unique terms only (Zipf: uniques ≪ occurrences), one np.lexsort for
+    (doc, term, pos) grouping; the only Python iteration left is one tuple
+    append per unique (doc, term) group for the Arrow struct output.
+    """
+    import numpy as np
+    import pandas as pd
+
+    n = len(texts)
+    if analyzer in ("keyword",) or n == 0:
+        # keyword is one token per row — nothing to vectorize
+        dls, entries = [], []
+        for t in texts:
+            toks = analyze(t or "", analyzer)
+            dls.append(len(toks))
+            entries.append([(term, len([p]), [p]) for term, p in toks])
+        return dls, entries
+
+    s = pd.Series(texts).fillna("").astype(object)
+    if analyzer == "whitespace":
+        toks = s.str.split()
+        lowercase = stop = stem = False
+    else:
+        toks = s.str.findall(_TOKEN_RE)
+        lowercase = analyzer in ("standard", "english")
+        stop = stem = analyzer == "english"
+    tok_list = toks.tolist()
+
+    # rare slow path: a token longer than MAX_TOKEN_LENGTH must split into
+    # 255-char chunks, shifting subsequent positions — redo those rows with
+    # the reference tokenizer
+    if analyzer != "whitespace":
+        for i, tl in enumerate(tok_list):
+            if any(len(t) > MAX_TOKEN_LENGTH for t in tl):
+                tok_list[i] = standard_tokenize(s.iloc[i])
+
+    counts = np.fromiter((len(t) for t in tok_list), dtype=np.int64, count=n)
+    total = int(counts.sum())
+    if total == 0:
+        return [0] * n, [[] for _ in range(n)]
+    from itertools import chain
+    flat = np.fromiter(chain.from_iterable(tok_list), dtype=object,
+                       count=total)
+    row_ids = np.repeat(np.arange(n, dtype=np.int64), counts)
+    starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    pos = (np.arange(total, dtype=np.int64) - starts[row_ids]).astype(np.int32)
+
+    terms = pd.Series(flat, dtype=object)
+    if lowercase:
+        terms = terms.str.lower()
+    codes, uniques = pd.factorize(terms, sort=False)
+    uniq = np.asarray(uniques, dtype=object)
+    if stop:
+        drop_u = np.fromiter((u in ENGLISH_STOP_WORDS for u in uniq),
+                             dtype=bool, count=len(uniq))
+        keep = ~drop_u[codes]
+    else:
+        keep = np.ones(total, dtype=bool)
+    if stem:
+        uniq = np.fromiter((porter_stem(u) for u in uniq), dtype=object,
+                           count=len(uniq))
+    kcodes = codes[keep]
+    krow = row_ids[keep]
+    kpos = pos[keep]
+    dls = np.bincount(krow, minlength=n).astype(np.int64)
+
+    # stemming can merge distinct surface forms — refactorize on the mapped
+    # terms so tf/positions group correctly
+    if stem:
+        kcodes, uniq2 = pd.factorize(
+            pd.Series(uniq[kcodes], dtype=object), sort=False)
+        uniq = np.asarray(uniq2, dtype=object)
+
+    # lexicographic term rank (entries are sorted by term within each doc)
+    order = np.argsort(uniq, kind="stable")
+    rank = np.empty(len(uniq), dtype=np.int64)
+    rank[order] = np.arange(len(uniq))
+
+    idx = np.lexsort((kpos, rank[kcodes], krow))
+    srow, scode, spos = krow[idx], kcodes[idx], kpos[idx]
+    m = len(idx)
+    if m:
+        change = np.empty(m, dtype=bool)
+        change[0] = True
+        change[1:] = (srow[1:] != srow[:-1]) | (scode[1:] != scode[:-1])
+        gstart = np.nonzero(change)[0]
+        gend = np.concatenate((gstart[1:], [m]))
+    else:
+        gstart = gend = np.zeros(0, dtype=np.int64)
+
+    entries: list[list] = [[] for _ in range(n)]
+    gterm = uniq[scode[gstart]] if m else []
+    for gs, ge, t in zip(gstart, gend, gterm):
+        entries[srow[gs]].append((t, int(ge - gs), spos[gs:ge].tolist()))
+    return dls.tolist(), entries

@@ -47,7 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from sparksearch.analysis import analyze
+from sparksearch.analysis import analyze, analyze_batch
 
 __all__ = [
     "tokenize_udf",
@@ -95,19 +95,13 @@ _DOC_POSTINGS_SCHEMA = T.StructType([
 
 def doc_postings_udf(analyzer: str = "standard"):
     """Arrow-batched analyzer emitting per-doc postings directly:
-    text -> struct(dl, entries: array<struct(term, tf, positions)>)."""
+    text -> struct(dl, entries: array<struct(term, tf, positions)>).
+    Vectorized via analysis.analyze_batch (C-level regex/lower/factorize;
+    no per-token Python)."""
 
     @F.pandas_udf(_DOC_POSTINGS_SCHEMA)
     def _tok(texts: pd.Series) -> pd.DataFrame:
-        dls, entries = [], []
-        for t in texts:
-            toks = analyze(t or "", analyzer)
-            by_term: dict[str, list[int]] = {}
-            for term, pos in toks:
-                by_term.setdefault(term, []).append(pos)
-            dls.append(len(toks))
-            entries.append([(term, len(ps), ps)
-                            for term, ps in sorted(by_term.items())])
+        dls, entries = analyze_batch(texts, analyzer)
         return pd.DataFrame({"dl": dls, "entries": entries})
 
     return _tok
@@ -154,6 +148,20 @@ def assign_docids(df: DataFrame, order_col: str = "url",
     out = ranged.mapInPandas(add_ids, schema=out_schema)
     out._sparksearch_cached = ranged  # for the caller to unpersist
     return out
+
+
+def run_jobs(fns) -> None:
+    """Run independent Spark actions concurrently from driver threads
+    (the standard multi-job pattern — one SparkContext schedules all of
+    them; fixed per-job latencies overlap). Exceptions propagate."""
+    from concurrent.futures import ThreadPoolExecutor
+    if len(fns) == 1:
+        fns[0]()
+        return
+    with ThreadPoolExecutor(max_workers=len(fns)) as pool:
+        futs = [pool.submit(f) for f in fns]
+        for f in futs:
+            f.result()
 
 
 def quantized_dl_col(dl_col_name: str):
@@ -206,15 +214,7 @@ def analyze_pages(pages: DataFrame, analyzer: str = "standard",
                 continue
             base = offsets[int(batch["_pid"].iloc[0])] + local
             local += n
-            dls, entries = [], []
-            for t in batch["text"]:
-                toks = analyze(t or "", analyzer)
-                by_term: dict[str, list[int]] = {}
-                for term, pos in toks:
-                    by_term.setdefault(term, []).append(pos)
-                dls.append(len(toks))
-                entries.append([(term, len(ps), ps)
-                                for term, ps in sorted(by_term.items())])
+            dls, entries = analyze_batch(batch["text"], analyzer)
             yield pd.DataFrame({
                 "docid": range(base, base + n),
                 "url": batch["url"].values,
@@ -258,14 +258,21 @@ def write_docs_postings(tok: DataFrame, out_dir: str, gen: int,
 
 def write_stats(spark: SparkSession, out_dir: str, stats_df: DataFrame,
                 stats_path: str, partitions: int | None):
-    """Write a stats table version; returns (n_terms, max_df, total_tf)."""
-    (stats_df.coalesce(max(1, (partitions or 8) // 4))
+    """Write a stats table version; returns (n_terms, max_df, total_tf).
+
+    Metrics ride the write job itself via Observation — no separate
+    re-read-and-aggregate job (r1 had ~12 sequential driver actions per
+    build; these fixed latencies, not the plan shapes, were the scaling-
+    efficiency shortfall)."""
+    from pyspark.sql import Observation
+    obs = Observation()
+    (stats_df.observe(obs, F.count(F.lit(1)).alias("n"),
+                      F.max("df").alias("m"),
+                      F.sum("cf").alias("ttf"))
+     .coalesce(max(1, (partitions or 8) // 4))
      .write.mode("overwrite").parquet(f"{out_dir}/{stats_path}"))
-    spark0 = spark
-    stats = spark0.read.parquet(f"{out_dir}/{stats_path}")
-    srow = stats.agg(F.count("*").alias("n"), F.max("df").alias("m"),
-                     F.sum("cf").alias("ttf")).collect()[0]
-    return srow["n"], srow["m"] or 0, srow["ttf"] or 0
+    vals = obs.get
+    return vals["n"], vals["m"] or 0, vals["ttf"] or 0
 
 
 def write_meta(out_dir: str, meta: dict) -> None:
@@ -311,25 +318,50 @@ def build_index(pages: DataFrame, out_dir: str, analyzer: str = "standard",
             raise ValueError(f"{bad} rows violate extract(html)==text")
 
     tok, ranged, n_docs = analyze_pages(pages, analyzer, partitions)
-    write_docs_postings(tok, out_dir, 0, n_buckets, partitions,
-                        skip_docs=done("docs/gen=0"),
-                        skip_postings=done("postings/gen=0"))
-    _mark("docs_postings_write")
+
+    # The three outputs (docs, postings, stats) are independent jobs over
+    # the same persisted analyzed batch — run them CONCURRENTLY from
+    # threads so their fixed driver latencies (job scheduling, stage
+    # barriers, python-worker spin-up) overlap instead of adding up. On a
+    # real cluster these fixed costs are what caps N→4N scaling
+    # efficiency; the data-proportional stages themselves scale. The first
+    # job to touch a tok partition computes it under the BlockManager's
+    # per-block lock; the others read the cached block.
+    stats_result: dict = {}
+
+    def _docs_job():
+        write_docs_postings(tok, out_dir, 0, n_buckets, partitions,
+                            skip_docs=done("docs/gen=0"),
+                            skip_postings=True)
+
+    def _postings_job():
+        write_docs_postings(tok, out_dir, 0, n_buckets, partitions,
+                            skip_docs=True,
+                            skip_postings=done("postings/gen=0"))
 
     stats_path = "stats_g0"
-    if not done(stats_path):
-        stats_df = (spark.read.parquet(f"{out_dir}/postings/gen=0")
-                    .groupBy("term")
-                    .agg(F.count("*").cast("long").alias("df"),
-                         F.sum("tf").cast("long").alias("cf")))
-        n_terms, max_df, total_tf = write_stats(
-            spark, out_dir, stats_df, stats_path, partitions)
-    else:
-        stats = spark.read.parquet(f"{out_dir}/{stats_path}")
-        srow = stats.agg(F.count("*").alias("n"), F.max("df").alias("m"),
-                         F.sum("cf").alias("ttf")).collect()[0]
-        n_terms, max_df, total_tf = srow["n"], srow["m"] or 0, srow["ttf"] or 0
-    _mark("stats_write")
+
+    def _stats_job():
+        if not done(stats_path):
+            # aggregate straight off the persisted analyzed batch
+            # (map-side partial combine on the Zipf dictionary) — not a
+            # re-read of the postings parquet just written
+            stats_df = (tok.select(F.explode("entries").alias("e"))
+                        .groupBy(F.col("e.term").alias("term"))
+                        .agg(F.count("*").cast("long").alias("df"),
+                             F.sum("e.tf").cast("long").alias("cf")))
+            stats_result["v"] = write_stats(
+                spark, out_dir, stats_df, stats_path, partitions)
+        else:
+            stats = spark.read.parquet(f"{out_dir}/{stats_path}")
+            srow = stats.agg(F.count("*").alias("n"),
+                             F.max("df").alias("m"),
+                             F.sum("cf").alias("ttf")).collect()[0]
+            stats_result["v"] = (srow["n"], srow["m"] or 0, srow["ttf"] or 0)
+
+    run_jobs([_docs_job, _postings_job, _stats_job])
+    n_terms, max_df, total_tf = stats_result["v"]
+    _mark("docs_postings_stats_write")
 
     avgdl = (total_tf / n_docs) if n_docs else 1.0
     meta = {

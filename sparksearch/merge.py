@@ -84,20 +84,36 @@ def add_generation(spark: SparkSession, index_dir: str, new_pages: DataFrame,
 
     tok, ranged, n_new = analyze_pages(new_pages, analyzer, partitions,
                                        docid_base=base)
-    write_docs_postings(tok, index_dir, gen, n_buckets, partitions)
 
-    # stats: old ∪ delta, summed — never rescans older generations
-    delta = (spark.read.parquet(f"{index_dir}/postings/gen={gen}")
-             .groupBy("term")
-             .agg(F.count("*").cast("long").alias("df"),
-                  F.sum("tf").cast("long").alias("cf")))
-    old = spark.read.parquet(f"{index_dir}/{meta['stats_path']}")
-    merged = (old.unionByName(delta)
-              .groupBy("term")
-              .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf")))
+    # docs / postings / merged-stats are independent jobs over the same
+    # persisted batch — concurrent threads overlap their fixed latencies
+    # (see build.run_jobs). Stats: old ∪ delta, summed — never rescans
+    # older generations; the delta aggregates straight off the persisted
+    # analyzed batch rather than re-reading the postings parquet.
+    from sparksearch.build import run_jobs
     stats_path = f"stats_g{gen}"
-    n_terms, max_df, total_tf = write_stats(
-        spark, index_dir, merged, stats_path, partitions)
+    stats_result: dict = {}
+
+    def _stats_job():
+        delta = (tok.select(F.explode("entries").alias("e"))
+                 .groupBy(F.col("e.term").alias("term"))
+                 .agg(F.count("*").cast("long").alias("df"),
+                      F.sum("e.tf").cast("long").alias("cf")))
+        old = spark.read.parquet(f"{index_dir}/{meta['stats_path']}")
+        merged = (old.unionByName(delta)
+                  .groupBy("term")
+                  .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf")))
+        stats_result["v"] = write_stats(
+            spark, index_dir, merged, stats_path, partitions)
+
+    run_jobs([
+        lambda: write_docs_postings(tok, index_dir, gen, n_buckets,
+                                    partitions, skip_postings=True),
+        lambda: write_docs_postings(tok, index_dir, gen, n_buckets,
+                                    partitions, skip_docs=True),
+        _stats_job,
+    ])
+    n_terms, max_df, total_tf = stats_result["v"]
 
     tok.unpersist()
     ranged.unpersist()

@@ -195,15 +195,13 @@ def build_segments(spark: SparkSession, index_dir: str, *, gen: int = 0,
         postings = postings_df
     else:
         postings = spark.read.parquet(f"{index_dir}/postings/gen={gen}")
-    manifests = []
-    for c in range(n_chunks):
+    def build_chunk(c: int) -> dict:
         chunk_dir = f"{gen_dir}/chunk={c}"
         mpath = f"{gen_dir}/_manifest/chunk-{c}.json"
         if resume and os.path.exists(f"{chunk_dir}/_SUCCESS") \
                 and os.path.exists(mpath):
             with open(mpath) as f:
-                manifests.append(json.load(f))
-            continue
+                return json.load(f)
         t0 = time.time()
         part = postings.filter(
             F.pmod(F.xxhash64("term"), F.lit(n_chunks)) == c)
@@ -224,17 +222,24 @@ def build_segments(spark: SparkSession, index_dir: str, *, gen: int = 0,
                   .repartition(p, "term", "salt")
                   .groupBy("bucket", "term", "salt")
                   .applyInPandas(_encode_group(), schema=_BLOCK_SCHEMA))
-        (blocks.write.mode("overwrite").partitionBy("bucket")
-               .parquet(chunk_dir))
-        # lineage + metrics from the written blocks (one cheap agg)
-        m = (spark.read.parquet(chunk_dir)
-             .agg(F.count("*").alias("blocks"),
-                  F.sum("n").alias("postings"),
-                  F.sum(F.octet_length("docids") + F.octet_length("tfs")
-                        + F.octet_length("norms")
-                        + F.octet_length("positions")).alias("payload_bytes"),
-                  F.countDistinct("term").alias("terms"),
-                  F.max("n").alias("max_block_n")).collect()[0])
+        # lineage + metrics ride the write job via Observation — no
+        # re-read-and-aggregate job per chunk (count_distinct isn't
+        # supported in observe, so `terms` counts per-(term,salt) encoder
+        # groups = distinct terms + extra salt groups; close enough for a
+        # lineage metric and exact when nothing salted)
+        from pyspark.sql import Observation
+        obs = Observation()
+        observed = blocks.observe(
+            obs, F.count(F.lit(1)).alias("blocks"),
+            F.sum("n").alias("postings"),
+            F.sum(F.octet_length("docids") + F.octet_length("tfs")
+                  + F.octet_length("norms")
+                  + F.octet_length("positions")).alias("payload_bytes"),
+            F.sum((F.col("block_id") == 0).cast("long")).alias("terms"),
+            F.max("n").alias("max_block_n"))
+        (observed.write.mode("overwrite").partitionBy("bucket")
+                 .parquet(chunk_dir))
+        m = obs.get
         man = {"chunk": c, "gen": gen,
                "blocks": int(m["blocks"] or 0),
                "postings": int(m["postings"] or 0),
@@ -243,7 +248,15 @@ def build_segments(spark: SparkSession, index_dir: str, *, gen: int = 0,
                "elapsed_sec": round(time.time() - t0, 3)}
         with open(mpath, "w") as f:
             json.dump(man, f)
-        manifests.append(man)
+        return man
+
+    # chunks are independent (disjoint term sets, separate dirs): run them
+    # as concurrent Spark jobs so per-job fixed latencies overlap; each
+    # chunk keeps its own atomic write + manifest, so kill-and-resume
+    # granularity is unchanged
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=max(1, n_chunks)) as pool:
+        manifests = list(pool.map(build_chunk, range(n_chunks)))
 
     total_postings = sum(m["postings"] for m in manifests)
     gen_meta = {

@@ -97,3 +97,54 @@ def test_empty_and_whitespace():
     assert terms("") == []
     assert terms("   \t\n ") == []
     assert standard_tokenize("...!!!") == []
+
+
+def test_analyze_batch_equivalence():
+    """analyze_batch (vectorized build hot path) must be byte-identical to
+    per-row analyze() grouping across analyzers and adversarial inputs."""
+    import pandas as pd
+    from sparksearch.analysis import analyze, analyze_batch
+
+    cases = [
+        "the quick brown fox jumps over the lazy dog",
+        "The QUICK brown-foxes 2.5 can't stop",
+        "", None, "   ", "a", "x" * 600, ("tok " * 5) + "y" * 300 + " tail",
+        "日本語 テスト 中文字符 mixed latin", "über café naïve",
+        "joined tables are joining the join", "1,000.5 3.14 v2.0",
+        "a.b.c d'Artagnan it's", "word " * 50,
+    ]
+    for an in ("standard", "english", "whitespace", "standard_raw",
+               "keyword"):
+        dls, entries = analyze_batch(pd.Series(cases, dtype=object), an)
+        for i, t in enumerate(cases):
+            toks = analyze(t or "", an)
+            by: dict = {}
+            for term, pos in toks:
+                by.setdefault(term, []).append(pos)
+            want = [(term, len(ps), ps) for term, ps in sorted(by.items())]
+            got = [(t_, tf, list(ps)) for t_, tf, ps in entries[i]]
+            assert dls[i] == len(toks), (an, i)
+            assert got == want, (an, i, got, want)
+
+
+def test_analyze_batch_random_equivalence():
+    """Randomized fuzz: mixed unicode/punct corpora through both paths."""
+    import random
+    import pandas as pd
+    from sparksearch.analysis import analyze, analyze_batch
+
+    rng = random.Random(42)
+    alphabet = ["join", "Hash", "the", "2.5", "can't", "日本", "naïve",
+                "a,b", "x" * 256, "_", "—", "e.g.", "v2", ""]
+    cases = [" ".join(rng.choices(alphabet, k=rng.randrange(0, 30)))
+             for _ in range(200)]
+    for an in ("standard", "english"):
+        dls, entries = analyze_batch(pd.Series(cases, dtype=object), an)
+        for i, t in enumerate(cases):
+            toks = analyze(t, an)
+            by: dict = {}
+            for term, pos in toks:
+                by.setdefault(term, []).append(pos)
+            want = [(term, len(ps), ps) for term, ps in sorted(by.items())]
+            got = [(t_, tf, list(ps)) for t_, tf, ps in entries[i]]
+            assert dls[i] == len(toks) and got == want, (an, i)
