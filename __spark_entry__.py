@@ -146,9 +146,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hit_count": _q_hit_count,
         "search_after": _q_search_after,
     }
+    from sparksearch import contract_aggs2 as CA2
+    from sparksearch import contract_queries2 as CQ2
+    out.update(CQ2.queries())
     out.update(CAN.queries())
     out.update(CQ.queries())
     out.update(CA.queries())
+    out.update(CA2.queries())
     out.update(CM.queries())
     out.update(CD.queries())
     return out
@@ -160,8 +164,12 @@ def oracle_sql() -> dict[str, str]:
     from sparksearch import contract_analysis as CAN
     from sparksearch import contract_misc as CM
     from sparksearch import contract_queries as CQ
+    from sparksearch import contract_aggs2 as CA2
+    from sparksearch import contract_queries2 as CQ2
     out = dict(CD.oracle_sql())
+    out.update(CQ2.oracle_sql())
     out.update(CA.oracle_sql())
+    out.update(CA2.oracle_sql())
     out.update(CQ.oracle_sql())
     out.update(CM.oracle_sql())
     # the correctness gate runs at sf0.01 (TESTDATA.md) — the english-

@@ -59,6 +59,14 @@ __all__ = [
     "collapse",
     "rescore",
     "matrix_stats",
+    "moving_window_aggs",
+    "bucket_script_chain",
+    "rare_terms",
+    "multi_terms",
+    "adjacency_matrix",
+    "sampler_terms",
+    "auto_date_histogram",
+    "date_range_agg",
 ]
 
 
@@ -261,3 +269,161 @@ def matrix_stats(df: DataFrame, f1: str, f2: str) -> DataFrame:
         F.count("*").cast("long").alias("count"),
         F.round(F.covar_pop(a, b), 6).alias("covariance"),
         F.round(F.corr(a, b), 6).alias("correlation"))
+
+
+# --- pipeline aggs over bucket tables (SearchModule.java:711-833) ----------
+
+def moving_window_aggs(buckets: DataFrame, metric: str = "doc_count",
+                       window: int = 3, lag: int = 1) -> DataFrame:
+    """mov_avg (simple model) + mov_fn(max) + serial_diff as window
+    functions over an ordered bucket table. The window is the trailing
+    `window` buckets INCLUDING the current one (mov_fn shift=1 form);
+    serial_diff subtracts the bucket `lag` positions back.
+    Reference registrations: sv/search/SearchModule.java:711-833
+    (mov_avg/mov_fn via MovAvgPipelineAggregationBuilder,
+    SerialDiffPipelineAggregationBuilder)."""
+    m = F.col(metric).cast("double")
+    w = Window.orderBy("key").rowsBetween(-(window - 1), 0)
+    lw = Window.orderBy("key")
+    return (buckets
+            .withColumn("moving_avg", F.round(F.avg(m).over(w), 6))
+            .withColumn("moving_max", F.max(m).over(w))
+            .withColumn("serial_diff",
+                        (m - F.lag(m, lag).over(lw)).cast("double"))
+            .orderBy("key"))
+
+
+def bucket_script_chain(buckets: DataFrame, script: Column,
+                        script_name: str, keep: Column,
+                        sort_cols: list, size: int) -> DataFrame:
+    """bucket_script → bucket_selector → bucket_sort composed over a
+    multi-metric bucket table: compute a per-bucket expression from sibling
+    metrics, filter buckets on a predicate, then sort + truncate
+    (sv/search/SearchModule.java:760-790; BucketScript/BucketSelector/
+    BucketSort pipeline aggregators)."""
+    return (buckets.withColumn(script_name, script)
+            .where(keep)
+            .orderBy(*sort_cols)
+            .limit(size))
+
+
+# --- remaining bucket aggs (SearchModule.java:510-668) ---------------------
+
+def rare_terms(df: DataFrame, field: str,
+               max_doc_count: int = 1) -> DataFrame:
+    """rare_terms: buckets with doc_count ≤ max_doc_count, ordered count
+    asc then key asc (sv/search/SearchModule.java:668 — the reference's
+    CuckooFilter false-positive bound vanishes in an exact global agg)."""
+    return (df.groupBy(F.col(field).alias("key"))
+            .agg(F.count("*").cast("long").alias("doc_count"))
+            .where(F.col("doc_count") <= max_doc_count)
+            .orderBy(F.col("doc_count").asc(), F.col("key").asc()))
+
+
+def multi_terms(df: DataFrame, fields: list[str],
+                size: int = 10) -> DataFrame:
+    """multi_terms: compound-key buckets, count desc then keys asc
+    (sv/search/SearchModule.java:543)."""
+    return (df.groupBy(*[F.col(f) for f in fields])
+            .agg(F.count("*").cast("long").alias("doc_count"))
+            .orderBy(F.col("doc_count").desc(),
+                     *[F.col(f).asc() for f in fields])
+            .limit(size))
+
+
+def adjacency_matrix(df: DataFrame,
+                     filters: dict[str, Column]) -> DataFrame:
+    """adjacency_matrix: doc counts for each named filter and each pairwise
+    intersection, keys 'a', 'a&b' in name order
+    (sv/search/SearchModule.java:510; AdjacencyMatrixAggregationBuilder).
+    One pass: every cell is a conditional sum."""
+    names = sorted(filters)
+    cells = []
+    for i, a in enumerate(names):
+        cells.append((a, filters[a]))
+        for b in names[i + 1:]:
+            cells.append((f"{a}&{b}", filters[a] & filters[b]))
+    agg = df.agg(*[F.sum(c.cast("long")).alias(f"_c{i}")
+                   for i, (_, c) in enumerate(cells)])
+    parts = [F.struct(F.lit(i).alias("ord"), F.lit(k).alias("key"),
+                      F.col(f"_c{i}").alias("doc_count"))
+             for i, (k, _) in enumerate(cells)]
+    return (agg.select(F.explode(F.array(*parts)).alias("b"))
+            .select(F.col("b.key").alias("key"),
+                    F.coalesce(F.col("b.doc_count"), F.lit(0))
+                    .cast("long").alias("doc_count"), F.col("b.ord"))
+            .where(F.col("doc_count") > 0)
+            .orderBy("ord").drop("ord"))
+
+
+def sampler_terms(scored: DataFrame, shard_size: int, field: str,
+                  size: int = 10, diversify: str | None = None,
+                  max_docs_per_value: int = 1) -> DataFrame:
+    """sampler / diversified_sampler + child terms agg: restrict the
+    sub-aggregation to the top `shard_size` docs by (score desc, docid asc);
+    diversified limits each distinct `diversify` value to
+    `max_docs_per_value` docs before the cut
+    (sv/search/SearchModule.java:517-524; Sampler/DiversifiedAggregation-
+    Builder — best-scoring-docs-first semantics, exact here because the
+    aggregation is global rather than per-shard)."""
+    s = scored
+    if diversify is not None:
+        dw = Window.partitionBy(diversify).orderBy(
+            F.col("score").desc(), F.col("docid").asc())
+        s = (s.withColumn("_dv", F.row_number().over(dw))
+             .where(F.col("_dv") <= max_docs_per_value).drop("_dv"))
+    top = (s.orderBy(F.col("score").desc(), F.col("docid").asc())
+           .limit(shard_size))
+    return (top.groupBy(F.col(field).alias("key"))
+            .agg(F.count("*").cast("long").alias("doc_count"))
+            .orderBy(F.col("doc_count").desc(), F.col("key").asc())
+            .limit(size))
+
+
+#: auto_date_histogram candidate ladder, coarsest-last (the reference's
+#: RoundingInfo ladder collapsed to the date_trunc-expressible units)
+AUTO_DATE_INTERVALS = ("second", "minute", "hour", "day", "month", "year")
+
+
+def auto_date_histogram(df: DataFrame, field: str,
+                        target_buckets: int = 20) -> DataFrame:
+    """auto_date_histogram: pick the finest calendar interval from the
+    ladder that yields ≤ target_buckets buckets, then histogram at it
+    (sv/search/SearchModule.java:603; AutoDateHistogramAggregationBuilder).
+    Interval selection is one tiny driver-side agg (a handful of
+    count-distincts); the histogram itself is the usual distributed
+    groupBy."""
+    counts = df.agg(*[
+        F.countDistinct(F.date_trunc(iv, F.col(field))).alias(iv)
+        for iv in AUTO_DATE_INTERVALS]).collect()[0]
+    chosen = AUTO_DATE_INTERVALS[-1]
+    for iv in AUTO_DATE_INTERVALS:
+        if counts[iv] <= target_buckets:
+            chosen = iv
+            break
+    return (date_histogram(df, field, chosen)
+            .withColumn("interval", F.lit(chosen)))
+
+
+def date_range_agg(df: DataFrame, field: str,
+                   ranges: list[tuple[str | None, str | None]]) -> DataFrame:
+    """date_range: [from, to) timestamp buckets, order = range position
+    (sv/index/query/RangeQueryBuilder semantics on the agg side)."""
+    rows = []
+    for i, (lo, hi) in enumerate(ranges):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col(field) >= F.to_timestamp(F.lit(lo)))
+        if hi is not None:
+            cond = cond & (F.col(field) < F.to_timestamp(F.lit(hi)))
+        key = f"{lo or '*'}-{hi or '*'}"
+        rows.append((i, key, F.sum(cond.cast("long")).alias(f"r{i}")))
+    agg = df.agg(*[r[2] for r in rows])
+    parts = [F.struct(F.lit(i).alias("ord"), F.lit(key).alias("key"),
+                      F.col(f"r{i}").alias("doc_count"))
+             for i, key, _ in rows]
+    return (agg.select(F.explode(F.array(*parts)).alias("b"))
+            .select(F.col("b.key").alias("key"),
+                    F.col("b.doc_count").cast("long").alias("doc_count"),
+                    F.col("b.ord").alias("_o"))
+            .orderBy("_o").drop("_o"))

@@ -37,13 +37,25 @@ from sparksearch import bm25
 from sparksearch.analysis import analyze
 from sparksearch.index import IndexReader
 from sparksearch.queries import (
-    Bool, Boosting, ConstantScore, DisMax, Exists, Fuzzy, Ids, Match,
-    MatchAll, MatchNone, MatchPhrase, MoreLikeThis, MultiMatch, Prefix,
-    Query, Range, Regexp, Term, Terms, TextPrefix, Wildcard,
-    calculate_min_should_match,
+    Bool, Boosting, ConstantScore, DecayFunction, DisMax, Exists,
+    FieldValueFactor, FunctionScore, Fuzzy, Ids, Intervals, Match,
+    MatchAll, MatchNone, MatchPhrase, MatchPhrasePrefix, MoreLikeThis,
+    MultiMatch, Prefix, Query, Range, Regexp, SpanNear, Term, Terms,
+    TextPrefix, WeightFunction, Wildcard, calculate_min_should_match,
 )
 
 __all__ = ["Executor"]
+
+
+def _literal_prefix(pattern: str, metachars: str) -> str:
+    """Leading literal characters of a wildcard/regex pattern (empty when
+    the pattern starts with a metacharacter)."""
+    out = []
+    for ch in pattern:
+        if ch in metachars:
+            break
+        out.append(ch)
+    return "".join(out)
 
 
 def _idf_col(n_docs: int) -> Column:
@@ -61,8 +73,11 @@ def _tf_norm(tf: Column, dl_q: Column, avgdl: float,
 class Executor:
     """Executes Query ASTs against an IndexReader."""
 
-    def __init__(self, index: IndexReader):
+    def __init__(self, index: IndexReader, fixed_now=None):
         self.ix = index
+        #: injectable `now` for date-math ranges (the reference freezes now
+        #: per request context — sv/index/query/QueryShardContext nowInMillis)
+        self.fixed_now = fixed_now
 
     # ---- public API --------------------------------------------------------
     def search(self, q: Query, k: int = 10, fetch: bool = True,
@@ -132,6 +147,17 @@ class Executor:
             return self._plan_multimatch(q, scored)
         if isinstance(q, MoreLikeThis):
             return self._plan_mlt(q, scored)
+        if isinstance(q, MatchPhrasePrefix):
+            return self._plan_phrase_prefix(q, scored)
+        if isinstance(q, SpanNear):
+            return self._plan_span_near(list(q.clauses), q.slop,
+                                        q.in_order, scored)
+        if isinstance(q, Intervals):
+            terms = [t for t, _ in
+                     analyze(q.text, q.analyzer or self.ix.analyzer)]
+            return self._plan_span_near(terms, q.max_gaps, q.ordered, scored)
+        if isinstance(q, FunctionScore):
+            return self._plan_function_score(q, scored)
         raise TypeError(f"unsupported query: {q!r}")
 
     def _plan_multiterm(self, q: Query, scored: bool) -> DataFrame:
@@ -142,15 +168,30 @@ class Executor:
         CONSTANT_SCORE multi-term rewrite. Fully distributed: no driver-side
         term collection."""
         d = self.ix.stats.select("term")
+        # cheap dictionary pruning before the expensive predicate: a literal
+        # prefix (chars before the first metacharacter) becomes a sargable
+        # startswith that parquet row-group min/max on the sorted term
+        # column can skip on; fuzzy gets the levenshtein length-band. The
+        # reference walks an FST automaton — these are the set-oriented
+        # equivalents of its prefix/length pruning.
         if isinstance(q, Wildcard):
             like = q.pattern.replace("%", r"\%").replace("_", r"\_") \
                 .replace("*", "%").replace("?", "_")
             cond = F.col("term").like(like)
+            lit = _literal_prefix(q.pattern, "*?")
+            if lit:
+                cond = F.col("term").startswith(lit) & cond
         elif isinstance(q, Regexp):
             cond = F.col("term").rlike(f"^(?:{q.pattern})$")
+            lit = _literal_prefix(q.pattern, ".?*+[](){}|\\^$")
+            if lit:
+                cond = F.col("term").startswith(lit) & cond
         elif isinstance(q, Fuzzy):
-            cond = F.levenshtein(F.col("term"), F.lit(q.value)) \
-                <= int(q.fuzziness)
+            n = int(q.fuzziness)
+            band = ((F.length("term") >= len(q.value) - n)
+                    & (F.length("term") <= len(q.value) + n))
+            cond = band & (F.levenshtein(F.col("term"), F.lit(q.value))
+                           <= n)
         else:  # TextPrefix
             cond = F.col("term").startswith(q.value)
         matched = d.filter(cond)
@@ -182,13 +223,22 @@ class Executor:
         return out.select("docid", score.alias("score"))
 
     def _plan_multimatch(self, q: MultiMatch, scored: bool) -> DataFrame:
-        """best_fields = dis_max(tie_breaker), most_fields = score sum
+        """best_fields = dis_max(tie_breaker), most_fields = score sum,
+        cross_fields = term-centric max-across-fields then sum-over-terms,
+        phrase = dis_max over per-field match_phrase
         (MultiMatchQuery.java). Analyzed field 'text' scores BM25; keyword
-        doc-value fields score 1.0 on exact equality."""
+        doc-value fields score 1.0 on exact term (or, for phrase, whole
+        value) equality."""
+        if q.type == "cross_fields":
+            return self._plan_multimatch_cross(q, scored)
         legs = []
         for f in q.fields:
             if f == "text":
-                legs.append(self._plan(Match("text", q.text), scored))
+                inner = (MatchPhrase("text", q.text) if q.type == "phrase"
+                         else Match("text", q.text, operator=q.operator,
+                                    minimum_should_match=
+                                    q.minimum_should_match))
+                legs.append(self._plan(inner, scored))
             else:
                 legs.append(
                     self.ix.docs.filter(F.col(f) == F.lit(q.text))
@@ -201,6 +251,46 @@ class Executor:
             return (unioned.groupBy("docid")
                     .agg(F.sum("score").alias("score")))
         return self._dismax_of(legs, q.tie_breaker, scored)
+
+    def _plan_multimatch_cross(self, q: MultiMatch,
+                               scored: bool) -> DataFrame:
+        """cross_fields: per analyzed term, a doc's clause score is the MAX
+        over fields that match it (text = BM25 posting score, keyword =
+        1.0 on equality); clause scores sum and operator/msm count TERMS
+        across all fields — 'one bool clause per term, fields blended
+        inside' (MultiMatchQuery.java cross-fields execution)."""
+        from collections import Counter
+        terms = [t for t, _ in analyze(q.text, self.ix.analyzer)]
+        if not terms:
+            return self._empty()
+        cnt = Counter(terms)
+        uniq = sorted(cnt)
+        if q.operator == "and":
+            msm = len(terms)
+        else:
+            msm = calculate_min_should_match(
+                len(terms), q.minimum_should_match, has_required=False)
+        legs = []
+        for f in q.fields:
+            if f == "text":
+                legs.append(self._term_scores(uniq, scored))
+            else:
+                legs.append(
+                    self.ix.docs.filter(F.col(f).isin(uniq))
+                    .select("docid", F.col(f).alias("term"),
+                            F.lit(1.0 if scored else 0.0).alias("score")))
+        unioned = reduce(lambda a, b: a.unionAll(b), legs)
+        best = (unioned.groupBy("docid", "term")
+                .agg(F.max("score").alias("score")))
+        wmap = F.create_map(*[x for t, c in cnt.items()
+                              for x in (F.lit(t), F.lit(float(c)))])
+        w = F.element_at(wmap, F.col("term"))
+        agg = (best.groupBy("docid")
+               .agg(F.sum(F.col("score") * w).alias("score"),
+                    F.sum(w).cast("int").alias("_n")))
+        if msm > 1:
+            agg = agg.filter(F.col("_n") >= msm)
+        return agg.select("docid", "score")
 
     def _dismax_of(self, legs: list[DataFrame], tie: float,
                    scored: bool) -> DataFrame:
@@ -250,6 +340,8 @@ class Executor:
         return j.select("docid", "term", score.alias("score"))
 
     def _plan_match(self, q: Match, scored: bool) -> DataFrame:
+        if q.fuzziness is not None:
+            return self._plan_match_fuzzy(q, scored)
         terms = [t for t, _ in analyze(q.text, q.analyzer or self.ix.analyzer)]
         if not terms:
             return self._empty()  # zero_terms_query NONE
@@ -371,6 +463,250 @@ class Executor:
         return (joined.crossJoin(F.broadcast(sum_idf))
                 .select("docid", score.alias("score")))
 
+    @staticmethod
+    def _fuzz_of(term: str, spec) -> int:
+        """Fuzziness.AUTO ladder: <3 chars → 0 edits, 3-5 → 1, >5 → 2
+        (sv/common/unit/Fuzziness.java); ints pass through."""
+        if isinstance(spec, int):
+            return spec
+        n = len(term)
+        return 0 if n < 3 else (1 if n <= 5 else 2)
+
+    def _plan_match_fuzzy(self, q: Match, scored: bool) -> DataFrame:
+        """match with fuzziness: each query term expands over the term
+        dictionary (length-band pruned levenshtein — the Spark analogue of
+        FuzzyTermsEnum's automaton walk, MatchQuery.java:291-342); per doc,
+        a clause scores the MAX over its matched expansions' BM25 scores
+        (top_terms_blended rewrite approximated with per-expansion idf);
+        minimum_should_match counts clauses as usual. The expansion pair
+        list is collected driver-side — bounded the same way Lucene bounds
+        per-segment term expansion."""
+        terms = [t for t, _ in
+                 analyze(q.text, q.analyzer or self.ix.analyzer)]
+        if not terms:
+            return self._empty()
+        from collections import Counter
+        cnt = Counter(terms)
+        uniq = sorted(cnt)
+        if q.operator == "and":
+            msm = len(terms)
+        else:
+            msm = calculate_min_should_match(
+                len(terms), q.minimum_should_match, has_required=False)
+        spark = self.ix.spark
+        qdf = spark.createDataFrame(
+            [(t, self._fuzz_of(t, q.fuzziness)) for t in uniq],
+            "qt string, fz int")
+        d = self.ix.stats.select("term")
+        cond = ((F.length("term") >= F.length("qt") - F.col("fz"))
+                & (F.length("term") <= F.length("qt") + F.col("fz"))
+                & (F.levenshtein(F.col("term"), F.col("qt"))
+                   <= F.col("fz")))
+        pair_rows = d.join(F.broadcast(qdf), cond) \
+            .select("qt", "term").collect()
+        if not pair_rows:
+            return self._empty()
+        exp_terms = sorted({r["term"] for r in pair_rows})
+        per = self._term_scores(exp_terms, scored)
+        pairs = F.broadcast(spark.createDataFrame(
+            [(r["qt"], r["term"]) for r in pair_rows], "qt string, term string"))
+        perq = (per.join(pairs, "term")
+                .groupBy("docid", "qt")
+                .agg(F.max("score").alias("score")))
+        wmap = F.create_map(*[x for t, c in cnt.items()
+                              for x in (F.lit(t), F.lit(float(c)))])
+        w = F.element_at(wmap, F.col("qt"))
+        agg = (perq.groupBy("docid")
+               .agg(F.sum(F.col("score") * w).alias("score"),
+                    F.sum(w).cast("int").alias("_n")))
+        if msm > 1:
+            agg = agg.filter(F.col("_n") >= msm)
+        return agg.select("docid", "score")
+
+    def _plan_phrase_prefix(self, q: MatchPhrasePrefix,
+                            scored: bool) -> DataFrame:
+        """match_phrase_prefix: exact positional anchors for all but the
+        last term; the last slot accepts any of the first `max_expansions`
+        dictionary terms (term order) carrying the prefix — the reference's
+        MultiPhraseQuery over the expanded set (MatchQuery.java phrase_prefix
+        path). Scored as a pseudo-term: idf = Σ idfs of the exact members,
+        tf = number of anchor positions with a valid full match."""
+        terms = [t for t, _ in
+                 analyze(q.text, q.analyzer or self.ix.analyzer)]
+        if not terms:
+            return self._empty()
+        prefix = terms[-1]
+        exact = terms[:-1]
+        if not exact:
+            return self._plan_multiterm(TextPrefix(q.field_name, prefix),
+                                        scored)
+        exp_rows = (self.ix.stats.select("term")
+                    .filter(F.col("term").startswith(prefix))
+                    .orderBy("term").limit(q.max_expansions).collect())
+        expansions = [r["term"] for r in exp_rows]
+        if not expansions:
+            return self._empty()
+        n = len(exact)
+        uniq = sorted(set(exact))
+        p = self.ix.postings_for(sorted(set(uniq + expansions))) \
+            .select("term", "docid", "positions", "dl_q")
+        cur = (p.filter(F.col("term") == exact[0])
+                .select("docid", "dl_q", F.explode("positions").alias("_p0")))
+        for i, t in enumerate(exact[1:], start=1):
+            leg = (p.filter(F.col("term") == t)
+                    .select("docid", F.col("positions").alias(f"_ps{i}")))
+            cur = (cur.join(leg, "docid")
+                   .filter(F.array_contains(F.col(f"_ps{i}"),
+                                            F.col("_p0") + F.lit(i)))
+                   .drop(f"_ps{i}"))
+        last = (p.filter(F.col("term").isin(expansions))
+                .select("docid", F.col("positions").alias("_psL")))
+        cur = (cur.join(last, "docid")
+               .filter(F.array_contains(F.col("_psL"),
+                                        F.col("_p0") + F.lit(n)))
+               .drop("_psL"))
+        joined = (cur.groupBy("docid", "dl_q")
+                  .agg(F.countDistinct("_p0").cast("double").alias("pf")))
+        return self._phrase_score(joined, exact, scored)
+
+    def _plan_span_near(self, terms: list[str], slop: int, in_order: bool,
+                        scored: bool) -> DataFrame:
+        """span_near / intervals positional engine: one position per clause,
+        all clauses within a window of width (max−min)−(n−1) ≤ slop,
+        ordered when in_order (span registrations
+        sv/search/SearchModule.java:1140-1156,
+        sv/index/query/IntervalQueryBuilder.java). tf = distinct anchors
+        (first clause's position if ordered, window min otherwise), scored
+        as a pseudo-term like phrase."""
+        terms = [t for t in terms if t]
+        if not terms:
+            return self._empty()
+        if len(terms) == 1:
+            per = self._term_scores(terms, scored)
+            return per.select("docid", "score")
+        uniq = sorted(set(terms))
+        p = self.ix.postings_for(uniq).select("term", "docid", "positions",
+                                              "dl_q")
+        legs = []
+        for i, t in enumerate(terms):
+            legs.append(
+                p.filter(F.col("term") == t)
+                 .select("docid", F.explode("positions").alias(f"_p{i}"),
+                         *(["dl_q"] if i == 0 else [])))
+        cur = legs[0]
+        for i in range(1, len(terms)):
+            cur = cur.join(legs[i], "docid")
+            if in_order:
+                cur = cur.filter(F.col(f"_p{i}") > F.col(f"_p{i-1}"))
+            else:
+                # distinct positions (repeated clause terms may not reuse
+                # one token)
+                cur = cur.filter(reduce(
+                    lambda a, b: a & b,
+                    [F.col(f"_p{i}") != F.col(f"_p{j}") for j in range(i)]))
+        pcols = [F.col(f"_p{i}") for i in range(len(terms))]
+        width = (F.greatest(*pcols) - F.least(*pcols)
+                 - F.lit(len(terms) - 1))
+        cur = cur.filter(width <= slop)
+        anchor = F.col("_p0") if in_order else F.least(*pcols)
+        joined = (cur.groupBy("docid", "dl_q")
+                  .agg(F.countDistinct(anchor).cast("double").alias("pf")))
+        return self._phrase_score(joined, terms, scored)
+
+    def _function_col(self, fn) -> Column:
+        if isinstance(fn, WeightFunction):
+            return F.lit(float(fn.weight))
+        if isinstance(fn, FieldValueFactor):
+            v = (F.coalesce(F.col(fn.field).cast("double"),
+                            F.lit(float(fn.missing)))
+                 * float(fn.factor))
+            mod = fn.modifier
+            if mod == "none":
+                return v
+            if mod == "log1p":          # log10(1+x) — FieldValueFactor
+                return F.log10(F.lit(1.0) + v)
+            if mod == "ln1p":
+                return F.log1p(v)
+            if mod == "sqrt":
+                return F.sqrt(v)
+            if mod == "square":
+                return v * v
+            if mod == "reciprocal":
+                return F.lit(1.0) / v
+            raise ValueError(f"unknown modifier: {mod}")
+        if isinstance(fn, DecayFunction):
+            import math
+            if isinstance(fn.origin, str):
+                v = (F.unix_timestamp(F.col(fn.field)).cast("double")
+                     - F.unix_timestamp(
+                         F.to_timestamp(F.lit(fn.origin))).cast("double"))
+            else:
+                v = F.col(fn.field).cast("double") - float(fn.origin)
+            dist = F.greatest(F.abs(v) - float(fn.offset), F.lit(0.0))
+            if fn.kind == "gauss":
+                sigma2 = -(fn.scale ** 2) / (2.0 * math.log(fn.decay))
+                return F.exp(-(dist * dist) / F.lit(2.0 * sigma2))
+            if fn.kind == "exp":
+                lam = math.log(fn.decay) / fn.scale
+                return F.exp(dist * F.lit(lam))
+            if fn.kind == "linear":
+                s = fn.scale / (1.0 - fn.decay)
+                return F.greatest(F.lit(0.0),
+                                  (F.lit(s) - dist) / F.lit(s))
+            raise ValueError(f"unknown decay kind: {fn.kind}")
+        raise TypeError(f"unknown score function: {fn!r}")
+
+    def _plan_function_score(self, q: FunctionScore,
+                             scored: bool) -> DataFrame:
+        """function_score operator: base query scores × function values,
+        folded per score_mode / boost_mode
+        (sv/index/query/functionscore/FunctionScoreQueryBuilder.java:72).
+        Functions are pure Catalyst column expressions over the doc-values
+        columns — zero Python, one broadcast-join against the base hits."""
+        base = self._plan(q.query, scored)
+        if not scored:
+            return base
+        fields = sorted({fn.field for fn in q.functions
+                         if hasattr(fn, "field")})
+        df = base
+        if fields:
+            df = base.join(self.ix.docs.select("docid", *fields), "docid")
+        if not q.functions:
+            return df.select("docid", "score")
+        fvals = [self._function_col(fn) for fn in q.functions]
+        mode = q.score_mode
+        if mode == "multiply":
+            fv = reduce(lambda a, b: a * b, fvals)
+        elif mode == "sum":
+            fv = reduce(lambda a, b: a + b, fvals)
+        elif mode == "avg":
+            fv = reduce(lambda a, b: a + b, fvals) / float(len(fvals))
+        elif mode == "max":
+            fv = fvals[0] if len(fvals) == 1 else F.greatest(*fvals)
+        elif mode == "min":
+            fv = fvals[0] if len(fvals) == 1 else F.least(*fvals)
+        elif mode == "first":
+            fv = fvals[0]
+        else:
+            raise ValueError(f"unknown score_mode: {mode}")
+        qs = F.col("score")
+        bm = q.boost_mode
+        if bm == "multiply":
+            total = qs * fv
+        elif bm == "replace":
+            total = fv
+        elif bm == "sum":
+            total = qs + fv
+        elif bm == "avg":
+            total = (qs + fv) / F.lit(2.0)
+        elif bm == "max":
+            total = F.greatest(qs, fv)
+        elif bm == "min":
+            total = F.least(qs, fv)
+        else:
+            raise ValueError(f"unknown boost_mode: {bm}")
+        return df.select("docid", total.alias("score"))
+
     def _plan_docvalue_filter(self, q: Query) -> DataFrame:
         """Metadata-field predicates answered from the docs table (the
         engine's doc-values columnar store) with full Catalyst pushdown."""
@@ -386,18 +722,40 @@ class Executor:
         elif isinstance(q, Ids):
             cond = F.col("url").isin(list(q.values))
         elif isinstance(q, Range):
+            # date-math bounds ("now-1d/d", "2025-01-05||+2h/m") resolve
+            # driver-side against the frozen `now`
+            # (sv/index/query/RangeQueryBuilder.java:444)
+            from sparksearch.datemath import resolve_range_value
             cond = F.lit(True)
-            if q.gte is not None:
-                cond = cond & (F.col(q.field_name) >= F.lit(q.gte))
-            if q.gt is not None:
-                cond = cond & (F.col(q.field_name) > F.lit(q.gt))
-            if q.lte is not None:
-                cond = cond & (F.col(q.field_name) <= F.lit(q.lte))
-            if q.lt is not None:
-                cond = cond & (F.col(q.field_name) < F.lit(q.lt))
+            for bound in ("gte", "gt", "lte", "lt"):
+                v = getattr(q, bound)
+                if v is None:
+                    continue
+                v = resolve_range_value(v, bound, self.fixed_now)
+                col = F.col(q.field_name)
+                cond = cond & {"gte": col >= F.lit(v), "gt": col > F.lit(v),
+                               "lte": col <= F.lit(v),
+                               "lt": col < F.lit(v)}[bound]
         else:
             raise TypeError(q)
         return d.filter(cond).select("docid", F.lit(0.0).alias("score"))
+
+    # ---- bool: fused single-scan execution ---------------------------------
+    @staticmethod
+    def _fusable(c: Query) -> bool:
+        return isinstance(c, Match) and c.fuzziness is None
+
+    def _match_clause_info(self, c: Match):
+        """(Counter(terms), required_match_count) for a match clause."""
+        from collections import Counter
+        terms = [t for t, _ in analyze(c.text, c.analyzer or self.ix.analyzer)]
+        cnt = Counter(terms)
+        if c.operator == "and":
+            need = len(terms)
+        else:
+            need = max(1, calculate_min_should_match(
+                len(terms), c.minimum_should_match, has_required=False))
+        return cnt, need
 
     def _plan_bool(self, q: Bool, scored: bool) -> DataFrame:
         must, should, must_not, filt = (list(q.must), list(q.should),
@@ -405,6 +763,85 @@ class Executor:
         if not must and not should and not filt and must_not:
             must = [MatchAll()]  # pure-negative fix (BoolQueryBuilder.java:85)
 
+        # ---- fuse all plain match clauses through ONE postings scan -------
+        # A k-clause bool of match queries used to issue k independent
+        # postings scans + stats joins + (k-1) docid joins. Instead: scan
+        # postings_for(union of all clause terms) once, score per
+        # (docid, term), and derive every clause's matched-count and score
+        # in a single groupBy(docid) with per-clause term-weight maps —
+        # one scan, one shuffle, regardless of clause count.
+        fm = [c for c in must if self._fusable(c)]
+        fs = [c for c in should if self._fusable(c)]
+        fn = [c for c in must_not if self._fusable(c)]
+        work = None  # (docid, _f_ms, _f_mok, _f_os, _f_on, _f_neg) — ONE scan
+        infos_m: list = []
+        if len(fm) + len(fs) + len(fn) >= 2:
+            infos_m = [self._match_clause_info(c) for c in fm]
+            if any(not cnt for cnt, _ in infos_m):
+                return self._empty()  # a must clause analyzed to zero terms
+            infos_s = [x for x in (self._match_clause_info(c) for c in fs)
+                       if x[0]]
+            infos_n = [x for x in (self._match_clause_info(c) for c in fn)
+                       if x[0]]
+            all_terms = sorted(set().union(
+                *[set(cnt) for cnt, _ in infos_m + infos_s + infos_n]))
+            per = self._term_scores(all_terms, scored)
+
+            def clause_exprs(infos, prefix):
+                exprs = []
+                for j, (cnt, _need) in enumerate(infos):
+                    wmap = F.create_map(*[x for t, c_ in cnt.items()
+                                          for x in (F.lit(t),
+                                                    F.lit(float(c_)))])
+                    w = F.coalesce(F.element_at(wmap, F.col("term")),
+                                   F.lit(0.0))
+                    exprs.append(F.sum(F.col("score") * w)
+                                 .alias(f"_{prefix}s{j}"))
+                    exprs.append(F.sum(w).alias(f"_{prefix}n{j}"))
+                return exprs
+
+            aggs = (clause_exprs(infos_m, "m") + clause_exprs(infos_s, "o")
+                    + clause_exprs(infos_n, "x"))
+            fused = per.groupBy("docid").agg(*aggs)
+            # derive every clause-combination column in one projection so
+            # the scan+shuffle behind `fused` appears exactly once in the
+            # final plan (Spark does not dedupe repeated subplans)
+            mok = (reduce(lambda a, b: a & b,
+                          [F.col(f"_mn{j}") >= float(need)
+                           for j, (_, need) in enumerate(infos_m)])
+                   if infos_m else F.lit(True))
+            ms = (reduce(lambda a, b: a + b,
+                         [F.col(f"_ms{j}") for j in range(len(infos_m))])
+                  if infos_m and scored else F.lit(0.0))
+            if infos_s:
+                os_ = reduce(lambda a, b: a + b,
+                             [F.when(F.col(f"_on{j}") >= float(need),
+                                     F.col(f"_os{j}")).otherwise(F.lit(0.0))
+                              for j, (_, need) in enumerate(infos_s)])
+                on_ = reduce(lambda a, b: a + b,
+                             [(F.col(f"_on{j}") >= float(need)).cast("int")
+                              for j, (_, need) in enumerate(infos_s)])
+            else:
+                os_, on_ = F.lit(0.0), F.lit(0)
+            neg = (reduce(lambda a, b: a | b,
+                          [F.col(f"_xn{j}") >= float(need)
+                           for j, (_, need) in enumerate(infos_n)])
+                   if infos_n else F.lit(False))
+            work = fused.select(
+                "docid", ms.alias("_f_ms"), mok.alias("_f_mok"),
+                (os_ if scored else F.lit(0.0)).alias("_f_os"),
+                on_.alias("_f_on"), neg.alias("_f_neg"))
+            must = [c for c in must if not self._fusable(c)]
+            should_unfused = [c for c in should if not self._fusable(c)]
+            must_not = [c for c in must_not if not self._fusable(c)]
+        else:
+            should_unfused = should
+
+        msm = calculate_min_should_match(
+            len(should), q.minimum_should_match,
+            has_required=bool(infos_m or must or filt))
+
+        # unfused required legs (docid, score)
         req: DataFrame | None = None
         for c in must:
             leg = self._plan(c, scored)
@@ -417,30 +854,77 @@ class Executor:
             req = (leg.select("docid", F.lit(0.0).alias("score"))
                    if req is None else req.join(leg, "docid", "left_semi"))
 
+        # unfused optional legs aggregated to (docid, _opt_score, _n_opt)
         opt: DataFrame | None = None
-        if should:
-            legs = [self._plan(c, scored) for c in should]
+        if should_unfused:
+            legs = [self._plan(c, scored) for c in should_unfused]
             unioned = reduce(lambda a, b: a.unionAll(b), legs)
             opt = (unioned.groupBy("docid")
                    .agg(F.sum("score").alias("_opt_score"),
                         F.count("*").alias("_n_opt")))
 
-        msm = calculate_min_should_match(
-            len(should), q.minimum_should_match, has_required=req is not None)
-
-        if req is not None:
-            out = req
+        if work is not None and infos_m:
+            # fused must is the base: filter + exclusion + should all from
+            # the same projection, unfused legs joined onto it
+            out = work.filter(F.col("_f_mok") & ~F.col("_f_neg"))
+            if req is not None:
+                out = (out.join(req, "docid")
+                       .withColumn("_f_ms", F.col("_f_ms") + F.col("score"))
+                       .drop("score"))
+            n_opt = F.col("_f_on")
+            s_opt = F.col("_f_os")
             if opt is not None:
                 out = out.join(opt, "docid", "left")
-                if msm > 0:
-                    out = out.filter(F.coalesce(F.col("_n_opt"), F.lit(0)) >= msm)
-                out = out.select(
-                    "docid",
-                    (F.col("score")
-                     + F.coalesce(F.col("_opt_score"), F.lit(0.0))).alias("score"))
-        elif opt is not None:
+                n_opt = n_opt + F.coalesce(F.col("_n_opt"), F.lit(0))
+                s_opt = s_opt + F.coalesce(F.col("_opt_score"), F.lit(0.0))
+            if msm > 0:
+                out = out.filter(n_opt >= msm)
+            out = out.select("docid",
+                             (F.col("_f_ms") + s_opt).alias("score"))
+        elif req is not None:
+            # unfused required base; fused block (should/neg only) left-joined
+            out = req
+            if work is not None:
+                out = (out.join(work, "docid", "left")
+                       .filter(~F.coalesce(F.col("_f_neg"), F.lit(False))))
+            n_opt = (F.coalesce(F.col("_f_on"), F.lit(0))
+                     if work is not None else F.lit(0))
+            s_opt = (F.coalesce(F.col("_f_os"), F.lit(0.0))
+                     if work is not None else F.lit(0.0))
+            if opt is not None:
+                out = out.join(opt, "docid", "left")
+                n_opt = n_opt + F.coalesce(F.col("_n_opt"), F.lit(0))
+                s_opt = s_opt + F.coalesce(F.col("_opt_score"), F.lit(0.0))
+            if msm > 0:
+                out = out.filter(n_opt >= msm)
+            out = out.select("docid", (F.col("score") + s_opt).alias("score"))
+        elif work is None and opt is not None:
             out = (opt.filter(F.col("_n_opt") >= msm) if msm > 0 else opt) \
                 .select("docid", F.col("_opt_score").alias("score"))
+        elif work is not None:
+            # pure-optional bool: union the fused pseudo-leg (carrying its
+            # satisfied count and neg flag) with the unfused aggregation
+            legs = []
+            if work is not None:
+                legs.append(work
+                            .filter((F.col("_f_on") >= 1) | F.col("_f_neg"))
+                            .select("docid", F.col("_f_os").alias("_s"),
+                                    F.col("_f_on").alias("_n"),
+                                    F.col("_f_neg").alias("_neg")))
+            if opt is not None:
+                legs.append(opt.select("docid",
+                                       F.col("_opt_score").alias("_s"),
+                                       F.col("_n_opt").alias("_n"),
+                                       F.lit(False).alias("_neg")))
+            unioned = reduce(lambda a, b: a.unionAll(b), legs)
+            agg = (unioned.groupBy("docid")
+                   .agg(F.sum("_s").alias("_opt_score"),
+                        F.sum("_n").alias("_n_opt"),
+                        F.max(F.col("_neg").cast("int")).alias("_negmax")))
+            agg = agg.filter(F.col("_negmax") == 0)
+            if msm > 0:
+                agg = agg.filter(F.col("_n_opt") >= msm)
+            out = agg.select("docid", F.col("_opt_score").alias("score"))
         else:
             out = self._plan(MatchAll(), scored)
 

@@ -12,10 +12,11 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["highlight", "suggest_terms"]
+__all__ = ["highlight", "suggest_terms", "suggest_phrase",
+           "suggest_completion"]
 
 
 def highlight(topk: DataFrame, pages: DataFrame, terms: list[str],
@@ -44,8 +45,15 @@ def suggest_terms(ix, text: str, max_edits: int = 2,
             F.lit("").alias("input"), "term", "df").limit(0)
     inputs = ix.spark.createDataFrame([(t,) for t in toks], "input string")
     d = ix.stats.select("term", "df")
-    from pyspark.sql import Window
-    cand = (inputs.crossJoin(d)
+    # length-band prune BEFORE the levenshtein: |len(term) − len(input)| >
+    # max_edits can never be within distance, so the expensive distance runs
+    # only on the band (at a 10⁹-term dictionary this cuts the candidate
+    # set by ~the dictionary's length distribution, and the cheap length
+    # predicate is evaluated first in the joined filter)
+    cand = (d.join(
+                F.broadcast(inputs),
+                (F.length("term") >= F.length("input") - max_edits)
+                & (F.length("term") <= F.length("input") + max_edits))
             .withColumn("dist",
                         F.levenshtein(F.col("input"), F.col("term")))
             .where(F.col("dist") <= max_edits)
@@ -57,3 +65,66 @@ def suggest_terms(ix, text: str, max_edits: int = 2,
             .select("input", "term", F.col("dist").cast("int").alias("dist"),
                     F.col("df").cast("long").alias("df"), "rank")
             .orderBy("input", "rank"))
+
+
+def suggest_phrase(ix, text: str, per_token: int = 3, max_edits: int = 2,
+                   size: int = 3) -> DataFrame:
+    """Phrase suggester: whole-phrase corrections ranked by a simple
+    smoothed unigram score (sv/search/suggest/phrase/PhraseSuggester.java —
+    candidate generation per token + whole-phrase ranking; the reference's
+    Laplace-smoothed language model collapses to Σ log10(df+1) here, with
+    an edit-distance penalty per corrected token).
+
+    Per input token: the top `per_token` dictionary candidates by
+    (distance asc, df desc, term asc), distance 0 allowed (keep the token).
+    Candidate phrases are the cross product of the per-token shortlists
+    (bounded: per_token^n rows, all broadcast-sized), scored by
+    Σ (log10(df+1) − dist). Returns (phrase, score, rank).
+    """
+    from sparksearch.analysis import analyze
+    from pyspark.sql import Window
+    toks = [t for t, _ in analyze(text, ix.analyzer)]
+    if not toks:
+        return ix.spark.createDataFrame(
+            [], "phrase string, score double, rank int")
+    d = ix.stats.select("term", "df")
+    shortlists = []
+    for i, tk in enumerate(toks):
+        band = ((F.length("term") >= len(tk) - max_edits)
+                & (F.length("term") <= len(tk) + max_edits))
+        cand = (d.where(band)
+                .withColumn("dist", F.levenshtein(F.col("term"), F.lit(tk)))
+                .where(F.col("dist") <= max_edits))
+        w = Window.orderBy(F.col("dist").asc(), F.col("df").desc(),
+                           F.col("term").asc())
+        short = (cand.withColumn("_rn", F.row_number().over(w))
+                 .where(F.col("_rn") <= per_token)
+                 .select(F.col("term").alias(f"t{i}"),
+                         (F.log10(F.col("df") + 1)
+                          - F.col("dist")).alias(f"s{i}")))
+        shortlists.append(short)
+    cur = shortlists[0]
+    for i in range(1, len(toks)):
+        cur = cur.crossJoin(F.broadcast(shortlists[i]))
+    phrase = F.concat_ws(" ", *[F.col(f"t{i}") for i in range(len(toks))])
+    score = None
+    for i in range(len(toks)):
+        score = F.col(f"s{i}") if score is None else score + F.col(f"s{i}")
+    scored = cur.select(phrase.alias("phrase"),
+                        F.round(score, 6).alias("score"))
+    w = Window.orderBy(F.col("score").desc(), F.col("phrase").asc())
+    return (scored.withColumn("rank",
+                              F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= size)
+            .orderBy("rank"))
+
+
+def suggest_completion(ix, prefix: str, size: int = 5) -> DataFrame:
+    """Completion suggester: dictionary terms carrying the prefix, ranked
+    by df desc then term asc (sv/search/suggest/completion/ — the
+    reference's FST-backed prefix walk; here a sargable startswith over the
+    sorted term dictionary, so parquet min/max prunes row groups)."""
+    return (ix.stats.select("term", F.col("df").cast("long").alias("df"))
+            .where(F.col("term").startswith(prefix))
+            .orderBy(F.col("df").desc(), F.col("term").asc())
+            .limit(size))

@@ -181,13 +181,22 @@ class Boosting(Query):
 
 @dataclass
 class MultiMatch(Query):
-    """`multi_match` best_fields/most_fields across analyzed text fields
-    and keyword doc-value fields (term-equality legs score 1.0)
-    (sv/index/search/MultiMatchQuery.java)."""
+    """`multi_match` across analyzed text fields and keyword doc-value
+    fields (term-equality legs score 1.0)
+    (sv/index/search/MultiMatchQuery.java):
+      best_fields   dis_max over per-field match scores
+      most_fields   sum over per-field match scores
+      cross_fields  term-centric: per term take the MAX score across
+                    fields, sum over terms (the reference's blended
+                    term-centric execution), operator/msm count TERMS
+      phrase        dis_max over per-field match_phrase scores (keyword
+                    legs match on whole-value equality)"""
     fields: list = field(default_factory=list)
     text: str = ""
-    type: str = "best_fields"       # 'best_fields' | 'most_fields'
+    type: str = "best_fields"   # best_fields | most_fields | cross_fields | phrase
     tie_breaker: float = 0.0
+    operator: str = "or"
+    minimum_should_match: str | int | None = None
 
 
 @dataclass(frozen=True)
@@ -201,6 +210,95 @@ class MoreLikeThis(Query):
     max_query_terms: int = 25
     minimum_should_match: str | int | None = "30%"
     min_doc_freq: int = 1
+
+
+@dataclass(frozen=True)
+class MatchPhrasePrefix(Query):
+    """`match_phrase_prefix` — exact positional phrase over all terms but
+    the last, whose slot accepts any dictionary term with that prefix
+    (first `max_expansions` in term-dictionary order, reference default 50
+    — sv/index/search/MatchQuery.java phrase_prefix path /
+    MultiPhraseQuery). Scored as a pseudo-term: idf = Σ idfs of the exact
+    (non-prefix) members, tf = anchor count."""
+    field_name: str
+    text: str
+    max_expansions: int = 50
+    analyzer: str | None = None
+
+
+@dataclass(frozen=True)
+class SpanNear(Query):
+    """`span_near` — clauses (already-analyzed terms) within `slop`
+    ([max−min]−(n−1) ≤ slop), optionally in order
+    (sv/search/SearchModule.java:1140-1156 span registrations). Scored as
+    a pseudo-term with tf = number of distinct anchor positions admitting
+    a valid assignment (anchor = first clause's position when in_order,
+    the window's min position otherwise)."""
+    field_name: str
+    clauses: tuple
+    slop: int = 0
+    in_order: bool = True
+
+
+@dataclass(frozen=True)
+class Intervals(Query):
+    """`intervals` (match source) — analyzed terms of `text` all within
+    `max_gaps` ([max−min]−(n−1) ≤ max_gaps), `ordered` optionally
+    (sv/index/query/IntervalQueryBuilder.java). Same positional engine as
+    SpanNear after analysis."""
+    field_name: str
+    text: str
+    max_gaps: int = 0
+    ordered: bool = True
+    analyzer: str | None = None
+
+
+# --- function_score (sv/index/query/functionscore/...) ---------------------
+
+@dataclass(frozen=True)
+class WeightFunction:
+    """Constant weight factor (WeightBuilder)."""
+    weight: float = 1.0
+
+
+@dataclass(frozen=True)
+class FieldValueFactor:
+    """field_value_factor: modifier(factor · doc[field]), missing default
+    (FieldValueFactorFunctionBuilder; modifiers none/log1p/ln1p/sqrt/
+    square/reciprocal)."""
+    field: str
+    factor: float = 1.0
+    modifier: str = "none"
+    missing: float = 1.0
+
+
+@dataclass(frozen=True)
+class DecayFunction:
+    """gauss/exp/linear decay on a numeric or timestamp field
+    (DecayFunctionBuilder). For timestamps, origin is an ISO string and
+    scale/offset are seconds; dist = max(0, |v − origin| − offset);
+      gauss:  exp(−dist²/(2σ²)),  σ² = −scale²/(2·ln decay)
+      exp:    exp(ln(decay)/scale · dist)
+      linear: max(0, (s − dist)/s), s = scale/(1 − decay)"""
+    kind: str                      # 'gauss' | 'exp' | 'linear'
+    field: str
+    origin: object
+    scale: float
+    offset: float = 0.0
+    decay: float = 0.5
+
+
+@dataclass
+class FunctionScore(Query):
+    """function_score: combine the query score with function values —
+    score_mode folds the function values (multiply/sum/avg/max/min),
+    boost_mode folds the result into the query score
+    (multiply/replace/sum/avg/max/min)
+    (sv/index/query/functionscore/FunctionScoreQueryBuilder.java:72)."""
+    query: Query = None
+    functions: list = field(default_factory=list)
+    score_mode: str = "multiply"
+    boost_mode: str = "multiply"
 
 
 def calculate_min_should_match(n_optional: int, spec: str | int | None,
