@@ -392,6 +392,76 @@ SELECT doc_id, fp FROM wins ORDER BY doc_id, fp
 """.strip()
 
 
+def q_knn_join_lsh(spark, sf_dir):
+    from sparksearch.dataops import lsh_knn_join
+    return lsh_knn_join(_emb(spark, sf_dir), k=5, planes=4, multiprobe=1,
+                        query_ids=list(range(10)))
+
+
+def q_dedup_clusters(spark, sf_dir):
+    from sparksearch.dataops import connected_components, minhash_lsh_pairs
+    pairs = minhash_lsh_pairs(_docs(spark, sf_dir), k=3, num_hashes=16,
+                              bands=4, threshold=0.5)
+    return connected_components(pairs)
+
+
+def sql_knn_join_lsh(dim: int = 128, planes: int = 4, k: int = 5,
+                     n_queries: int = 10) -> str:
+    bits = []
+    for p in range(planes):
+        bits.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> v[i] * ({_plane_sql(p, dim)})[i])) > 0 "
+            f"THEN '1' ELSE '0' END)")
+    cell = " || ".join(bits)
+    flips = ", ".join(
+        f"substring(q.cell, 1, {p}) || "
+        f"(CASE WHEN substring(q.cell, {p + 1}, 1) = '1' THEN '0' "
+        f"ELSE '1' END) || substring(q.cell, {p + 2}, {planes - p - 1})"
+        for p in range(planes))
+    dot = (f"list_sum(list_transform(range(1, {dim + 1}), "
+           f"i -> cq.v[i] * cv.v[i]))")
+    return f"""
+WITH e AS ( SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings ),
+cells AS ( SELECT vec_id, v, ({cell}) AS cell FROM e ),
+q AS ( SELECT vec_id AS query_id, cell FROM cells
+       WHERE vec_id < {n_queries} ),
+probes AS ( SELECT query_id, unnest([q.cell, {flips}]) AS cell FROM q ),
+cand AS ( SELECT DISTINCT p.query_id, c.vec_id
+          FROM probes p JOIN cells c USING (cell)
+          WHERE c.vec_id <> p.query_id ),
+scored AS ( SELECT cd.query_id, cd.vec_id,
+            CAST(round({dot}
+              / ( sqrt(list_sum(list_transform(cq.v, x -> x * x)))
+                * sqrt(list_sum(list_transform(cv.v, x -> x * x)))), 6)
+              AS DOUBLE) AS cosine
+            FROM cand cd
+            JOIN cells cq ON cq.vec_id = cd.query_id
+            JOIN cells cv ON cv.vec_id = cd.vec_id ),
+ranked AS ( SELECT query_id, vec_id,
+            CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank, cosine
+            FROM scored )
+SELECT query_id, vec_id, rank, cosine FROM ranked
+WHERE rank <= {k} ORDER BY query_id, rank
+""".strip()
+
+
+def sql_dedup_clusters() -> str:
+    return f"""
+WITH RECURSIVE
+pairs AS ( {sql_dedup_minhash()} ),
+und AS ( SELECT id_a AS src, id_b AS dst FROM pairs
+         UNION ALL SELECT id_b, id_a FROM pairs ),
+reach(src, dst) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT r.src, u.dst FROM reach r JOIN und u ON u.src = r.dst )
+SELECT CAST(src AS BIGINT) AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_id
+FROM reach GROUP BY src ORDER BY doc_id
+""".strip()
+
+
 def queries() -> dict:
     return {
         "dedup_exact": q_dedup_exact,
@@ -401,6 +471,8 @@ def queries() -> dict:
         "simhash_fingerprints": q_simhash_fp,
         "knn_cosine_brute": q_knn_brute,
         "knn_cosine_lsh": q_knn_lsh,
+        "knn_join_lsh": q_knn_join_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "lang_id": q_lang_id,
         "quality_score": q_quality,
         "token_stats": q_token_stats,
@@ -417,6 +489,8 @@ def oracle_sql() -> dict:
         "simhash_fingerprints": sql_simhash_fp(),
         "knn_cosine_brute": sql_knn_brute(),
         "knn_cosine_lsh": sql_knn_lsh(),
+        "knn_join_lsh": sql_knn_join_lsh(),
+        "dedup_clusters": sql_dedup_clusters(),
         "lang_id": sql_lang_id(),
         "quality_score": sql_quality(),
         "token_stats": sql_token_stats(),

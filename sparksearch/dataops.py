@@ -33,6 +33,8 @@ __all__ = [
     "simhash_pairs",
     "brute_force_knn",
     "lsh_knn",
+    "lsh_knn_join",
+    "connected_components",
     "language_id",
     "quality_score",
     "token_stats",
@@ -310,6 +312,112 @@ def brute_force_knn(emb: DataFrame, query_id: int, k: int = 10,
                               6).alias("cosine")))
     return scored.orderBy(F.col("cosine").desc(),
                           F.col(id_col).asc()).limit(k)
+
+
+def _plane_vals(planes: int, dim: int) -> list[list[float]]:
+    import hashlib
+    return [[int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[0], 16) - 7.5
+             for d in range(dim)] for p in range(planes)]
+
+
+def _cell_expr(vc: Column, planes_vals: list[list[float]]) -> Column:
+    bits = []
+    for pv in planes_vals:
+        arr = F.array(*[F.lit(v) for v in pv])
+        dot = F.aggregate(F.zip_with(vc, arr, lambda x, y: x * y),
+                          F.lit(0.0), lambda acc, v: acc + v)
+        bits.append((dot > 0).cast("int").cast("string"))
+    return F.concat(*bits)
+
+
+def lsh_knn_join(emb: DataFrame, k: int = 5, planes: int = 4,
+                 multiprobe: int = 1, query_ids: list | None = None,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Batch ANN join: top-k cosine neighbors for EVERY vector at once —
+    the 100 TB training-pipeline shape (all-queries ANN, not per-query).
+
+    Every vector doubles as query and candidate: candidates carry their
+    LSH cell; queries melt to their own cell plus (multiprobe=1) each
+    1-bit-flipped cell. Neighbor candidates come from the cell equi-join —
+    shuffle ∝ Σ bucket sizes, never the n² cross join — then exact cosine
+    re-rank and a per-query window top-k. `query_ids` optionally restricts
+    the query side (the candidate index stays full).
+
+    Returns (query_id, vec_id, rank, cosine) ordered by query then rank.
+    """
+    dim = len(emb.select(vec_col).first()[0])
+    pv = _plane_vals(planes, dim)
+    v = F.col(vec_col).cast("array<double>")
+    with_cell = emb.select(F.col(id_col), v.alias("_v"),
+                           _cell_expr(v, pv).alias("_cell"))
+    qside = with_cell
+    if query_ids is not None:
+        qside = qside.where(F.col(id_col).isin(list(query_ids)))
+    probe_cols = [F.col("_cell")]
+    for p in range(planes * (1 if multiprobe >= 1 else 0)):
+        flipped = F.concat(
+            F.substring("_cell", 1, p),
+            F.when(F.substring("_cell", p + 1, 1) == "1", "0")
+             .otherwise("1"),
+            F.substring("_cell", p + 2, planes - p - 1))
+        probe_cols.append(flipped)
+    probes = qside.select(
+        F.col(id_col).alias("query_id"), F.col("_v").alias("_qv"),
+        F.explode(F.array(*probe_cols)).alias("_cell"))
+    cand = (probes.join(with_cell, "_cell")
+            .where(F.col("query_id") != F.col(id_col))
+            .dropDuplicates(["query_id", id_col]))
+    scored = cand.select(
+        "query_id", id_col,
+        F.round(_cosine(F.col("_qv"), F.col("_v")), 6).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", id_col, F.col("rank").cast("int"), "cosine")
+            .orderBy("query_id", "rank"))
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b", max_iter: int = 50) -> DataFrame:
+    """Connected components over near-duplicate pairs → dedup clusters:
+    (doc_id, cluster_id = min id in the component).
+
+    Iterative min-label propagation in pure DataFrame algebra: each round
+    every node takes min(own label, neighbors' labels); converges in
+    O(component diameter) rounds (near-dup clusters are shallow). Each
+    round is one join + groupBy — shuffle ∝ |E|; the driver only sees the
+    single changed-count per round. This is the pairs→groups step a
+    training-data pipeline runs after MinHash/SimHash pair generation.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    und = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    und = und.persist()
+    labels = (und.select(F.col("src").alias("id")).distinct()
+              .withColumn("label", F.col("id"))
+              .persist())
+    for _ in range(max_iter):
+        nbr = (und.join(labels.select(F.col("id").alias("dst"),
+                                      F.col("label").alias("_nl")), "dst")
+               .groupBy("src").agg(F.min("_nl").alias("_ml")))
+        new = (labels.join(nbr.withColumnRenamed("src", "id"), "id", "left")
+               .select("id",
+                       F.least(F.col("label"),
+                               F.coalesce(F.col("_ml"), F.col("label")))
+                       .alias("label"))
+               .persist())
+        changed = (new.join(labels.withColumnRenamed("label", "_old"), "id")
+                   .where(F.col("label") != F.col("_old")).count())
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    und.unpersist()
+    return (labels.select(F.col("id").alias("doc_id"),
+                          F.col("label").alias("cluster_id"))
+            .orderBy("doc_id"))
 
 
 def lsh_knn(emb: DataFrame, query_id: int, k: int = 10, planes: int = 8,
