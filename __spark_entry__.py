@@ -147,8 +147,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_after": _q_search_after,
     }
     from sparksearch import contract_aggs2 as CA2
+    from sparksearch import contract_misc2 as CM2
     from sparksearch import contract_queries2 as CQ2
     out.update(CQ2.queries())
+    out.update(CM2.queries())
     out.update(CAN.queries())
     out.update(CQ.queries())
     out.update(CA.queries())
@@ -165,9 +167,11 @@ def oracle_sql() -> dict[str, str]:
     from sparksearch import contract_misc as CM
     from sparksearch import contract_queries as CQ
     from sparksearch import contract_aggs2 as CA2
+    from sparksearch import contract_misc2 as CM2
     from sparksearch import contract_queries2 as CQ2
     out = dict(CD.oracle_sql())
     out.update(CQ2.oracle_sql())
+    out.update(CM2.oracle_sql())
     out.update(CA.oracle_sql())
     out.update(CA2.oracle_sql())
     out.update(CQ.oracle_sql())

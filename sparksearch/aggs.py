@@ -427,3 +427,64 @@ def date_range_agg(df: DataFrame, field: str,
                     F.col("b.doc_count").cast("long").alias("doc_count"),
                     F.col("b.ord").alias("_o"))
             .orderBy("_o").drop("_o"))
+
+
+def variable_width_histogram(df: DataFrame, field: str,
+                             buckets: int = 10,
+                             tie_col: str | None = None,
+                             exact: bool = True) -> DataFrame:
+    """variable_width_histogram: N variable-width clusters over a numeric
+    field — min/max/avg/doc_count per cluster, ordered by position
+    (sv/search/SearchModule.java:612; VariableWidthHistogramAggregationBuilder).
+
+    The reference's one-pass streaming clusterer is order-sensitive and
+    shard-local; the deterministic distributed form here assigns values to
+    equal-frequency rank slices — the same "adaptive widths follow the
+    data density" contract with a stable, oracle-checkable definition.
+
+    exact=True (the oracle gate): ntile over the global value order — a
+    single-partition window sort, correct at any SF that fits a task.
+    exact=False (the 100 TB path): bucket boundaries from
+    approx_percentile (fully distributed, one small driver row), then a
+    broadcast range lookup — no global sort; clusters differ from the
+    exact ranks only at quantile-sketch error."""
+    keep = [F.col(field).alias("_v")] + \
+        ([F.col(tie_col).alias("_tie")] if tie_col else [])
+    src = df.where(F.col(field).isNotNull()).select(*keep)
+    if exact:
+        order = [F.col("_v").asc()] + \
+            ([F.col("_tie").asc()] if tie_col else [])
+        w = Window.orderBy(*order)
+        assigned = src.select("_v", F.ntile(buckets).over(w).alias("bucket"))
+    else:
+        qs = [i / buckets for i in range(1, buckets)]
+        row = src.agg(F.percentile_approx(
+            "_v", qs, 10000).alias("b")).collect()[0]["b"]
+        cond = F.lit(buckets)
+        for i in range(buckets - 1, 0, -1):
+            cond = F.when(F.col("_v") <= F.lit(row[i - 1]), i) \
+                .otherwise(cond)
+        assigned = src.select("_v", cond.alias("bucket"))
+    return (assigned
+            .groupBy("bucket")
+            .agg(F.min("_v").alias("min"), F.max("_v").alias("max"),
+                 F.avg("_v").alias("avg"),
+                 F.count("*").cast("long").alias("doc_count"))
+            .orderBy("bucket"))
+
+
+def scripted_metric(df: DataFrame, map_expr: Column,
+                    combine: str = "sum", reduce: str = "sum") -> DataFrame:
+    """scripted_metric: map/combine/reduce as explicit phases —
+    map_expr per doc, `combine` folds per shard (spark partition),
+    `reduce` folds the shard states (ScriptedMetricAggregationBuilder;
+    scripts become Catalyst column expressions, the engine's Painless
+    analogue). The two-level agg mirrors the reference's shard→coordinator
+    structure; both levels are whole-stage-codegen aggs, and the shard
+    level is exactly Spark's map-side partial aggregation."""
+    fns = {"sum": F.sum, "min": F.min, "max": F.max, "avg": F.avg,
+           "count": F.count}
+    part = (df.select(F.spark_partition_id().alias("_shard"),
+                      map_expr.alias("_m"))
+            .groupBy("_shard").agg(fns[combine]("_m").alias("_state")))
+    return part.agg(fns[reduce]("_state").alias("value"))

@@ -39,7 +39,8 @@ from sparksearch.index import IndexReader
 from sparksearch.queries import (
     Bool, Boosting, ConstantScore, DecayFunction, DisMax, Exists,
     FieldValueFactor, FunctionScore, Fuzzy, Ids, Intervals, Match,
-    MatchAll, MatchNone, MatchPhrase, MatchPhrasePrefix, MoreLikeThis,
+    MatchAll, MatchBoolPrefix, MatchNone, MatchPhrase, MatchPhrasePrefix,
+    MoreLikeThis,
     MultiMatch, Prefix, Query, Range, Regexp, SpanNear, Term, Terms,
     TextPrefix, WeightFunction, Wildcard, calculate_min_should_match,
 )
@@ -149,6 +150,8 @@ class Executor:
             return self._plan_mlt(q, scored)
         if isinstance(q, MatchPhrasePrefix):
             return self._plan_phrase_prefix(q, scored)
+        if isinstance(q, MatchBoolPrefix):
+            return self._plan_match_bool_prefix(q, scored)
         if isinstance(q, SpanNear):
             return self._plan_span_near(list(q.clauses), q.slop,
                                         q.in_order, scored)
@@ -568,6 +571,47 @@ class Executor:
         joined = (cur.groupBy("docid", "dl_q")
                   .agg(F.countDistinct("_p0").cast("double").alias("pf")))
         return self._phrase_score(joined, exact, scored)
+
+    def _plan_match_bool_prefix(self, q: MatchBoolPrefix,
+                                scored: bool) -> DataFrame:
+        """match_bool_prefix: BM25 term clauses for all analyzed terms but
+        the last + a constant-score-1.0 prefix clause for the last
+        (MatchBoolPrefixQueryBuilder — bool of term queries plus a prefix
+        query under the constant-score multi-term rewrite). Clause counting
+        for operator/minimum_should_match includes the prefix clause. One
+        postings scan for the term clauses; the prefix leg reuses the
+        dictionary-pruned multiterm plan."""
+        terms = [t for t, _ in
+                 analyze(q.text, q.analyzer or self.ix.analyzer)]
+        if not terms:
+            return self._empty()
+        prefix, exact = terms[-1], terms[:-1]
+        if not exact:
+            return self._plan_multiterm(TextPrefix(q.field_name, prefix),
+                                        scored)
+        from collections import Counter
+        cnt = Counter(exact)
+        per = self._term_scores(sorted(cnt), scored)
+        wmap = F.create_map(*[x for t, c in cnt.items()
+                              for x in (F.lit(t), F.lit(float(c)))])
+        legs = per.select("docid", (F.col("score")
+                                    * F.element_at(wmap, F.col("term")))
+                          .alias("score"),
+                          F.element_at(wmap, F.col("term")).alias("_w"))
+        pre = (self._plan_multiterm(TextPrefix(q.field_name, prefix), scored)
+               .select("docid", "score", F.lit(1.0).alias("_w")))
+        n_clauses = len(terms)
+        if q.operator == "and":
+            msm = n_clauses
+        else:
+            msm = calculate_min_should_match(
+                n_clauses, q.minimum_should_match, has_required=False)
+        agg = (legs.unionByName(pre).groupBy("docid")
+               .agg(F.sum("score").alias("score"),
+                    F.sum("_w").cast("int").alias("_n")))
+        if msm > 1:
+            agg = agg.filter(F.col("_n") >= msm)
+        return agg.select("docid", "score")
 
     def _plan_span_near(self, terms: list[str], slop: int, in_order: bool,
                         scored: bool) -> DataFrame:

@@ -227,6 +227,21 @@ class MatchPhrasePrefix(Query):
 
 
 @dataclass(frozen=True)
+class MatchBoolPrefix(Query):
+    """`match_bool_prefix` — every analyzed term but the last is a
+    BM25-scored term clause; the last is a prefix clause over the term
+    dictionary scored 1.0 per matching doc (Lucene's constant-score
+    multi-term rewrite inside the bool —
+    sv/index/query/MatchBoolPrefixQueryBuilder.java). operator /
+    minimum_should_match count ALL clauses, prefix included."""
+    field_name: str
+    text: str
+    operator: str = "or"
+    minimum_should_match: str | int | None = None
+    analyzer: str | None = None
+
+
+@dataclass(frozen=True)
 class SpanNear(Query):
     """`span_near` — clauses (already-analyzed terms) within `slop`
     ([max−min]−(n−1) ≤ slop), optionally in order
