@@ -67,6 +67,9 @@ __all__ = [
     "sampler_terms",
     "auto_date_histogram",
     "date_range_agg",
+    "variable_width_histogram",
+    "scripted_metric",
+    "ip_range_agg",
 ]
 
 
@@ -488,3 +491,39 @@ def scripted_metric(df: DataFrame, map_expr: Column,
                       map_expr.alias("_m"))
             .groupBy("_shard").agg(fns[combine]("_m").alias("_state")))
     return part.agg(fns[reduce]("_state").alias("value"))
+
+
+def _ip_num(col: Column) -> Column:
+    """Dotted-quad IPv4 → uint32-as-long (the comparable form the
+    reference's IP ranges bucket on — sortable BytesRef order for v4)."""
+    p = F.split(col, r"\.")
+    return (p.getItem(0).cast("long") * 16777216
+            + p.getItem(1).cast("long") * 65536
+            + p.getItem(2).cast("long") * 256
+            + p.getItem(3).cast("long"))
+
+
+def ip_range_agg(df: DataFrame, field: str,
+                 ranges: list[tuple[str | None, str | None]]) -> DataFrame:
+    """ip_range: [from, to) dotted-quad buckets, order = range position
+    (IpRangeAggregationBuilder). One pass of conditional sums, like
+    date_range_agg."""
+    v = _ip_num(F.col(field))
+    rows = []
+    for i, (lo, hi) in enumerate(ranges):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (v >= _ip_num(F.lit(lo)))
+        if hi is not None:
+            cond = cond & (v < _ip_num(F.lit(hi)))
+        key = f"{lo or '*'}-{hi or '*'}"
+        rows.append((i, key, F.sum(cond.cast("long")).alias(f"r{i}")))
+    agg = df.agg(*[r[2] for r in rows])
+    parts = [F.struct(F.lit(i).alias("ord"), F.lit(key).alias("key"),
+                      F.col(f"r{i}").alias("doc_count"))
+             for i, key, _ in rows]
+    return (agg.select(F.explode(F.array(*parts)).alias("b"))
+            .select(F.col("b.key").alias("key"),
+                    F.col("b.doc_count").cast("long").alias("doc_count"),
+                    F.col("b.ord").alias("_o"))
+            .orderBy("_o").drop("_o"))

@@ -194,6 +194,8 @@ def queries() -> dict:
         "analyze_adversarial": q_analyze_adversarial,
         "agg_variable_width_histogram": q_variable_width_histogram,
         "agg_scripted_metric": q_scripted_metric,
+        "ingest_pipeline2": q_ingest_pipeline2,
+        "agg_ip_range": q_agg_ip_range,
     }
 
 
@@ -204,4 +206,123 @@ def oracle_sql() -> dict:
         "analyze_adversarial": sql_analyze_adversarial(),
         "agg_variable_width_histogram": sql_variable_width_histogram(),
         "agg_scripted_metric": sql_scripted_metric(),
+        "ingest_pipeline2": sql_ingest_pipeline2(),
+        "agg_ip_range": sql_agg_ip_range(),
     }
+
+
+# ---------------------------------------------------------------------------
+# ingest pipeline, part 2: dissect / kv / user_agent / fingerprint / trim
+# (modules/ingest-common DissectProcessor, KeyValueProcessor; modules/
+# ingest-user-agent; FingerprintProcessor) — same chain pattern as the
+# round-1 `ingest_pipeline` entry, new processor families
+# ---------------------------------------------------------------------------
+
+def q_ingest_pipeline2(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    log = F.concat(F.col("event_type"), F.lit(" user="),
+                   F.col("user_id").cast("string"),
+                   F.lit(" k="),
+                   F.coalesce(F.get_json_object("props", "$.k"),
+                              F.lit("0")))
+    # deterministic synthetic UA string per event (the processor parses
+    # it back; parsing is the thing under test)
+    ua = F.concat(
+        F.lit("Mozilla/5.0 ("),
+        F.element_at(F.array(F.lit("Linux"), F.lit("Windows"),
+                             F.lit("Mac OS X")),
+                     (F.col("user_id") % 3 + 1).cast("int")),
+        F.lit(") "),
+        F.element_at(F.array(F.lit("Chrome"), F.lit("Firefox")),
+                     (F.col("user_id") % 2 + 1).cast("int")),
+        F.lit("/"), (F.col("user_id") % 100).cast("string"), F.lit(".0"))
+    out = (ev
+           .withColumn("_log", log).withColumn("_ua", ua)
+           .select(
+               "event_id",
+               # dissect: positional delimiter parse, NO regex
+               # ("%{type} user=%{uid} k=%{k}")
+               F.substring_index("_log", " user=", 1).alias("ds_type"),
+               F.substring_index(F.substring_index("_log", " k=", 1),
+                                 " user=", -1).cast("long").alias("ds_uid"),
+               F.substring_index("_log", " k=", -1).alias("ds_k"),
+               # kv processor: field_split=' ', value_split='='
+               F.element_at(
+                   F.str_to_map(
+                       F.substring_index("_log", " ", -2),
+                       F.lit(" "), F.lit("=")),
+                   F.lit("k")).alias("kv_k"),
+               # user_agent processor: name / major version / os
+               F.regexp_extract("_ua", r"\) (\w+)/", 1).alias("ua_name"),
+               F.regexp_extract("_ua", r"/(\d+)\.0$", 1)
+               .cast("int").alias("ua_major"),
+               F.regexp_extract("_ua", r"\(([^)]*)\)", 1).alias("ua_os"),
+               # fingerprint processor: stable hash of selected fields
+               F.md5(F.concat_ws("|", "event_type",
+                                 F.col("user_id").cast("string")))
+               .alias("fp"),
+               # trim + uppercase processors
+               F.upper(F.trim(F.concat(F.lit("  "), "event_type",
+                                       F.lit(" ")))).alias("u_type"),
+           )
+           .orderBy("event_id"))
+    return out
+
+
+def sql_ingest_pipeline2() -> str:
+    log = ("event_type || ' user=' || CAST(user_id AS VARCHAR) || ' k=' || "
+           "coalesce(json_extract_string(props, '$.k'), '0')")
+    ua = ("'Mozilla/5.0 (' || (CASE user_id % 3 WHEN 0 THEN 'Linux' "
+          "WHEN 1 THEN 'Windows' ELSE 'Mac OS X' END) || ') ' || "
+          "(CASE user_id % 2 WHEN 0 THEN 'Chrome' ELSE 'Firefox' END) || "
+          "'/' || CAST(user_id % 100 AS VARCHAR) || '.0'")
+    return f"""
+WITH ev AS ( SELECT *, {log} AS _log, {ua} AS _ua FROM events )
+SELECT event_id,
+       split_part(_log, ' user=', 1) AS ds_type,
+       CAST(split_part(split_part(_log, ' k=', 1), ' user=', 2) AS BIGINT)
+         AS ds_uid,
+       split_part(_log, ' k=', 2) AS ds_k,
+       regexp_extract(_log, 'k=([^ ]*)$', 1) AS kv_k,
+       regexp_extract(_ua, '\\) (\\w+)/', 1) AS ua_name,
+       CAST(regexp_extract(_ua, '/(\\d+)\\.0$', 1) AS INT) AS ua_major,
+       regexp_extract(_ua, '\\(([^)]*)\\)', 1) AS ua_os,
+       md5(event_type || '|' || CAST(user_id AS VARCHAR)) AS fp,
+       upper(trim('  ' || event_type || ' ')) AS u_type
+FROM ev ORDER BY event_id
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# ip_range agg (IpRangeAggregationBuilder) — synthetic per-event IPs
+# ---------------------------------------------------------------------------
+
+def q_agg_ip_range(spark, sf_dir):
+    from sparksearch.aggs import ip_range_agg
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ip = F.concat_ws(".", F.lit(10), (F.col("user_id") % 200).cast("int"),
+                     F.lit(0), (F.col("user_id") % 250).cast("int"))
+    return ip_range_agg(ev.withColumn("ip", ip), "ip", [
+        (None, "10.50.0.0"), ("10.50.0.0", "10.150.0.0"),
+        ("10.150.0.0", None)])
+
+
+def sql_agg_ip_range() -> str:
+    num = ("(10 * 16777216 + (user_id % 200) * 65536 + (user_id % 250))")
+    return f"""
+WITH e AS ( SELECT {num} AS ipn FROM events )
+SELECT key, doc_count FROM (
+  SELECT '*-10.50.0.0' AS key,
+         CAST(sum(CASE WHEN ipn < 10 * 16777216 + 50 * 65536
+              THEN 1 ELSE 0 END) AS BIGINT) AS doc_count, 0 AS o FROM e
+  UNION ALL
+  SELECT '10.50.0.0-10.150.0.0',
+         CAST(sum(CASE WHEN ipn >= 10 * 16777216 + 50 * 65536
+              AND ipn < 10 * 16777216 + 150 * 65536
+              THEN 1 ELSE 0 END) AS BIGINT), 1 FROM e
+  UNION ALL
+  SELECT '10.150.0.0-*',
+         CAST(sum(CASE WHEN ipn >= 10 * 16777216 + 150 * 65536
+              THEN 1 ELSE 0 END) AS BIGINT), 2 FROM e )
+ORDER BY o
+""".strip()

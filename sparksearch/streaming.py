@@ -31,7 +31,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from sparksearch.merge import add_generation, merge_segments, should_merge
 
-__all__ = ["stream_index", "indexed_batches"]
+__all__ = ["stream_index", "indexed_batches",
+           "windowed_page_stats", "site_running_counts"]
 
 
 def indexed_batches(index_dir: str) -> dict[str, int]:
@@ -84,3 +85,69 @@ def stream_index(spark: SparkSession, source_dir: str, index_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def windowed_page_stats(pages_stream: DataFrame,
+                        window: str = "1 minute",
+                        watermark: str = "2 minutes",
+                        slide: str | None = None) -> DataFrame:
+    """Watermarked tumbling/sliding-window ingest statistics — the
+    streaming analogue of date_histogram + stats over arriving pages
+    (the reference computes these at query time over the NRT index; a
+    Spark pipeline computes them on the way in).
+
+    Late data: rows older than `watermark` behind the max event time are
+    dropped and their closed windows are final — append output mode only
+    emits a window once the watermark passes its end, so downstream sinks
+    see each bucket exactly once. State is bounded by
+    (#open windows × #groups), independent of stream length.
+    """
+    from pyspark.sql import functions as F
+    w = (F.window("warc_ts", window, slide)
+         if slide else F.window("warc_ts", window))
+    return (pages_stream
+            .withWatermark("warc_ts", watermark)
+            .groupBy(w.alias("win"), "lang")
+            .agg(F.count("*").cast("long").alias("doc_count"),
+                 F.avg(F.length("text")).alias("avg_chars"))
+            .select(F.col("win.start").alias("window_start"),
+                    F.col("win.end").alias("window_end"),
+                    "lang", "doc_count", "avg_chars"))
+
+
+def site_running_counts(pages_stream: DataFrame,
+                        timeout_minutes: int = 30) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-site
+    cumulative page count + last-seen event time, emitted every batch the
+    site appears in. The state (two numbers per site) survives across
+    micro-batches through the checkpoint — the pattern for stateful ops
+    the built-in windowed aggs can't express (running dedup sets, session
+    windows with custom close rules, per-key model state).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, \
+        GroupStateTimeout
+
+    out_schema = ("site string, total_docs long, last_ts timestamp")
+    state_schema = "total_docs long, last_ts_epoch double"
+
+    def update(key, pdf_iter, state: GroupState):
+        total, last = (state.get if state.exists else (0, 0.0))
+        n_new, mx = 0, last
+        for pdf in pdf_iter:
+            n_new += len(pdf)
+            if len(pdf):
+                mx = max(mx, pdf["warc_ts"].max().timestamp())
+        total += n_new
+        state.update((total, mx))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame({"site": [key[0]], "total_docs": [total],
+                            "last_ts": [pd.Timestamp(mx, unit="s")]})
+
+    from pyspark.sql import functions as F
+    keyed = pages_stream.withColumn(
+        "site", F.regexp_extract("url", r"//([^/]+)/", 1))
+    return (keyed.groupBy("site")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update",
+                                    GroupStateTimeout.ProcessingTimeTimeout))

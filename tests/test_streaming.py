@@ -54,3 +54,91 @@ def test_stream_index_drain_and_idempotent(spark, stream_setup):
     ix2 = IndexReader(spark, ix_dir)
     assert ix2.generations == [0, 1]
     assert ix2.n_docs == 500
+
+
+def _write_pages(spark, rows, path, mode="append"):
+    (spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, "
+              "lang string")
+     .coalesce(1).write.mode(mode).parquet(path))
+
+
+def test_windowed_page_stats_watermark(spark, tmp_path):
+    """Append-mode windows emit once the watermark passes their end; a
+    too-late row neither reopens nor changes a closed window. File sink
+    (supports checkpoint recovery) so the stream restarts with state."""
+    import datetime as dt
+    from sparksearch.streaming import windowed_page_stats
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    t = lambda m, s=0: dt.datetime(2025, 1, 1, 0, m, s)
+
+    def drain():
+        stream = (spark.readStream
+                  .schema("url string, warc_ts timestamp, html binary, "
+                          "text string, lang string").parquet(src))
+        q = (windowed_page_stats(stream, window="1 minute",
+                                 watermark="2 minutes")
+             .writeStream.format("parquet").option("path", sink)
+             .outputMode("append").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return spark.read.parquet(sink).collect()
+
+    _write_pages(spark, [
+        ("https://a/x1", t(0, 10), None, "one two", "en"),
+        ("https://a/x2", t(0, 40), None, "three", "en"),
+        ("https://a/x3", t(5, 0), None, "advances watermark", "en"),
+    ], src, mode="overwrite")
+    first = {(r["window_start"].minute, r["doc_count"]) for r in drain()}
+    # watermark = 00:05 - 2 min = 00:03 > window [00:00,00:01) end -> emitted
+    assert (0, 2) in first
+    # a row for the already-closed 00:00 window arrives too late
+    _write_pages(spark, [("https://a/x4", t(0, 50), None, "late", "en")], src)
+    rows = [r for r in drain()
+            if r["window_start"] == dt.datetime(2025, 1, 1, 0, 0)]
+    assert rows and all(r["doc_count"] == 2 for r in rows)
+
+
+def test_site_running_counts_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps per-site totals across micro-batches
+    via the checkpoint: two drains, cumulative counts. foreachBatch sink
+    (checkpoint-recoverable) appends each update to parquet."""
+    import datetime as dt
+    from sparksearch.streaming import site_running_counts
+    src = str(tmp_path / "src2")
+    ckpt = str(tmp_path / "ckpt2")
+    sink = str(tmp_path / "sink2")
+    t = lambda m: dt.datetime(2025, 1, 1, 0, m)
+
+    def drain():
+        stream = (spark.readStream
+                  .schema("url string, warc_ts timestamp, html binary, "
+                          "text string, lang string").parquet(src))
+        q = (site_running_counts(stream)
+             .writeStream
+             .foreachBatch(lambda df, bid:
+                           df.withColumn("batch", df.total_docs * 0 + bid)
+                           .write.mode("append").parquet(sink))
+             .outputMode("update").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        rows = spark.read.parquet(sink).collect()
+        latest = {}
+        for r in sorted(rows, key=lambda r: r["batch"]):
+            latest[r["site"]] = r["total_docs"]
+        return latest
+
+    _write_pages(spark, [
+        ("https://s1.ex/a", t(0), None, "x", "en"),
+        ("https://s1.ex/b", t(1), None, "y", "en"),
+        ("https://s2.ex/c", t(1), None, "z", "en"),
+    ], src, mode="overwrite")
+    got1 = drain()
+    assert got1 == {"s1.ex": 2, "s2.ex": 1}
+    _write_pages(spark, [
+        ("https://s1.ex/d", t(2), None, "w", "en"),
+    ], src)
+    got2 = drain()
+    assert got2["s1.ex"] == 3  # state carried across the restart
