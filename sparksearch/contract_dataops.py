@@ -473,6 +473,7 @@ def queries() -> dict:
         "knn_cosine_lsh": q_knn_lsh,
         "knn_join_lsh": q_knn_join_lsh,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_embedding": q_dedup_embedding,
         "lang_id": q_lang_id,
         "quality_score": q_quality,
         "token_stats": q_token_stats,
@@ -491,8 +492,46 @@ def oracle_sql() -> dict:
         "knn_cosine_lsh": sql_knn_lsh(),
         "knn_join_lsh": sql_knn_join_lsh(),
         "dedup_clusters": sql_dedup_clusters(),
+        "dedup_embedding": sql_dedup_embedding(dim=64),
         "lang_id": sql_lang_id(),
         "quality_score": sql_quality(),
         "token_stats": sql_token_stats(),
         "winnow_fingerprints": sql_winnow(),
     }
+
+
+def q_dedup_embedding(spark, sf_dir):
+    from sparksearch.dataops import embedding_dup_pairs
+    return embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.45,
+                               planes=4)
+
+
+def sql_dedup_embedding(dim: int = 128, planes: int = 4,
+                        threshold: float = 0.45) -> str:
+    bits = []
+    for p in range(planes):
+        bits.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> v[i] * ({_plane_sql(p, dim)})[i])) > 0 "
+            f"THEN '1' ELSE '0' END)")
+    cell = " || ".join(bits)
+    cos = (f"list_sum(list_transform(range(1, {dim + 1}), "
+           f"i -> a.v[i] * b.v[i])) "
+           f"/ ( sqrt(list_sum(list_transform(a.v, x -> x * x))) "
+           f"* sqrt(list_sum(list_transform(b.v, x -> x * x))))")
+    return f"""
+WITH e AS ( SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings ),
+cells AS ( SELECT vec_id, v, ({cell}) AS cell FROM e ),
+cand AS ( SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS av, b.v AS bv
+          FROM cells a JOIN cells b USING (cell)
+          WHERE a.vec_id < b.vec_id ),
+sc AS ( SELECT id_a, id_b,
+        CAST(round(list_sum(list_transform(range(1, {dim + 1}),
+                 i -> av[i] * bv[i]))
+          / ( sqrt(list_sum(list_transform(av, x -> x * x)))
+            * sqrt(list_sum(list_transform(bv, x -> x * x)))), 6) AS DOUBLE)
+          AS cosine
+        FROM cand )
+SELECT id_a, id_b, cosine FROM sc
+WHERE cosine >= {threshold} ORDER BY id_a, id_b
+""".strip()

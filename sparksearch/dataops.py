@@ -572,3 +572,32 @@ def winnow_fingerprints(docs: DataFrame, k: int = 4, window: int = 3,
          .rowsBetween(0, window - 1))
     fps = kg.select(id_col, F.min("gh").over(w).alias("fp")).distinct()
     return fps.orderBy(id_col, "fp")
+
+
+def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.9,
+                        planes: int = 4, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: hyperplane-LSH same-cell
+    candidate generation → exact cosine verify ≥ threshold, (id_a < id_b).
+
+    The 100 TB shape: shuffle ∝ Σ cell-bucket sizes (the n² cross join
+    never materializes); feed the pairs to connected_components for
+    dedup clusters. More planes → smaller buckets → fewer candidates and
+    a higher (documented) false-negative floor, exactly the LSH recall
+    trade the MinHash path makes."""
+    dim = len(emb.select(vec_col).first()[0])
+    pv = _plane_vals(planes, dim)
+    v = F.col(vec_col).cast("array<double>")
+    with_cell = emb.select(F.col(id_col), v.alias("_v"),
+                           _cell_expr(v, pv).alias("_cell"))
+    a = with_cell.select(F.col(id_col).alias("id_a"),
+                         F.col("_v").alias("_va"), "_cell")
+    b = with_cell.select(F.col(id_col).alias("id_b"),
+                         F.col("_v").alias("_vb"), "_cell")
+    return (a.join(b, "_cell")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.round(_cosine(F.col("_va"), F.col("_vb")), 6)
+                    .alias("cosine"))
+            .where(F.col("cosine") >= threshold)
+            .orderBy("id_a", "id_b"))
