@@ -345,11 +345,17 @@ def build_index(pages: DataFrame, out_dir: str, analyzer: str = "standard",
         if not done(stats_path):
             # aggregate straight off the persisted analyzed batch
             # (map-side partial combine on the Zipf dictionary) — not a
-            # re-read of the postings parquet just written
-            stats_df = (tok.select(F.explode("entries").alias("e"))
+            # re-read of the postings parquet just written. (max_tf,
+            # min_dlq) is the term-level impact pair: monotone-aggregable
+            # (max/min) across generations, it lets WAND derive a sound
+            # per-term score upper bound driver-side from the stats lookup
+            # it already does — no per-query gmax job over block metadata.
+            stats_df = (tok.select("dl_q", F.explode("entries").alias("e"))
                         .groupBy(F.col("e.term").alias("term"))
                         .agg(F.count("*").cast("long").alias("df"),
-                             F.sum("e.tf").cast("long").alias("cf")))
+                             F.sum("e.tf").cast("long").alias("cf"),
+                             F.max("e.tf").cast("int").alias("max_tf"),
+                             F.min("dl_q").cast("long").alias("min_dlq")))
             stats_result["v"] = write_stats(
                 spark, out_dir, stats_df, stats_path, partitions)
         else:

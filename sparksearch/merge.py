@@ -95,14 +95,29 @@ def add_generation(spark: SparkSession, index_dir: str, new_pages: DataFrame,
     stats_result: dict = {}
 
     def _stats_job():
-        delta = (tok.select(F.explode("entries").alias("e"))
+        delta = (tok.select("dl_q", F.explode("entries").alias("e"))
                  .groupBy(F.col("e.term").alias("term"))
                  .agg(F.count("*").cast("long").alias("df"),
-                      F.sum("e.tf").cast("long").alias("cf")))
+                      F.sum("e.tf").cast("long").alias("cf"),
+                      F.max("e.tf").cast("int").alias("max_tf"),
+                      F.min("dl_q").cast("long").alias("min_dlq")))
         old = spark.read.parquet(f"{index_dir}/{meta['stats_path']}")
-        merged = (old.unionByName(delta)
-                  .groupBy("term")
-                  .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf")))
+        if "max_tf" not in old.columns:
+            # pre-impact-stats index: old generations' (max_tf, min_dlq)
+            # are unknown, and max(delta) alone would UNDER-estimate the
+            # bound (unsound pruning) — drop the columns; wand_topk falls
+            # back to the per-query gmax job until a full rebuild
+            delta = delta.drop("max_tf", "min_dlq")
+            merged = (old.unionByName(delta)
+                      .groupBy("term")
+                      .agg(F.sum("df").alias("df"),
+                           F.sum("cf").alias("cf")))
+        else:
+            merged = (old.unionByName(delta)
+                      .groupBy("term")
+                      .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"),
+                           F.max("max_tf").alias("max_tf"),
+                           F.min("min_dlq").alias("min_dlq")))
         stats_result["v"] = write_stats(
             spark, index_dir, merged, stats_path, partitions)
 

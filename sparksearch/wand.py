@@ -111,14 +111,30 @@ def wand_topk(ix, q: Match, k: int = 10) -> DataFrame:
     # dominates every doc in the block even after avgdl drifted across
     # generations
     k1, b = bm25.K1, bm25.B
+
+    def _tfn_bound(max_tf: float, min_dlq: float) -> float:
+        return max_tf / (max_tf + k1 * (1.0 - b + b * min_dlq / ix.avgdl))
+
     tfn_ub = (F.col("max_tf").cast("double")
               / (F.col("max_tf")
                  + F.lit(k1) * (1.0 - b
                                 + b * F.col("min_dlq").cast("double")
                                 / float(ix.avgdl))))
     blocks = blocks.withColumn("_tfn_ub", tfn_ub)
-    gm = {r["term"]: r["gmax"] for r in
-          blocks.groupBy("term").agg(F.max("_tfn_ub").alias("gmax")).collect()}
+    # per-term global bound gmax: from the term-level (max_tf, min_dlq)
+    # impact pair in the stats table — already collected above, zero extra
+    # jobs. tfn_ub(max over blocks max_tf, min over blocks min_dlq) ≥
+    # max over blocks tfn_ub(block) ≥ any doc's tfn, so pruning stays
+    # exact (marginally looser than the per-block max, which cost a
+    # groupBy-collect job per query on legacy indexes without the columns).
+    if srows and "max_tf" in srows[0].asDict() \
+            and all(r["max_tf"] is not None for r in srows):
+        gm = {r["term"]: _tfn_bound(float(r["max_tf"]), float(r["min_dlq"]))
+              for r in srows}
+    else:
+        gm = {r["term"]: r["gmax"] for r in
+              blocks.groupBy("term")
+                    .agg(F.max("_tfn_ub").alias("gmax")).collect()}
     sum_all = sum(widf[t] * gm.get(t, 0.0) for t in present)
 
     dec = _decode_score(widf, ix.avgdl)
