@@ -149,7 +149,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from sparksearch import contract_aggs2 as CA2
     from sparksearch import contract_misc2 as CM2
     from sparksearch import contract_queries2 as CQ2
+    from sparksearch import contract_round2b as CR2B
     out.update(CQ2.queries())
+    out.update(CR2B.queries())
     out.update(CM2.queries())
     out.update(CAN.queries())
     out.update(CQ.queries())
@@ -169,8 +171,10 @@ def oracle_sql() -> dict[str, str]:
     from sparksearch import contract_aggs2 as CA2
     from sparksearch import contract_misc2 as CM2
     from sparksearch import contract_queries2 as CQ2
+    from sparksearch import contract_round2b as CR2B
     out = dict(CD.oracle_sql())
     out.update(CQ2.oracle_sql())
+    out.update(CR2B.oracle_sql())
     out.update(CM2.oracle_sql())
     out.update(CA.oracle_sql())
     out.update(CA2.oracle_sql())

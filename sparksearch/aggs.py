@@ -527,3 +527,61 @@ def ip_range_agg(df: DataFrame, field: str,
                     F.col("b.doc_count").cast("long").alias("doc_count"),
                     F.col("b.ord").alias("_o"))
             .orderBy("_o").drop("_o"))
+
+
+def global_agg(ex, q, field: str = "dl") -> DataFrame:
+    """`global` bucket: aggregates over ALL docs of the index, ignoring the
+    query filter, alongside the query-scoped count (reference reg.
+    sv/search/SearchModule.java:488 — GlobalAggregationBuilder escapes the
+    query scope). Two independent single-row aggs, cross-joined (both are
+    1-row, so the join is a driver no-op in the plan)."""
+    c = F.col(field).cast("double")
+    in_query = matched_docs(ex, q).agg(
+        F.count("*").cast("long").alias("query_doc_count"))
+    global_ = ex.ix.docs.agg(
+        F.count("*").cast("long").alias("global_doc_count"),
+        F.round(F.avg(c), 6).alias("global_avg"))
+    return in_query.crossJoin(global_)
+
+
+def percentile_ranks_agg(df: DataFrame, field: str,
+                         values: list[float]) -> DataFrame:
+    """percentile_ranks: for each given value, the percent of docs whose
+    field ≤ value (reference metrics/PercentileRanksAggregationBuilder;
+    t-digest inverse-CDF — exact here, one conditional-avg pass per value
+    inside a single aggregation, then unpivoted to (value, pct) rows)."""
+    c = F.col(field).cast("double")
+    agg = df.agg(*[
+        F.round(F.avg(F.when(c <= float(v), 100.0).otherwise(0.0)), 6)
+        .alias(f"_r{i}") for i, v in enumerate(values)])
+    parts = [F.struct(F.lit(float(v)).alias("value"),
+                      F.col(f"_r{i}").alias("pct"))
+             for i, v in enumerate(values)]
+    return (agg.select(F.explode(F.array(*parts)).alias("b"))
+            .select("b.value", "b.pct").orderBy("value"))
+
+
+def bucket_metrics(buckets: DataFrame, metric: str = "doc_count",
+                   key: str = "key") -> DataFrame:
+    """The sibling-bucket pipeline aggs in one pass: avg_bucket /
+    sum_bucket / min_bucket / max_bucket / stats_bucket (reference reg.
+    sv/search/SearchModule.java:711-833). min/max report ALL bucket keys
+    attaining the extremum (InternalBucketMetricValue keeps a keys list),
+    joined sorted+comma-separated. collect_list is over the already-
+    aggregated bucket table (small by construction), not over docs."""
+    m = F.col(metric).cast("double")
+    row = buckets.agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.round(F.avg(m), 6).alias("avg_bucket"),
+        F.round(F.sum(m), 6).alias("sum_bucket"),
+        F.min(m).alias("min_bucket"),
+        F.max(m).alias("max_bucket"),
+        F.collect_list(F.struct(m.alias("v"), F.col(key).cast("string")
+                                .alias("k"))).alias("_all"))
+    def keys_of(bound: str):
+        return F.array_join(F.array_sort(F.expr(
+            f"transform(filter(_all, x -> x.v = {bound}), x -> x.k)")), ",")
+    return row.select(
+        "n_buckets", "avg_bucket", "sum_bucket", "min_bucket", "max_bucket",
+        keys_of("min_bucket").alias("min_keys"),
+        keys_of("max_bucket").alias("max_keys"))

@@ -1,0 +1,230 @@
+"""Driver-contract entries, round-2b surface: global agg, percentile_ranks,
+sibling-bucket pipeline aggs (avg/sum/min/max/stats_bucket), rank_eval
+DCG/nDCG, script sort, and the JSON-DSL + search-template front-end
+(dsl.py). Reference cites in each operator's docstring; oracles follow the
+contract.py pattern (DuckDB SQL over the identical derived pages corpus).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from sparksearch import contract as C
+from sparksearch.queries import Match
+
+_M_JOIN = "m AS ( SELECT DISTINCT docid FROM tok WHERE term = 'join' )"
+_RELEVANT_K = 5
+
+
+def _ex(spark, sf_dir):
+    return C.get_engine(spark, sf_dir)[1]
+
+
+# ---------------------------------------------------------------------------
+# Spark sides
+# ---------------------------------------------------------------------------
+
+def q_global(spark, sf_dir):
+    from sparksearch.aggs import global_agg
+    return global_agg(_ex(spark, sf_dir), Match("text", "join"), field="dl")
+
+
+def q_percentile_ranks(spark, sf_dir):
+    from sparksearch.aggs import percentile_ranks_agg
+    ex = _ex(spark, sf_dir)
+    return percentile_ranks_agg(ex.ix.docs, "dl", [30.0, 60.0])
+
+
+def q_bucket_metrics(spark, sf_dir):
+    from sparksearch.aggs import bucket_metrics, matched_docs
+    ex = _ex(spark, sf_dir)
+    buckets = (matched_docs(ex, Match("text", "join"))
+               .groupBy("lang")
+               .agg(F.count("*").cast("long").alias("doc_count")))
+    return bucket_metrics(buckets, metric="doc_count", key="lang")
+
+
+def q_rank_eval_ndcg(spark, sf_dir):
+    """rank_eval DCG@10 / nDCG@10 (binary relevance; rated set = top-5 of
+    the stricter AND query — modules/rank-eval/.../DiscountedCumulativeGain
+    normalizes by the ideal ordering of the rated set)."""
+    from pyspark.sql import Window
+    ex = _ex(spark, sf_dir)
+    rated = C.topk_rounded(ex, Match("text", "hash join", operator="and"),
+                           k=_RELEVANT_K).select("docid")
+    ranked = (C.topk_rounded(ex, Match("text", "hash join"), k=10)
+              .select("docid", "score"))
+    w = F.row_number().over(
+        Window.orderBy(F.col("score").desc(), F.col("docid").asc()))
+    j = (ranked.withColumn("rank", w)
+         .join(F.broadcast(rated.withColumn("_rel", F.lit(1))),
+               "docid", "left"))
+    idcg = sum(1.0 / math.log2(i + 1)
+               for i in range(1, min(_RELEVANT_K, 10) + 1))
+    dcg = F.sum(F.coalesce(F.col("_rel"), F.lit(0)).cast("double")
+                / F.log2(F.col("rank") + 1))
+    return j.agg(F.round(dcg, 6).alias("dcg_at_10"),
+                 F.round(dcg / F.lit(idcg), 6).alias("ndcg_at_10"))
+
+
+def q_sort_by_script(spark, sf_dir):
+    """script sort — order by an arbitrary per-doc expression
+    (sv/search/sort/ScriptSortBuilder.java); pure column expr here."""
+    from sparksearch.contract import get_engine
+    ix, _ = get_engine(spark, sf_dir)
+    return (ix.docs
+            .select("docid", "url", "dl",
+                    (F.col("dl") % 7).cast("long").alias("sort_key"))
+            .orderBy(F.col("sort_key").desc(), F.col("docid").asc())
+            .limit(20))
+
+
+_TEMPLATE = {
+    "query": {
+        "match": {
+            "text": {"query": "{{qtext}}", "operator": "{{op}}"},
+        },
+    },
+    "size": "{{size}}",
+}
+
+
+def q_search_template(spark, sf_dir):
+    """_search/template: render mustache params into the JSON DSL, parse,
+    execute (modules/lang-mustache + SearchModule query registry)."""
+    from sparksearch.dsl import from_dsl, render_template
+    body = render_template(
+        _TEMPLATE, {"qtext": "hash join table", "op": "and", "size": 10})
+    q = from_dsl(body["query"])
+    return C.topk_rounded(_ex(spark, sf_dir), q, k=int(body["size"]))
+
+
+def q_dsl_bool(spark, sf_dir):
+    """JSON-DSL bool request parsed by dsl.from_dsl, run via the engine."""
+    from sparksearch.dsl import from_dsl
+    q = from_dsl({
+        "bool": {
+            "must": [{"match": {"text": "join fast"}}],
+            "must_not": [{"match": {"text": "error"}}],
+            "filter": [{"term": {"lang": "en"}},
+                       {"range": {"warc_ts": {"gte": "2025-01-01 00:01:00"}}}],
+        },
+    })
+    return C.topk_rounded(_ex(spark, sf_dir), q, k=10)
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL twins
+# ---------------------------------------------------------------------------
+
+def sqls() -> dict[str, str]:
+    P, TOK, DL = C._PAGES, C._TOK, C._DL
+    idf, tfn = C._idf_sql, C._tfn_sql
+    out = {}
+
+    out["agg_global"] = f"""
+WITH {P}, {TOK}, {DL}, {_M_JOIN}
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM m) AS query_doc_count,
+       CAST(count(*) AS BIGINT) AS global_doc_count,
+       CAST(round(avg(CAST(dl AS DOUBLE)), 6) AS DOUBLE) AS global_avg
+FROM dlq
+"""
+
+    out["agg_percentile_ranks"] = f"""
+WITH {P}, {TOK}, {DL},
+r AS ( SELECT
+  avg(CASE WHEN CAST(dl AS DOUBLE) <= 30.0 THEN 100.0 ELSE 0.0 END) AS r0,
+  avg(CASE WHEN CAST(dl AS DOUBLE) <= 60.0 THEN 100.0 ELSE 0.0 END) AS r1
+  FROM dlq )
+SELECT 30.0 AS value, CAST(round(r0, 6) AS DOUBLE) AS pct FROM r
+UNION ALL
+SELECT 60.0, CAST(round(r1, 6) AS DOUBLE) FROM r
+ORDER BY value
+"""
+
+    out["agg_bucket_metrics"] = f"""
+WITH {P}, {TOK}, {_M_JOIN},
+buckets AS ( SELECT p.lang, CAST(count(*) AS DOUBLE) AS v
+             FROM pages p JOIN m USING (docid) GROUP BY p.lang ),
+ext AS ( SELECT min(v) AS mn, max(v) AS mx FROM buckets )
+SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(round(avg(v), 6) AS DOUBLE) AS avg_bucket,
+       CAST(round(sum(v), 6) AS DOUBLE) AS sum_bucket,
+       CAST(ext.mn AS DOUBLE) AS min_bucket,
+       CAST(ext.mx AS DOUBLE) AS max_bucket,
+       string_agg(CASE WHEN v = ext.mn THEN lang END, ',' ORDER BY lang)
+         AS min_keys,
+       string_agg(CASE WHEN v = ext.mx THEN lang END, ',' ORDER BY lang)
+         AS max_keys
+FROM buckets CROSS JOIN ext GROUP BY ext.mn, ext.mx
+"""
+
+    idcg = sum(1.0 / math.log2(i + 1)
+               for i in range(1, min(_RELEVANT_K, 10) + 1))
+    out["rank_eval_ndcg"] = f"""
+WITH rated AS ( {C.match_sql('hash join', operator='and', k=_RELEVANT_K)} ),
+ranked AS ( {C.match_sql('hash join', k=10)} ),
+rr AS ( SELECT docid, score,
+        row_number() OVER (ORDER BY score DESC, docid ASC) AS rank
+        FROM ranked ),
+j AS ( SELECT rr.rank,
+              CASE WHEN rated.docid IS NOT NULL THEN 1.0 ELSE 0.0 END AS rel
+       FROM rr LEFT JOIN rated ON rated.docid = rr.docid )
+SELECT CAST(round(sum(rel / log2(rank + 1)), 6) AS DOUBLE) AS dcg_at_10,
+       CAST(round(sum(rel / log2(rank + 1)) / {idcg!r}, 6) AS DOUBLE)
+         AS ndcg_at_10
+FROM j
+"""
+
+    out["sort_by_script"] = f"""
+WITH {P}, {TOK}, {DL}
+SELECT p.docid, p.url, CAST(dlq.dl AS BIGINT) AS dl,
+       CAST(dlq.dl % 7 AS BIGINT) AS sort_key
+FROM pages p JOIN dlq USING (docid)
+ORDER BY dlq.dl % 7 DESC, p.docid ASC
+LIMIT 20
+"""
+
+    out["search_template"] = C.match_sql("hash join table", operator="and")
+
+    out["query_dsl_bool"] = f"""
+WITH {P}, {TOK}, {DL},
+tf AS ( SELECT docid, term, count(*) AS tf FROM tok
+        WHERE term IN ('join','fast','error') GROUP BY docid, term ),
+dft AS ( SELECT term, count(*) AS df FROM tf GROUP BY term ),
+sc AS ( SELECT tf.docid, tf.term,
+               {idf('dft.df', 'g.n')} * {tfn('tf.tf', 'dlq.dl_q', 'g.avgdl')}
+               AS s
+        FROM tf JOIN dft USING (term) JOIN dlq USING (docid) CROSS JOIN g ),
+agg AS ( SELECT docid,
+                sum(CASE WHEN term IN ('join','fast') THEN s ELSE 0 END)
+                  AS s_must,
+                bool_or(term IN ('join','fast')) AS has_must,
+                bool_or(term = 'error') AS has_not
+         FROM sc GROUP BY docid )
+SELECT p.docid, p.url, round(agg.s_must, 4) AS score
+FROM agg JOIN pages p USING (docid)
+WHERE agg.has_must AND NOT agg.has_not
+  AND p.lang = 'en' AND p.warc_ts >= TIMESTAMP '2025-01-01 00:01:00'
+ORDER BY round(agg.s_must, 4) DESC, p.docid ASC
+LIMIT 10
+"""
+    return {k: v.strip() for k, v in out.items()}
+
+
+def queries() -> dict:
+    return {
+        "agg_global": q_global,
+        "agg_percentile_ranks": q_percentile_ranks,
+        "agg_bucket_metrics": q_bucket_metrics,
+        "rank_eval_ndcg": q_rank_eval_ndcg,
+        "sort_by_script": q_sort_by_script,
+        "search_template": q_search_template,
+        "query_dsl_bool": q_dsl_bool,
+    }
+
+
+def oracle_sql() -> dict:
+    return sqls()

@@ -1,0 +1,241 @@
+"""JSON query DSL → query AST, plus mustache-style search templates.
+
+The reference parses the `_search` request body's JSON query DSL into
+QueryBuilder objects (registrations at
+/root/reference/server/src/main/java/org/opensearch/search/SearchModule.java:1112-1174;
+each builder's fromXContent under sv/index/query/*QueryBuilder.java), and
+`modules/lang-mustache/` renders `_search/template` requests by substituting
+`{{param}}` placeholders into the JSON before parsing. Both are pure
+driver-side front-ends here: `from_dsl` maps the JSON dict onto the
+dataclass AST in queries.py, `render_template` does the mustache-subset
+substitution ({{var}}, {{#section}} conditional, {{^inverted}}). The
+executor and plans are unchanged — this is the parse layer only.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from sparksearch.queries import (
+    Bool, Boosting, ConstantScore, DisMax, Exists, Fuzzy, Ids, Intervals,
+    Match, MatchAll, MatchBoolPrefix, MatchNone, MatchPhrase,
+    MatchPhrasePrefix, MoreLikeThis, MultiMatch, Prefix, Query, Range,
+    Regexp, SpanNear, Term, Terms, Wildcard,
+)
+
+__all__ = ["from_dsl", "render_template"]
+
+
+def _field_body(body: dict) -> tuple[str, Any]:
+    """Unwrap the single {field: spec} level of a leaf query."""
+    if len(body) != 1:
+        raise ValueError(f"expected one field key, got {sorted(body)}")
+    return next(iter(body.items()))
+
+
+def _text_spec(spec: Any) -> dict:
+    """Leaf text queries accept either "query text" or {"query": ...}."""
+    return spec if isinstance(spec, dict) else {"query": spec}
+
+
+def _match(body: dict) -> Match:
+    field, spec = _field_body(body)
+    s = _text_spec(spec)
+    return Match(field, s["query"], operator=s.get("operator", "or"),
+                 minimum_should_match=s.get("minimum_should_match"),
+                 analyzer=s.get("analyzer"),
+                 fuzziness=s.get("fuzziness"))
+
+
+def _match_phrase(body: dict) -> MatchPhrase:
+    field, spec = _field_body(body)
+    s = _text_spec(spec)
+    return MatchPhrase(field, s["query"], slop=int(s.get("slop", 0)),
+                       analyzer=s.get("analyzer"))
+
+
+def _term(body: dict) -> Term:
+    field, spec = _field_body(body)
+    return Term(field, spec["value"] if isinstance(spec, dict) else spec)
+
+
+def _terms(body: dict) -> Terms:
+    field, values = _field_body(body)
+    return Terms(field, tuple(values))
+
+
+def _range(body: dict) -> Range:
+    field, spec = _field_body(body)
+    return Range(field, gte=spec.get("gte"), gt=spec.get("gt"),
+                 lte=spec.get("lte"), lt=spec.get("lt"))
+
+
+def _bool(body: dict) -> Bool:
+    def clauses(key: str) -> list[Query]:
+        v = body.get(key, [])
+        return [from_dsl(c) for c in (v if isinstance(v, list) else [v])]
+    return Bool(must=clauses("must"), should=clauses("should"),
+                must_not=clauses("must_not"), filter=clauses("filter"),
+                minimum_should_match=body.get("minimum_should_match"))
+
+
+def _multi_match(body: dict) -> MultiMatch:
+    return MultiMatch(fields=list(body["fields"]), text=body["query"],
+                      type=body.get("type", "best_fields"),
+                      tie_breaker=float(body.get("tie_breaker", 0.0)),
+                      operator=body.get("operator", "or"),
+                      minimum_should_match=body.get("minimum_should_match"))
+
+
+def _simple(cls, value_key: str):
+    def build(body: dict):
+        field, spec = _field_body(body)
+        v = spec[value_key] if isinstance(spec, dict) else spec
+        return cls(field, v)
+    return build
+
+
+def _fuzzy(body: dict) -> Fuzzy:
+    field, spec = _field_body(body)
+    s = _text_spec(spec) if isinstance(spec, dict) else {"value": spec}
+    return Fuzzy(field, s.get("value", s.get("query")),
+                 fuzziness=s.get("fuzziness", "AUTO"))
+
+
+def _dis_max(body: dict) -> DisMax:
+    return DisMax(queries=[from_dsl(q) for q in body["queries"]],
+                  tie_breaker=float(body.get("tie_breaker", 0.0)))
+
+
+def _constant_score(body: dict) -> ConstantScore:
+    return ConstantScore(filter_query=from_dsl(body["filter"]),
+                         boost=float(body.get("boost", 1.0)))
+
+
+def _boosting(body: dict) -> Boosting:
+    return Boosting(positive=from_dsl(body["positive"]),
+                    negative=from_dsl(body["negative"]),
+                    negative_boost=float(body.get("negative_boost", 0.5)))
+
+
+def _mlt(body: dict) -> MoreLikeThis:
+    fields = body.get("fields", ["text"])
+    return MoreLikeThis(fields[0], body["like"],
+                        max_query_terms=int(body.get("max_query_terms", 25)),
+                        minimum_should_match=body.get(
+                            "minimum_should_match", "30%"),
+                        min_doc_freq=int(body.get("min_doc_freq", 1)))
+
+
+def _span_near(body: dict) -> SpanNear:
+    terms = []
+    field = None
+    for c in body["clauses"]:
+        f, spec = _field_body(c["span_term"])
+        field = field or f
+        terms.append(spec["value"] if isinstance(spec, dict) else spec)
+    return SpanNear(field, tuple(terms), slop=int(body.get("slop", 0)),
+                    in_order=bool(body.get("in_order", True)))
+
+
+def _intervals(body: dict) -> Intervals:
+    field, spec = _field_body(body)
+    m = spec["match"]
+    return Intervals(field, m["query"], max_gaps=int(m.get("max_gaps", 0)),
+                     ordered=bool(m.get("ordered", True)))
+
+
+_LEAF = {
+    "match_all": lambda b: MatchAll(),
+    "match_none": lambda b: MatchNone(),
+    "match": _match,
+    "match_phrase": _match_phrase,
+    "match_phrase_prefix": lambda b: (lambda f, s: MatchPhrasePrefix(
+        f, s["query"], max_expansions=int(s.get("max_expansions", 50)),
+        analyzer=s.get("analyzer")))(
+            _field_body(b)[0], _text_spec(_field_body(b)[1])),
+    "match_bool_prefix": lambda b: (lambda f, s: MatchBoolPrefix(
+        f, s["query"], operator=s.get("operator", "or"),
+        minimum_should_match=s.get("minimum_should_match"),
+        analyzer=s.get("analyzer")))(
+            _field_body(b)[0], _text_spec(_field_body(b)[1])),
+    "multi_match": _multi_match,
+    "term": _term,
+    "terms": _terms,
+    "range": _range,
+    "exists": lambda b: Exists(b["field"]),
+    "ids": lambda b: Ids(tuple(b["values"])),
+    "prefix": _simple(Prefix, "value"),
+    "wildcard": _simple(Wildcard, "value"),
+    "regexp": _simple(Regexp, "value"),
+    "fuzzy": _fuzzy,
+    "bool": _bool,
+    "dis_max": _dis_max,
+    "constant_score": _constant_score,
+    "boosting": _boosting,
+    "more_like_this": _mlt,
+    "span_near": _span_near,
+    "intervals": _intervals,
+}
+
+
+def from_dsl(dsl: dict) -> Query:
+    """Parse one JSON query-DSL object (the value of "query") to the AST."""
+    if len(dsl) != 1:
+        raise ValueError(f"expected one query type, got {sorted(dsl)}")
+    kind, body = next(iter(dsl.items()))
+    try:
+        build = _LEAF[kind]
+    except KeyError:
+        raise ValueError(f"unsupported query type: {kind}") from None
+    return build(body)
+
+
+# ---------------------------------------------------------------------------
+# search templates (lang-mustache subset)
+# ---------------------------------------------------------------------------
+
+_VAR = re.compile(r"\{\{([#^/]?)([\w.]+)\}\}")
+
+
+def _render_str(s: str, params: dict) -> Any:
+    """Substitute {{var}} in one string. A string that is exactly one
+    placeholder keeps the param's type (int stays int)."""
+    m = _VAR.fullmatch(s)
+    if m and not m.group(1):
+        return params.get(m.group(2), "")
+
+    def sub(mo: re.Match) -> str:
+        if mo.group(1):
+            raise ValueError("section tags only valid at dict level")
+        v = params.get(mo.group(2), "")
+        return "" if v is None else str(v)
+
+    return _VAR.sub(sub, s)
+
+
+def render_template(source: Any, params: dict) -> Any:
+    """Render a search template: walk the JSON structure substituting
+    {{var}}; a dict key "{{#var}}"/"{{^var}}" keeps its subtree only when
+    the param is truthy/falsy (conditional sections, flattened in place)."""
+    if isinstance(source, str):
+        return _render_str(source, params)
+    if isinstance(source, list):
+        return [render_template(x, params) for x in source]
+    if isinstance(source, dict):
+        out = {}
+        for k, v in source.items():
+            m = _VAR.fullmatch(k)
+            if m and m.group(1) in ("#", "^"):
+                truthy = bool(params.get(m.group(2)))
+                keep = truthy if m.group(1) == "#" else not truthy
+                if keep:
+                    sub = render_template(v, params)
+                    if not isinstance(sub, dict):
+                        raise ValueError("section value must be an object")
+                    out.update(sub)
+                continue
+            out[render_template(k, params)] = render_template(v, params)
+        return out
+    return source

@@ -86,11 +86,11 @@ class IndexReader:
         return self.spark.read.parquet(f"{self.index_dir}/{self.stats_path}")
 
     def bucket_of(self, term: str) -> int:
-        """Driver-side bucket id for a term — must equal pmod(xxhash64(term), B)."""
-        row = (self.spark.range(1)
-               .select(F.pmod(F.xxhash64(F.lit(term)), F.lit(self.n_buckets))
-                       .alias("b")).collect())
-        return int(row[0]["b"])
+        """Driver-side bucket id for a term == pmod(xxhash64(term), B).
+        Pure Python (xxhash.py, parity-pinned vs the JVM expression by
+        tests/test_xxhash.py) — no Spark job for query planning."""
+        from sparksearch.xxhash import spark_bucket
+        return spark_bucket(term, self.n_buckets)
 
     def postings_for(self, terms: list[str],
                      with_positions: bool = True) -> DataFrame:
@@ -113,19 +113,8 @@ class IndexReader:
                 .filter(F.col("term").isin(uniq)))
 
     def _buckets_of(self, terms: list[str]) -> list[int]:
-        cache = getattr(self, "_bucket_cache", None)
-        if cache is None:
-            cache = self._bucket_cache = {}
-        missing = [t for t in terms if t not in cache]
-        if missing:
-            rows = (self.spark.createDataFrame(
-                        [(t,) for t in missing], "term string")
-                    .select("term",
-                            F.pmod(F.xxhash64("term"), F.lit(self.n_buckets))
-                            .alias("b")).collect())
-            for r in rows:
-                cache[r["term"]] = int(r["b"])
-        return sorted({cache[t] for t in terms})
+        from sparksearch.xxhash import spark_bucket
+        return sorted({spark_bucket(t, self.n_buckets) for t in terms})
 
     def stats_for(self, terms: list[str]) -> DataFrame:
         if not terms:

@@ -1,0 +1,129 @@
+"""JSON query-DSL parser + search-template rendering (driver-side only)."""
+
+import pytest
+
+from sparksearch.dsl import from_dsl, render_template
+from sparksearch.queries import (
+    Bool, Boosting, ConstantScore, DisMax, Exists, Fuzzy, Ids, Intervals,
+    Match, MatchAll, MatchBoolPrefix, MatchPhrase, MatchPhrasePrefix,
+    MoreLikeThis, MultiMatch, Prefix, Range, Regexp, SpanNear, Term, Terms,
+    Wildcard,
+)
+
+
+def test_match_short_and_full_forms():
+    assert from_dsl({"match": {"text": "hash join"}}) == \
+        Match("text", "hash join")
+    q = from_dsl({"match": {"text": {
+        "query": "hash join", "operator": "and",
+        "minimum_should_match": "75%", "fuzziness": "AUTO"}}})
+    assert q == Match("text", "hash join", operator="and",
+                      minimum_should_match="75%", fuzziness="AUTO")
+
+
+def test_leaf_queries():
+    assert from_dsl({"match_all": {}}) == MatchAll()
+    assert from_dsl({"term": {"lang": "en"}}) == Term("lang", "en")
+    assert from_dsl({"term": {"lang": {"value": "en"}}}) == Term("lang", "en")
+    assert from_dsl({"terms": {"lang": ["en", "fr"]}}) == \
+        Terms("lang", ("en", "fr"))
+    assert from_dsl({"range": {"dl": {"gte": 10, "lt": 50}}}) == \
+        Range("dl", gte=10, lt=50)
+    assert from_dsl({"exists": {"field": "lang"}}) == Exists("lang")
+    assert from_dsl({"ids": {"values": ["a", "b"]}}) == Ids(("a", "b"))
+    assert from_dsl({"prefix": {"url": {"value": "https://x"}}}) == \
+        Prefix("url", "https://x")
+    assert from_dsl({"wildcard": {"text": {"value": "ha*h"}}}) == \
+        Wildcard("text", "ha*h")
+    assert from_dsl({"regexp": {"text": "ha.h"}}) == Regexp("text", "ha.h")
+    assert from_dsl({"fuzzy": {"text": {"value": "hsah", "fuzziness": 1}}}) \
+        == Fuzzy("text", "hsah", fuzziness=1)
+    assert from_dsl({"match_phrase": {"text": {"query": "a b", "slop": 2}}}) \
+        == MatchPhrase("text", "a b", slop=2)
+    assert from_dsl({"match_phrase_prefix": {"text": "fast qu"}}) == \
+        MatchPhrasePrefix("text", "fast qu")
+    assert from_dsl({"match_bool_prefix": {"text": {
+        "query": "fast qu", "operator": "and"}}}) == \
+        MatchBoolPrefix("text", "fast qu", operator="and")
+
+
+def test_compound_queries():
+    q = from_dsl({"bool": {
+        "must": [{"match": {"text": "join"}}],
+        "should": {"match": {"text": "fast"}},
+        "must_not": [{"match": {"text": "error"}}],
+        "filter": [{"term": {"lang": "en"}}],
+        "minimum_should_match": 0,
+    }})
+    assert isinstance(q, Bool)
+    assert q.must == [Match("text", "join")]
+    assert q.should == [Match("text", "fast")]
+    assert q.must_not == [Match("text", "error")]
+    assert q.filter == [Term("lang", "en")]
+
+    dm = from_dsl({"dis_max": {"tie_breaker": 0.3, "queries": [
+        {"match": {"text": "a"}}, {"term": {"lang": "en"}}]}})
+    assert isinstance(dm, DisMax) and dm.tie_breaker == 0.3
+    cs = from_dsl({"constant_score": {
+        "filter": {"term": {"lang": "en"}}, "boost": 2.0}})
+    assert cs == ConstantScore(Term("lang", "en"), boost=2.0)
+    bo = from_dsl({"boosting": {
+        "positive": {"match": {"text": "a"}},
+        "negative": {"match": {"text": "b"}}, "negative_boost": 0.2}})
+    assert isinstance(bo, Boosting) and bo.negative_boost == 0.2
+    mm = from_dsl({"multi_match": {
+        "query": "hash join", "fields": ["text", "url"],
+        "type": "cross_fields", "operator": "and"}})
+    assert isinstance(mm, MultiMatch) and mm.type == "cross_fields"
+    mlt = from_dsl({"more_like_this": {
+        "fields": ["text"], "like": "fast hash join", "max_query_terms": 5}})
+    assert isinstance(mlt, MoreLikeThis) and mlt.max_query_terms == 5
+
+
+def test_positional_queries():
+    sn = from_dsl({"span_near": {
+        "clauses": [{"span_term": {"text": "hash"}},
+                    {"span_term": {"text": {"value": "join"}}}],
+        "slop": 1, "in_order": False}})
+    assert sn == SpanNear("text", ("hash", "join"), slop=1, in_order=False)
+    iv = from_dsl({"intervals": {"text": {
+        "match": {"query": "hash join", "max_gaps": 2, "ordered": True}}}})
+    assert iv == Intervals("text", "hash join", max_gaps=2, ordered=True)
+
+
+def test_unknown_type_raises():
+    with pytest.raises(ValueError, match="unsupported query type"):
+        from_dsl({"knn": {"field": "v"}})
+    with pytest.raises(ValueError, match="one query type"):
+        from_dsl({"match": {}, "term": {}})
+
+
+def test_template_substitution_types():
+    body = render_template(
+        {"query": {"match": {"text": {"query": "{{q}}"}}},
+         "size": "{{size}}", "note": "q={{q}}!"},
+        {"q": "hash join", "size": 10})
+    assert body["query"]["match"]["text"]["query"] == "hash join"
+    assert body["size"] == 10          # exact-placeholder keeps int type
+    assert body["note"] == "q=hash join!"
+    assert render_template("{{missing}}", {}) == ""
+
+
+def test_template_sections():
+    tpl = {"bool": {
+        "must": [{"match": {"text": "{{q}}"}}],
+        "{{#use_filter}}": {"filter": [{"term": {"lang": "{{lang}}"}}]},
+        "{{^use_filter}}": {"minimum_should_match": 1},
+    }}
+    on = render_template(tpl, {"q": "a", "use_filter": True, "lang": "en"})
+    assert on["bool"]["filter"] == [{"term": {"lang": "en"}}]
+    assert "minimum_should_match" not in on["bool"]
+    off = render_template(tpl, {"q": "a", "use_filter": False})
+    assert "filter" not in off["bool"]
+    assert off["bool"]["minimum_should_match"] == 1
+
+
+def test_template_then_parse_round_trip():
+    tpl = {"match": {"text": {"query": "{{q}}", "operator": "{{op}}"}}}
+    q = from_dsl(render_template(tpl, {"q": "hash join", "op": "and"}))
+    assert q == Match("text", "hash join", operator="and")

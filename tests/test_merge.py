@@ -191,3 +191,43 @@ def test_crash_window_coverage_guard(spark, tmp_path_factory):
     merge_segments(spark, out, partitions=4, salt_target=64)
     ix = ix.reload()
     assert ix.segments_cover_all()
+
+
+def test_point_in_time_reader_snapshot(spark, tmp_path_factory):
+    """PIT/scroll analogue (sv/action/search/CreatePitAction.java): a reader
+    opened before a new generation commits keeps serving the old snapshot
+    — meta.json is loaded at init and generation dirs are immutable — while
+    a reload() picks up the commit. The batch equivalent of searching over
+    a point-in-time Lucene reader while refreshes land."""
+    from sparksearch.build import build_index
+    from sparksearch.exec import Executor
+    from sparksearch.index import IndexReader
+    from sparksearch.merge import add_generation
+    from sparksearch.queries import Match
+
+    out = str(tmp_path_factory.mktemp("pitix"))
+    shutil.rmtree(out, ignore_errors=True)
+    pages = _pages(spark)
+    half1 = pages.filter(F.crc32(F.col("url")) % 2 == 0)
+    half2 = pages.filter(F.crc32(F.col("url")) % 2 == 1)
+    build_index(half1, out, n_buckets=4, partitions=4)
+
+    pit = IndexReader(spark, out)          # point-in-time: gen 0 only
+    n0 = pit.docs.count()
+    q = Match("text", "join")
+    before = {r["docid"] for r in
+              Executor(pit).search(q, k=10, fetch=False).collect()}
+
+    add_generation(spark, out, half2, partitions=4, with_segments=False)
+
+    # the PIT reader still sees exactly the old snapshot
+    assert pit.generations == [0]
+    assert pit.docs.count() == n0
+    after_pit = {r["docid"] for r in
+                 Executor(pit).search(q, k=10, fetch=False).collect()}
+    assert after_pit == before
+
+    # a fresh reader sees the committed generation
+    live = pit.reload()
+    assert live.generations == [0, 1]
+    assert live.docs.count() > n0

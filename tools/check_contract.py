@@ -79,7 +79,8 @@ def main():
     oracles = entrymod.oracle_sql()
     n_pass = n_fail = 0
     for name, fn in qs.items():
-        if name_filter and name_filter not in name:
+        import re as _re
+        if name_filter and not _re.search(name_filter, name):
             continue
         t0 = time.time()
         try:
