@@ -94,18 +94,12 @@ def wand_topk(ix, q: Match, k: int = 10) -> DataFrame:
         msm = calculate_min_should_match(
             len(terms), q.minimum_should_match, has_required=False)
 
-    # tiny driver-side stats: idf per term, global max impact per term
-    srows = ix.stats_for(uniq).collect()
-    idf = {r["term"]: bm25.idf(r["df"], ix.n_docs) for r in srows}
-    # (k1+1) folded into the per-term weight: decode emits plain
-    # tf/(tf+k1·norm), so score = w·idf·(k1+1)·tfn = LegacyBM25Similarity
-    widf = {t: cnt[t] * idf.get(t, 0.0) * (bm25.K1 + 1.0) for t in uniq}
-    present = [t for t in uniq if t in idf]
-    if not present:
-        return ix.docs.select("docid", F.lit(0.0).alias("score")).limit(0)
-
-    buckets = ix._buckets_of(present)
-    blocks = ix.segments.blocks_for(present, buckets)
+    # buckets are pure-Python xxhash64 (no job); blocks and their window
+    # don't need stats, so the tiny stats collect and the phase-A seed
+    # collect run as CONCURRENT jobs — the driver-side seed scoring below
+    # waits on both
+    buckets = ix._buckets_of(uniq)
+    blocks = ix.segments.blocks_for(uniq, buckets)
     # block upper bound from the stored (max_tf, min_dlq) impact pair and the
     # CURRENT global avgdl — tfn is monotone up in tf, down in dl, so this
     # dominates every doc in the block even after avgdl drifted across
@@ -121,9 +115,38 @@ def wand_topk(ix, q: Match, k: int = 10) -> DataFrame:
                                 + b * F.col("min_dlq").cast("double")
                                 / float(ix.avgdl))))
     blocks = blocks.withColumn("_tfn_ub", tfn_ub)
+
+    # phase A seed: the j highest-impact blocks per term. The window-filter
+    # runs distributed (JVM-only), but only the ≤ j·|terms| surviving
+    # ENCODED block rows (~1.5 KB each, bounded at any corpus size) come
+    # back to the driver, which decodes them with the same numpy codec and
+    # derives θ locally — no python-worker dispatch, no shuffle.
+    j = max(1, math.ceil(k / BLOCK_SIZE)) + 1
+    from pyspark.sql import Window
+    wnd = Window.partitionBy("term").orderBy(
+        F.col("_tfn_ub").desc(), F.col("salt"), F.col("block_id"))
+    seed_df = (blocks.withColumn("_rn", F.row_number().over(wnd))
+               .filter(F.col("_rn") <= j)
+               .select("term", "docids", "tfs", "norms"))
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_stats = pool.submit(lambda: ix.stats_for(uniq).collect())
+        fut_seed = pool.submit(seed_df.collect)
+        srows = fut_stats.result()
+        seed_rows = fut_seed.result()
+
+    idf = {r["term"]: bm25.idf(r["df"], ix.n_docs) for r in srows}
+    # (k1+1) folded into the per-term weight: decode emits plain
+    # tf/(tf+k1·norm), so score = w·idf·(k1+1)·tfn = LegacyBM25Similarity
+    widf = {t: cnt[t] * idf.get(t, 0.0) * (bm25.K1 + 1.0) for t in uniq}
+    present = [t for t in uniq if t in idf]
+    if not present:
+        return ix.docs.select("docid", F.lit(0.0).alias("score")).limit(0)
+
     # per-term global bound gmax: from the term-level (max_tf, min_dlq)
-    # impact pair in the stats table — already collected above, zero extra
-    # jobs. tfn_ub(max over blocks max_tf, min over blocks min_dlq) ≥
+    # impact pair in the stats table — zero extra jobs.
+    # tfn_ub(max over blocks max_tf, min over blocks min_dlq) ≥
     # max over blocks tfn_ub(block) ≥ any doc's tfn, so pruning stays
     # exact (marginally looser than the per-block max, which cost a
     # groupBy-collect job per query on legacy indexes without the columns).
@@ -157,17 +180,24 @@ def wand_topk(ix, q: Match, k: int = 10) -> DataFrame:
             out = out.filter(F.col("_nt") >= msm)
         return out.select("docid", "score")
 
-    # phase A: threshold seed from the highest-impact blocks of each term
-    j = max(1, math.ceil(k / BLOCK_SIZE)) + 1
-    from pyspark.sql import Window
-    wnd = Window.partitionBy("term").orderBy(
-        F.col("_tfn_ub").desc(), F.col("salt"), F.col("block_id"))
-    seed = (blocks.withColumn("_rn", F.row_number().over(wnd))
-            .filter(F.col("_rn") <= j))
-    seed_top = (agg_scores(seed)
-                .orderBy(F.col("score").desc(), F.col("docid").asc())
-                .limit(k).collect())
-    theta = seed_top[k - 1]["score"] if len(seed_top) >= k else 0.0
+    # phase A scoring, driver-local over the collected seed rows
+    acc_s: dict[int, float] = {}
+    acc_n: dict[int, int] = {}
+    for r in seed_rows:
+        docids = delta_decode_docids(r["docids"])
+        tfs = varint_decode(r["tfs"]).astype(np.float64)
+        dl_q = DECODE_LUT[np.frombuffer(r["norms"], dtype=np.uint8)] \
+            .astype(np.float64)
+        tfn = tfs / (tfs + k1 * (1.0 - b + b * dl_q / ix.avgdl))
+        sc = widf[r["term"]] * tfn
+        w_nt = cnt[r["term"]]
+        for d, s in zip(docids.tolist(), sc.tolist()):
+            acc_s[d] = acc_s.get(d, 0.0) + s
+            acc_n[d] = acc_n.get(d, 0) + w_nt
+    cand = [(s, -d) for d, s in acc_s.items()
+            if msm <= 1 or acc_n[d] >= msm]
+    cand.sort(reverse=True)
+    theta = cand[k - 1][0] if len(cand) >= k else 0.0
 
     # phase B: prune blocks whose best-possible doc can't reach θ, then
     # score the survivors exactly
