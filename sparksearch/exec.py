@@ -754,7 +754,13 @@ class Executor:
     def _plan_docvalue_filter(self, q: Query) -> DataFrame:
         """Metadata-field predicates answered from the docs table (the
         engine's doc-values columnar store) with full Catalyst pushdown."""
-        d = self.ix.docs
+        return (self.ix.docs.filter(self._docvalue_cond(q))
+                .select("docid", F.lit(0.0).alias("score")))
+
+    def _docvalue_cond(self, q: Query) -> Column:
+        """The Catalyst predicate for a doc-values query — shared by the
+        standalone plan and the bool path's fused filter leg (ALL of a
+        bool's docvalue filters evaluate in ONE docs scan)."""
         if isinstance(q, Term):
             cond = F.col(q.field_name) == F.lit(q.value)
         elif isinstance(q, Terms):
@@ -782,7 +788,7 @@ class Executor:
                                "lt": col < F.lit(v)}[bound]
         else:
             raise TypeError(q)
-        return d.filter(cond).select("docid", F.lit(0.0).alias("score"))
+        return cond
 
     # ---- bool: fused single-scan execution ---------------------------------
     @staticmethod
@@ -893,7 +899,19 @@ class Executor:
                 req.join(leg.withColumnRenamed("score", "_s"), "docid")
                    .select("docid",
                            (F.col("score") + F.col("_s")).alias("score")))
-        for c in filt:
+        # fuse every docvalue filter clause into ONE docs scan with a
+        # conjoined pushed-down predicate (f filter legs used to cost f
+        # scans + f semi-joins)
+        dv = [c for c in filt
+              if isinstance(c, (Term, Terms, Range, Exists, Prefix, Ids))]
+        other_filt = [c for c in filt if c not in dv]
+        if dv:
+            cond = reduce(lambda a, b: a & b,
+                          [self._docvalue_cond(c) for c in dv])
+            leg = self.ix.docs.filter(cond).select("docid")
+            req = (leg.select("docid", F.lit(0.0).alias("score"))
+                   if req is None else req.join(leg, "docid", "left_semi"))
+        for c in other_filt:
             leg = self._plan(c, scored=False).select("docid")
             req = (leg.select("docid", F.lit(0.0).alias("score"))
                    if req is None else req.join(leg, "docid", "left_semi"))

@@ -97,3 +97,26 @@ def test_column_pruning_docs(engine):
     rs = plan.split("ReadSchema", 1)[1][:250]
     assert "docid" in rs and "url" in rs
     assert "warc_ts" not in rs and "dl_q" not in rs
+
+
+def test_bool_fused_single_postings_scan(engine):
+    """A 4-clause bool of match queries must plan through ONE postings scan
+    (the fused path) and its docvalue filters through ONE docs scan — not
+    one scan per clause."""
+    import re
+    from sparksearch.queries import Bool, Match, Range, Term
+    _, ex = engine
+    q = Bool(must=[Match("text", "join")],
+             should=[Match("text", "fast"), Match("text", "slow")],
+             must_not=[Match("text", "error")],
+             filter=[Term("lang", "en"),
+                     Range("warc_ts", gte="2025-01-01 00:01:00")])
+    plan = _plan_str(ex._plan(q, scored=True))
+    postings_scans = len(re.findall(r"FileScan parquet[^\n]*postings", plan))
+    docs_scans = len(re.findall(r"FileScan parquet[^\n]*/docs/", plan))
+    assert postings_scans == 1, f"{postings_scans} postings scans\n{plan}"
+    assert docs_scans == 1, f"{docs_scans} docs scans\n{plan}"
+    # both filter predicates pushed into the single docs scan
+    dv_scan = [seg for seg in plan.split("FileScan")
+               if "/docs/" in seg][0]
+    assert "lang" in dv_scan and "warc_ts" in dv_scan
