@@ -585,3 +585,15 @@ def bucket_metrics(buckets: DataFrame, metric: str = "doc_count",
         "n_buckets", "avg_bucket", "sum_bucket", "min_bucket", "max_bucket",
         keys_of("min_bucket").alias("min_keys"),
         keys_of("max_bucket").alias("max_keys"))
+
+
+def percentiles_bucket(buckets: DataFrame, metric: str = "doc_count",
+                       pcts: list[float] = (0.25, 0.5, 0.75)) -> DataFrame:
+    """percentiles_bucket pipeline agg: exact percentiles of a sibling
+    bucket table's metric (reference reg. sv/search/SearchModule.java:711-833,
+    PercentilesBucketPipelineAggregationBuilder). Exact is correct here
+    even at scale — the input is an already-aggregated bucket table."""
+    m = F.col(metric).cast("double")
+    return buckets.agg(*[
+        F.round(F.percentile(m, F.lit(float(p))), 6)
+        .alias(f"p{int(p * 100)}") for p in pcts])

@@ -111,6 +111,12 @@ def q_knn_lsh(spark, sf_dir):
                    multiprobe=1)
 
 
+def q_knn_ivf(spark, sf_dir):
+    from sparksearch.dataops import ivf_knn
+    return ivf_knn(_emb(spark, sf_dir), query_id=0, k=10, n_cells=8,
+                   n_probe=3)
+
+
 def q_lang_id(spark, sf_dir):
     from sparksearch.dataops import language_id
     return language_id(_docs(spark, sf_dir))
@@ -255,6 +261,34 @@ WITH e AS ( SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings ),
 q AS ( SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0 )
 SELECT e.vec_id, {_COS_SQL} AS cosine
 FROM e, q WHERE e.vec_id <> 0
+ORDER BY cosine DESC, e.vec_id ASC LIMIT 10
+""".strip()
+
+
+def sql_knn_ivf(n_cells: int = 8, n_probe: int = 3) -> str:
+    """Oracle twin of dataops.ivf_knn: same sampled codebook (vec_id <
+    n_cells), argmax-cosine assignment with smallest-centroid tie-break,
+    top-n_probe cells for the query, exact cosine top-k inside them."""
+    return f"""
+WITH e AS ( SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings ),
+cents AS ( SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {n_cells} ),
+ac AS ( SELECT e.vec_id, c.cid,
+          list_sum(list_transform(range(1, len(e.v) + 1),
+                                  i -> e.v[i] * c.cv[i]))
+          / ( sqrt(list_sum(list_transform(e.v, x -> x * x)))
+            * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS cs
+        FROM e CROSS JOIN cents c ),
+assign AS ( SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cs DESC, cid ASC) AS rn
+    FROM ac ) WHERE rn = 1 ),
+q AS ( SELECT v FROM e WHERE vec_id = 0 ),
+probes AS ( SELECT cid FROM ac WHERE vec_id = 0
+            ORDER BY cs DESC, cid ASC LIMIT {n_probe} )
+SELECT e.vec_id, {_COS_SQL} AS cosine
+FROM e JOIN assign USING (vec_id), q
+WHERE assign.cell IN ( SELECT cid FROM probes ) AND e.vec_id <> 0
 ORDER BY cosine DESC, e.vec_id ASC LIMIT 10
 """.strip()
 
@@ -471,6 +505,7 @@ def queries() -> dict:
         "simhash_fingerprints": q_simhash_fp,
         "knn_cosine_brute": q_knn_brute,
         "knn_cosine_lsh": q_knn_lsh,
+        "knn_cosine_ivf": q_knn_ivf,
         "knn_join_lsh": q_knn_join_lsh,
         "dedup_clusters": q_dedup_clusters,
         "dedup_embedding": q_dedup_embedding,
@@ -490,6 +525,7 @@ def oracle_sql() -> dict:
         "simhash_fingerprints": sql_simhash_fp(),
         "knn_cosine_brute": sql_knn_brute(),
         "knn_cosine_lsh": sql_knn_lsh(),
+        "knn_cosine_ivf": sql_knn_ivf(),
         "knn_join_lsh": sql_knn_join_lsh(),
         "dedup_clusters": sql_dedup_clusters(),
         "dedup_embedding": sql_dedup_embedding(dim=64),

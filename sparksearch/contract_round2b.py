@@ -46,6 +46,29 @@ def q_bucket_metrics(spark, sf_dir):
     return bucket_metrics(buckets, metric="doc_count", key="lang")
 
 
+def q_percentiles_bucket(spark, sf_dir):
+    from sparksearch.aggs import matched_docs, percentiles_bucket
+    ex = _ex(spark, sf_dir)
+    buckets = (matched_docs(ex, Match("text", "join"))
+               .groupBy("lang")
+               .agg(F.count("*").cast("long").alias("doc_count")))
+    return percentiles_bucket(buckets, metric="doc_count",
+                              pcts=[0.25, 0.5, 0.75])
+
+
+def q_exists_ids(spark, sf_dir):
+    """exists + ids doc-values queries through the executor's bool path
+    (sv/index/query/ExistsQueryBuilder.java, IdsQueryBuilder.java)."""
+    from sparksearch.queries import Bool, Exists, Ids
+    ex = _ex(spark, sf_dir)
+    ids = [r["url"] for r in
+           ex.ix.docs.orderBy("docid").limit(8).select("url").collect()]
+    q = Bool(filter=[Exists("lang"), Ids(tuple(ids))])
+    hits = ex._plan(q, scored=False).select("docid")
+    return (ex.ix.docs.join(hits, "docid")
+            .select("docid", "url", "lang").orderBy("docid"))
+
+
 def q_rank_eval_ndcg(spark, sf_dir):
     """rank_eval DCG@10 / nDCG@10 (binary relevance; rated set = top-5 of
     the stricter AND query — modules/rank-eval/.../DiscountedCumulativeGain
@@ -161,6 +184,24 @@ SELECT CAST(count(*) AS BIGINT) AS n_buckets,
 FROM buckets CROSS JOIN ext GROUP BY ext.mn, ext.mx
 """
 
+    out["agg_percentiles_bucket"] = f"""
+WITH {P}, {TOK}, {_M_JOIN},
+buckets AS ( SELECT p.lang, CAST(count(*) AS DOUBLE) AS v
+             FROM pages p JOIN m USING (docid) GROUP BY p.lang )
+SELECT CAST(round(quantile_cont(v, 0.25), 6) AS DOUBLE) AS p25,
+       CAST(round(quantile_cont(v, 0.50), 6) AS DOUBLE) AS p50,
+       CAST(round(quantile_cont(v, 0.75), 6) AS DOUBLE) AS p75
+FROM buckets
+"""
+
+    out["query_exists_ids"] = f"""
+WITH {P},
+ids AS ( SELECT url FROM pages ORDER BY docid LIMIT 8 )
+SELECT docid, url, lang FROM pages
+WHERE lang IS NOT NULL AND url IN ( SELECT url FROM ids )
+ORDER BY docid
+"""
+
     idcg = sum(1.0 / math.log2(i + 1)
                for i in range(1, min(_RELEVANT_K, 10) + 1))
     out["rank_eval_ndcg"] = f"""
@@ -219,6 +260,8 @@ def queries() -> dict:
         "agg_global": q_global,
         "agg_percentile_ranks": q_percentile_ranks,
         "agg_bucket_metrics": q_bucket_metrics,
+        "agg_percentiles_bucket": q_percentiles_bucket,
+        "query_exists_ids": q_exists_ids,
         "rank_eval_ndcg": q_rank_eval_ndcg,
         "sort_by_script": q_sort_by_script,
         "search_template": q_search_template,

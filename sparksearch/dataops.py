@@ -601,3 +601,58 @@ def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.9,
                     .alias("cosine"))
             .where(F.col("cosine") >= threshold)
             .orderBy("id_a", "id_b"))
+
+
+def ivf_knn(emb: DataFrame, query_id: int, k: int = 10, n_cells: int = 8,
+            n_probe: int = 2, id_col: str = "vec_id",
+            vec_col: str = "embedding") -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize vectors to their nearest
+    centroid cell, then scan only the `n_probe` cells nearest the query —
+    the classic IVF-Flat index (Faiss/SPANN family), the ANN scale path
+    beside hyperplane LSH.
+
+    Deterministic coarse codebook: the first `n_cells` vectors by id ARE
+    the centroids (sampled codebook — no RNG, so the DuckDB oracle can
+    replicate assignments exactly). Assignment = argmax cosine, ties to
+    the smallest centroid index. The 100 TB shape: the cell column is
+    computed once at ingest (a write-side withColumn, here inline), each
+    query scans ~n_probe/n_cells of the corpus with a pushed-down IN
+    filter, and the codebook is a driver-side broadcast of n_cells·dim
+    floats — no shuffle, no n² join.
+    """
+    cents = [list(map(float, r[vec_col])) for r in
+             emb.where(F.col(id_col) < n_cells)
+                .orderBy(id_col).select(vec_col).collect()]
+
+    def cos_to(c: list[float], vc: Column) -> Column:
+        arr = F.array(*[F.lit(x) for x in c])
+        return _cosine(vc, arr)
+
+    v = F.col(vec_col).cast("array<double>")
+    cs = F.array(*[cos_to(c, v) for c in cents])
+    cell = (F.array_position(cs, F.array_max(cs)) - 1).cast("int")
+    assigned = emb.select(F.col(id_col), v.alias("_v"), cell.alias("_cell"))
+
+    qrow = assigned.where(F.col(id_col) == query_id) \
+                   .select("_v").collect()[0]
+    qv = list(map(float, qrow["_v"]))
+    import math as _m
+
+    def _cos_py(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = _m.sqrt(sum(x * x for x in a))
+        nb = _m.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    order = sorted(range(len(cents)),
+                   key=lambda i: (-_cos_py(qv, cents[i]), i))
+    probes = order[:n_probe]
+
+    qarr = F.array(*[F.lit(x) for x in qv])
+    return (assigned
+            .where(F.col("_cell").isin(probes))
+            .where(F.col(id_col) != query_id)
+            .select(id_col,
+                    F.round(_cosine(F.col("_v"), qarr), 6).alias("cosine"))
+            .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+            .limit(k))
