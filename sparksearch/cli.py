@@ -1,16 +1,17 @@
 """spark-submit entry points: build / add / merge / segments / query / bench.
 
-Usage (cluster):
-    spark-submit --py-files sparksearch.zip -m sparksearch.cli build \
+Usage (cluster; exercised end-to-end against Spark's spark-submit):
+    spark-submit --py-files sparksearch.zip sparksearch/cli.py build \
         --input /data/pages_iceberg_or_parquet --output /data/index \
         --partitions 4096 --buckets 512 --resume
-    spark-submit ... -m sparksearch.cli segments --index /data/index \
-        --salt-target 1000000 --chunks 16 --resume
-    spark-submit ... -m sparksearch.cli add --index /data/index \
-        --input /data/new_batch
-    spark-submit ... -m sparksearch.cli merge --index /data/index
-    spark-submit ... -m sparksearch.cli query --index /data/index \
-        --match "hash join" --k 10 [--wand]
+    spark-submit --py-files sparksearch.zip sparksearch/cli.py segments \
+        --index /data/index --salt-target 1000000 --chunks 16 --resume
+    spark-submit --py-files sparksearch.zip sparksearch/cli.py add \
+        --index /data/index --input /data/new_batch
+    spark-submit --py-files sparksearch.zip sparksearch/cli.py merge \
+        --index /data/index
+    spark-submit --py-files sparksearch.zip sparksearch/cli.py query \
+        --index /data/index --match "hash join" --k 10 [--wand]
 
 The driver-side session builder honors an existing SparkSession when run
 under spark-submit (getOrCreate) — master/cores/memory come from the
