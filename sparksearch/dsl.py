@@ -177,7 +177,19 @@ _LEAF = {
     "more_like_this": _mlt,
     "span_near": _span_near,
     "intervals": _intervals,
+    "wrapper": lambda b: _wrapper(b),
 }
+
+
+def _wrapper(body: dict) -> Query:
+    """`wrapper` — base64-encoded JSON query re-parsed through the same
+    registry (sv/index/query/WrapperQueryBuilder.java)."""
+    import base64
+    import json
+    raw = body["query"]
+    if isinstance(raw, str):
+        raw = json.loads(base64.b64decode(raw))
+    return from_dsl(raw)
 
 
 def from_dsl(dsl: dict) -> Query:

@@ -127,3 +127,12 @@ def test_template_then_parse_round_trip():
     tpl = {"match": {"text": {"query": "{{q}}", "operator": "{{op}}"}}}
     q = from_dsl(render_template(tpl, {"q": "hash join", "op": "and"}))
     assert q == Match("text", "hash join", operator="and")
+
+
+def test_wrapper_query():
+    import base64
+    import json
+    inner = {"match": {"text": {"query": "hash join", "operator": "and"}}}
+    b64 = base64.b64encode(json.dumps(inner).encode()).decode()
+    assert from_dsl({"wrapper": {"query": b64}}) == \
+        Match("text", "hash join", operator="and")
