@@ -69,6 +69,32 @@ def q_exists_ids(spark, sf_dir):
             .select("docid", "url", "lang").orderBy("docid"))
 
 
+def q_span_first(spark, sf_dir):
+    from sparksearch.queries import SpanFirst
+    return C.topk_rounded(_ex(spark, sf_dir),
+                          SpanFirst("text", ("join",), end=12), k=10)
+
+
+def q_span_or(spark, sf_dir):
+    from sparksearch.queries import SpanOr
+    return C.topk_rounded(_ex(spark, sf_dir),
+                          SpanOr("text", ("fast", "slow")), k=10)
+
+
+def q_span_not(spark, sf_dir):
+    from sparksearch.queries import SpanNot
+    return C.topk_rounded(_ex(spark, sf_dir),
+                          SpanNot("text", "join", "hash", pre=1, post=1),
+                          k=10)
+
+
+def q_terms_set(spark, sf_dir):
+    from sparksearch.queries import TermsSet
+    return C.topk_rounded(_ex(spark, sf_dir),
+                          TermsSet("text", ("join", "fast", "slow"),
+                                   required=2), k=10)
+
+
 def q_rank_eval_ndcg(spark, sf_dir):
     """rank_eval DCG@10 / nDCG@10 (binary relevance; rated set = top-5 of
     the stricter AND query — modules/rank-eval/.../DiscountedCumulativeGain
@@ -230,6 +256,34 @@ LIMIT 20
 
     out["search_template"] = C.match_sql("hash join table", operator="and")
 
+    from sparksearch import contract_queries2 as CQ2
+    span_base = "WITH " + ",\n".join(CQ2._span_base())
+    out["span_first"] = span_base + f""",
+mm AS ( SELECT docid, pos FROM tokpos WHERE term = 'join' AND pos < 12 ),
+ph AS ( SELECT docid, CAST(count(DISTINCT pos) AS DOUBLE) AS pf
+        FROM mm GROUP BY docid ),
+{CQ2._span_score_tail(['join'])}
+"""
+    out["span_or"] = span_base + f""",
+mm AS ( SELECT DISTINCT docid, pos FROM tokpos
+        WHERE term IN ('fast', 'slow') ),
+ph AS ( SELECT docid, CAST(count(DISTINCT pos) AS DOUBLE) AS pf
+        FROM mm GROUP BY docid ),
+{CQ2._span_score_tail(['fast', 'slow'])}
+"""
+    out["span_not"] = span_base + f""",
+inc AS ( SELECT docid, pos FROM tokpos WHERE term = 'join' ),
+exc AS ( SELECT docid, pos FROM tokpos WHERE term = 'hash' ),
+mm AS ( SELECT i.docid, i.pos FROM inc i
+        WHERE NOT EXISTS ( SELECT 1 FROM exc x
+                           WHERE x.docid = i.docid
+                             AND x.pos BETWEEN i.pos - 1 AND i.pos + 1 ) ),
+ph AS ( SELECT docid, CAST(count(DISTINCT pos) AS DOUBLE) AS pf
+        FROM mm GROUP BY docid ),
+{CQ2._span_score_tail(['join'])}
+"""
+    out["terms_set"] = C.match_sql("join fast slow", msm=2)
+
     out["query_dsl_bool"] = f"""
 WITH {P}, {TOK}, {DL},
 tf AS ( SELECT docid, term, count(*) AS tf FROM tok
@@ -262,6 +316,10 @@ def queries() -> dict:
         "agg_bucket_metrics": q_bucket_metrics,
         "agg_percentiles_bucket": q_percentiles_bucket,
         "query_exists_ids": q_exists_ids,
+        "span_first": q_span_first,
+        "span_or": q_span_or,
+        "span_not": q_span_not,
+        "terms_set": q_terms_set,
         "rank_eval_ndcg": q_rank_eval_ndcg,
         "sort_by_script": q_sort_by_script,
         "search_template": q_search_template,

@@ -21,7 +21,8 @@ from sparksearch.queries import (
     Bool, Boosting, ConstantScore, DisMax, Exists, Fuzzy, Ids, Intervals,
     Match, MatchAll, MatchBoolPrefix, MatchNone, MatchPhrase,
     MatchPhrasePrefix, MoreLikeThis, MultiMatch, Prefix, Query, Range,
-    Regexp, SpanNear, Term, Terms, Wildcard,
+    Regexp, SpanFirst, SpanNear, SpanNot, SpanOr, Term, Terms, TermsSet,
+    Wildcard,
 )
 
 __all__ = ["from_dsl", "render_template"]
@@ -128,15 +129,50 @@ def _mlt(body: dict) -> MoreLikeThis:
                         min_doc_freq=int(body.get("min_doc_freq", 1)))
 
 
-def _span_near(body: dict) -> SpanNear:
+def _span_terms(clauses: list) -> tuple[str, list]:
     terms = []
     field = None
-    for c in body["clauses"]:
+    for c in clauses:
         f, spec = _field_body(c["span_term"])
         field = field or f
         terms.append(spec["value"] if isinstance(spec, dict) else spec)
+    return field, terms
+
+
+def _span_near(body: dict) -> SpanNear:
+    field, terms = _span_terms(body["clauses"])
     return SpanNear(field, tuple(terms), slop=int(body.get("slop", 0)),
                     in_order=bool(body.get("in_order", True)))
+
+
+def _span_first(body: dict) -> SpanFirst:
+    m = body["match"]
+    if "span_term" in m:
+        field, terms = _span_terms([m])
+        slop = 0
+    else:
+        inner = _span_near(m["span_near"])
+        field, terms, slop = inner.field_name, list(inner.clauses), inner.slop
+    return SpanFirst(field, tuple(terms), end=int(body["end"]), slop=slop)
+
+
+def _span_or(body: dict) -> SpanOr:
+    field, terms = _span_terms(body["clauses"])
+    return SpanOr(field, tuple(terms))
+
+
+def _span_not(body: dict) -> SpanNot:
+    field, inc = _span_terms([body["include"]])
+    _, exc = _span_terms([body["exclude"]])
+    return SpanNot(field, inc[0], exc[0],
+                   pre=int(body.get("pre", 0)),
+                   post=int(body.get("post", 0)))
+
+
+def _terms_set(body: dict) -> TermsSet:
+    field, spec = _field_body(body)
+    return TermsSet(field, tuple(spec["terms"]),
+                    required=int(spec.get("required", 1)))
 
 
 def _intervals(body: dict) -> Intervals:
@@ -176,6 +212,10 @@ _LEAF = {
     "boosting": _boosting,
     "more_like_this": _mlt,
     "span_near": _span_near,
+    "span_first": _span_first,
+    "span_or": _span_or,
+    "span_not": _span_not,
+    "terms_set": _terms_set,
     "intervals": _intervals,
     "wrapper": lambda b: _wrapper(b),
 }

@@ -41,7 +41,8 @@ from sparksearch.queries import (
     FieldValueFactor, FunctionScore, Fuzzy, Ids, Intervals, Match,
     MatchAll, MatchBoolPrefix, MatchNone, MatchPhrase, MatchPhrasePrefix,
     MoreLikeThis,
-    MultiMatch, Prefix, Query, Range, Regexp, SpanNear, Term, Terms,
+    MultiMatch, Prefix, Query, Range, Regexp, SpanFirst, SpanNear, SpanNot,
+    SpanOr, Term, Terms, TermsSet,
     TextPrefix, WeightFunction, Wildcard, calculate_min_should_match,
 )
 
@@ -155,6 +156,15 @@ class Executor:
         if isinstance(q, SpanNear):
             return self._plan_span_near(list(q.clauses), q.slop,
                                         q.in_order, scored)
+        if isinstance(q, SpanFirst):
+            return self._plan_span_near(list(q.clauses), q.slop, True,
+                                        scored, first_end=q.end)
+        if isinstance(q, SpanOr):
+            return self._plan_span_or(q, scored)
+        if isinstance(q, SpanNot):
+            return self._plan_span_not(q, scored)
+        if isinstance(q, TermsSet):
+            return self._plan_terms_set(q, scored)
         if isinstance(q, Intervals):
             terms = [t for t, _ in
                      analyze(q.text, q.analyzer or self.ix.analyzer)]
@@ -614,7 +624,8 @@ class Executor:
         return agg.select("docid", "score")
 
     def _plan_span_near(self, terms: list[str], slop: int, in_order: bool,
-                        scored: bool) -> DataFrame:
+                        scored: bool,
+                        first_end: int | None = None) -> DataFrame:
         """span_near / intervals positional engine: one position per clause,
         all clauses within a window of width (max−min)−(n−1) ≤ slop,
         ordered when in_order (span registrations
@@ -626,6 +637,17 @@ class Executor:
         if not terms:
             return self._empty()
         if len(terms) == 1:
+            if first_end is not None:
+                # span_first over a single term: positions within the
+                # first `end` slots, pf = their count
+                pos = (self.ix.postings_for(terms)
+                       .select("docid", "dl_q",
+                               F.explode("positions").alias("_p"))
+                       .filter(F.col("_p") < first_end))
+                joined = (pos.groupBy("docid", "dl_q")
+                          .agg(F.countDistinct("_p").cast("double")
+                               .alias("pf")))
+                return self._phrase_score(joined, terms, scored)
             per = self._term_scores(terms, scored)
             return per.select("docid", "score")
         uniq = sorted(set(terms))
@@ -652,10 +674,61 @@ class Executor:
         width = (F.greatest(*pcols) - F.least(*pcols)
                  - F.lit(len(terms) - 1))
         cur = cur.filter(width <= slop)
+        if first_end is not None:
+            # span_first: the span's END (max member position + 1) must be
+            # ≤ end ⇔ max position < end (SpanFirstQueryBuilder)
+            cur = cur.filter(F.greatest(*pcols) < first_end)
         anchor = F.col("_p0") if in_order else F.least(*pcols)
         joined = (cur.groupBy("docid", "dl_q")
                   .agg(F.countDistinct(anchor).cast("double").alias("pf")))
         return self._phrase_score(joined, terms, scored)
+
+    def _plan_span_or(self, q: SpanOr, scored: bool) -> DataFrame:
+        """span_or: pf = distinct positions occupied by ANY member term;
+        pseudo-term idf = Σ member idfs (one scan over the members'
+        postings, no joins)."""
+        terms = sorted(set(q.clauses))
+        if not terms:
+            return self._empty()
+        pos = (self.ix.postings_for(terms)
+               .select("docid", "dl_q", F.explode("positions").alias("_p")))
+        joined = (pos.groupBy("docid", "dl_q")
+                  .agg(F.countDistinct("_p").cast("double").alias("pf")))
+        return self._phrase_score(joined, terms, scored)
+
+    def _plan_span_not(self, q: SpanNot, scored: bool) -> DataFrame:
+        """span_not: occurrences of `include` with no `exclude` occurrence
+        in [pos−pre, pos+post] — a left_anti positional join; pf = count
+        of surviving positions."""
+        inc = (self.ix.postings_for([q.include])
+               .filter(F.col("term") == q.include)
+               .select("docid", "dl_q", F.explode("positions").alias("_p")))
+        exc = (self.ix.postings_for([q.exclude])
+               .filter(F.col("term") == q.exclude)
+               .select(F.col("docid").alias("_xd"),
+                       F.explode("positions").alias("_q")))
+        clash = ((F.col("docid") == F.col("_xd"))
+                 & (F.col("_q") >= F.col("_p") - F.lit(int(q.pre)))
+                 & (F.col("_q") <= F.col("_p") + F.lit(int(q.post))))
+        kept = inc.join(exc, on=clash, how="left_anti")
+        joined = (kept.groupBy("docid", "dl_q")
+                  .agg(F.countDistinct("_p").cast("double").alias("pf")))
+        return self._phrase_score(joined, [q.include], scored)
+
+    def _plan_terms_set(self, q: TermsSet, scored: bool) -> DataFrame:
+        """terms_set: BM25 sum over the exact (unanalyzed) member terms,
+        kept when the per-doc distinct-match count ≥ required — the match
+        msm machinery without an analyzer pass."""
+        terms = sorted(set(q.values))
+        if not terms:
+            return self._empty()
+        per = self._term_scores(terms, scored)
+        out = (per.groupBy("docid")
+               .agg(F.sum("score").alias("score"),
+                    F.countDistinct("term").alias("_nt")))
+        if q.required > 1:
+            out = out.filter(F.col("_nt") >= int(q.required))
+        return out.select("docid", "score")
 
     def _function_col(self, fn) -> Column:
         if isinstance(fn, WeightFunction):

@@ -268,6 +268,53 @@ class Intervals(Query):
     analyzer: str | None = None
 
 
+
+
+@dataclass(frozen=True)
+class SpanFirst(Query):
+    """`span_first` — the inner span (ordered `clauses` chain within
+    `slop`) must end within the first `end` positions of the field
+    (sv/index/query/SpanFirstQueryBuilder.java: match spans with
+    end() <= end). Scored as a pseudo-term, pf = distinct anchors."""
+    field_name: str
+    clauses: tuple
+    end: int
+    slop: int = 0
+
+
+@dataclass(frozen=True)
+class SpanOr(Query):
+    """`span_or` — union of span_term clauses; pf = distinct positions
+    where ANY member term occurs (sv/index/query/SpanOrQueryBuilder.java),
+    pseudo-term idf = Σ member idfs."""
+    field_name: str
+    clauses: tuple
+
+
+@dataclass(frozen=True)
+class SpanNot(Query):
+    """`span_not` — occurrences of `include` with no `exclude` occurrence
+    in [pos-pre, pos+post] (sv/index/query/SpanNotQueryBuilder.java
+    pre/post windows)."""
+    field_name: str
+    include: str
+    exclude: str
+    pre: int = 0
+    post: int = 0
+
+
+@dataclass(frozen=True)
+class TermsSet(Query):
+    """`terms_set` — bool of exact term clauses requiring >= `required`
+    distinct matches per doc, BM25-scored sum over the matched terms
+    (sv/index/query/TermsSetQueryBuilder.java; the reference reads the
+    minimum from a field/script — here a constant per query)."""
+    field_name: str
+    values: tuple
+    required: int = 1
+
+
+
 # --- function_score (sv/index/query/functionscore/...) ---------------------
 
 @dataclass(frozen=True)

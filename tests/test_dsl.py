@@ -136,3 +136,26 @@ def test_wrapper_query():
     b64 = base64.b64encode(json.dumps(inner).encode()).decode()
     assert from_dsl({"wrapper": {"query": b64}}) == \
         Match("text", "hash join", operator="and")
+
+
+def test_span_family_and_terms_set():
+    from sparksearch.queries import SpanFirst, SpanNot, SpanOr, TermsSet
+    sf = from_dsl({"span_first": {
+        "match": {"span_term": {"text": "join"}}, "end": 3}})
+    assert sf == SpanFirst("text", ("join",), end=3)
+    sf2 = from_dsl({"span_first": {
+        "match": {"span_near": {
+            "clauses": [{"span_term": {"text": "hash"}},
+                        {"span_term": {"text": "join"}}], "slop": 1}},
+        "end": 10}})
+    assert sf2 == SpanFirst("text", ("hash", "join"), end=10, slop=1)
+    so = from_dsl({"span_or": {"clauses": [
+        {"span_term": {"text": "fast"}}, {"span_term": {"text": "slow"}}]}})
+    assert so == SpanOr("text", ("fast", "slow"))
+    sn = from_dsl({"span_not": {
+        "include": {"span_term": {"text": "join"}},
+        "exclude": {"span_term": {"text": "hash"}}, "pre": 1, "post": 2}})
+    assert sn == SpanNot("text", "join", "hash", pre=1, post=2)
+    ts = from_dsl({"terms_set": {"text": {
+        "terms": ["join", "fast", "slow"], "required": 2}}})
+    assert ts == TermsSet("text", ("join", "fast", "slow"), required=2)
