@@ -88,6 +88,20 @@ def q_span_not(spark, sf_dir):
                           k=10)
 
 
+def q_span_within(spark, sf_dir):
+    from sparksearch.queries import SpanWithin
+    return C.topk_rounded(_ex(spark, sf_dir),
+                          SpanWithin("text", "fast", ("hash", "join"),
+                                     big_slop=4, mode="within"), k=10)
+
+
+def q_span_containing(spark, sf_dir):
+    from sparksearch.queries import SpanWithin
+    return C.topk_rounded(_ex(spark, sf_dir),
+                          SpanWithin("text", "fast", ("hash", "join"),
+                                     big_slop=4, mode="containing"), k=10)
+
+
 def q_terms_set(spark, sf_dir):
     from sparksearch.queries import TermsSet
     return C.topk_rounded(_ex(spark, sf_dir),
@@ -282,6 +296,29 @@ ph AS ( SELECT docid, CAST(count(DISTINCT pos) AS DOUBLE) AS pf
         FROM mm GROUP BY docid ),
 {CQ2._span_score_tail(['join'])}
 """
+    big_wins = """
+p0 AS ( SELECT docid, pos FROM tokpos WHERE term = 'hash' ),
+p1 AS ( SELECT docid, pos FROM tokpos WHERE term = 'join' ),
+wins AS ( SELECT p0.docid, p0.pos AS lo, p1.pos AS hi FROM p0
+          JOIN p1 ON p1.docid = p0.docid AND p1.pos > p0.pos
+          AND (p1.pos - p0.pos - 1) <= 4 ),
+lt AS ( SELECT docid, pos FROM tokpos WHERE term = 'fast' ),
+j AS ( SELECT w.docid, w.lo, l.pos AS lp FROM wins w
+       JOIN lt l ON l.docid = w.docid
+       AND l.pos BETWEEN w.lo AND w.hi )""".strip()
+    out["span_within"] = span_base + f""",
+{big_wins},
+ph AS ( SELECT docid, CAST(count(DISTINCT lp) AS DOUBLE) AS pf
+        FROM j GROUP BY docid ),
+{CQ2._span_score_tail(['fast'])}
+"""
+    out["span_containing"] = span_base + f""",
+{big_wins},
+ph AS ( SELECT docid, CAST(count(DISTINCT lo) AS DOUBLE) AS pf
+        FROM j GROUP BY docid ),
+{CQ2._span_score_tail(['hash', 'join'])}
+"""
+
     out["terms_set"] = C.match_sql("join fast slow", msm=2)
 
     out["query_dsl_bool"] = f"""
@@ -319,6 +356,8 @@ def queries() -> dict:
         "span_first": q_span_first,
         "span_or": q_span_or,
         "span_not": q_span_not,
+        "span_within": q_span_within,
+        "span_containing": q_span_containing,
         "terms_set": q_terms_set,
         "rank_eval_ndcg": q_rank_eval_ndcg,
         "sort_by_script": q_sort_by_script,

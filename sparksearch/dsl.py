@@ -21,8 +21,8 @@ from sparksearch.queries import (
     Bool, Boosting, ConstantScore, DisMax, Exists, Fuzzy, Ids, Intervals,
     Match, MatchAll, MatchBoolPrefix, MatchNone, MatchPhrase,
     MatchPhrasePrefix, MoreLikeThis, MultiMatch, Prefix, Query, Range,
-    Regexp, SpanFirst, SpanNear, SpanNot, SpanOr, Term, Terms, TermsSet,
-    Wildcard,
+    Regexp, SpanFirst, SpanNear, SpanNot, SpanOr, SpanWithin, Term, Terms,
+    TermsSet, Wildcard,
 )
 
 __all__ = ["from_dsl", "render_template"]
@@ -169,6 +169,16 @@ def _span_not(body: dict) -> SpanNot:
                    post=int(body.get("post", 0)))
 
 
+def _span_within(mode: str):
+    def build(body: dict) -> SpanWithin:
+        _, little = _span_terms([body["little"]])
+        inner = _span_near(body["big"]["span_near"])
+        return SpanWithin(inner.field_name, little[0],
+                          tuple(inner.clauses), big_slop=inner.slop,
+                          mode=mode)
+    return build
+
+
 def _terms_set(body: dict) -> TermsSet:
     field, spec = _field_body(body)
     return TermsSet(field, tuple(spec["terms"]),
@@ -215,6 +225,8 @@ _LEAF = {
     "span_first": _span_first,
     "span_or": _span_or,
     "span_not": _span_not,
+    "span_within": _span_within("within"),
+    "span_containing": _span_within("containing"),
     "terms_set": _terms_set,
     "intervals": _intervals,
     "wrapper": lambda b: _wrapper(b),

@@ -42,7 +42,7 @@ from sparksearch.queries import (
     MatchAll, MatchBoolPrefix, MatchNone, MatchPhrase, MatchPhrasePrefix,
     MoreLikeThis,
     MultiMatch, Prefix, Query, Range, Regexp, SpanFirst, SpanNear, SpanNot,
-    SpanOr, Term, Terms, TermsSet,
+    SpanOr, SpanWithin, Term, Terms, TermsSet,
     TextPrefix, WeightFunction, Wildcard, calculate_min_should_match,
 )
 
@@ -163,6 +163,8 @@ class Executor:
             return self._plan_span_or(q, scored)
         if isinstance(q, SpanNot):
             return self._plan_span_not(q, scored)
+        if isinstance(q, SpanWithin):
+            return self._plan_span_within(q, scored)
         if isinstance(q, TermsSet):
             return self._plan_terms_set(q, scored)
         if isinstance(q, Intervals):
@@ -714,6 +716,51 @@ class Executor:
         joined = (kept.groupBy("docid", "dl_q")
                   .agg(F.countDistinct("_p").cast("double").alias("pf")))
         return self._phrase_score(joined, [q.include], scored)
+
+    def _plan_span_within(self, q: SpanWithin, scored: bool) -> DataFrame:
+        """span_within / span_containing: join the big span's match windows
+        [min, max] against the little term's positions. The big-span join
+        re-runs the span_near chain exposing per-match windows instead of
+        aggregating them away."""
+        big = [t for t in q.big if t]
+        if not big or not q.little:
+            return self._empty()
+        uniq = sorted(set(big))
+        p = self.ix.postings_for(uniq).select("term", "docid", "positions",
+                                              "dl_q")
+        legs = []
+        for i, t in enumerate(big):
+            legs.append(
+                p.filter(F.col("term") == t)
+                 .select("docid", F.explode("positions").alias(f"_p{i}"),
+                         *(["dl_q"] if i == 0 else [])))
+        cur = legs[0]
+        for i in range(1, len(big)):
+            cur = (cur.join(legs[i], "docid")
+                   .filter(F.col(f"_p{i}") > F.col(f"_p{i-1}")))
+        pcols = [F.col(f"_p{i}") for i in range(len(big))]
+        width = (F.greatest(*pcols) - F.least(*pcols)
+                 - F.lit(len(big) - 1))
+        wins = (cur.filter(width <= int(q.big_slop))
+                .select("docid", "dl_q",
+                        F.least(*pcols).alias("_lo"),
+                        F.greatest(*pcols).alias("_hi")))
+        lit = (self.ix.postings_for([q.little])
+               .filter(F.col("term") == q.little)
+               .select(F.col("docid").alias("_ld"),
+                       F.explode("positions").alias("_lp")))
+        j = wins.join(lit, (F.col("docid") == F.col("_ld"))
+                      & (F.col("_lp") >= F.col("_lo"))
+                      & (F.col("_lp") <= F.col("_hi")))
+        if q.mode == "within":
+            joined = (j.groupBy("docid", "dl_q")
+                      .agg(F.countDistinct("_lp").cast("double").alias("pf")))
+            return self._phrase_score(joined, [q.little], scored)
+        if q.mode == "containing":
+            joined = (j.groupBy("docid", "dl_q")
+                      .agg(F.countDistinct("_lo").cast("double").alias("pf")))
+            return self._phrase_score(joined, big, scored)
+        raise ValueError(f"unknown span_within mode: {q.mode}")
 
     def _plan_terms_set(self, q: TermsSet, scored: bool) -> DataFrame:
         """terms_set: BM25 sum over the exact (unanalyzed) member terms,

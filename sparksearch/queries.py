@@ -304,6 +304,21 @@ class SpanNot(Query):
 
 
 @dataclass(frozen=True)
+class SpanWithin(Query):
+    """`span_within` / `span_containing` — `little` (a single term) inside
+    the window of a `big` span (ordered `big` chain within `big_slop`);
+    sv/index/query/SpanWithinQueryBuilder.java /
+    SpanContainingQueryBuilder.java. mode='within' emits the little spans
+    (pf = distinct little positions inside some big match); 'containing'
+    emits the big spans (pf = distinct big anchors enclosing a little)."""
+    field_name: str
+    little: str
+    big: tuple
+    big_slop: int = 0
+    mode: str = "within"            # 'within' | 'containing'
+
+
+@dataclass(frozen=True)
 class TermsSet(Query):
     """`terms_set` — bool of exact term clauses requiring >= `required`
     distinct matches per doc, BM25-scored sum over the matched terms

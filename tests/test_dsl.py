@@ -159,3 +159,18 @@ def test_span_family_and_terms_set():
     ts = from_dsl({"terms_set": {"text": {
         "terms": ["join", "fast", "slow"], "required": 2}}})
     assert ts == TermsSet("text", ("join", "fast", "slow"), required=2)
+
+
+def test_span_within_containing():
+    from sparksearch.queries import SpanWithin
+    body = {
+        "little": {"span_term": {"text": "fast"}},
+        "big": {"span_near": {
+            "clauses": [{"span_term": {"text": "hash"}},
+                        {"span_term": {"text": "join"}}], "slop": 3}},
+    }
+    w = from_dsl({"span_within": body})
+    assert w == SpanWithin("text", "fast", ("hash", "join"), big_slop=3,
+                           mode="within")
+    c = from_dsl({"span_containing": body})
+    assert c.mode == "containing"
