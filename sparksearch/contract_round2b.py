@@ -109,6 +109,20 @@ def q_terms_set(spark, sf_dir):
                                    required=2), k=10)
 
 
+def q_term_vectors(spark, sf_dir):
+    from sparksearch.fetchops import term_vectors
+    ix, _ = C.get_engine(spark, sf_dir)
+    return term_vectors(ix, C.pages_df(spark, sf_dir), docid=7)
+
+
+def q_explain(spark, sf_dir):
+    from sparksearch.fetchops import explain
+    ex = _ex(spark, sf_dir)
+    target = C.topk_rounded(ex, Match("text", "hash join"), k=1).collect()
+    return explain(ex, Match("text", "hash join"),
+                   docid=target[0]["docid"])
+
+
 def q_rank_eval_ndcg(spark, sf_dir):
     """rank_eval DCG@10 / nDCG@10 (binary relevance; rated set = top-5 of
     the stricter AND query — modules/rank-eval/.../DiscountedCumulativeGain
@@ -321,6 +335,35 @@ ph AS ( SELECT docid, CAST(count(DISTINCT lo) AS DOUBLE) AS pf
 
     out["terms_set"] = C.match_sql("join fast slow", msm=2)
 
+    out["term_vectors"] = f"""
+WITH {C._PAGES}, {C._TOKPOS}
+SELECT term, CAST(count(*) AS BIGINT) AS tf,
+       list(pos ORDER BY pos) AS positions
+FROM tokpos WHERE docid = 7 GROUP BY term ORDER BY term
+"""
+
+    _idf_e = idf('dft.df', 'g.n')
+    _tfn_e = tfn('tf.tf', 'dlq.dl_q', 'g.avgdl')
+    out["query_explain"] = f"""
+WITH {P}, {TOK}, {DL},
+tf AS ( SELECT docid, term, count(*) AS tf FROM tok
+        WHERE term IN ('hash','join') GROUP BY docid, term ),
+dft AS ( SELECT term, count(*) AS df FROM tf GROUP BY term ),
+sc AS ( SELECT tf.docid, sum({_idf_e} * {_tfn_e}) AS score
+        FROM tf JOIN dft USING (term) JOIN dlq USING (docid) CROSS JOIN g
+        GROUP BY tf.docid ),
+top1 AS ( SELECT docid FROM sc
+          ORDER BY round(score, 4) DESC, docid ASC LIMIT 1 )
+SELECT tf.term, CAST(tf.tf AS BIGINT) AS tf, CAST(dft.df AS BIGINT) AS df,
+       CAST(round({_idf_e}, 6) AS DOUBLE) AS idf,
+       CAST(round({_tfn_e}, 6) AS DOUBLE) AS tfn,
+       CAST(1.0 AS DOUBLE) AS weight,
+       CAST(round({_idf_e} * {_tfn_e}, 6) AS DOUBLE) AS contribution
+FROM tf JOIN top1 USING (docid) JOIN dft USING (term)
+     JOIN dlq USING (docid) CROSS JOIN g
+ORDER BY tf.term
+"""
+
     out["query_dsl_bool"] = f"""
 WITH {P}, {TOK}, {DL},
 tf AS ( SELECT docid, term, count(*) AS tf FROM tok
@@ -359,6 +402,8 @@ def queries() -> dict:
         "span_within": q_span_within,
         "span_containing": q_span_containing,
         "terms_set": q_terms_set,
+        "term_vectors": q_term_vectors,
+        "query_explain": q_explain,
         "rank_eval_ndcg": q_rank_eval_ndcg,
         "sort_by_script": q_sort_by_script,
         "search_template": q_search_template,

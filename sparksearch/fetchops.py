@@ -128,3 +128,60 @@ def suggest_completion(ix, prefix: str, size: int = 5) -> DataFrame:
             .where(F.col("term").startswith(prefix))
             .orderBy(F.col("df").desc(), F.col("term").asc())
             .limit(size))
+
+
+def term_vectors(ix, pages: DataFrame, docid: int) -> DataFrame:
+    """`_termvectors` API: (term, tf, positions) for one doc, generated on
+    the fly by re-analyzing the stored source text — the reference's
+    behavior when vectors aren't stored
+    (sv/action/termvectors/TermVectorsService.java generates from
+    _source). The doc fetch is a docid-pruned scan of the range-sorted
+    docs table joined to its source page; the Arrow analyzer runs on that
+    one row only."""
+    from sparksearch.build import doc_postings_udf
+    doc = (ix.docs.filter(F.col("docid") == int(docid))
+           .select("docid", "url"))
+    src = pages.select("url", "text").join(F.broadcast(doc), "url")
+    tok = src.select(
+        "docid", doc_postings_udf(ix.analyzer)(F.col("text")).alias("_tv"))
+    return (tok.select(F.explode("_tv.entries").alias("e"))
+            .select(F.col("e.term").alias("term"),
+                    F.col("e.tf").cast("long").alias("tf"),
+                    F.col("e.positions").alias("positions"))
+            .orderBy("term"))
+
+
+def explain(ex, q, docid: int) -> DataFrame:
+    """`_explain` API: per-term BM25 score breakdown for one doc —
+    (term, tf, df, idf, tfn, contribution) rows plus the clause weight,
+    mirroring Lucene's Explanation tree for the flagship match query
+    (sv/action/explain/TransportExplainAction.java)."""
+    from collections import Counter
+
+    from sparksearch import bm25
+    from sparksearch.analysis import analyze
+    ix = ex.ix
+    terms = [t for t, _ in analyze(q.text, q.analyzer or ix.analyzer)]
+    cnt = Counter(terms)
+    uniq = sorted(cnt)
+    p = (ix.postings_for(uniq, with_positions=False)
+         .filter(F.col("docid") == int(docid))
+         .select("term", "tf", "dl_q"))
+    s = ix.stats_for(uniq).select("term", "df")
+    w = F.create_map(*[x for t, c in cnt.items()
+                       for x in (F.lit(t), F.lit(float(c)))])
+    idf = F.log(F.lit(1.0) + (F.lit(float(ix.n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    tfn = (F.lit(bm25.K1 + 1.0) * F.col("tf")
+           / (F.col("tf") + F.lit(bm25.K1)
+              * (1.0 - bm25.B + bm25.B * F.col("dl_q") / F.lit(ix.avgdl))))
+    return (p.join(F.broadcast(s), "term")
+            .select("term",
+                    F.col("tf").cast("long").alias("tf"),
+                    F.col("df").cast("long").alias("df"),
+                    F.round(idf, 6).alias("idf"),
+                    F.round(tfn, 6).alias("tfn"),
+                    F.element_at(w, F.col("term")).alias("weight"),
+                    F.round(F.element_at(w, F.col("term")) * idf * tfn, 6)
+                    .alias("contribution"))
+            .orderBy("term"))
