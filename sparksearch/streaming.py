@@ -151,3 +151,24 @@ def site_running_counts(pages_stream: DataFrame,
             .applyInPandasWithState(update, out_schema, state_schema,
                                     "update",
                                     GroupStateTimeout.ProcessingTimeTimeout))
+
+
+def dedup_stream(pages_stream: DataFrame,
+                 watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup for a training-data ingest pipeline: drop any
+    page whose content hash was already seen, ACROSS micro-batches — the
+    stateful streaming form of dataops.exact_dedup.
+
+    `dropDuplicatesWithinWatermark` keys state by content hash and evicts
+    entries once the watermark passes, so state is bounded by the dedup
+    horizon (vs dropDuplicates' unbounded state — at 100 TB/day the
+    horizon IS the memory budget). Exactly-once across restarts comes from
+    the checkpoint, same as the indexing stream. A row's first arrival
+    wins; later identical content inside the horizon is dropped even if
+    its event time differs."""
+    from pyspark.sql import functions as F
+    hashed = pages_stream.withColumn(
+        "content_hash", F.sha2(F.col("text").cast("binary"), 256))
+    return (hashed
+            .withWatermark("warc_ts", watermark)
+            .dropDuplicatesWithinWatermark(["content_hash"]))

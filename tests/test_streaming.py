@@ -142,3 +142,50 @@ def test_site_running_counts_state_across_batches(spark, tmp_path):
     ], src)
     got2 = drain()
     assert got2["s1.ex"] == 3  # state carried across the restart
+
+
+def test_dedup_stream_across_batches(spark, tmp_path_factory):
+    """Streaming exact dedup: identical content arriving in a LATER
+    micro-batch (within the watermark horizon) is dropped; state survives
+    the checkpoint across availableNow drains."""
+    from sparksearch.corpus import pages_from_documents
+    from sparksearch.streaming import dedup_stream
+
+    root = tmp_path_factory.mktemp("sdedup")
+    src = str(root / "in")
+    out = str(root / "out")
+    ckpt = str(root / "ckpt")
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001") \
+        .select("url", "warc_ts", "text", "lang") \
+        .orderBy("url").limit(60).cache()
+    n = pages.count()
+
+    def drain():
+        stream = (spark.readStream.schema(pages.schema).parquet(src))
+        q = (dedup_stream(stream, watermark="60 minutes")
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    # batch 1: the 60 originals
+    pages.write.mode("overwrite").parquet(src)
+    drain()
+    assert spark.read.parquet(out).count() == n
+
+    # batch 2: 30 exact dupes (same text ⇒ same hash, later event time)
+    # + 20 genuinely new rows (distinct urls ⇒ distinct text)
+    dupes = (pages.orderBy("url").limit(30)
+             .withColumn("warc_ts",
+                         F.col("warc_ts") + F.expr("INTERVAL 10 SECONDS"))
+             .withColumn("url", F.concat(F.col("url"), F.lit("?rep"))))
+    fresh = (pages_from_documents(spark, "/root/testdata/sf0.001")
+             .select("url", "warc_ts", "text", "lang")
+             .orderBy(F.col("url").desc()).limit(20))
+    dupes.unionByName(fresh).write.mode("overwrite").parquet(src)
+    drain()
+    got = spark.read.parquet(out)
+    # 60 originals + 20 fresh; the 30 replays deduped against stream state
+    assert got.count() == n + 20
+    assert got.select("text").distinct().count() == n + 20
+    pages.unpersist()
