@@ -244,8 +244,27 @@ def _wrapper(body: dict) -> Query:
     return from_dsl(raw)
 
 
+def _boost_of(body: Any) -> float:
+    """Extract a query-level `boost` — top-level for compound queries,
+    inside the single field spec for field-keyed leaves."""
+    if not isinstance(body, dict):
+        return 1.0
+    if "boost" in body:
+        return float(body["boost"])
+    if len(body) == 1:
+        v = next(iter(body.values()))
+        if isinstance(v, dict) and "boost" in v:
+            return float(v["boost"])
+    return 1.0
+
+
 def from_dsl(dsl: dict) -> Query:
-    """Parse one JSON query-DSL object (the value of "query") to the AST."""
+    """Parse one JSON query-DSL object (the value of "query") to the AST.
+
+    Every query type honors `boost`: a non-1 boost wraps the parsed query
+    in FunctionScore(weight) with boost_mode=multiply — the reference
+    multiplies each query's score by its boost
+    (AbstractQueryBuilder.java boost plumbing). Never silently dropped."""
     if len(dsl) != 1:
         raise ValueError(f"expected one query type, got {sorted(dsl)}")
     kind, body = next(iter(dsl.items()))
@@ -253,7 +272,13 @@ def from_dsl(dsl: dict) -> Query:
         build = _LEAF[kind]
     except KeyError:
         raise ValueError(f"unsupported query type: {kind}") from None
-    return build(body)
+    q = build(body)
+    boost = _boost_of(body)
+    if boost != 1.0 and kind != "constant_score":
+        from sparksearch.queries import FunctionScore, WeightFunction
+        q = FunctionScore(query=q, functions=[WeightFunction(boost)],
+                          boost_mode="multiply")
+    return q
 
 
 # ---------------------------------------------------------------------------

@@ -174,3 +174,23 @@ def test_span_within_containing():
                            mode="within")
     c = from_dsl({"span_containing": body})
     assert c.mode == "containing"
+
+
+def test_boost_wraps_in_function_score():
+    from sparksearch.queries import FunctionScore, WeightFunction
+    q = from_dsl({"match": {"text": {"query": "hash", "boost": 2.5}}})
+    assert isinstance(q, FunctionScore)
+    assert q.query == Match("text", "hash")
+    assert q.functions == [WeightFunction(2.5)] and q.boost_mode == "multiply"
+    dm = from_dsl({"dis_max": {"queries": [{"match": {"text": "a"}}],
+                               "boost": 3.0}})
+    assert isinstance(dm, FunctionScore) and dm.functions == [
+        WeightFunction(3.0)]
+    # constant_score's boost is its own score, never double-applied
+    from sparksearch.queries import ConstantScore, Term
+    cs = from_dsl({"constant_score": {
+        "filter": {"term": {"lang": "en"}}, "boost": 2.0}})
+    assert cs == ConstantScore(Term("lang", "en"), boost=2.0)
+    # boost=1 stays unwrapped
+    assert from_dsl({"match": {"text": {"query": "hash", "boost": 1.0}}}) \
+        == Match("text", "hash")
