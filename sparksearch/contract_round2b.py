@@ -109,6 +109,16 @@ def q_terms_set(spark, sf_dir):
                                    required=2), k=10)
 
 
+def q_msearch(spark, sf_dir):
+    """_msearch: three match queries fused into one scan+shuffle job."""
+    ex = _ex(spark, sf_dir)
+    return ex.msearch({
+        "q1": Match("text", "hash join"),
+        "q2": Match("text", "table scan", operator="and"),
+        "q3": Match("text", "fast slow scan", minimum_should_match=2),
+    }, k=10)
+
+
 def q_term_vectors(spark, sf_dir):
     from sparksearch.fetchops import term_vectors
     ix, _ = C.get_engine(spark, sf_dir)
@@ -335,6 +345,16 @@ ph AS ( SELECT docid, CAST(count(DISTINCT lo) AS DOUBLE) AS pf
 
     out["terms_set"] = C.match_sql("join fast slow", msm=2)
 
+    def _leg(qid: str, sql: str) -> str:
+        return (f"SELECT '{qid}' AS query_id, docid, url, score "
+                f"FROM ( {sql} )")
+
+    out["msearch"] = "\nUNION ALL\n".join([
+        _leg("q1", C.match_sql("hash join")),
+        _leg("q2", C.match_sql("table scan", operator="and")),
+        _leg("q3", C.match_sql("fast slow scan", msm=2)),
+    ]) + "\nORDER BY query_id, score DESC, docid ASC"
+
     out["term_vectors"] = f"""
 WITH {C._PAGES}, {C._TOKPOS}
 SELECT term, CAST(count(*) AS BIGINT) AS tf,
@@ -404,6 +424,7 @@ def queries() -> dict:
         "terms_set": q_terms_set,
         "term_vectors": q_term_vectors,
         "query_explain": q_explain,
+        "msearch": q_msearch,
         "rank_eval_ndcg": q_rank_eval_ndcg,
         "sort_by_script": q_sort_by_script,
         "search_template": q_search_template,

@@ -118,6 +118,77 @@ class Executor:
     def count(self, q: Query) -> int:
         return self._plan(q, scored=False).count()
 
+    def msearch(self, queries: dict[str, Query], k: int = 10,
+                fetch: bool = True) -> DataFrame:
+        """`_msearch`: N queries answered in ONE job — the batch engine's
+        sweet spot at scale, where per-query fixed latency amortizes to
+        zero (sv/action/search/TransportMultiSearchAction.java batches
+        sub-searches; here they FUSE). A batch of plain match queries
+        plans as a single postings scan over the union of all query terms,
+        one groupBy(docid) computing every query's score and weighted
+        clause count, an unpivot, and one per-query top-k window — scan
+        count and shuffle count are independent of N. Non-fusable queries
+        fall back to per-leg plans unioned into the same job.
+
+        Returns (query_id, docid[, url], score), rank ≤ k per query,
+        ordered by (query_id, score desc, docid)."""
+        from pyspark.sql import Window
+        items = list(queries.items())
+        fus = [(qid, q) for qid, q in items if self._fusable(q)]
+        rest = [(qid, q) for qid, q in items if not self._fusable(q)]
+        legs = []
+        if fus:
+            infos = []
+            for qid, q in fus:
+                cnt, need = self._match_clause_info(q)
+                if cnt:
+                    infos.append((qid, cnt, need))
+            if infos:
+                all_terms = sorted(set().union(
+                    *[set(cnt) for _, cnt, _ in infos]))
+                per = self._term_scores(all_terms, True)
+                aggs = []
+                for j, (_qid, cnt, _need) in enumerate(infos):
+                    wmap = F.create_map(*[x for t, c in cnt.items()
+                                          for x in (F.lit(t),
+                                                    F.lit(float(c)))])
+                    w = F.coalesce(F.element_at(wmap, F.col("term")),
+                                   F.lit(0.0))
+                    aggs.append(F.sum(F.col("score") * w).alias(f"_s{j}"))
+                    aggs.append(F.sum(w).alias(f"_n{j}"))
+                fused = per.groupBy("docid").agg(*aggs)
+                parts = [F.struct(
+                    F.lit(qid).alias("query_id"),
+                    F.col(f"_s{j}").alias("score"),
+                    (F.col(f"_n{j}") >= float(need)).alias("_ok"))
+                    for j, (qid, _cnt, need) in enumerate(infos)]
+                legs.append(
+                    fused.select("docid",
+                                 F.explode(F.array(*parts)).alias("b"))
+                    .filter(F.col("b._ok"))
+                    .select(F.col("b.query_id").alias("query_id"),
+                            "docid", F.col("b.score").alias("score")))
+        for qid, q in rest:
+            legs.append(self._plan(q, scored=True).select(
+                F.lit(qid).alias("query_id"), "docid", "score"))
+        if not legs:
+            return self._empty().select(
+                F.lit("").alias("query_id"), "docid", "score")
+        allq = reduce(lambda a, b: a.unionByName(b), legs)
+        allq = allq.select("query_id", "docid",
+                           F.round("score", 4).alias("score"))
+        rn = F.row_number().over(
+            Window.partitionBy("query_id")
+                  .orderBy(F.col("score").desc(), F.col("docid").asc()))
+        topk = allq.withColumn("_rn", rn).filter(F.col("_rn") <= k) \
+                   .drop("_rn")
+        if fetch:
+            topk = (self.ix.docs.select("docid", "url")
+                    .join(F.broadcast(topk), "docid")
+                    .select("query_id", "docid", "url", "score"))
+        return topk.orderBy("query_id", F.col("score").desc(),
+                            F.col("docid").asc())
+
     # ---- planning: Query -> DataFrame(docid, score) ------------------------
     def _plan(self, q: Query, scored: bool) -> DataFrame:
         ix = self.ix
