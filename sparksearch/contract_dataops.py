@@ -12,6 +12,7 @@ from __future__ import annotations
 import hashlib
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments
@@ -109,6 +110,27 @@ def q_knn_lsh(spark, sf_dir):
     from sparksearch.dataops import lsh_knn
     return lsh_knn(_emb(spark, sf_dir), query_id=0, k=10, planes=4,
                    multiprobe=1)
+
+
+def q_pack_sequences(spark, sf_dir):
+    from sparksearch.dataops import pack_sequences
+    return pack_sequences(_docs(spark, sf_dir), max_tokens=512)
+
+
+def q_mixture_sample(spark, sf_dir):
+    from sparksearch.dataops import mixture_sample
+    return mixture_sample(_docs(spark, sf_dir),
+                          {"en": 0.5, "fr": 0.25, "de": 1.0})
+
+
+def q_decontaminate(spark, sf_dir):
+    """Contamination check: benchmark set = every 50th doc; training set =
+    the rest. Self-matches are impossible by construction (disjoint)."""
+    from sparksearch.dataops import decontaminate
+    d = _docs(spark, sf_dir)
+    bench = d.where(F.col("doc_id") % 50 == 0)
+    train = d.where(F.col("doc_id") % 50 != 0)
+    return decontaminate(train, bench, k=4, window=3)
 
 
 def q_knn_ivf(spark, sf_dir):
@@ -262,6 +284,63 @@ q AS ( SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0 )
 SELECT e.vec_id, {_COS_SQL} AS cosine
 FROM e, q WHERE e.vec_id <> 0
 ORDER BY cosine DESC, e.vec_id ASC LIMIT 10
+""".strip()
+
+
+def sql_pack_sequences(max_tokens: int = 512) -> str:
+    return f"""
+WITH toks AS ( SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents ),
+pre AS ( SELECT doc_id, n_tokens,
+    COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+    FROM toks )
+SELECT doc_id, n_tokens,
+       CAST(before // {max_tokens} AS BIGINT) AS bin_id,
+       CAST(before % {max_tokens} AS BIGINT) AS bin_offset
+FROM pre ORDER BY doc_id
+""".strip()
+
+
+def sql_mixture_sample(denom: int = 10000) -> str:
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+           AS BIGINT) % {denom}
+      < (CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.25
+                   WHEN 'de' THEN 1.0 ELSE 0.0 END) * {denom}
+ORDER BY doc_id
+""".strip()
+
+
+def sql_decontaminate() -> str:
+    """Winnow both splits (benchmark = doc_id % 50 == 0) with the same
+    fingerprint CTE as sql_winnow, then a fingerprint semi-join."""
+    fps = """
+tokarr AS ( SELECT doc_id, string_split(text, ' ') AS t FROM documents ),
+kg AS (
+  SELECT doc_id, pos, gh FROM (
+    SELECT doc_id,
+           unnest(range(0, greatest(len(t) - 3, 0))) AS pos,
+           unnest(CASE WHEN len(t) >= 4 THEN
+             list_transform(range(0, len(t) - 3),
+                            i -> md5(array_to_string(t[i+1:i+4], ' ')))
+           ELSE [] END) AS gh
+    FROM tokarr ) ),
+wins AS (
+  SELECT DISTINCT doc_id,
+         min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS fp
+  FROM kg )
+""".strip()
+    return f"""
+WITH {fps}
+SELECT DISTINCT w.doc_id FROM wins w
+WHERE w.doc_id % 50 <> 0
+  AND EXISTS ( SELECT 1 FROM wins b
+               WHERE b.doc_id % 50 = 0 AND b.fp = w.fp )
+ORDER BY w.doc_id
 """.strip()
 
 
@@ -506,6 +585,9 @@ def queries() -> dict:
         "knn_cosine_brute": q_knn_brute,
         "knn_cosine_lsh": q_knn_lsh,
         "knn_cosine_ivf": q_knn_ivf,
+        "pack_sequences": q_pack_sequences,
+        "mixture_sample": q_mixture_sample,
+        "decontaminate": q_decontaminate,
         "knn_join_lsh": q_knn_join_lsh,
         "dedup_clusters": q_dedup_clusters,
         "dedup_embedding": q_dedup_embedding,
@@ -526,6 +608,9 @@ def oracle_sql() -> dict:
         "knn_cosine_brute": sql_knn_brute(),
         "knn_cosine_lsh": sql_knn_lsh(),
         "knn_cosine_ivf": sql_knn_ivf(),
+        "pack_sequences": sql_pack_sequences(),
+        "mixture_sample": sql_mixture_sample(),
+        "decontaminate": sql_decontaminate(),
         "knn_join_lsh": sql_knn_join_lsh(),
         "dedup_clusters": sql_dedup_clusters(),
         "dedup_embedding": sql_dedup_embedding(dim=64),

@@ -656,3 +656,71 @@ def ivf_knn(emb: DataFrame, query_id: int, k: int = 10, n_cells: int = 8,
                     F.round(_cosine(F.col("_v"), qarr), 6).alias("cosine"))
             .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
             .limit(k))
+
+
+def pack_sequences(docs: DataFrame, max_tokens: int = 512,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Sequence packing for LLM training: concatenate docs in id order and
+    chunk at `max_tokens` — each doc is assigned the bin its FIRST token
+    lands in (concat-and-chunk packing, the standard high-utilization
+    alternative to pad-per-doc). Deterministic: bin = floor(prefix_sum /
+    max_tokens) over whitespace token counts in id order.
+
+    Scale shape: the prefix sum is one window over a range-partitioned
+    sort by id — at 10^12 docs, partition the id space and carry per-range
+    offsets (assign_docids' two-pass scheme); no driver data."""
+    toks = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).cast("long")
+        .alias("n_tokens"))
+    w = Window.orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, -1)
+    out = toks.select(
+        id_col, "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("_before"))
+    return (out.select(
+        id_col, "n_tokens",
+        (F.col("_before") / max_tokens).cast("long").alias("bin_id"),
+        (F.col("_before") % max_tokens).cast("long").alias("bin_offset"))
+        .orderBy(id_col))
+
+
+def mixture_sample(docs: DataFrame, rates: dict[str, float],
+                   key_col: str = "lang", id_col: str = "doc_id",
+                   denom: int = 10000) -> DataFrame:
+    """Deterministic training-mixture sampling: keep a `rates[key]`
+    fraction of each source (language/domain/corpus), chosen by content
+    hash — reproducible across runs and engines, no RNG state. A source
+    absent from `rates` is dropped (rate 0).
+
+    Hash = md5 prefix for oracle parity (xxhash64 is the documented scale
+    swap); keep iff hash(id) % denom < rate·denom. One scan, no shuffle."""
+    rmap = F.create_map(*[x for k, v in rates.items()
+                          for x in (F.lit(k), F.lit(float(v)))])
+    rate = F.coalesce(F.element_at(rmap, F.col(key_col)), F.lit(0.0))
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+               16, 10).cast("long") % denom
+    return (docs.filter(h < rate * denom)
+            .select(id_col, key_col).orderBy(id_col))
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  k: int = 4, window: int = 3,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing ANY winnowing
+    fingerprint (k-gram rolling-hash local minima) with a held-out
+    benchmark set — the standard n-gram-overlap train/test contamination
+    check. Returns the contaminated doc ids (distinct, ordered).
+
+    Scale shape: fingerprint both sides (winnow_fingerprints — window over
+    positions, no n²), then ONE semi-join keyed by fingerprint; the
+    benchmark side is tiny and broadcasts."""
+    d_fps = winnow_fingerprints(docs, k=k, window=window,
+                                text_col=text_col, id_col=id_col)
+    b_fps = (winnow_fingerprints(benchmark, k=k, window=window,
+                                 text_col=text_col, id_col=id_col)
+             .select("fp").distinct())
+    return (d_fps.join(F.broadcast(b_fps), "fp", "left_semi")
+            .select(id_col).distinct().orderBy(id_col))
