@@ -109,6 +109,15 @@ def q_terms_set(spark, sf_dir):
                                    required=2), k=10)
 
 
+def q_index_stats(spark, sf_dir):
+    """_stats API: committed index-level statistics must equal an
+    independent SQL recount of the corpus (integrity check of the whole
+    build's bookkeeping)."""
+    from sparksearch.index import index_stats
+    ix, _ = C.get_engine(spark, sf_dir)
+    return index_stats(ix).select("n_docs", "n_terms", "total_tf", "avgdl")
+
+
 def q_msearch(spark, sf_dir):
     """_msearch: three match queries fused into one scan+shuffle job."""
     ex = _ex(spark, sf_dir)
@@ -345,6 +354,16 @@ ph AS ( SELECT docid, CAST(count(DISTINCT lo) AS DOUBLE) AS pf
 
     out["terms_set"] = C.match_sql("join fast slow", msm=2)
 
+    out["index_stats"] = f"""
+WITH {P}, {TOK}
+SELECT CAST(count(DISTINCT docid) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+       CAST(count(*) AS BIGINT) AS total_tf,
+       CAST(round(count(*) / CAST(count(DISTINCT docid) AS DOUBLE), 6)
+            AS DOUBLE) AS avgdl
+FROM tok
+"""
+
     def _leg(qid: str, sql: str) -> str:
         return (f"SELECT '{qid}' AS query_id, docid, url, score "
                 f"FROM ( {sql} )")
@@ -425,6 +444,7 @@ def queries() -> dict:
         "term_vectors": q_term_vectors,
         "query_explain": q_explain,
         "msearch": q_msearch,
+        "index_stats": q_index_stats,
         "rank_eval_ndcg": q_rank_eval_ndcg,
         "sort_by_script": q_sort_by_script,
         "search_template": q_search_template,

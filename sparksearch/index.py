@@ -7,7 +7,8 @@ import json
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["IndexReader"]
+__all__ = ["IndexReader", "index_stats", "set_alias", "resolve_alias",
+           "open_index"]
 
 
 class IndexReader:
@@ -120,3 +121,64 @@ class IndexReader:
         if not terms:
             return self.stats.limit(0)
         return self.stats.filter(F.col("term").isin(sorted(set(terms))))
+
+
+def index_stats(ix: "IndexReader") -> DataFrame:
+    """`_stats`/`_cat/indices` analogue: one row of index-level statistics
+    from the committed meta + segments manifests (doc count, term count,
+    total tf, avgdl, generations, packed-segment payload bytes) — all
+    driver-side metadata, no scan (sv/action/admin/indices/stats)."""
+    import os
+    m = ix.meta
+    seg_payload = 0
+    seg_path = f"{ix.index_dir}/segments_meta.json"
+    if os.path.exists(seg_path):
+        with open(seg_path) as f:
+            seg = json.load(f)
+        seg_payload = sum(g.get("payload_bytes", 0)
+                          for g in seg.get("gens", {}).values())
+    row = [(int(m["n_docs"]), int(m["n_terms"]), int(m["total_tf"]),
+            float(round(m["avgdl"], 6)), len(ix.generations),
+            int(seg_payload))]
+    return ix.spark.createDataFrame(
+        row, "n_docs bigint, n_terms bigint, total_tf bigint, "
+             "avgdl double, n_generations int, segment_payload_bytes bigint")
+
+
+# ---------------------------------------------------------------------------
+# index aliases (sv/cluster/metadata/AliasMetadata — zero-downtime reindex)
+# ---------------------------------------------------------------------------
+
+def set_alias(registry_path: str, alias: str, index_dir: str) -> None:
+    """Point `alias` at `index_dir` with an atomic registry replace —
+    readers opening through the alias see the old or the new index, never
+    a partial state (the blue/green reindex swap)."""
+    import os
+    reg = {}
+    if os.path.exists(registry_path):
+        with open(registry_path) as f:
+            reg = json.load(f)
+    reg[alias] = index_dir
+    tmp = registry_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(reg, f, indent=2)
+    os.replace(tmp, registry_path)
+
+
+def resolve_alias(registry_path: str, name: str) -> str:
+    """Resolve `name` through the alias registry; a non-alias name (or a
+    missing registry) passes through as a literal index dir."""
+    import os
+    if os.path.exists(registry_path):
+        with open(registry_path) as f:
+            reg = json.load(f)
+        if name in reg:
+            return reg[name]
+    return name
+
+
+def open_index(spark: SparkSession, name: str, registry_path: str = "",
+               use_segments: bool = False) -> "IndexReader":
+    """Open an index by directory OR by alias (when a registry is given)."""
+    target = resolve_alias(registry_path, name) if registry_path else name
+    return IndexReader(spark, target, use_segments=use_segments)

@@ -231,3 +231,30 @@ def test_point_in_time_reader_snapshot(spark, tmp_path_factory):
     live = pit.reload()
     assert live.generations == [0, 1]
     assert live.docs.count() > n0
+
+
+def test_alias_blue_green_swap(spark, tmp_path_factory):
+    """Index aliases: build green, swap the alias atomically, readers via
+    the alias pick up the new index on next open — the reference's
+    zero-downtime reindex flow (AliasMetadata + IndicesAliasesRequest)."""
+    from sparksearch.build import build_index
+    from sparksearch.index import index_stats, open_index, set_alias
+
+    root = tmp_path_factory.mktemp("alias")
+    reg = str(root / "aliases.json")
+    blue, green = str(root / "blue"), str(root / "green")
+    pages = _pages(spark)
+    build_index(pages.limit(100), blue, n_buckets=2, partitions=2)
+    build_index(pages, green, n_buckets=2, partitions=2)
+
+    set_alias(reg, "web", blue)
+    ix = open_index(spark, "web", reg)
+    n_blue = ix.n_docs
+    assert index_stats(ix).collect()[0]["n_docs"] == n_blue
+
+    set_alias(reg, "web", green)           # atomic swap
+    ix2 = open_index(spark, "web", reg)
+    assert ix2.n_docs == 500 and ix2.n_docs > n_blue
+    # literal dirs still resolve, with or without a registry
+    assert open_index(spark, blue, reg).n_docs == n_blue
+    assert open_index(spark, blue).n_docs == n_blue
