@@ -25,7 +25,7 @@ from sparksearch.queries import (
     TermsSet, Wildcard,
 )
 
-__all__ = ["from_dsl", "render_template"]
+__all__ = ["from_dsl", "render_template", "validate_query"]
 
 
 def _field_body(body: dict) -> tuple[str, Any]:
@@ -328,3 +328,15 @@ def render_template(source: Any, params: dict) -> Any:
             out[render_template(k, params)] = render_template(v, params)
         return out
     return source
+
+
+def validate_query(dsl: dict) -> tuple[bool, str]:
+    """`_validate/query` API: parse-check a JSON DSL query without running
+    it; returns (valid, explanation) — the explanation is the rewritten
+    query AST, like the reference's explain=true rewrite string
+    (sv/action/admin/indices/validate/query/TransportValidateQueryAction.java)."""
+    try:
+        q = from_dsl(dsl)
+    except (ValueError, KeyError, TypeError) as e:
+        return False, f"parse error: {e}"
+    return True, repr(q)

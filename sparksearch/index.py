@@ -182,3 +182,16 @@ def open_index(spark: SparkSession, name: str, registry_path: str = "",
     """Open an index by directory OR by alias (when a registry is given)."""
     target = resolve_alias(registry_path, name) if registry_path else name
     return IndexReader(spark, target, use_segments=use_segments)
+
+
+def field_caps(ix: "IndexReader") -> DataFrame:
+    """`_field_caps` analogue: per-field type + capabilities from the
+    index's schemas — doc-values fields from the docs table, the analyzed
+    text field from the postings store
+    (sv/action/fieldcaps/TransportFieldCapabilitiesAction.java)."""
+    rows = [("text", "text", True, False)]
+    for f in ix.docs.schema.fields:
+        rows.append((f.name, f.dataType.simpleString(), True, True))
+    return ix.spark.createDataFrame(
+        rows, "field string, type string, searchable boolean, "
+              "aggregatable boolean").orderBy("field")

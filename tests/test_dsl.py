@@ -194,3 +194,13 @@ def test_boost_wraps_in_function_score():
     # boost=1 stays unwrapped
     assert from_dsl({"match": {"text": {"query": "hash", "boost": 1.0}}}) \
         == Match("text", "hash")
+
+
+def test_validate_query():
+    from sparksearch.dsl import validate_query
+    ok, expl = validate_query({"match": {"text": "hash join"}})
+    assert ok and "Match" in expl
+    bad, msg = validate_query({"knn": {"field": "v"}})
+    assert not bad and "unsupported query type" in msg
+    bad2, msg2 = validate_query({"match": {}})
+    assert not bad2 and "parse error" in msg2

@@ -258,3 +258,17 @@ def test_alias_blue_green_swap(spark, tmp_path_factory):
     # literal dirs still resolve, with or without a registry
     assert open_index(spark, blue, reg).n_docs == n_blue
     assert open_index(spark, blue).n_docs == n_blue
+
+
+def test_field_caps(spark, tmp_path_factory):
+    from sparksearch.build import build_index
+    from sparksearch.index import IndexReader, field_caps
+
+    out = str(tmp_path_factory.mktemp("fcaps"))
+    shutil.rmtree(out, ignore_errors=True)
+    build_index(_pages(spark).limit(50), out, n_buckets=2, partitions=2)
+    caps = {r["field"]: (r["type"], r["searchable"], r["aggregatable"])
+            for r in field_caps(IndexReader(spark, out)).collect()}
+    assert caps["text"] == ("text", True, False)
+    assert caps["lang"][1] and caps["lang"][2]
+    assert "docid" in caps and "warc_ts" in caps
