@@ -133,6 +133,11 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(train, bench, k=4, window=3)
 
 
+def q_lm_quality(spark, sf_dir):
+    from sparksearch.dataops import lm_quality
+    return lm_quality(_docs(spark, sf_dir))
+
+
 def q_knn_ivf(spark, sf_dir):
     from sparksearch.dataops import ivf_knn
     return ivf_knn(_emb(spark, sf_dir), query_id=0, k=10, n_cells=8,
@@ -341,6 +346,29 @@ WHERE w.doc_id % 50 <> 0
   AND EXISTS ( SELECT 1 FROM wins b
                WHERE b.doc_id % 50 = 0 AND b.fp = w.fp )
 ORDER BY w.doc_id
+""".strip()
+
+
+def sql_lm_quality() -> str:
+    return """
+WITH toks AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) AS pos,
+         unnest(string_split(text, ' ')) AS w
+  FROM documents ),
+tk AS ( SELECT * FROM toks WHERE w <> '' ),
+big AS ( SELECT doc_id, w,
+                lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+         FROM tk ),
+bg AS ( SELECT * FROM big WHERE w2 IS NOT NULL ),
+uc AS ( SELECT w, count(*) AS cw FROM tk GROUP BY w ),
+bc AS ( SELECT w, w2, count(*) AS cb FROM bg GROUP BY w, w2 ),
+v AS ( SELECT CAST(count(DISTINCT w) AS DOUBLE) AS vv FROM tk )
+SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(round(avg(ln((bc.cb + 1.0) / (uc.cw + v.vv))), 6) AS DOUBLE)
+         AS lm_logprob
+FROM bg JOIN bc USING (w, w2) JOIN uc USING (w) CROSS JOIN v
+GROUP BY bg.doc_id ORDER BY bg.doc_id
 """.strip()
 
 
@@ -585,6 +613,7 @@ def queries() -> dict:
         "knn_cosine_brute": q_knn_brute,
         "knn_cosine_lsh": q_knn_lsh,
         "knn_cosine_ivf": q_knn_ivf,
+        "lm_quality": q_lm_quality,
         "pack_sequences": q_pack_sequences,
         "mixture_sample": q_mixture_sample,
         "decontaminate": q_decontaminate,
@@ -608,6 +637,7 @@ def oracle_sql() -> dict:
         "knn_cosine_brute": sql_knn_brute(),
         "knn_cosine_lsh": sql_knn_lsh(),
         "knn_cosine_ivf": sql_knn_ivf(),
+        "lm_quality": sql_lm_quality(),
         "pack_sequences": sql_pack_sequences(),
         "mixture_sample": sql_mixture_sample(),
         "decontaminate": sql_decontaminate(),

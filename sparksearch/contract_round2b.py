@@ -102,6 +102,12 @@ def q_span_containing(spark, sf_dir):
                                      big_slop=4, mode="containing"), k=10)
 
 
+def q_span_multi(spark, sf_dir):
+    from sparksearch.queries import SpanMulti, TextPrefix
+    return C.topk_rounded(_ex(spark, sf_dir),
+                          SpanMulti("text", TextPrefix("text", "jo")), k=10)
+
+
 def q_terms_set(spark, sf_dir):
     from sparksearch.queries import TermsSet
     return C.topk_rounded(_ex(spark, sf_dir),
@@ -354,6 +360,23 @@ ph AS ( SELECT docid, CAST(count(DISTINCT lo) AS DOUBLE) AS pf
 
     out["terms_set"] = C.match_sql("join fast slow", msm=2)
 
+    out["span_multi"] = span_base + f""",
+exp AS ( SELECT term FROM ( SELECT DISTINCT term FROM tok )
+         WHERE term LIKE 'jo%' ORDER BY term LIMIT 50 ),
+dft AS ( SELECT term, count(DISTINCT docid) AS df FROM tok GROUP BY term ),
+sidf AS ( SELECT sum({idf('dft.df', 'g.n')}) AS sum_idf
+          FROM dft JOIN exp USING (term) CROSS JOIN g ),
+mm AS ( SELECT DISTINCT t.docid, t.pos FROM tokpos t JOIN exp USING (term) ),
+ph AS ( SELECT docid, CAST(count(DISTINCT pos) AS DOUBLE) AS pf
+        FROM mm GROUP BY docid ),
+sc AS ( SELECT ph.docid,
+               sidf.sum_idf * {tfn('ph.pf', 'dlq.dl_q', 'g.avgdl')} AS score
+        FROM ph JOIN dlq USING (docid) CROSS JOIN g CROSS JOIN sidf )
+SELECT p.docid, p.url, round(sc.score, 4) AS score
+FROM sc JOIN pages p USING (docid)
+ORDER BY round(sc.score, 4) DESC, p.docid ASC LIMIT 10
+"""
+
     out["index_stats"] = f"""
 WITH {P}, {TOK}
 SELECT CAST(count(DISTINCT docid) AS BIGINT) AS n_docs,
@@ -441,6 +464,7 @@ def queries() -> dict:
         "span_within": q_span_within,
         "span_containing": q_span_containing,
         "terms_set": q_terms_set,
+        "span_multi": q_span_multi,
         "term_vectors": q_term_vectors,
         "query_explain": q_explain,
         "msearch": q_msearch,

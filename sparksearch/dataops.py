@@ -724,3 +724,35 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
              .select("fp").distinct())
     return (d_fps.join(F.broadcast(b_fps), "fp", "left_semi")
             .select(id_col).distinct().orderBy(id_col))
+
+
+def lm_quality(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Language-model quality scoring: per-doc mean bigram log-probability
+    under the corpus's OWN add-one-smoothed bigram LM — the classic
+    perplexity-style filter (gibberish / boilerplate / outlier docs score
+    far below the corpus mode) used beside heuristic quality_score in
+    training-data pipelines.
+
+    ln P(w2|w1) = ln( (c(w1,w2) + 1) / (c(w1) + V) ), averaged over the
+    doc's bigrams. All JVM-side: token explode, lead() bigrams, two
+    map-side-combined count aggregations, two joins keyed by the grams, a
+    1-row vocab broadcast. Shuffle ∝ corpus bigram count — no n², no
+    Python."""
+    toks = (docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"))
+        .filter(F.col("w") != ""))
+    w2 = F.lead("w").over(Window.partitionBy(id_col).orderBy("pos"))
+    big = (toks.select(id_col, "w", w2.alias("w2"))
+           .filter(F.col("w2").isNotNull()))
+    uc = toks.groupBy("w").agg(F.count("*").alias("_cw"))
+    bc = big.groupBy("w", "w2").agg(F.count("*").alias("_cb"))
+    vocab = toks.agg(F.countDistinct("w").cast("double").alias("_v"))
+    j = (big.join(bc, ["w", "w2"]).join(uc, "w")
+         .crossJoin(F.broadcast(vocab)))
+    lp = F.log((F.col("_cb") + 1.0) / (F.col("_cw") + F.col("_v")))
+    return (j.groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_bigrams"),
+                 F.round(F.avg(lp), 6).alias("lm_logprob"))
+            .orderBy(id_col))

@@ -42,7 +42,7 @@ from sparksearch.queries import (
     MatchAll, MatchBoolPrefix, MatchNone, MatchPhrase, MatchPhrasePrefix,
     MoreLikeThis,
     MultiMatch, Prefix, Query, Range, Regexp, SpanFirst, SpanNear, SpanNot,
-    SpanOr, SpanWithin, Term, Terms, TermsSet,
+    SpanMulti, SpanOr, SpanWithin, Term, Terms, TermsSet,
     TextPrefix, WeightFunction, Wildcard, calculate_min_should_match,
 )
 
@@ -236,6 +236,8 @@ class Executor:
             return self._plan_span_not(q, scored)
         if isinstance(q, SpanWithin):
             return self._plan_span_within(q, scored)
+        if isinstance(q, SpanMulti):
+            return self._plan_span_multi(q, scored)
         if isinstance(q, TermsSet):
             return self._plan_terms_set(q, scored)
         if isinstance(q, Intervals):
@@ -253,13 +255,21 @@ class Executor:
         small), emit constant score 1.0 per matching doc — Lucene's
         CONSTANT_SCORE multi-term rewrite. Fully distributed: no driver-side
         term collection."""
-        d = self.ix.stats.select("term")
-        # cheap dictionary pruning before the expensive predicate: a literal
-        # prefix (chars before the first metacharacter) becomes a sargable
-        # startswith that parquet row-group min/max on the sorted term
-        # column can skip on; fuzzy gets the levenshtein length-band. The
-        # reference walks an FST automaton — these are the set-oriented
-        # equivalents of its prefix/length pruning.
+        matched = self.ix.stats.select("term") \
+            .filter(self._multiterm_cond(q))
+        docids = (self.ix.postings.join(F.broadcast(matched), "term")
+                  .select("docid").distinct())
+        return docids.select(
+            "docid", F.lit(1.0 if scored else 0.0).alias("score"))
+
+    def _multiterm_cond(self, q: Query) -> Column:
+        """Dictionary predicate for a multi-term query, with cheap pruning
+        before the expensive match: a literal prefix (chars before the
+        first metacharacter) becomes a sargable startswith that parquet
+        row-group min/max on the sorted term column can skip on; fuzzy
+        gets the levenshtein length-band. The reference walks an FST
+        automaton — these are the set-oriented equivalents of its
+        prefix/length pruning."""
         if isinstance(q, Wildcard):
             like = q.pattern.replace("%", r"\%").replace("_", r"\_") \
                 .replace("*", "%").replace("?", "_")
@@ -280,11 +290,23 @@ class Executor:
                            <= n)
         else:  # TextPrefix
             cond = F.col("term").startswith(q.value)
-        matched = d.filter(cond)
-        docids = (self.ix.postings.join(F.broadcast(matched), "term")
-                  .select("docid").distinct())
-        return docids.select(
-            "docid", F.lit(1.0 if scored else 0.0).alias("score"))
+        return cond
+
+    def _plan_span_multi(self, q: SpanMulti, scored: bool) -> DataFrame:
+        """span_multi: a multi-term query wrapped as a span
+        (sv/index/query/SpanMultiTermQueryBuilder.java) — expand over the
+        term dictionary (first `max_expansions` in term order, the
+        reference's TopTermsSpanBooleanQueryRewrite cap), then union
+        member positions exactly like span_or. The expansion collect is
+        bounded by max_expansions."""
+        rows = (self.ix.stats.select("term")
+                .filter(self._multiterm_cond(q.match))
+                .orderBy("term").limit(int(q.max_expansions)).collect())
+        terms = [r["term"] for r in rows]
+        if not terms:
+            return self._empty()
+        return self._plan_span_or(SpanOr(q.field_name, tuple(terms)),
+                                  scored)
 
     def _plan_dismax(self, q: DisMax, scored: bool) -> DataFrame:
         legs = [self._plan(sq, scored) for sq in q.queries]

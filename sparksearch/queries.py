@@ -304,6 +304,18 @@ class SpanNot(Query):
 
 
 @dataclass(frozen=True)
+class SpanMulti(Query):
+    """`span_multi` — a multi-term query (prefix/wildcard/regexp/fuzzy on
+    the analyzed field) wrapped as a span: expands over the term
+    dictionary (first `max_expansions` in term order — the reference's
+    TopTermsSpanBooleanQueryRewrite cap) and matches like span_or over
+    the expansion (sv/index/query/SpanMultiTermQueryBuilder.java)."""
+    field_name: str
+    match: Query = None
+    max_expansions: int = 50
+
+
+@dataclass(frozen=True)
 class SpanWithin(Query):
     """`span_within` / `span_containing` — `little` (a single term) inside
     the window of a `big` span (ordered `big` chain within `big_slop`);
