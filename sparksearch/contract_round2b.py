@@ -115,6 +115,15 @@ def q_terms_set(spark, sf_dir):
                                    required=2), k=10)
 
 
+def q_query_string_multiterm(spark, sf_dir):
+    """query_string with a wildcard atom: 'hash AND jo*' — the prefix leg
+    expands over the dictionary (constant 1.0), summed with the BM25
+    match leg inside the bool (QueryStringQueryParser getWildcardQuery)."""
+    from sparksearch.qs_parser import parse_query_string
+    q = parse_query_string("hash AND jo*")
+    return C.topk_rounded(_ex(spark, sf_dir), q, k=10)
+
+
 def q_index_stats(spark, sf_dir):
     """_stats API: committed index-level statistics must equal an
     independent SQL recount of the corpus (integrity check of the whole
@@ -377,6 +386,22 @@ FROM sc JOIN pages p USING (docid)
 ORDER BY round(sc.score, 4) DESC, p.docid ASC LIMIT 10
 """
 
+    out["query_string_multiterm"] = f"""
+WITH {P}, {TOK}, {DL},
+tf AS ( SELECT docid, count(*) AS tf FROM tok WHERE term = 'hash'
+        GROUP BY docid ),
+dft AS ( SELECT count(*) AS df FROM tf ),
+pfx AS ( SELECT DISTINCT docid FROM tok WHERE term LIKE 'jo%' ),
+sc AS ( SELECT tf.docid,
+               {idf('dft.df', 'g.n')} * {tfn('tf.tf', 'dlq.dl_q', 'g.avgdl')}
+               + 1.0 AS score
+        FROM tf CROSS JOIN dft JOIN dlq USING (docid) CROSS JOIN g
+        JOIN pfx USING (docid) )
+SELECT p.docid, p.url, round(sc.score, 4) AS score
+FROM sc JOIN pages p USING (docid)
+ORDER BY round(sc.score, 4) DESC, p.docid ASC LIMIT 10
+"""
+
     out["index_stats"] = f"""
 WITH {P}, {TOK}
 SELECT CAST(count(DISTINCT docid) AS BIGINT) AS n_docs,
@@ -469,6 +494,7 @@ def queries() -> dict:
         "query_explain": q_explain,
         "msearch": q_msearch,
         "index_stats": q_index_stats,
+        "query_string_multiterm": q_query_string_multiterm,
         "rank_eval_ndcg": q_rank_eval_ndcg,
         "sort_by_script": q_sort_by_script,
         "search_template": q_search_template,

@@ -27,7 +27,8 @@ from __future__ import annotations
 import re
 
 from sparksearch.queries import (
-    Bool, Match, MatchPhrase, Query, Term,
+    Bool, Fuzzy, Match, MatchPhrase, Prefix, Query, Regexp, Term,
+    TextPrefix, Wildcard,
 )
 
 __all__ = ["parse_query_string"]
@@ -118,9 +119,37 @@ class _Parser:
         if ":" in t:
             fld, val = t.split(":", 1)
             if fld in _KEYWORD_FIELDS:
+                # wildcard on a keyword field: only the trailing-star
+                # prefix form (QueryStringQueryParser getWildcardQuery)
+                if val.endswith("*") and "*" not in val[:-1] \
+                        and "?" not in val:
+                    return Prefix(fld, val[:-1])
                 return Term(fld, val)
-            return Match(self.default_field, val)
-        return Match(self.default_field, t)
+            return self._text_atom(val)
+        return self._text_atom(t)
+
+    def _text_atom(self, val: str) -> Query:
+        """Multi-term token forms on the analyzed field — the reference
+        expands these over the term dictionary
+        (QueryStringQueryParser getFuzzyQuery/getWildcardQuery/
+        getRegexpQuery); matching them as analyzed text would silently
+        strip the operators and query the wrong terms."""
+        m = re.fullmatch(r"(.+?)~(\d*)", val)
+        if m:
+            base = m.group(1)
+            if m.group(2):
+                fz = int(m.group(2))
+            else:  # bare ~ = AUTO ladder (Fuzziness.java)
+                n = len(base)
+                fz = 0 if n < 3 else (1 if n <= 5 else 2)
+            return Fuzzy(self.default_field, base, fuzziness=fz)
+        if val.startswith("/") and val.endswith("/") and len(val) > 2:
+            return Regexp(self.default_field, val[1:-1])
+        if "*" in val or "?" in val:
+            if val.endswith("*") and "*" not in val[:-1] and "?" not in val:
+                return TextPrefix(self.default_field, val[:-1])
+            return Wildcard(self.default_field, val)
+        return Match(self.default_field, val)
 
 
 def parse_query_string(s: str, default_field: str = "text") -> Query:

@@ -59,3 +59,19 @@ def test_single_term():
     q = parse_query_string("join")
     assert isinstance(q, Match)
     assert q.text == "join"
+
+
+def test_multiterm_atoms():
+    from sparksearch.qs_parser import parse_query_string as p
+    from sparksearch.queries import (Fuzzy, Prefix, Regexp, Term,
+                                     TextPrefix, Wildcard)
+    assert p("jo*") == TextPrefix("text", "jo")
+    assert p("text:jo*") == TextPrefix("text", "jo")
+    assert p("ha*h") == Wildcard("text", "ha*h")
+    assert p("h?sh") == Wildcard("text", "h?sh")
+    assert p("fuzzy~1") == Fuzzy("text", "fuzzy", fuzziness=1)
+    assert p("term~") == Fuzzy("text", "term", fuzziness=1)  # AUTO: 4 chars
+    assert p("ab~") == Fuzzy("text", "ab", fuzziness=0)
+    assert p("/jo.n/") == Regexp("text", "jo.n")
+    assert p("url:https://site1*") == Prefix("url", "https://site1")
+    assert p("lang:en") == Term("lang", "en")
