@@ -660,30 +660,51 @@ def ivf_knn(emb: DataFrame, query_id: int, k: int = 10, n_cells: int = 8,
 
 def pack_sequences(docs: DataFrame, max_tokens: int = 512,
                    text_col: str = "text",
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   partitions: int | None = None) -> DataFrame:
     """Sequence packing for LLM training: concatenate docs in id order and
     chunk at `max_tokens` — each doc is assigned the bin its FIRST token
     lands in (concat-and-chunk packing, the standard high-utilization
     alternative to pad-per-doc). Deterministic: bin = floor(prefix_sum /
     max_tokens) over whitespace token counts in id order.
 
-    Scale shape: the prefix sum is one window over a range-partitioned
-    sort by id — at 10^12 docs, partition the id space and carry per-range
-    offsets (assign_docids' two-pass scheme); no driver data."""
-    toks = docs.select(
+    Scale shape — the DISTRIBUTED two-pass prefix sum (assign_docids'
+    scheme), not a global window (a Window.orderBy with no partitionBy
+    collapses 10^12 rows onto one task): range-partition by id, sum each
+    partition's tokens (one P-row collect), then add per-partition offsets
+    inside a partition-local window. No single-task bottleneck, no driver
+    data beyond P longs."""
+    spark = docs.sparkSession
+    p = partitions or spark.sparkContext.defaultParallelism
+    toks = (docs.select(
         F.col(id_col),
         F.size(F.split(F.col(text_col), " ")).cast("long")
         .alias("n_tokens"))
-    w = Window.orderBy(id_col).rowsBetween(
-        Window.unboundedPreceding, -1)
+        .repartitionByRange(p, F.col(id_col))
+        .sortWithinPartitions(id_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist())
+    sums = {r["_pid"]: r["s"] for r in
+            toks.groupBy("_pid").agg(F.sum("n_tokens").alias("s")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+    off_map = F.create_map(*[x for pid, o in offsets.items()
+                             for x in (F.lit(int(pid)), F.lit(int(o)))])
+    w = (Window.partitionBy("_pid").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
     out = toks.select(
         id_col, "n_tokens",
-        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("_before"))
-    return (out.select(
+        (F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+         + F.element_at(off_map, F.col("_pid"))).alias("_before"))
+    res = (out.select(
         id_col, "n_tokens",
         (F.col("_before") / max_tokens).cast("long").alias("bin_id"),
         (F.col("_before") % max_tokens).cast("long").alias("bin_offset"))
         .orderBy(id_col))
+    res._sparksearch_cached = toks  # caller may unpersist after the action
+    return res
 
 
 def mixture_sample(docs: DataFrame, rates: dict[str, float],
