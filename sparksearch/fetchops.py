@@ -95,10 +95,11 @@ def suggest_phrase(ix, text: str, per_token: int = 3, max_edits: int = 2,
         cand = (d.where(band)
                 .withColumn("dist", F.levenshtein(F.col("term"), F.lit(tk)))
                 .where(F.col("dist") <= max_edits))
-        w = Window.orderBy(F.col("dist").asc(), F.col("df").desc(),
-                           F.col("term").asc())
-        short = (cand.withColumn("_rn", F.row_number().over(w))
-                 .where(F.col("_rn") <= per_token)
+        # TakeOrderedAndProject (distributed per-partition top-k + merge)
+        # — not a single-partition row_number window over the candidates
+        short = (cand.orderBy(F.col("dist").asc(), F.col("df").desc(),
+                              F.col("term").asc())
+                 .limit(per_token)
                  .select(F.col("term").alias(f"t{i}"),
                          (F.log10(F.col("df") + 1)
                           - F.col("dist")).alias(f"s{i}")))
