@@ -60,7 +60,7 @@ class _Parser:
 
     def parse_expr(self) -> Query:
         alts = [self.parse_alt()]
-        while self.peek() == "OR":
+        while self.peek() in ("OR", "|", "||"):
             self.next()
             alts.append(self.parse_alt())
         if len(alts) == 1:
@@ -73,9 +73,9 @@ class _Parser:
         force_next_must = False
         while True:
             t = self.peek()
-            if t is None or t in ("OR", ")"):
+            if t is None or t in ("OR", "|", "||", ")"):
                 break
-            if t == "AND":
+            if t in ("AND", "&&"):
                 self.next()
                 if clauses:
                     m, a = clauses[-1]

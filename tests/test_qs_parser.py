@@ -75,3 +75,12 @@ def test_multiterm_atoms():
     assert p("/jo.n/") == Regexp("text", "jo.n")
     assert p("url:https://site1*") == Prefix("url", "https://site1")
     assert p("lang:en") == Term("lang", "en")
+
+
+def test_simple_query_string_operators():
+    """simple_query_string's | / + operator forms (SimpleQueryStringBuilder)
+    parse to the same trees as OR / AND."""
+    from sparksearch.qs_parser import parse_query_string as p
+    assert p("hash | join") == p("hash OR join")
+    assert p("hash && join") == p("hash AND join")
+    assert p("a | b | c") == p("a OR b OR c")
