@@ -96,7 +96,10 @@ class Executor:
         # concurrent reader), WAND over stale segments would silently omit
         # the new docs, so fall back to the row-postings plan instead.
         # mode="wand" trusts the caller (tests that just built segments).
+        # fuzziness expands over the dictionary — the WAND path scores
+        # exact terms only and would silently drop the expansion
         use_wand = (mode in ("auto", "wand") and isinstance(q, Match)
+                    and q.fuzziness is None
                     and self.ix.use_segments
                     and (mode == "wand" or self.ix.segments_cover_all()))
         if use_wand:
@@ -1046,6 +1049,11 @@ class Executor:
                        if x[0]]
             infos_n = [x for x in (self._match_clause_info(c) for c in fn)
                        if x[0]]
+            if not (infos_m or infos_s or infos_n):
+                # every fusable clause analyzed to zero terms (e.g. all
+                # stopwords) — nothing to fuse; fall through to the
+                # unfused path (an empty agg() would throw)
+                return self._plan_bool_unfused(q, scored)
             all_terms = sorted(set().union(
                 *[set(cnt) for cnt, _ in infos_m + infos_s + infos_n]))
             per = self._term_scores(all_terms, scored)

@@ -167,3 +167,30 @@ def test_manifest_metrics(seg_index):
     assert len(g0["chunks"]) == 3
     for ch in g0["chunks"]:
         assert ch["blocks"] > 0 and ch["elapsed_sec"] >= 0
+
+
+def test_fuzzy_match_skips_wand(spark, seg_index):
+    """A Match with fuzziness must NOT take the WAND path (WAND scores
+    exact terms only and would silently drop the dictionary expansion):
+    mode='auto' over a segment-backed index must equal the plan path."""
+    from sparksearch.exec import Executor
+    from sparksearch.index import IndexReader
+    from sparksearch.queries import Match
+
+    ex = Executor(IndexReader(spark, seg_index, use_segments=True))
+    q = Match("text", "joins tabel", fuzziness=1)
+    assert _topk(ex, q, 10, "auto") == _topk(ex, q, 10, "plan")
+    # sanity: fuzzy actually expands (exact 'tabel' likely absent)
+    assert len(_topk(ex, q, 10, "auto")) > 0
+
+
+def test_fused_bool_all_zero_term_clauses(spark, seg_index):
+    """Every fusable clause analyzing to zero terms (punctuation-only
+    match text) must not crash the fused bool planner."""
+    from sparksearch.exec import Executor
+    from sparksearch.index import IndexReader
+    from sparksearch.queries import Bool, Match
+
+    ex = Executor(IndexReader(spark, seg_index, use_segments=False))
+    q = Bool(must=[Match("text", "...")], should=[Match("text", "!!")])
+    assert ex.search(q, k=5, fetch=False).collect() == []
