@@ -150,8 +150,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from sparksearch import contract_misc2 as CM2
     from sparksearch import contract_queries2 as CQ2
     from sparksearch import contract_round2b as CR2B
+    from sparksearch import contract_round2c as CR2C
     out.update(CQ2.queries())
     out.update(CR2B.queries())
+    out.update(CR2C.queries())
     out.update(CM2.queries())
     out.update(CAN.queries())
     out.update(CQ.queries())
@@ -172,9 +174,11 @@ def oracle_sql() -> dict[str, str]:
     from sparksearch import contract_misc2 as CM2
     from sparksearch import contract_queries2 as CQ2
     from sparksearch import contract_round2b as CR2B
+    from sparksearch import contract_round2c as CR2C
     out = dict(CD.oracle_sql())
     out.update(CQ2.oracle_sql())
     out.update(CR2B.oracle_sql())
+    out.update(CR2C.oracle_sql())
     out.update(CM2.oracle_sql())
     out.update(CA.oracle_sql())
     out.update(CA2.oracle_sql())

@@ -1,0 +1,132 @@
+"""Driver-contract entries, round-2c surface: the Painless-subset script
+engine (script query / script_fields / script_score), soft-delete
+delete-by-query, hybrid BM25+kNN rank fusion, and fetch options.
+
+Scripts compile to Catalyst columns (sparksearch/painless.py) — the oracle
+SQL re-states each script as the equivalent DuckDB expression, so the gate
+checks the compiler's semantics end-to-end, not just plumbing.
+Reference cites: modules/lang-painless (grammar),
+sv/index/query/ScriptQueryBuilder.java,
+sv/search/fetch/subphase/ScriptFieldsPhase.java,
+sv/index/query/functionscore/ScriptScoreFunctionBuilder.java.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparksearch import contract as C
+from sparksearch.queries import Bool, FunctionScore, Match, Script, \
+    ScriptScore
+
+_idf, _tfn = C._idf_sql, C._tfn_sql
+
+#: BM25 scores for the single query term 'join' (shared oracle fragment)
+_SC_JOIN = f"""
+tf AS ( SELECT docid, count(*) AS tf FROM tok WHERE term = 'join'
+        GROUP BY docid ),
+dft AS ( SELECT count(*) AS df FROM tf ),
+sc AS ( SELECT tf.docid,
+               {_idf('dft.df', 'g.n')} * {_tfn('tf.tf', 'dlq.dl_q', 'g.avgdl')}
+               AS score
+        FROM tf CROSS JOIN dft JOIN dlq USING (docid) CROSS JOIN g )
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Spark sides
+# ---------------------------------------------------------------------------
+
+def q_script_query(spark, sf_dir):
+    """`script` query in a bool filter context: the Painless predicate is
+    compiled into the SAME fused docs-scan as the other docvalue filters
+    (sv/index/query/ScriptQueryBuilder.java)."""
+    ix, ex = C.get_engine(spark, sf_dir)
+    q = Bool(must=[Match("text", "join")],
+             filter=[Script("doc['lang'].value == 'en' && "
+                            "doc['dl'].value > params.min_dl",
+                            {"min_dl": 30})])
+    return C.topk_rounded(ex, q, k=10)
+
+
+def q_script_fields(spark, sf_dir):
+    """Fetch-phase script_fields over the match top-10
+    (sv/search/fetch/subphase/ScriptFieldsPhase.java)."""
+    from sparksearch.fetchops import script_fields
+    ix, ex = C.get_engine(spark, sf_dir)
+    hits = C.topk_rounded(ex, Match("text", "join"), k=10)
+    out = script_fields(
+        ix, hits,
+        {"dl_log": "Math.log(doc['dl'].value) * params.f",
+         "url_len": "doc['url'].value.length()",
+         "band": "doc['dl'].value > params.cut ? 'long' : 'short'"},
+        params={"f": 0.5, "cut": 40})
+    return out.select("docid", "url", "score", "band",
+                      F.round("dl_log", 4).alias("dl_log"),
+                      F.col("url_len").cast("int").alias("url_len"))
+
+
+def q_script_score(spark, sf_dir):
+    """script_score query: sigmoid(dl) re-ranker replacing the BM25 score
+    (sv/index/query/functionscore/ScriptScoreFunctionBuilder.java)."""
+    _, ex = C.get_engine(spark, sf_dir)
+    q = FunctionScore(
+        query=Match("text", "join"),
+        functions=[ScriptScore(
+            "_score / (1 + Math.exp(-doc['dl'].value / params.s)) "
+            "+ Math.sqrt(doc['dl'].value) * 0.1",
+            {"s": 40.0})],
+        boost_mode="replace")
+    return C.topk_rounded(ex, q, k=10)
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL twins
+# ---------------------------------------------------------------------------
+
+def oracle_sql() -> dict:
+    P, TOK, DL = C._PAGES, C._TOK, C._DL
+    out = {}
+
+    out["script_query"] = f"""
+WITH {P}, {TOK}, {DL},
+{_SC_JOIN}
+SELECT p.docid, p.url, round(sc.score, 4) AS score
+FROM sc JOIN pages p USING (docid) JOIN dl USING (docid)
+WHERE p.lang = 'en' AND dl.dl > 30
+ORDER BY round(sc.score, 4) DESC, p.docid ASC LIMIT 10
+""".strip()
+
+    out["script_fields"] = f"""
+WITH {P}, {TOK}, {DL},
+{_SC_JOIN},
+topk AS (
+  SELECT p.docid, p.url, round(sc.score, 4) AS score
+  FROM sc JOIN pages p USING (docid)
+  ORDER BY round(sc.score, 4) DESC, p.docid ASC LIMIT 10 )
+SELECT t.docid, t.url, t.score,
+       CASE WHEN dl.dl > 40 THEN 'long' ELSE 'short' END AS band,
+       round(ln(dl.dl) * 0.5, 4) AS dl_log,
+       CAST(length(t.url) AS INT) AS url_len
+FROM topk t JOIN dl USING (docid)
+ORDER BY t.score DESC, t.docid ASC
+""".strip()
+
+    expr = "sc.score / (1 + exp(-dl.dl / 40.0)) + sqrt(dl.dl) * 0.1"
+    out["script_score"] = f"""
+WITH {P}, {TOK}, {DL},
+{_SC_JOIN}
+SELECT p.docid, p.url, round({expr}, 4) AS score
+FROM sc JOIN pages p USING (docid) JOIN dl USING (docid)
+ORDER BY round({expr}, 4) DESC, p.docid ASC LIMIT 10
+""".strip()
+
+    return out
+
+
+def queries() -> dict:
+    return {
+        "script_query": q_script_query,
+        "script_fields": q_script_fields,
+        "script_score": q_script_score,
+    }

@@ -21,8 +21,9 @@ from sparksearch.queries import (
     Bool, Boosting, ConstantScore, DisMax, Exists, Fuzzy, Ids, Intervals,
     Match, MatchAll, MatchBoolPrefix, MatchNone, MatchPhrase,
     MatchPhrasePrefix, MoreLikeThis, MultiMatch, Prefix, Query, Range,
-    Regexp, SpanFirst, SpanNear, SpanNot, SpanOr, SpanWithin, Term, Terms,
-    TermsSet, Wildcard,
+    Regexp, Script, ScriptScore, SpanFirst, SpanNear, SpanNot, SpanOr,
+    SpanWithin, Term, Terms, TermsSet, Wildcard,
+    DecayFunction, FieldValueFactor, FunctionScore, WeightFunction,
 )
 
 __all__ = ["from_dsl", "render_template", "validate_query"]
@@ -118,6 +119,69 @@ def _boosting(body: dict) -> Boosting:
     return Boosting(positive=from_dsl(body["positive"]),
                     negative=from_dsl(body["negative"]),
                     negative_boost=float(body.get("negative_boost", 0.5)))
+
+
+def _script_spec(spec: Any) -> tuple[str, dict | None]:
+    """{"source": ..., "params": ...} or a bare source string."""
+    if isinstance(spec, str):
+        return spec, None
+    return spec["source"], spec.get("params")
+
+
+def _script(body: dict) -> Script:
+    src, params = _script_spec(body["script"])
+    return Script(src, params)
+
+
+def _script_score(body: dict) -> FunctionScore:
+    """Top-level script_score query (ScriptScoreQueryBuilder.java): the
+    script's value REPLACES the query score (`_score` available inside)."""
+    src, params = _script_spec(body["script"])
+    return FunctionScore(query=from_dsl(body["query"]),
+                         functions=[ScriptScore(src, params)],
+                         boost_mode="replace")
+
+
+def _one_function(f: dict):
+    """One entry of function_score.functions
+    (sv/index/query/functionscore/FunctionScoreQueryBuilder.java:72;
+    per-function filters are not supported — wrap the query instead)."""
+    if "weight" in f:
+        if len(f) != 1:
+            raise ValueError(
+                "per-function weight unsupported: add a separate "
+                "{'weight': w} entry (score_mode folds it in)")
+        return WeightFunction(float(f["weight"]))
+    if "field_value_factor" in f:
+        s = f["field_value_factor"]
+        return FieldValueFactor(s["field"],
+                                factor=float(s.get("factor", 1.0)),
+                                modifier=s.get("modifier", "none"),
+                                missing=float(s.get("missing", 1.0)))
+    if "script_score" in f:
+        src, params = _script_spec(f["script_score"]["script"])
+        return ScriptScore(src, params)
+    for kind in ("gauss", "exp", "linear"):
+        if kind in f:
+            field, s = _field_body(f[kind])
+            return DecayFunction(kind, field, s["origin"],
+                                 scale=float(s["scale"]),
+                                 offset=float(s.get("offset", 0.0)),
+                                 decay=float(s.get("decay", 0.5)))
+    raise ValueError(f"unsupported score function: {sorted(f)}")
+
+
+def _function_score(body: dict) -> FunctionScore:
+    fns = body.get("functions")
+    if fns is None:
+        fns = [{k: v} for k, v in body.items()
+               if k in ("weight", "field_value_factor", "script_score",
+                        "gauss", "exp", "linear")]
+    return FunctionScore(
+        query=from_dsl(body.get("query", {"match_all": {}})),
+        functions=[_one_function(f) for f in fns],
+        score_mode=body.get("score_mode", "multiply"),
+        boost_mode=body.get("boost_mode", "multiply"))
 
 
 def _mlt(body: dict) -> MoreLikeThis:
@@ -230,6 +294,9 @@ _LEAF = {
     "terms_set": _terms_set,
     "intervals": _intervals,
     "wrapper": lambda b: _wrapper(b),
+    "script": _script,
+    "script_score": _script_score,
+    "function_score": _function_score,
 }
 
 

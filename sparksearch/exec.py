@@ -41,7 +41,8 @@ from sparksearch.queries import (
     FieldValueFactor, FunctionScore, Fuzzy, Ids, Intervals, Match,
     MatchAll, MatchBoolPrefix, MatchNone, MatchPhrase, MatchPhrasePrefix,
     MoreLikeThis,
-    MultiMatch, Prefix, Query, Range, Regexp, SpanFirst, SpanNear, SpanNot,
+    MultiMatch, Prefix, Query, Range, Regexp, Script, ScriptScore,
+    SpanFirst, SpanNear, SpanNot,
     SpanMulti, SpanOr, SpanWithin, Term, Terms, TermsSet,
     TextPrefix, WeightFunction, Wildcard, calculate_min_should_match,
 )
@@ -204,7 +205,7 @@ class Executor:
             return self._plan_match(q, scored)
         if isinstance(q, MatchPhrase):
             return self._plan_phrase(q, scored)
-        if isinstance(q, (Term, Terms, Range, Exists, Prefix, Ids)):
+        if isinstance(q, (Term, Terms, Range, Exists, Prefix, Ids, Script)):
             return self._plan_docvalue_filter(q)
         if isinstance(q, Bool):
             return self._plan_bool(q, scored)
@@ -876,6 +877,13 @@ class Executor:
     def _function_col(self, fn) -> Column:
         if isinstance(fn, WeightFunction):
             return F.lit(float(fn.weight))
+        if isinstance(fn, ScriptScore):
+            # script_score: the compiled Painless expression IS the function
+            # value; `_score` resolves to the base query's score column
+            # (sv/index/query/functionscore/ScriptScoreFunctionBuilder.java)
+            from sparksearch.painless import compile_script
+            return compile_script(fn.source, fn.params,
+                                  score_col="score").col
         if isinstance(fn, FieldValueFactor):
             v = (F.coalesce(F.col(fn.field).cast("double"),
                             F.lit(float(fn.missing)))
@@ -926,8 +934,14 @@ class Executor:
         base = self._plan(q.query, scored)
         if not scored:
             return base
-        fields = sorted({fn.field for fn in q.functions
-                         if hasattr(fn, "field")})
+        wanted = set()
+        for fn in q.functions:
+            if isinstance(fn, ScriptScore):
+                from sparksearch.painless import compile_script
+                wanted |= compile_script(fn.source, fn.params).doc_fields
+            elif hasattr(fn, "field"):
+                wanted.add(fn.field)
+        fields = sorted(wanted - {"docid", "score"})
         df = base
         if fields:
             df = base.join(self.ix.docs.select("docid", *fields), "docid")
@@ -1002,6 +1016,12 @@ class Executor:
                 cond = cond & {"gte": col >= F.lit(v), "gt": col > F.lit(v),
                                "lte": col <= F.lit(v),
                                "lt": col < F.lit(v)}[bound]
+        elif isinstance(q, Script):
+            # compiled Painless predicate — a Catalyst expression over the
+            # doc-values columns, pushed into the docs scan like any other
+            # filter (sv/index/query/ScriptQueryBuilder.java)
+            from sparksearch.painless import compile_script
+            cond = compile_script(q.source, q.params).col
         else:
             raise TypeError(q)
         return cond
@@ -1124,7 +1144,8 @@ class Executor:
         # conjoined pushed-down predicate (f filter legs used to cost f
         # scans + f semi-joins)
         dv = [c for c in filt
-              if isinstance(c, (Term, Terms, Range, Exists, Prefix, Ids))]
+              if isinstance(c, (Term, Terms, Range, Exists, Prefix, Ids,
+                                Script))]
         other_filt = [c for c in filt if c not in dv]
         if dv:
             cond = reduce(lambda a, b: a & b,

@@ -16,7 +16,32 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["highlight", "suggest_terms", "suggest_phrase",
-           "suggest_completion"]
+           "suggest_completion", "script_fields"]
+
+
+def script_fields(ix, hits: DataFrame, scripts: dict,
+                  params: dict | None = None) -> DataFrame:
+    """Fetch-phase `script_fields`: add one computed column per named
+    Painless script to a hits frame
+    (sv/search/fetch/subphase/ScriptFieldsPhase.java). Scripts compile to
+    Catalyst columns (sparksearch.painless) — zero Python per row; only the
+    doc-values columns the scripts actually read are joined in (one
+    broadcast-sized join against the hits, column-pruned docs scan)."""
+    from sparksearch.painless import compile_script
+
+    compiled = {name: compile_script(src, params) for name, src in
+                scripts.items()}
+    need = sorted(set().union(*[c.doc_fields for c in compiled.values()])
+                  - set(hits.columns) - {"docid"})
+    df = hits
+    if need:
+        # hits is the top-k side — broadcast it against the (column-pruned)
+        # docs scan so the join never shuffles the corpus
+        df = (ix.docs.select("docid", *need)
+              .join(F.broadcast(hits), "docid"))
+    return df.select(*hits.columns,
+                     *[c.col.alias(name) for name, c in
+                       sorted(compiled.items())])
 
 
 def highlight(topk: DataFrame, pages: DataFrame, terms: list[str],

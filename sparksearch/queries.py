@@ -341,6 +341,16 @@ class TermsSet(Query):
     required: int = 1
 
 
+@dataclass
+class Script(Query):
+    """`script` query — filter context, constant score 0, the boolean
+    script evaluated per doc over doc-values
+    (sv/index/query/ScriptQueryBuilder.java). Compiled to a Catalyst
+    predicate by sparksearch.painless (no Python on the scan)."""
+    source: str
+    params: dict | None = None
+
+
 
 # --- function_score (sv/index/query/functionscore/...) ---------------------
 
@@ -359,6 +369,16 @@ class FieldValueFactor:
     factor: float = 1.0
     modifier: str = "none"
     missing: float = 1.0
+
+
+@dataclass
+class ScriptScore:
+    """script_score function: the compiled Painless expression becomes the
+    function value; `_score` inside the script is the base query score
+    (sv/index/query/functionscore/ScriptScoreFunctionBuilder.java and the
+    top-level script_score query, ScriptScoreQueryBuilder.java)."""
+    source: str
+    params: dict | None = None
 
 
 @dataclass(frozen=True)
