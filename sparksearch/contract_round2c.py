@@ -81,6 +81,65 @@ def q_script_score(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# soft deletes (delete_by_query + expunge merge)
+# ---------------------------------------------------------------------------
+
+def _derived_index(spark, sf_dir, expunge: bool):
+    """Copy of the shared base index with lang='de' tombstoned via
+    delete_by_query; `expunge=True` additionally runs the expunge merge.
+    Cached per (sf_dir, variant) like contract.get_engine."""
+    import json
+    import os
+    import shutil
+
+    from sparksearch.build import INDEX_VERSION
+    from sparksearch.deletes import delete_by_query, expunge_deletes
+    from sparksearch.queries import Term
+
+    ix, _ = C.get_engine(spark, sf_dir)
+    out = ix.index_dir + ("_expunged" if expunge else "_deleted")
+    meta_path = os.path.join(out, "meta.json")
+    want = "expunged" if expunge else "deletes"
+    ok = False
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            m = json.load(f)
+        ok = m.get("version") == INDEX_VERSION and bool(m.get(want))
+    if not ok:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.copytree(ix.index_dir, out)
+        n = delete_by_query(spark, out, Term("lang", "de"))
+        assert n > 0
+        if expunge:
+            expunge_deletes(spark, out, partitions=8)
+    return out
+
+
+def _derived_ex(spark, sf_dir, expunge: bool):
+    from sparksearch.exec import Executor
+    from sparksearch.index import IndexReader
+    return Executor(IndexReader(spark, _derived_index(spark, sf_dir,
+                                                      expunge)))
+
+
+def q_delete_by_query(spark, sf_dir):
+    """Pre-merge liveDocs semantics: results exclude tombstoned docs while
+    BM25 stats (df, N, avgdl) still count them — Lucene deleted-doc
+    behavior between delete and merge
+    (modules/reindex TransportDeleteByQueryAction.java)."""
+    return C.topk_rounded(_derived_ex(spark, sf_dir, expunge=False),
+                          Match("text", "join"), k=10)
+
+
+def q_expunge_deletes(spark, sf_dir):
+    """Post-merge semantics: the expunge pass rewrote docs/postings/stats,
+    so scores equal a fresh build over the surviving corpus
+    (`_forcemerge?only_expunge_deletes=true`)."""
+    return C.topk_rounded(_derived_ex(spark, sf_dir, expunge=True),
+                          Match("text", "join"), k=10)
+
+
+# ---------------------------------------------------------------------------
 # oracle SQL twins
 # ---------------------------------------------------------------------------
 
@@ -121,6 +180,39 @@ FROM sc JOIN pages p USING (docid) JOIN dl USING (docid)
 ORDER BY round({expr}, 4) DESC, p.docid ASC LIMIT 10
 """.strip()
 
+    # delete_by_query: stats over the FULL corpus (deleted docs still count
+    # in df/N/avgdl pre-merge), results filtered to live docs only
+    out["delete_by_query"] = f"""
+WITH {P}, {TOK}, {DL},
+{_SC_JOIN}
+SELECT p.docid, p.url, round(sc.score, 4) AS score
+FROM sc JOIN pages p USING (docid)
+WHERE p.lang <> 'de'
+ORDER BY round(sc.score, 4) DESC, p.docid ASC LIMIT 10
+""".strip()
+
+    # expunge: stats AND results recomputed over the surviving corpus
+    # (docids preserved by the merge — the pages CTE still numbers the
+    # full corpus)
+    qdl = __import__("sparksearch.norms",
+                     fromlist=["quantized_dl_sql"]).quantized_dl_sql
+    out["expunge_deletes"] = f"""
+WITH {P},
+live AS ( SELECT * FROM pages WHERE lang <> 'de' ),
+tok AS (
+  SELECT docid, term FROM (
+    SELECT docid, unnest(string_split(text, ' ')) AS term FROM live)
+  WHERE term <> '' ),
+dl AS ( SELECT docid, count(*) AS dl FROM tok GROUP BY docid ),
+dlq AS ( SELECT docid, dl, {qdl('dl')} AS dl_q FROM dl ),
+g AS ( SELECT count(*) AS n, sum(dl) AS ttf,
+              CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl ),
+{_SC_JOIN}
+SELECT p.docid, p.url, round(sc.score, 4) AS score
+FROM sc JOIN live p USING (docid)
+ORDER BY round(sc.score, 4) DESC, p.docid ASC LIMIT 10
+""".strip()
+
     return out
 
 
@@ -129,4 +221,6 @@ def queries() -> dict:
         "script_query": q_script_query,
         "script_fields": q_script_fields,
         "script_score": q_script_score,
+        "delete_by_query": q_delete_by_query,
+        "expunge_deletes": q_expunge_deletes,
     }

@@ -35,6 +35,13 @@ class IndexReader:
         self.use_segments = use_segments
         self._segments = None
         self._covered: bool | None = None
+        #: soft-delete tombstones (delete-by-query): docid parquet files
+        #: under deletes/, committed in meta.json. Results exclude them;
+        #: global stats keep counting them until expunge_deletes — exactly
+        #: Lucene's liveDocs-before-merge semantics (deleted docs still
+        #: contribute to docFreq/avgdl until segments merge them away).
+        self.delete_files: list[str] = self.meta.get("deletes", [])
+        self.n_deleted: int = int(self.meta.get("n_deleted", 0))
 
     def reload(self) -> "IndexReader":
         """Re-read meta.json (after add_generation / merge commits)."""
@@ -75,12 +82,32 @@ class IndexReader:
         return df
 
     @property
+    def deleted(self) -> DataFrame | None:
+        """(docid) tombstone frame, or None when the index has no deletes."""
+        if not self.delete_files:
+            return None
+        return self.spark.read.parquet(
+            *[f"{self.index_dir}/{p}" for p in self.delete_files]) \
+            .select("docid")
+
+    def live(self, df: DataFrame) -> DataFrame:
+        """Apply liveDocs: anti-join the tombstone set (broadcast while the
+        committed tombstone count is broadcast-sized; past that Spark plans
+        a shuffled anti-join, which is the right plan for mass deletes)."""
+        d = self.deleted
+        if d is None:
+            return df
+        if self.n_deleted <= 5_000_000:
+            d = F.broadcast(d)
+        return df.join(d, "docid", "left_anti")
+
+    @property
     def docs(self) -> DataFrame:
-        return self._gen_union("docs")
+        return self.live(self._gen_union("docs"))
 
     @property
     def postings(self) -> DataFrame:
-        return self._gen_union("postings")
+        return self.live(self._gen_union("postings"))
 
     @property
     def stats(self) -> DataFrame:
@@ -107,8 +134,9 @@ class IndexReader:
         # row groups via min/max on the sorted term column
         buckets = self._buckets_of(uniq)
         if self.use_segments and self.segments_cover_all():
-            return self.segments.postings_for(
-                uniq, buckets, with_positions=with_positions)
+            return self.live(self.segments.postings_for(
+                uniq, buckets, with_positions=with_positions))
+        # .postings is already live-filtered
         return (self.postings
                 .filter(F.col("bucket").isin(buckets))
                 .filter(F.col("term").isin(uniq)))

@@ -196,6 +196,15 @@ def wand_topk(ix, q: Match, k: int = 10) -> DataFrame:
             acc_n[d] = acc_n.get(d, 0) + w_nt
     cand = [(s, -d) for d, s in acc_s.items()
             if msm <= 1 or acc_n[d] >= msm]
+    if cand and ix.deleted is not None:
+        # θ must lower-bound the k-th LIVE score — a deleted doc in the
+        # seed would over-prune. One bounded semi-join: seed docids
+        # (driver-local, block-sized) against the tombstone set.
+        seed_ids = ix.spark.createDataFrame(
+            [(int(-d),) for _, d in cand], "docid bigint")
+        gone = {r["docid"] for r in
+                seed_ids.join(ix.deleted, "docid", "left_semi").collect()}
+        cand = [(s, d) for s, d in cand if -d not in gone]
     cand.sort(reverse=True)
     theta = cand[k - 1][0] if len(cand) >= k else 0.0
 
@@ -209,6 +218,6 @@ def wand_topk(ix, q: Match, k: int = 10) -> DataFrame:
     survivors = blocks.filter(
         F.element_at(ub_widf, F.col("term")) * F.col("_tfn_ub")
         + F.element_at(ub_other, F.col("term")) >= F.lit(theta))
-    return (agg_scores(survivors)
+    return (ix.live(agg_scores(survivors))
             .orderBy(F.col("score").desc(), F.col("docid").asc())
             .limit(k))
