@@ -140,6 +140,27 @@ def q_expunge_deletes(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# hybrid retrieval (BM25 + kNN, reciprocal rank fusion)
+# ---------------------------------------------------------------------------
+
+_RRF_K, _RRF_POOL = 60, 30
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid BM25+cosine retrieval fused by reciprocal rank (the
+    neural-search hybrid query's rank-based processor; RRF k=60)."""
+    from sparksearch.hybrid import hybrid_search
+    ix, ex = C.get_engine(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    fused = hybrid_search(ex, Match("text", "join"), emb, query_vec_id=0,
+                          k=10, pool=_RRF_POOL, rrf_k=_RRF_K)
+    return (ix.docs.select("docid", "url")
+            .join(F.broadcast(fused), "docid")
+            .select("docid", "url", "score")
+            .orderBy(F.col("score").desc(), F.col("docid").asc()))
+
+
+# ---------------------------------------------------------------------------
 # oracle SQL twins
 # ---------------------------------------------------------------------------
 
@@ -178,6 +199,36 @@ WITH {P}, {TOK}, {DL},
 SELECT p.docid, p.url, round({expr}, 4) AS score
 FROM sc JOIN pages p USING (docid) JOIN dl USING (docid)
 ORDER BY round({expr}, 4) DESC, p.docid ASC LIMIT 10
+""".strip()
+
+    # hybrid RRF: both candidate pools mirror the engine exactly — BM25
+    # pool by EXACT score order (the engine's top-k), ranks by rounded
+    # score; kNN pool by (cosine, vec_id), ranks after the docid mapping
+    from sparksearch.contract_dataops import _COS_SQL
+    out["hybrid_rrf"] = f"""
+WITH {P}, {TOK}, {DL},
+{_SC_JOIN},
+bm_pool AS ( SELECT docid, round(sc.score, 4) AS score FROM sc
+             ORDER BY sc.score DESC, docid ASC LIMIT {_RRF_POOL} ),
+bm AS ( SELECT docid,
+        row_number() OVER (ORDER BY score DESC, docid ASC) AS r
+        FROM bm_pool ),
+e AS ( SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings ),
+q AS ( SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0 ),
+knn_pool AS ( SELECT e.vec_id, {_COS_SQL} AS cosine
+              FROM e, q WHERE e.vec_id <> 0
+              ORDER BY cosine DESC, e.vec_id ASC LIMIT {_RRF_POOL} ),
+knn AS ( SELECT p.docid,
+         row_number() OVER (ORDER BY kp.cosine DESC, p.docid ASC) AS r
+         FROM knn_pool kp
+         JOIN pages p ON CAST(right(p.url, 8) AS BIGINT) = kp.vec_id ),
+fused AS (
+  SELECT docid, round(sum(1.0 / ({_RRF_K} + r)), 6) AS score
+  FROM ( SELECT docid, r FROM bm UNION ALL SELECT docid, r FROM knn )
+  GROUP BY docid )
+SELECT p.docid, p.url, f.score
+FROM fused f JOIN pages p USING (docid)
+ORDER BY f.score DESC, p.docid ASC LIMIT 10
 """.strip()
 
     # delete_by_query: stats over the FULL corpus (deleted docs still count
@@ -223,4 +274,5 @@ def queries() -> dict:
         "script_score": q_script_score,
         "delete_by_query": q_delete_by_query,
         "expunge_deletes": q_expunge_deletes,
+        "hybrid_rrf": q_hybrid_rrf,
     }
