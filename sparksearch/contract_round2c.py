@@ -140,6 +140,21 @@ def q_expunge_deletes(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# span_gap (the last span-family member)
+# ---------------------------------------------------------------------------
+
+def q_span_gap(spark, sf_dir):
+    """span_near [hash, gap(1), table] slop=0: exactly one token between —
+    the gap consumes a position and counts as span length, not slop
+    (SpanGapQueryBuilder)."""
+    from sparksearch.queries import SpanGap, SpanNear
+    _, ex = C.get_engine(spark, sf_dir)
+    q = SpanNear("text", ("hash", SpanGap("text", 1), "table"),
+                 slop=0, in_order=True)
+    return C.topk_rounded(ex, q, k=10)
+
+
+# ---------------------------------------------------------------------------
 # hybrid retrieval (BM25 + kNN, reciprocal rank fusion)
 # ---------------------------------------------------------------------------
 
@@ -200,6 +215,17 @@ SELECT p.docid, p.url, round({expr}, 4) AS score
 FROM sc JOIN pages p USING (docid) JOIN dl USING (docid)
 ORDER BY round({expr}, 4) DESC, p.docid ASC LIMIT 10
 """.strip()
+
+    from sparksearch import contract_queries2 as CQ2
+    out["span_gap"] = "WITH " + ",\n".join(CQ2._span_base()) + f""",
+p0 AS ( SELECT docid, pos FROM tokpos WHERE term = 'hash' ),
+p1 AS ( SELECT docid, pos FROM tokpos WHERE term = 'table' ),
+mm AS ( SELECT p0.docid, p0.pos FROM p0
+        JOIN p1 ON p1.docid = p0.docid AND p1.pos = p0.pos + 2 ),
+ph AS ( SELECT docid, CAST(count(DISTINCT pos) AS DOUBLE) AS pf
+        FROM mm GROUP BY docid ),
+{CQ2._span_score_tail(['hash', 'table'])}
+"""
 
     # hybrid RRF: both candidate pools mirror the engine exactly — BM25
     # pool by EXACT score order (the engine's top-k), ranks by rounded
@@ -275,4 +301,5 @@ def queries() -> dict:
         "delete_by_query": q_delete_by_query,
         "expunge_deletes": q_expunge_deletes,
         "hybrid_rrf": q_hybrid_rrf,
+        "span_gap": q_span_gap,
     }

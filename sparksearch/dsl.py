@@ -194,9 +194,15 @@ def _mlt(body: dict) -> MoreLikeThis:
 
 
 def _span_terms(clauses: list) -> tuple[str, list]:
+    from sparksearch.queries import SpanGap
     terms = []
     field = None
     for c in clauses:
+        if "span_gap" in c:
+            f, width = _field_body(c["span_gap"])
+            field = field or f
+            terms.append(SpanGap(f, int(width)))
+            continue
         f, spec = _field_body(c["span_term"])
         field = field or f
         terms.append(spec["value"] if isinstance(spec, dict) else spec)

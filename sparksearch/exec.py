@@ -229,8 +229,9 @@ class Executor:
         if isinstance(q, MatchBoolPrefix):
             return self._plan_match_bool_prefix(q, scored)
         if isinstance(q, SpanNear):
-            return self._plan_span_near(list(q.clauses), q.slop,
-                                        q.in_order, scored)
+            terms, gaps = self._split_span_gaps(q.clauses, q.in_order)
+            return self._plan_span_near(terms, q.slop, q.in_order, scored,
+                                        gaps=gaps)
         if isinstance(q, SpanFirst):
             return self._plan_span_near(list(q.clauses), q.slop, True,
                                         scored, first_end=q.end)
@@ -722,9 +723,34 @@ class Executor:
             agg = agg.filter(F.col("_n") >= msm)
         return agg.select("docid", "score")
 
+    @staticmethod
+    def _split_span_gaps(clauses, in_order: bool):
+        """Collapse SpanGap pseudo-clauses into per-term leading offsets:
+        gaps[i] = total gap width between real term i-1 and term i."""
+        from sparksearch.queries import SpanGap
+        terms: list[str] = []
+        gaps: list[int] = []
+        pending = 0
+        for c in clauses:
+            if isinstance(c, SpanGap):
+                if not in_order:
+                    raise ValueError("span_gap requires in_order=true "
+                                     "(SpanNearQuery gap semantics)")
+                pending += int(c.width)
+            else:
+                terms.append(c)
+                gaps.append(pending)
+                pending = 0
+        if pending:
+            raise ValueError("span_gap may not be the final clause")
+        if not any(gaps):
+            return terms, None
+        return terms, gaps
+
     def _plan_span_near(self, terms: list[str], slop: int, in_order: bool,
                         scored: bool,
-                        first_end: int | None = None) -> DataFrame:
+                        first_end: int | None = None,
+                        gaps: list[int] | None = None) -> DataFrame:
         """span_near / intervals positional engine: one position per clause,
         all clauses within a window of width (max−min)−(n−1) ≤ slop,
         ordered when in_order (span registrations
@@ -762,7 +788,10 @@ class Executor:
         for i in range(1, len(terms)):
             cur = cur.join(legs[i], "docid")
             if in_order:
-                cur = cur.filter(F.col(f"_p{i}") > F.col(f"_p{i-1}"))
+                # a span_gap between adjacent clauses consumes `gaps[i]`
+                # extra positions: p_i must leave room for the gap tokens
+                off = gaps[i] if gaps else 0
+                cur = cur.filter(F.col(f"_p{i}") > F.col(f"_p{i-1}") + off)
             else:
                 # distinct positions (repeated clause terms may not reuse
                 # one token)
@@ -770,8 +799,10 @@ class Executor:
                     lambda a, b: a & b,
                     [F.col(f"_p{i}") != F.col(f"_p{j}") for j in range(i)]))
         pcols = [F.col(f"_p{i}") for i in range(len(terms))]
+        # gap tokens count as matched span length, not slop
+        total_gap = sum(gaps) if gaps else 0
         width = (F.greatest(*pcols) - F.least(*pcols)
-                 - F.lit(len(terms) - 1))
+                 - F.lit(len(terms) - 1 + total_gap))
         cur = cur.filter(width <= slop)
         if first_end is not None:
             # span_first: the span's END (max member position + 1) must be

@@ -271,6 +271,16 @@ class Intervals(Query):
 
 
 @dataclass(frozen=True)
+class SpanGap:
+    """`span_gap` clause inside span_near (SpanGapQueryBuilder, registered
+    with the span family in sv/search/SearchModule.java:1140-1156): a
+    non-scoring pseudo-clause consuming `width` token positions between
+    its neighbors. Only valid with in_order=True, as in Lucene."""
+    field_name: str
+    width: int = 1
+
+
+@dataclass(frozen=True)
 class SpanFirst(Query):
     """`span_first` — the inner span (ordered `clauses` chain within
     `slop`) must end within the first `end` positions of the field

@@ -174,3 +174,15 @@ def test_dsl_script_types(spark):
         "score_mode": "sum", "boost_mode": "multiply"}})
     assert isinstance(q3, FunctionScore) and len(q3.functions) == 4
     assert q3.score_mode == "sum"
+
+
+def test_dsl_span_gap(spark):
+    from sparksearch.dsl import from_dsl
+    from sparksearch.queries import SpanGap, SpanNear
+
+    q = from_dsl({"span_near": {"clauses": [
+        {"span_term": {"text": "hash"}},
+        {"span_gap": {"text": 1}},
+        {"span_term": {"text": "table"}}], "slop": 0, "in_order": True}})
+    assert isinstance(q, SpanNear)
+    assert q.clauses[1] == SpanGap("text", 1)
