@@ -140,6 +140,48 @@ def q_expunge_deletes(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# fetch options + rank_feature
+# ---------------------------------------------------------------------------
+
+def q_min_score(spark, sf_dir):
+    """Search `min_score`: hits below the cutoff drop before the top-k cut
+    (SearchContext.minimumScore) — here deliberately cutting INSIDE the
+    match result so the filter provably bites."""
+    _, ex = C.get_engine(spark, sf_dir)
+    hits = (ex.search(Match("text", "join"), k=1000, fetch=False,
+                      min_score=0.33)
+            .select("docid", F.round("score", 4).alias("score")))
+    return (ex.ix.docs.select("docid", "url")
+            .join(F.broadcast(hits), "docid")
+            .select("docid", "url", "score")
+            .orderBy(F.col("score").desc(), F.col("docid").asc()))
+
+
+def q_source_filtering(spark, sf_dir):
+    """`_source` includes/excludes with glob patterns on the fetch phase
+    (FetchSourcePhase; `la*` keeps lang, excludes drop warc_ts)."""
+    from sparksearch.fetchops import fetch_source
+    ix, ex = C.get_engine(spark, sf_dir)
+    hits = C.topk_rounded(ex, Match("text", "join"), k=10)
+    out = fetch_source(ix, hits, includes=["la*", "dl", "warc_ts"],
+                       excludes=["warc_*"])
+    return out.select("docid", "url", "score", "lang",
+                      F.col("dl").cast("long").alias("dl"))
+
+
+def q_rank_feature(spark, sf_dir):
+    """rank_feature saturation over the doc-length feature, composed with
+    a match in a bool should (the documented usage: feature-boosted
+    relevance; RankFeatureQueryBuilder)."""
+    from sparksearch.queries import RankFeature
+    _, ex = C.get_engine(spark, sf_dir)
+    q = Bool(must=[Match("text", "join")],
+             should=[RankFeature("dl", function="saturation", pivot=50.0,
+                                 boost=0.5)])
+    return C.topk_rounded(ex, q, k=10)
+
+
+# ---------------------------------------------------------------------------
 # span_gap (the last span-family member)
 # ---------------------------------------------------------------------------
 
@@ -268,6 +310,41 @@ WHERE p.lang <> 'de'
 ORDER BY round(sc.score, 4) DESC, p.docid ASC LIMIT 10
 """.strip()
 
+    # min_score: the cutoff is applied to the EXACT score (pre-rounding),
+    # mirroring SearchContext.minimumScore semantics
+    out["min_score"] = f"""
+WITH {P}, {TOK}, {DL},
+{_SC_JOIN}
+SELECT p.docid, p.url, round(sc.score, 4) AS score
+FROM sc JOIN pages p USING (docid)
+WHERE sc.score >= 0.33
+ORDER BY round(sc.score, 4) DESC, p.docid ASC
+""".strip()
+
+    out["source_filtering"] = f"""
+WITH {P}, {TOK}, {DL},
+{_SC_JOIN},
+topk AS ( SELECT p.docid, p.url, round(sc.score, 4) AS score
+          FROM sc JOIN pages p USING (docid)
+          ORDER BY round(sc.score, 4) DESC, p.docid ASC LIMIT 10 )
+SELECT t.docid, t.url, t.score, p.lang, CAST(dl.dl AS BIGINT) AS dl
+FROM topk t JOIN pages p USING (docid) JOIN dl USING (docid)
+ORDER BY t.score DESC, t.docid ASC
+""".strip()
+
+    # rank_feature saturation in a bool should: every doc carries the dl
+    # feature, so the should-leg adds 0.5 * dl/(dl+50) to each must hit
+    out["rank_feature"] = f"""
+WITH {P}, {TOK}, {DL},
+{_SC_JOIN},
+rf AS ( SELECT sc.docid,
+               sc.score + 0.5 * (dl.dl / (dl.dl + 50.0)) AS score
+        FROM sc JOIN dl USING (docid) )
+SELECT p.docid, p.url, round(rf.score, 4) AS score
+FROM rf JOIN pages p USING (docid)
+ORDER BY round(rf.score, 4) DESC, p.docid ASC LIMIT 10
+""".strip()
+
     # expunge: stats AND results recomputed over the surviving corpus
     # (docids preserved by the merge — the pages CTE still numbers the
     # full corpus)
@@ -302,4 +379,7 @@ def queries() -> dict:
         "expunge_deletes": q_expunge_deletes,
         "hybrid_rrf": q_hybrid_rrf,
         "span_gap": q_span_gap,
+        "min_score": q_min_score,
+        "source_filtering": q_source_filtering,
+        "rank_feature": q_rank_feature,
     }

@@ -128,6 +128,21 @@ def _script_spec(spec: Any) -> tuple[str, dict | None]:
     return spec["source"], spec.get("params")
 
 
+def _rank_feature(body: dict):
+    from sparksearch.queries import RankFeature
+    field = body["field"]
+    for fn in ("saturation", "log", "sigmoid", "linear"):
+        if fn in body:
+            s = body[fn] or {}
+            return RankFeature(field, function=fn,
+                               pivot=float(s.get("pivot", 1.0)),
+                               scaling_factor=float(
+                                   s.get("scaling_factor", 1.0)),
+                               exponent=float(s.get("exponent", 1.0)),
+                               boost=float(body.get("boost", 1.0)))
+    return RankFeature(field, boost=float(body.get("boost", 1.0)))
+
+
 def _script(body: dict) -> Script:
     src, params = _script_spec(body["script"])
     return Script(src, params)
@@ -303,6 +318,7 @@ _LEAF = {
     "script": _script,
     "script_score": _script_score,
     "function_score": _function_score,
+    "rank_feature": _rank_feature,
 }
 
 
@@ -347,7 +363,7 @@ def from_dsl(dsl: dict) -> Query:
         raise ValueError(f"unsupported query type: {kind}") from None
     q = build(body)
     boost = _boost_of(body)
-    if boost != 1.0 and kind != "constant_score":
+    if boost != 1.0 and kind not in ("constant_score", "rank_feature"):
         from sparksearch.queries import FunctionScore, WeightFunction
         q = FunctionScore(query=q, functions=[WeightFunction(boost)],
                           boost_mode="multiply")

@@ -41,7 +41,8 @@ from sparksearch.queries import (
     FieldValueFactor, FunctionScore, Fuzzy, Ids, Intervals, Match,
     MatchAll, MatchBoolPrefix, MatchNone, MatchPhrase, MatchPhrasePrefix,
     MoreLikeThis,
-    MultiMatch, Prefix, Query, Range, Regexp, Script, ScriptScore,
+    MultiMatch, Prefix, Query, Range, RankFeature, Regexp, Script,
+    ScriptScore,
     SpanFirst, SpanNear, SpanNot,
     SpanMulti, SpanOr, SpanWithin, Term, Terms, TermsSet,
     TextPrefix, WeightFunction, Wildcard, calculate_min_should_match,
@@ -84,12 +85,15 @@ class Executor:
 
     # ---- public API --------------------------------------------------------
     def search(self, q: Query, k: int = 10, fetch: bool = True,
-               mode: str = "auto") -> DataFrame:
+               mode: str = "auto", min_score: float | None = None) -> DataFrame:
         """Top-k (docid, score[, url]) — score desc, docid asc.
 
         mode: "auto" uses the block-max WAND pruned path (wand.py) for match
         queries when packed segments are available; "wand" forces it;
         "plan" forces the generic DataFrame plan.
+        min_score drops hits scoring below the cutoff before the top-k cut
+        (the search request's `min_score`, sv/search/internal/
+        ContextIndexSearcher + SearchContext.minimumScore).
         """
         # auto mode additionally requires the packed segments to cover
         # exactly the committed generations — in the window between a
@@ -106,8 +110,12 @@ class Executor:
         if use_wand:
             from sparksearch.wand import wand_topk
             topk = wand_topk(self.ix, q, k)
+            if min_score is not None:
+                topk = topk.filter(F.col("score") >= float(min_score))
         else:
             scored = self._plan(q, scored=True)
+            if min_score is not None:
+                scored = scored.filter(F.col("score") >= float(min_score))
             topk = (scored
                     .orderBy(F.col("score").desc(), F.col("docid").asc())
                     .limit(k))
@@ -251,7 +259,29 @@ class Executor:
             return self._plan_span_near(terms, q.max_gaps, q.ordered, scored)
         if isinstance(q, FunctionScore):
             return self._plan_function_score(q, scored)
+        if isinstance(q, RankFeature):
+            return self._plan_rank_feature(q, scored)
         raise TypeError(f"unsupported query: {q!r}")
+
+    def _plan_rank_feature(self, q: RankFeature, scored: bool) -> DataFrame:
+        """rank_feature: one column-pruned docs scan, the saturating
+        function as a Catalyst expression
+        (sv/index/query/RankFeatureQueryBuilder.java)."""
+        v = F.col(q.field_name).cast("double")
+        if q.function == "saturation":
+            s = v / (v + F.lit(float(q.pivot)))
+        elif q.function == "log":
+            s = F.log(F.lit(float(q.scaling_factor)) + v)
+        elif q.function == "sigmoid":
+            vp = F.pow(v, F.lit(float(q.exponent)))
+            s = vp / (vp + F.lit(float(q.pivot) ** float(q.exponent)))
+        elif q.function == "linear":
+            s = v
+        else:
+            raise ValueError(f"unknown rank_feature function: {q.function}")
+        out = self.ix.docs.filter(v.isNotNull())
+        score = (s * float(q.boost)) if scored else F.lit(0.0)
+        return out.select("docid", score.alias("score"))
 
     def _plan_multiterm(self, q: Query, scored: bool) -> DataFrame:
         """Dictionary-expansion queries (wildcard/regexp/fuzzy/prefix on the

@@ -16,7 +16,33 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["highlight", "suggest_terms", "suggest_phrase",
-           "suggest_completion", "script_fields"]
+           "suggest_completion", "script_fields", "fetch_source"]
+
+
+def fetch_source(ix, hits: DataFrame, includes: list | None = None,
+                 excludes: list | None = None) -> DataFrame:
+    """`_source` filtering on the fetch phase: keep the source fields
+    matching the include patterns minus the exclude patterns (`*` glob
+    wildcards, sv/search/fetch/subphase/FetchSourcePhase.java →
+    XContentMapValues.filter). Column pruning happens at plan time — the
+    docs scan reads ONLY the surviving fields."""
+    import fnmatch
+
+    fields = [c for c in ix.docs.columns if c != "docid"]
+    if includes:
+        keep = [f for f in fields
+                if any(fnmatch.fnmatchcase(f, p) for p in includes)]
+    else:
+        keep = list(fields)
+    if excludes:
+        keep = [f for f in keep
+                if not any(fnmatch.fnmatchcase(f, p) for p in excludes)]
+    keep = [f for f in keep if f not in hits.columns]
+    if not keep:
+        return hits
+    return (ix.docs.select("docid", *keep)
+            .join(F.broadcast(hits), "docid")
+            .select(*hits.columns, *keep))
 
 
 def script_fields(ix, hits: DataFrame, scripts: dict,

@@ -351,6 +351,25 @@ class TermsSet(Query):
     required: int = 1
 
 
+@dataclass(frozen=True)
+class RankFeature(Query):
+    """`rank_feature` — score a numeric feature field through a saturating
+    function; docs missing the feature don't match
+    (sv/index/query/RankFeatureQueryBuilder.java; functions per the
+    rank_feature field type):
+      saturation: S(v) = v / (v + pivot)
+      log:        S(v) = ln(scaling_factor + v)
+      sigmoid:    S(v) = v^exp / (v^exp + pivot^exp)
+      linear:     S(v) = v
+    score = boost · S(v)."""
+    field_name: str
+    function: str = "saturation"    # 'saturation'|'log'|'sigmoid'|'linear'
+    pivot: float = 1.0
+    scaling_factor: float = 1.0
+    exponent: float = 1.0
+    boost: float = 1.0
+
+
 @dataclass
 class Script(Query):
     """`script` query — filter context, constant score 0, the boolean
