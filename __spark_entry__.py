@@ -151,9 +151,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from sparksearch import contract_queries2 as CQ2
     from sparksearch import contract_round2b as CR2B
     from sparksearch import contract_round2c as CR2C
+    from sparksearch import contract_round2d as CR2D
     out.update(CQ2.queries())
     out.update(CR2B.queries())
     out.update(CR2C.queries())
+    out.update(CR2D.queries())
     out.update(CM2.queries())
     out.update(CAN.queries())
     out.update(CQ.queries())
@@ -175,10 +177,12 @@ def oracle_sql() -> dict[str, str]:
     from sparksearch import contract_queries2 as CQ2
     from sparksearch import contract_round2b as CR2B
     from sparksearch import contract_round2c as CR2C
+    from sparksearch import contract_round2d as CR2D
     out = dict(CD.oracle_sql())
     out.update(CQ2.oracle_sql())
     out.update(CR2B.oracle_sql())
     out.update(CR2C.oracle_sql())
+    out.update(CR2D.oracle_sql())
     out.update(CM2.oracle_sql())
     out.update(CA.oracle_sql())
     out.update(CA2.oracle_sql())

@@ -39,6 +39,7 @@ __all__ = [
     "quality_score",
     "token_stats",
     "winnow_fingerprints",
+    "gopher_repetition",
 ]
 
 
@@ -776,4 +777,72 @@ def lm_quality(docs: DataFrame, text_col: str = "text",
     return (j.groupBy(id_col)
             .agg(F.count("*").cast("long").alias("n_bigrams"),
                  F.round(F.avg(lp), 6).alias("lm_logprob"))
+            .orderBy(id_col))
+
+
+def gopher_repetition(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      top2_max: float = 0.20,
+                      dup3_max: float = 0.60) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1, the
+    repetition-removal rules every large-scale text pipeline runs):
+
+      top2_frac — fraction of the doc's characters contained in
+                  occurrences of its most frequent 2-gram
+                  (tie-break: higher count, then lexicographic gram)
+      dup3_frac — fraction of characters in 3-grams occurring >= 2 times
+                  (occurrence-counted, capped at 1.0 — overlaps are not
+                  deduplicated, documented divergence from the paper)
+      flagged   — top2_frac > top2_max OR dup3_frac > dup3_max
+
+    Character counts exclude the single-space separators (sum of token
+    lengths). All JVM-side: token posexplode, lead() windows per doc,
+    map-side-combined counts — shuffle is one hash partition by doc id,
+    no Python, no n².
+    """
+    toks = (docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"))
+        .filter(F.col("w") != ""))
+    win = Window.partitionBy(id_col).orderBy("pos")
+    g = toks.select(
+        id_col, "w",
+        F.lead("w", 1).over(win).alias("w2"),
+        F.lead("w", 2).over(win).alias("w3"))
+    chars = toks.groupBy(id_col).agg(
+        F.sum(F.length("w")).cast("double").alias("_chars"))
+
+    g2 = (g.filter(F.col("w2").isNotNull())
+          .groupBy(id_col, "w", "w2")
+          .agg(F.count("*").alias("_c"),
+               F.min(F.length("w") + F.length("w2")).alias("_len")))
+    top_w = Window.partitionBy(id_col).orderBy(
+        F.col("_c").desc(), F.col("w").asc(), F.col("w2").asc())
+    top2 = (g2.withColumn("_rn", F.row_number().over(top_w))
+            .filter(F.col("_rn") == 1)
+            .select(id_col, (F.col("_c") * F.col("_len"))
+                    .cast("double").alias("_top2_chars")))
+
+    g3 = (g.filter(F.col("w3").isNotNull())
+          .groupBy(id_col, "w", "w2", "w3")
+          .agg(F.count("*").alias("_c"),
+               F.min(F.length("w") + F.length("w2") + F.length("w3"))
+               .alias("_len")))
+    dup3 = (g3.filter(F.col("_c") >= 2)
+            .groupBy(id_col)
+            .agg(F.sum(F.col("_c") * F.col("_len"))
+                 .cast("double").alias("_dup3_chars")))
+
+    top2_frac = F.round(F.least(
+        F.coalesce(F.col("_top2_chars"), F.lit(0.0)) / F.col("_chars"),
+        F.lit(1.0)), 6)
+    dup3_frac = F.round(F.least(
+        F.coalesce(F.col("_dup3_chars"), F.lit(0.0)) / F.col("_chars"),
+        F.lit(1.0)), 6)
+    return (chars.join(top2, id_col, "left").join(dup3, id_col, "left")
+            .select(F.col(id_col),
+                    top2_frac.alias("top2_frac"),
+                    dup3_frac.alias("dup3_frac"),
+                    ((top2_frac > top2_max) | (dup3_frac > dup3_max))
+                    .alias("flagged"))
             .orderBy(id_col))

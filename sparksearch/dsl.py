@@ -347,6 +347,20 @@ def _boost_of(body: Any) -> float:
     return 1.0
 
 
+def _name_of(body: Any) -> str | None:
+    """Extract `_name` (AbstractQueryBuilder queryName) — top-level for
+    compound queries, inside the single field spec for field-keyed leaves."""
+    if not isinstance(body, dict):
+        return None
+    if "_name" in body:
+        return str(body["_name"])
+    if len(body) == 1:
+        v = next(iter(body.values()))
+        if isinstance(v, dict) and "_name" in v:
+            return str(v["_name"])
+    return None
+
+
 def from_dsl(dsl: dict) -> Query:
     """Parse one JSON query-DSL object (the value of "query") to the AST.
 
@@ -367,6 +381,10 @@ def from_dsl(dsl: dict) -> Query:
         from sparksearch.queries import FunctionScore, WeightFunction
         q = FunctionScore(query=q, functions=[WeightFunction(boost)],
                           boost_mode="multiply")
+    name = _name_of(body)
+    if name:
+        from sparksearch.queries import Named
+        q = Named(q, name)
     return q
 
 

@@ -41,7 +41,7 @@ from sparksearch.queries import (
     FieldValueFactor, FunctionScore, Fuzzy, Ids, Intervals, Match,
     MatchAll, MatchBoolPrefix, MatchNone, MatchPhrase, MatchPhrasePrefix,
     MoreLikeThis,
-    MultiMatch, Prefix, Query, Range, RankFeature, Regexp, Script,
+    MultiMatch, Named, Prefix, Query, Range, RankFeature, Regexp, Script,
     ScriptScore,
     SpanFirst, SpanNear, SpanNot,
     SpanMulti, SpanOr, SpanWithin, Term, Terms, TermsSet,
@@ -213,6 +213,10 @@ class Executor:
             return self._plan_match(q, scored)
         if isinstance(q, MatchPhrase):
             return self._plan_phrase(q, scored)
+        if isinstance(q, Named):
+            # _name is fetch-phase metadata (MatchedQueriesPhase) — the
+            # plan is exactly the inner query's plan
+            return self._plan(q.query, scored)
         if isinstance(q, (Term, Terms, Range, Exists, Prefix, Ids, Script)):
             return self._plan_docvalue_filter(q)
         if isinstance(q, Bool):
@@ -1090,11 +1094,15 @@ class Executor:
     # ---- bool: fused single-scan execution ---------------------------------
     @staticmethod
     def _fusable(c: Query) -> bool:
+        if isinstance(c, Named):
+            c = c.query
         return isinstance(c, Match) and c.fuzziness is None
 
     def _match_clause_info(self, c: Match):
         """(Counter(terms), required_match_count) for a match clause."""
         from collections import Counter
+        if isinstance(c, Named):
+            c = c.query
         terms = [t for t, _ in analyze(c.text, c.analyzer or self.ix.analyzer)]
         cnt = Counter(terms)
         if c.operator == "and":

@@ -16,7 +16,68 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["highlight", "suggest_terms", "suggest_phrase",
-           "suggest_completion", "script_fields", "fetch_source"]
+           "suggest_completion", "script_fields", "fetch_source",
+           "collect_named", "matched_queries"]
+
+
+def collect_named(q) -> list:
+    """All (name, inner_query) pairs of `Named` nodes in a query tree, in
+    tree order (sv/search/fetch/subphase/MatchedQueriesPhase.java collects
+    the named Weights the same way)."""
+    from sparksearch.queries import (Boosting, Bool, ConstantScore, DisMax,
+                                     FunctionScore, Named)
+    out = []
+
+    def walk(x):
+        if x is None:
+            return
+        if isinstance(x, Named):
+            out.append((x.name, x.query))
+            walk(x.query)
+        elif isinstance(x, Bool):
+            for c in (*x.must, *x.should, *x.must_not, *x.filter):
+                walk(c)
+        elif isinstance(x, ConstantScore):
+            walk(x.filter_query)
+        elif isinstance(x, DisMax):
+            for c in x.queries:
+                walk(c)
+        elif isinstance(x, Boosting):
+            walk(x.positive)
+            walk(x.negative)
+        elif isinstance(x, FunctionScore):
+            walk(x.query)
+
+    walk(q)
+    return out
+
+
+def matched_queries(ex, hits: DataFrame, q) -> DataFrame:
+    """Annotate each hit with the sorted names of the query's `_name`d
+    clauses it matches (SearchHit.matchedQueries).
+
+    Scale shape: each named clause's plan is first semi-joined against the
+    BROADCAST hit set (k rows), so only ≤k membership rows per clause ever
+    move; the final left joins are all broadcast-sized regardless of how
+    large the clause's full match set is."""
+    named = collect_named(q)
+    if not named:
+        return hits.withColumn("matched_queries",
+                               F.array().cast("array<string>"))
+    ids = hits.select("docid")
+    out = hits
+    flags = []
+    for i, (name, sub) in enumerate(named):
+        flag = f"_mq_{i}"
+        m = (ex._plan(sub, scored=False).select("docid").distinct()
+             .join(F.broadcast(ids), "docid", "left_semi")
+             .withColumn(flag, F.lit(True)))
+        out = out.join(F.broadcast(m), "docid", "left")
+        flags.append((flag, name))
+    arr = F.array_sort(F.filter(
+        F.array(*[F.when(F.col(f), F.lit(n)) for f, n in flags]),
+        lambda x: x.isNotNull()))
+    return out.select(*hits.columns, arr.alias("matched_queries"))
 
 
 def fetch_source(ix, hits: DataFrame, includes: list | None = None,

@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ["IndexReader", "index_stats", "set_alias", "resolve_alias",
-           "open_index"]
+           "open_index", "pit_reader"]
 
 
 class IndexReader:
@@ -19,11 +19,15 @@ class IndexReader:
     """
 
     def __init__(self, spark: SparkSession, index_dir: str,
-                 use_segments: bool = False):
+                 use_segments: bool = False, meta: dict | None = None):
         self.spark = spark
         self.index_dir = index_dir
-        with open(f"{index_dir}/meta.json") as f:
-            self.meta = json.load(f)
+        if meta is not None:
+            # pinned snapshot (point-in-time) — see open_pit
+            self.meta = dict(meta)
+        else:
+            with open(f"{index_dir}/meta.json") as f:
+                self.meta = json.load(f)
         self.n_docs: int = self.meta["n_docs"]
         self.avgdl: float = self.meta["avgdl"]
         self.analyzer: str = self.meta["analyzer"]
@@ -42,6 +46,9 @@ class IndexReader:
         #: contribute to docFreq/avgdl until segments merge them away).
         self.delete_files: list[str] = self.meta.get("deletes", [])
         self.n_deleted: int = int(self.meta.get("n_deleted", 0))
+        #: runtime fields (with_runtime): name → compiled Catalyst column,
+        #: appended to the docs frame at plan time
+        self._runtime: dict = {}
 
     def reload(self) -> "IndexReader":
         """Re-read meta.json (after add_generation / merge commits)."""
@@ -103,7 +110,41 @@ class IndexReader:
 
     @property
     def docs(self) -> DataFrame:
-        return self.live(self._gen_union("docs"))
+        df = self.live(self._gen_union("docs"))
+        for name, col in self._runtime.items():
+            df = df.withColumn(name, col)
+        return df
+
+    def with_runtime(self, mappings: dict) -> "IndexReader":
+        """Runtime fields: search-time script-derived columns
+        (sv runtime fields — x-pack runtime mappings / `runtime_mappings`
+        in the search request). Each mapping is a Painless-subset source
+        compiled to a Catalyst expression (painless.py) and inlined into
+        the SAME docs scan as every doc-values column — term/range/exists
+        filters, sorts, and aggs over a runtime field plan identically to
+        a stored field, with zero materialization."""
+        import copy
+
+        from sparksearch.painless import compile_script
+        r = copy.copy(self)
+        r._runtime = dict(self._runtime)
+        for name, src in mappings.items():
+            r._runtime[name] = compile_script(src).column()
+        return r
+
+    def open_pit(self) -> dict:
+        """Point-in-time: pin the committed snapshot (generation list,
+        doc/stats totals, and the generation-versioned stats path) — a
+        reader over the returned pit dict keeps answering from exactly
+        this commit while add_generation keeps appending
+        (sv/action/search CreatePitController; Lucene PIT = a held
+        IndexReader over the segments_N commit). Caveat shared with the
+        reference: a merge that deletes pinned generation dirs
+        invalidates outstanding PITs — the reference pins segment refs
+        against deletion; batch jobs should expunge only after draining
+        PITs."""
+        return {"index_dir": self.index_dir, "meta": dict(self.meta),
+                "use_segments": self.use_segments}
 
     @property
     def postings(self) -> DataFrame:
@@ -149,6 +190,13 @@ class IndexReader:
         if not terms:
             return self.stats.limit(0)
         return self.stats.filter(F.col("term").isin(sorted(set(terms))))
+
+
+def pit_reader(spark: SparkSession, pit: dict) -> "IndexReader":
+    """Reader over an open_pit snapshot — ignores every commit after it."""
+    return IndexReader(spark, pit["index_dir"],
+                       use_segments=pit.get("use_segments", False),
+                       meta=pit["meta"])
 
 
 def index_stats(ix: "IndexReader") -> DataFrame:

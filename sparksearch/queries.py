@@ -370,6 +370,16 @@ class RankFeature(Query):
     boost: float = 1.0
 
 
+@dataclass(frozen=True)
+class Named(Query):
+    """`_name`d clause — plans exactly as its inner query; the fetch phase
+    reports which named clauses matched each hit as `matched_queries`
+    (sv/search/fetch/subphase/MatchedQueriesPhase.java). Every query
+    builder in the reference carries queryName (AbstractQueryBuilder)."""
+    query: Query = None
+    name: str = ""
+
+
 @dataclass
 class Script(Query):
     """`script` query — filter context, constant score 0, the boolean
