@@ -128,6 +128,56 @@ def _script_spec(spec: Any) -> tuple[str, dict | None]:
     return spec["source"], spec.get("params")
 
 
+def _distance_feature(body: dict):
+    from sparksearch.queries import DistanceFeature
+    return DistanceFeature(body["field"], origin=body["origin"],
+                           pivot=body["pivot"],
+                           boost=float(body.get("boost", 1.0)))
+
+
+def _common_terms(body: dict):
+    from sparksearch.queries import CommonTerms
+    field, spec = _field_body(body)
+    if not isinstance(spec, dict):
+        spec = {"query": spec}
+    return CommonTerms(
+        field, spec["query"],
+        cutoff_frequency=float(spec.get("cutoff_frequency", 0.01)),
+        low_freq_operator=spec.get("low_freq_operator", "or"),
+        high_freq_operator=spec.get("high_freq_operator", "or"),
+        analyzer=spec.get("analyzer"))
+
+
+def _query_string(body: dict):
+    from sparksearch.qs_parser import parse_query_string
+    return parse_query_string(body["query"],
+                              body.get("default_field", "text"))
+
+
+def _simple_query_string(body: dict):
+    # shared grammar subset (| && + forms parse identically);
+    # `fields` takes the first entry as the default field
+    from sparksearch.qs_parser import parse_query_string
+    fields = body.get("fields") or ["text"]
+    return parse_query_string(body["query"], fields[0].split("^")[0])
+
+
+def _span_term_leaf(body: dict):
+    # standalone span_term — a one-clause ordered span (SpanTermQueryBuilder)
+    from sparksearch.queries import SpanNear
+    field, spec = _field_body(body)
+    term = spec["value"] if isinstance(spec, dict) else spec
+    return SpanNear(field, (term,), slop=0, in_order=True)
+
+
+def _span_multi(body: dict):
+    from sparksearch.queries import SpanMulti
+    inner = from_dsl(body["match"])
+    field = getattr(inner, "field_name", "text")
+    return SpanMulti(field, inner,
+                     max_expansions=int(body.get("max_expansions", 50)))
+
+
 def _rank_feature(body: dict):
     from sparksearch.queries import RankFeature
     field = body["field"]
@@ -319,6 +369,12 @@ _LEAF = {
     "script_score": _script_score,
     "function_score": _function_score,
     "rank_feature": _rank_feature,
+    "distance_feature": _distance_feature,
+    "common": _common_terms,
+    "query_string": _query_string,
+    "simple_query_string": _simple_query_string,
+    "span_term": _span_term_leaf,
+    "span_multi": _span_multi,
 }
 
 
@@ -377,7 +433,11 @@ def from_dsl(dsl: dict) -> Query:
         raise ValueError(f"unsupported query type: {kind}") from None
     q = build(body)
     boost = _boost_of(body)
-    if boost != 1.0 and kind not in ("constant_score", "rank_feature"):
+    # leaves that fold `boost` into their own scoring function already
+    # (constant_score's filter boost, rank_feature/distance_feature's
+    # boost·f(x) form) must not get the generic multiply wrapper too
+    if boost != 1.0 and kind not in ("constant_score", "rank_feature",
+                                     "distance_feature"):
         from sparksearch.queries import FunctionScore, WeightFunction
         q = FunctionScore(query=q, functions=[WeightFunction(boost)],
                           boost_mode="multiply")

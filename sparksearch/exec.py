@@ -38,6 +38,7 @@ from sparksearch.analysis import analyze
 from sparksearch.index import IndexReader
 from sparksearch.queries import (
     Bool, Boosting, ConstantScore, DecayFunction, DisMax, Exists,
+    CommonTerms, DistanceFeature,
     FieldValueFactor, FunctionScore, Fuzzy, Ids, Intervals, Match,
     MatchAll, MatchBoolPrefix, MatchNone, MatchPhrase, MatchPhrasePrefix,
     MoreLikeThis,
@@ -60,6 +61,22 @@ def _literal_prefix(pattern: str, metachars: str) -> str:
             break
         out.append(ch)
     return "".join(out)
+
+
+_DURATION_UNITS = {"ms": 0.001, "s": 1.0, "m": 60.0, "h": 3600.0,
+                   "d": 86400.0}
+
+
+def _duration_seconds(v) -> float:
+    """'100s'/'7d'/'500ms' → seconds; bare numbers pass through
+    (DistanceFeatureQueryBuilder pivot parsing, TimeValue units)."""
+    if isinstance(v, (int, float)):
+        return float(v)
+    s = str(v).strip()
+    for u in sorted(_DURATION_UNITS, key=len, reverse=True):
+        if s.endswith(u):
+            return float(s[:-len(u)]) * _DURATION_UNITS[u]
+    return float(s)
 
 
 def _idf_col(n_docs: int) -> Column:
@@ -265,7 +282,57 @@ class Executor:
             return self._plan_function_score(q, scored)
         if isinstance(q, RankFeature):
             return self._plan_rank_feature(q, scored)
+        if isinstance(q, DistanceFeature):
+            return self._plan_distance_feature(q, scored)
+        if isinstance(q, CommonTerms):
+            return self._plan(self._rewrite_common_terms(q), scored)
         raise TypeError(f"unsupported query: {q!r}")
+
+    def _plan_distance_feature(self, q: DistanceFeature, scored: bool) \
+            -> DataFrame:
+        """distance_feature: one column-pruned docs scan, the decay as a
+        Catalyst expression (DistanceFeatureQueryBuilder.java)."""
+        d = self.ix.docs
+        col = F.col(q.field_name)
+        if dict(d.dtypes).get(q.field_name) == "timestamp":
+            val = F.unix_timestamp(col).cast("double")
+            origin = F.unix_timestamp(F.lit(q.origin)).cast("double")
+        else:
+            val = col.cast("double")
+            origin = F.lit(float(q.origin))
+        pivot = _duration_seconds(q.pivot)
+        s = F.lit(float(q.boost)) * pivot / (pivot + F.abs(val - origin))
+        return (d.filter(col.isNotNull())
+                .select("docid", (s if scored else F.lit(0.0))
+                        .alias("score")))
+
+    def _rewrite_common_terms(self, q: CommonTerms) -> Query:
+        """Split the analyzed terms by df at cutoff_frequency and rewrite
+        to the equivalent bool (CommonTermsQueryBuilder / Lucene
+        CommonTermsQuery). The df lookup is a driver-side collect bounded
+        by the query's term count — the same per-query stats round-trip
+        the WAND path already pays, never a corpus scan."""
+        terms = [t for t, _ in analyze(q.text, q.analyzer or
+                                       self.ix.analyzer)]
+        if not terms:
+            return MatchNone()
+        dfs = {r["term"]: r["df"]
+               for r in self.ix.stats_for(sorted(set(terms))).collect()}
+        cut = (q.cutoff_frequency * self.ix.n_docs
+               if q.cutoff_frequency < 1.0 else q.cutoff_frequency)
+        low = [t for t in terms if dfs.get(t, 0) <= cut]
+        high = [t for t in terms if dfs.get(t, 0) > cut]
+        # analyzed tokens are fixed points of re-analysis for the
+        # lowercase/standard chains; for stemming analyzers the rewritten
+        # Match re-stems, so CommonTerms stores the original analyzer
+        mk = lambda ts, op: Match(q.field_name, " ".join(ts), operator=op,
+                                  analyzer=q.analyzer)
+        if not low:
+            return mk(high, q.high_freq_operator)
+        if not high:
+            return mk(low, q.low_freq_operator)
+        return Bool(must=[mk(low, q.low_freq_operator)],
+                    should=[mk(high, "or")])
 
     def _plan_rank_feature(self, q: RankFeature, scored: bool) -> DataFrame:
         """rank_feature: one column-pruned docs scan, the saturating

@@ -371,6 +371,36 @@ class RankFeature(Query):
 
 
 @dataclass(frozen=True)
+class DistanceFeature(Query):
+    """`distance_feature` — score decays with distance from `origin` on a
+    date or numeric field: boost · pivot / (pivot + |value − origin|)
+    (sv/index/query/DistanceFeatureQueryBuilder.java). `pivot` is in
+    seconds for date fields (duration strings like '100s'/'7d' accepted),
+    field units for numerics. Docs missing the field don't match."""
+    field_name: str
+    origin: object = None
+    pivot: object = None
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class CommonTerms(Query):
+    """`common` terms query (CommonTermsQueryBuilder — deprecated alias of
+    match but still registered in SearchModule): analyzed terms split by
+    document frequency at `cutoff_frequency` (fraction of N when < 1,
+    absolute df otherwise). Low-frequency terms select AND score
+    (`low_freq_operator`); high-frequency terms only add score to docs the
+    low-freq group already selected. If every term is high-frequency they
+    select with `high_freq_operator` (Lucene CommonTermsQuery rewrite)."""
+    field_name: str
+    text: str
+    cutoff_frequency: float = 0.01
+    low_freq_operator: str = "or"
+    high_freq_operator: str = "or"
+    analyzer: str | None = None
+
+
+@dataclass(frozen=True)
 class Named(Query):
     """`_name`d clause — plans exactly as its inner query; the fetch phase
     reports which named clauses matched each hit as `matched_queries`

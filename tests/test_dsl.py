@@ -194,6 +194,36 @@ def test_boost_wraps_in_function_score():
     # boost=1 stays unwrapped
     assert from_dsl({"match": {"text": {"query": "hash", "boost": 1.0}}}) \
         == Match("text", "hash")
+    # distance_feature's boost is part of its decay formula — no wrapper
+    from sparksearch.queries import DistanceFeature
+    df = from_dsl({"distance_feature": {
+        "field": "warc_ts", "origin": "2025-01-01 00:02:00",
+        "pivot": "100s", "boost": 2.0}})
+    assert df == DistanceFeature("warc_ts", origin="2025-01-01 00:02:00",
+                                 pivot="100s", boost=2.0)
+
+
+def test_round2e_leaves():
+    """common / query_string / simple_query_string / span_term / span_multi
+    DSL routing (SearchModule registrations)."""
+    from sparksearch.queries import CommonTerms, SpanMulti
+    ct = from_dsl({"common": {"text": {
+        "query": "dup join the", "cutoff_frequency": 0.5,
+        "low_freq_operator": "and"}}})
+    assert ct == CommonTerms("text", "dup join the", cutoff_frequency=0.5,
+                             low_freq_operator="and")
+    # short form: value is the query text
+    assert from_dsl({"common": {"text": "a b"}}) == CommonTerms("text", "a b")
+    qs = from_dsl({"query_string": {"query": "hash AND join"}})
+    assert isinstance(qs, Bool) and len(qs.must) == 2
+    sqs = from_dsl({"simple_query_string": {
+        "query": "hash + join", "fields": ["text^2"]}})
+    assert isinstance(sqs, Bool)
+    st = from_dsl({"span_term": {"text": {"value": "hash"}}})
+    assert st == SpanNear("text", ("hash",), slop=0, in_order=True)
+    sm = from_dsl({"span_multi": {
+        "match": {"prefix": {"text": {"value": "ha"}}}}})
+    assert isinstance(sm, SpanMulti) and sm.field_name == "text"
 
 
 def test_validate_query():
