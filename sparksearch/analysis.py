@@ -113,18 +113,27 @@ def analyze(text: str, analyzer: str = "standard") -> list[Token]:
     fields), 'whitespace' (split, no case folding), 'english' (standard +
     stop + porter), 'keyword' (whole value, one token).
     """
+    if not isinstance(analyzer, str):
+        # a resolved CustomAnalyzer instance (shipped into executor
+        # workers by closure, where the driver-side registry is absent)
+        return analyzer.analyze(text)
     if analyzer == "keyword":
         return [Token(text, 0)] if text else []
     if analyzer == "whitespace":
         return [Token(t, i) for i, t in enumerate(text.split())]
+    if analyzer not in ("standard", "standard_raw", "english"):
+        # registered custom analyzer (settings `analysis` block analogue)
+        from sparksearch.analysis_custom import get_custom
+        ca = get_custom(analyzer)
+        if ca is not None:
+            return ca.analyze(text)
+        raise ValueError(f"unknown analyzer: {analyzer}")
     raw = [Token(t, i) for i, t in enumerate(standard_tokenize(text))]
     if analyzer == "standard":
         return _chain(raw, lowercase=True, stop=False, stem=False)
     if analyzer == "standard_raw":  # tokenizer only, no lowercase
         return raw
-    if analyzer == "english":
-        return _chain(raw, lowercase=True, stop=True, stem=True)
-    raise ValueError(f"unknown analyzer: {analyzer}")
+    return _chain(raw, lowercase=True, stop=True, stem=True)  # english
 
 
 def analyze_values(values: list[str], analyzer: str = "standard") -> list[Token]:
@@ -165,13 +174,21 @@ def analyze_batch(texts, analyzer: str = "standard"):
     import pandas as pd
 
     n = len(texts)
-    if analyzer in ("keyword",) or n == 0:
-        # keyword is one token per row — nothing to vectorize
+    if analyzer not in ("standard", "standard_raw", "whitespace",
+                        "english") or n == 0:
+        # keyword + custom analyzers: correctness-first per-row chain
+        # (still inside the Arrow batch — no per-row IPC); the default
+        # standard/english build chains stay on the vectorized path below
+        from collections import defaultdict
         dls, entries = [], []
         for t in texts:
             toks = analyze(t or "", analyzer)
             dls.append(len(toks))
-            entries.append([(term, len([p]), [p]) for term, p in toks])
+            grouped: dict[str, list[int]] = defaultdict(list)
+            for term, p in toks:
+                grouped[term].append(p)
+            entries.append(sorted(
+                (term, len(ps), ps) for term, ps in grouped.items()))
         return dls, entries
 
     s = pd.Series(texts).fillna("").astype(object)

@@ -1,0 +1,453 @@
+"""Custom analyzer definitions — the index-settings ``analysis`` block.
+
+Reimplements the reference's configurable analysis chain
+(/root/reference/server/src/main/java/org/opensearch/index/analysis/AnalysisRegistry.java,
+CustomAnalyzerProvider.java; component factories in
+/root/reference/modules/analysis-common/src/main/java/org/opensearch/analysis/common/CommonAnalysisModulePlugin.java):
+a custom analyzer is ``char_filter* → tokenizer → filter*`` where every
+component is either a built-in name or an inline definition dict, exactly
+like the JSON users put under ``settings.analysis``.
+
+Supported components (reference factory cites in each function):
+
+- char_filter: ``html_strip``, ``mapping``, ``pattern_replace``
+- tokenizer: ``standard``, ``whitespace``, ``keyword``, ``letter``,
+  ``lowercase``, ``pattern``
+- filter: ``lowercase``, ``uppercase``, ``asciifolding``, ``stop``,
+  ``stemmer`` / ``porter_stem`` / ``snowball``, ``synonym`` /
+  ``synonym_graph`` (single-token rules), ``shingle``, ``edge_ngram``,
+  ``ngram``, ``length``, ``trim``, ``truncate``, ``unique``, ``reverse``
+
+Position semantics match Lucene: stop/length keep holes (consumed position
+increments), synonyms emit at the SAME position as the token they expand
+(posIncrement 0 — this is what makes the match path build a blended
+SynonymQuery per position), shingles take the position of their first
+member, edge_ngram/ngram grams keep their source token's position.
+
+Registered analyzers are looked up by ``analysis.analyze`` when the
+analyzer name is not a built-in, so every query/build path accepts them.
+Scale note: custom chains run per-row *inside* Arrow batches
+(``analyze_batch`` falls back from its vectorized path); the built-in
+standard/english chains stay on the vectorized fast path. Custom analyzers
+are the long tail, the default chain is the hot one.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from typing import Callable
+
+from sparksearch.porter import porter_stem
+
+__all__ = [
+    "CustomAnalyzer",
+    "register_analyzer",
+    "register_analysis",
+    "get_custom",
+    "parse_synonyms",
+]
+
+# name → CustomAnalyzer (module-level registry, mirrors AnalysisRegistry)
+_REGISTRY: dict[str, "CustomAnalyzer"] = {}
+
+
+def get_custom(name: str) -> "CustomAnalyzer | None":
+    return _REGISTRY.get(name)
+
+
+# ---------------------------------------------------------------------------
+# char filters: str -> str
+# ---------------------------------------------------------------------------
+
+def _cf_html_strip(cfg: dict) -> Callable[[str], str]:
+    # HtmlStripCharFilterFactory — same frozen extractor as the build path
+    from sparksearch.extract import extract_text
+    return extract_text
+
+
+def _cf_mapping(cfg: dict) -> Callable[[str], str]:
+    """``mapping`` char filter: literal "key => value" replacements,
+    longest key first (MappingCharFilterFactory)."""
+    pairs = []
+    for rule in cfg.get("mappings", []):
+        k, _, v = rule.partition("=>")
+        pairs.append((k.strip(), v.strip()))
+    pairs.sort(key=lambda kv: -len(kv[0]))
+    if not pairs:
+        return lambda s: s
+    rx = re.compile("|".join(re.escape(k) for k, _ in pairs))
+    table = dict(pairs)
+
+    def apply(s: str) -> str:
+        return rx.sub(lambda m: table[m.group(0)], s)
+    return apply
+
+
+def _cf_pattern_replace(cfg: dict) -> Callable[[str], str]:
+    # PatternReplaceCharFilterFactory
+    rx = re.compile(cfg["pattern"])
+    repl = cfg.get("replacement", "")
+    return lambda s: rx.sub(repl, s)
+
+
+_CHAR_FILTERS = {
+    "html_strip": _cf_html_strip,
+    "mapping": _cf_mapping,
+    "pattern_replace": _cf_pattern_replace,
+}
+
+# ---------------------------------------------------------------------------
+# tokenizers: str -> list[str]
+# ---------------------------------------------------------------------------
+
+_LETTER_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
+
+
+def _tk_standard(cfg: dict) -> Callable[[str], list[str]]:
+    from sparksearch.analysis import standard_tokenize
+    return standard_tokenize
+
+
+def _tk_whitespace(cfg: dict) -> Callable[[str], list[str]]:
+    return lambda s: s.split()
+
+
+def _tk_keyword(cfg: dict) -> Callable[[str], list[str]]:
+    return lambda s: [s] if s else []
+
+
+def _tk_letter(cfg: dict) -> Callable[[str], list[str]]:
+    return lambda s: _LETTER_RE.findall(s)
+
+
+def _tk_lowercase(cfg: dict) -> Callable[[str], list[str]]:
+    # LowerCaseTokenizer = letter tokenizer + lowercase in one pass
+    return lambda s: [t.lower() for t in _LETTER_RE.findall(s)]
+
+
+def _tk_pattern(cfg: dict) -> Callable[[str], list[str]]:
+    """``pattern`` tokenizer (PatternTokenizerFactory): pattern SPLITS by
+    default (group=-1); group >= 0 emits that capture group per match."""
+    rx = re.compile(cfg.get("pattern", r"\W+"))
+    group = int(cfg.get("group", -1))
+    if group < 0:
+        return lambda s: [t for t in rx.split(s) if t]
+    return lambda s: [m.group(group) for m in rx.finditer(s)
+                      if m.group(group)]
+
+
+_TOKENIZERS = {
+    "standard": _tk_standard,
+    "whitespace": _tk_whitespace,
+    "keyword": _tk_keyword,
+    "letter": _tk_letter,
+    "lowercase": _tk_lowercase,
+    "pattern": _tk_pattern,
+}
+
+# ---------------------------------------------------------------------------
+# token filters: list[(term, pos)] -> list[(term, pos)]
+# ---------------------------------------------------------------------------
+
+TokList = "list[tuple[str, int]]"
+
+
+def _tf_lowercase(cfg: dict):
+    return lambda toks: [(t.lower(), p) for t, p in toks]
+
+
+def _tf_uppercase(cfg: dict):
+    return lambda toks: [(t.upper(), p) for t, p in toks]
+
+
+def _tf_asciifolding(cfg: dict):
+    def fold(t: str) -> str:
+        return "".join(c for c in unicodedata.normalize("NFKD", t)
+                       if not unicodedata.combining(c))
+    return lambda toks: [(fold(t), p) for t, p in toks]
+
+
+def _tf_stop(cfg: dict):
+    """``stop`` filter: configurable stopword list, ``_english_`` expands to
+    the classic 33-word set; holes preserved (StopTokenFilterFactory)."""
+    from sparksearch.analysis import ENGLISH_STOP_WORDS
+    sw = cfg.get("stopwords", "_english_")
+    if sw == "_english_":
+        stopset = ENGLISH_STOP_WORDS
+    else:
+        stopset = frozenset(sw)
+    ignore_case = bool(cfg.get("ignore_case", False))
+    if ignore_case:
+        stopset = frozenset(w.lower() for w in stopset)
+
+    def apply(toks):
+        return [(t, p) for t, p in toks
+                if (t.lower() if ignore_case else t) not in stopset]
+    return apply
+
+
+def _tf_stemmer(cfg: dict):
+    # StemmerTokenFilterFactory — english/porter/porter2/snowball all route
+    # to the same Porter implementation here (porter.py)
+    return lambda toks: [(porter_stem(t), p) for t, p in toks]
+
+
+def _tf_synonym(cfg: dict):
+    """``synonym`` / ``synonym_graph`` filter, Solr rule format, single-token
+    rules only (SynonymTokenFilterFactory). Equivalence rules ``a, b``
+    expand each member to the whole set at the same position; explicit
+    rules ``a, b => c, d`` replace the LHS with the RHS terms. Multi-word
+    rules raise — the flattened-graph pitfalls they carry are exactly why
+    the reference recommends query-time synonym_graph, and single-token
+    rules cover the query-time use."""
+    mapping = parse_synonyms(cfg.get("synonyms", []),
+                             expand=bool(cfg.get("expand", True)))
+
+    def apply(toks):
+        out = []
+        for t, p in toks:
+            repl = mapping.get(t)
+            if repl is None:
+                out.append((t, p))
+            else:
+                seen = set()
+                for r in repl:
+                    if r not in seen:
+                        seen.add(r)
+                        out.append((r, p))
+        return out
+    return apply
+
+
+def parse_synonyms(rules: list[str], expand: bool = True) -> dict[str, list[str]]:
+    """Solr synonym rules → term → emitted terms (all at posIncrement 0)."""
+    mapping: dict[str, list[str]] = {}
+    for rule in rules:
+        if "=>" in rule:
+            lhs, _, rhs = rule.partition("=>")
+            targets = [w.strip() for w in rhs.split(",") if w.strip()]
+            sources = [w.strip() for w in lhs.split(",") if w.strip()]
+        else:
+            members = [w.strip() for w in rule.split(",") if w.strip()]
+            if not expand:
+                # contract to the first member (SynonymMap expand=false)
+                sources, targets = members, [members[0]]
+            else:
+                sources, targets = members, members
+        for w in sources + targets:
+            if " " in w:
+                raise ValueError(
+                    f"multi-word synonym rule not supported: {rule!r}")
+        for s in sources:
+            mapping[s] = list(targets)
+    return mapping
+
+
+def _tf_shingle(cfg: dict):
+    """``shingle`` filter (ShingleTokenFilterFactory): emits word n-grams of
+    [min_shingle_size, max_shingle_size] joined by token_separator; each
+    shingle takes its first member's position; unigrams kept by default.
+    Position holes left by an upstream stop filter are occupied by
+    ``filler_token`` ('_'), matching Lucene — shingles never silently glue
+    across a removed stopword."""
+    mn = int(cfg.get("min_shingle_size", 2))
+    mx = int(cfg.get("max_shingle_size", 2))
+    sep = cfg.get("token_separator", " ")
+    filler = cfg.get("filler_token", "_")
+    unigrams = bool(cfg.get("output_unigrams", True))
+
+    def apply(toks):
+        # materialize holes as filler pseudo-tokens
+        seq: list[tuple[str, int, bool]] = []
+        prev = None
+        for t, p in toks:
+            if prev is not None and p > prev + 1:
+                seq.extend((filler, fp, False) for fp in range(prev + 1, p))
+            seq.append((t, p, True))
+            prev = p
+        out = []
+        for i, (t, p, real) in enumerate(seq):
+            if unigrams and real:
+                out.append((t, p))
+            for size in range(mn, mx + 1):
+                window = seq[i:i + size]
+                if len(window) == size and any(r for _, _, r in window):
+                    out.append((sep.join(w for w, _, _ in window), p))
+        return out
+    return apply
+
+
+def _tf_edge_ngram(cfg: dict):
+    # EdgeNGramTokenFilterFactory — grams keep the source token's position
+    mn = int(cfg.get("min_gram", 1))
+    mx = int(cfg.get("max_gram", 2))
+
+    def apply(toks):
+        return [(t[:k], p) for t, p in toks
+                for k in range(mn, min(mx, len(t)) + 1)]
+    return apply
+
+
+def _tf_ngram(cfg: dict):
+    mn = int(cfg.get("min_gram", 1))
+    mx = int(cfg.get("max_gram", 2))
+
+    def apply(toks):
+        return [(t[i:i + k], p) for t, p in toks
+                for k in range(mn, mx + 1)
+                for i in range(0, len(t) - k + 1)]
+    return apply
+
+
+def _tf_length(cfg: dict):
+    mn = int(cfg.get("min", 0))
+    mx = int(cfg.get("max", 2 ** 31 - 1))
+    return lambda toks: [(t, p) for t, p in toks if mn <= len(t) <= mx]
+
+
+def _tf_trim(cfg: dict):
+    return lambda toks: [(t.strip(), p) for t, p in toks]
+
+
+def _tf_truncate(cfg: dict):
+    n = int(cfg.get("length", 10))
+    return lambda toks: [(t[:n], p) for t, p in toks]
+
+
+def _tf_unique(cfg: dict):
+    only_same_pos = bool(cfg.get("only_on_same_position", False))
+
+    def apply(toks):
+        out, seen = [], set()
+        for t, p in toks:
+            key = (t, p) if only_same_pos else t
+            if key not in seen:
+                seen.add(key)
+                out.append((t, p))
+        return out
+    return apply
+
+
+def _tf_reverse(cfg: dict):
+    return lambda toks: [(t[::-1], p) for t, p in toks]
+
+
+_TOKEN_FILTERS = {
+    "lowercase": _tf_lowercase,
+    "uppercase": _tf_uppercase,
+    "asciifolding": _tf_asciifolding,
+    "stop": _tf_stop,
+    "stemmer": _tf_stemmer,
+    "porter_stem": _tf_stemmer,
+    "snowball": _tf_stemmer,
+    "synonym": _tf_synonym,
+    "synonym_graph": _tf_synonym,
+    "shingle": _tf_shingle,
+    "edge_ngram": _tf_edge_ngram,
+    "ngram": _tf_ngram,
+    "length": _tf_length,
+    "trim": _tf_trim,
+    "truncate": _tf_truncate,
+    "unique": _tf_unique,
+    "reverse": _tf_reverse,
+}
+
+# ---------------------------------------------------------------------------
+# analyzer assembly
+# ---------------------------------------------------------------------------
+
+
+def _resolve(spec, table: dict, named: dict, kind: str):
+    """A component spec is a built-in name, a reference to a named
+    definition in the settings block, or an inline definition dict."""
+    if isinstance(spec, str):
+        if spec in named:
+            spec = named[spec]
+        else:
+            if spec not in table:
+                raise ValueError(f"unknown {kind}: {spec!r}")
+            return table[spec]({})
+    typ = spec.get("type")
+    if typ not in table:
+        raise ValueError(f"unknown {kind} type: {typ!r}")
+    return table[typ](spec)
+
+
+class CustomAnalyzer:
+    """char_filter* → tokenizer → filter* (CustomAnalyzerProvider)."""
+
+    def __init__(self, settings: dict,
+                 named_filters: dict | None = None,
+                 named_char_filters: dict | None = None,
+                 named_tokenizers: dict | None = None):
+        nf = named_filters or {}
+        ncf = named_char_filters or {}
+        ntk = named_tokenizers or {}
+        #: JSON-serializable definition — persisted into the index's
+        #: meta.json (analyzer_def) so a fresh session reading the index
+        #: can re-register the analyzer (AnalysisRegistry from settings)
+        self.definition = {
+            "settings": {k: settings[k] for k in
+                         ("char_filter", "tokenizer", "filter")
+                         if k in settings},
+            "named_filters": nf, "named_char_filters": ncf,
+            "named_tokenizers": ntk,
+        }
+        self.char_filters = [
+            _resolve(cf, _CHAR_FILTERS, ncf, "char_filter")
+            for cf in settings.get("char_filter", [])]
+        self.tokenizer = _resolve(settings.get("tokenizer", "standard"),
+                                  _TOKENIZERS, ntk, "tokenizer")
+        self.filters = [_resolve(f, _TOKEN_FILTERS, nf, "filter")
+                        for f in settings.get("filter", [])]
+
+    def analyze(self, text: str):
+        from sparksearch.analysis import MAX_TOKEN_LENGTH, Token
+        s = text or ""
+        for cf in self.char_filters:
+            s = cf(s)
+        toks = [(t, i) for i, t in enumerate(self.tokenizer(s))]
+        for f in self.filters:
+            toks = f(toks)
+        return [Token(t[:MAX_TOKEN_LENGTH], p) for t, p in toks if t]
+
+
+def register_analyzer(name: str, settings: dict, **named) -> CustomAnalyzer:
+    """Register one custom analyzer under `name` for use anywhere an
+    analyzer name is accepted (Match.analyzer, build_index(analyzer=...),
+    the _analyze API)."""
+    an = CustomAnalyzer(settings, **named)
+    _REGISTRY[name] = an
+    return an
+
+
+def ensure_registered(name: str, definition: dict | None) -> "CustomAnalyzer | None":
+    """Re-register an analyzer from its persisted meta.json definition if
+    this session hasn't seen it yet (index open path)."""
+    if name in _REGISTRY:
+        return _REGISTRY[name]
+    if not definition:
+        return None
+    return register_analyzer(
+        name, definition.get("settings", {}),
+        named_filters=definition.get("named_filters"),
+        named_char_filters=definition.get("named_char_filters"),
+        named_tokenizers=definition.get("named_tokenizers"))
+
+
+def register_analysis(analysis: dict) -> list[str]:
+    """Register a whole index-settings ``analysis`` block: named filters /
+    char_filters / tokenizers are resolvable by name from each analyzer
+    definition, exactly like the reference's settings JSON."""
+    nf = analysis.get("filter", {})
+    ncf = analysis.get("char_filter", {})
+    ntk = analysis.get("tokenizer", {})
+    out = []
+    for name, spec in analysis.get("analyzer", {}).items():
+        if spec.get("type", "custom") != "custom":
+            raise ValueError(f"analyzer {name!r}: only type=custom supported")
+        register_analyzer(name, spec, named_filters=nf,
+                          named_char_filters=ncf, named_tokenizers=ntk)
+        out.append(name)
+    return out

@@ -68,8 +68,19 @@ _TOKENS_SCHEMA = T.StructType([
 ])
 
 
+def _executor_analyzer(analyzer):
+    """Resolve a custom-analyzer NAME to its object so the closure ships it
+    to executor workers (whose fresh Python interpreters never saw the
+    driver-side registry); built-in names pass through as strings."""
+    if isinstance(analyzer, str):
+        from sparksearch.analysis_custom import get_custom
+        return get_custom(analyzer) or analyzer
+    return analyzer
+
+
 def tokenize_udf(analyzer: str = "standard"):
     """Arrow-batched analyzer: text -> struct(terms array, positions array)."""
+    analyzer = _executor_analyzer(analyzer)
 
     @F.pandas_udf(_TOKENS_SCHEMA)
     def _tok(texts: pd.Series) -> pd.DataFrame:
@@ -98,6 +109,7 @@ def doc_postings_udf(analyzer: str = "standard"):
     text -> struct(dl, entries: array<struct(term, tf, positions)>).
     Vectorized via analysis.analyze_batch (C-level regex/lower/factorize;
     no per-token Python)."""
+    analyzer = _executor_analyzer(analyzer)
 
     @F.pandas_udf(_DOC_POSTINGS_SCHEMA)
     def _tok(texts: pd.Series) -> pd.DataFrame:
@@ -206,6 +218,8 @@ def analyze_pages(pages: DataFrame, analyzer: str = "standard",
                       False),
     ])
 
+    an_exec = _executor_analyzer(analyzer)
+
     def ids_and_analyze(iterator):
         local = 0
         for batch in iterator:
@@ -214,7 +228,7 @@ def analyze_pages(pages: DataFrame, analyzer: str = "standard",
                 continue
             base = offsets[int(batch["_pid"].iloc[0])] + local
             local += n
-            dls, entries = analyze_batch(batch["text"], analyzer)
+            dls, entries = analyze_batch(batch["text"], an_exec)
             yield pd.DataFrame({
                 "docid": range(base, base + n),
                 "url": batch["url"].values,
@@ -370,9 +384,12 @@ def build_index(pages: DataFrame, out_dir: str, analyzer: str = "standard",
     _mark("docs_postings_stats_write")
 
     avgdl = (total_tf / n_docs) if n_docs else 1.0
+    from sparksearch.analysis_custom import get_custom
+    _ca = get_custom(analyzer) if isinstance(analyzer, str) else None
     meta = {
         "version": INDEX_VERSION,
         "analyzer": analyzer,
+        **({"analyzer_def": _ca.definition} if _ca is not None else {}),
         "n_docs": int(n_docs),
         "total_tf": int(total_tf),
         "avgdl": float(avgdl),

@@ -125,6 +125,12 @@ class Executor:
                     and self.ix.use_segments
                     and (mode == "wand" or self.ix.segments_cover_all()))
         if use_wand:
+            # synonym-stacked analyzers need blended per-position scoring —
+            # the packed-segment WAND path scores exact terms independently
+            toks = analyze(q.text, q.analyzer or self.ix.analyzer)
+            if len({p for _, p in toks}) != len(toks):
+                use_wand = False
+        if use_wand:
             from sparksearch.wand import wand_topk
             topk = wand_topk(self.ix, q, k)
             if min_score is not None:
@@ -556,9 +562,15 @@ class Executor:
     def _plan_match(self, q: Match, scored: bool) -> DataFrame:
         if q.fuzziness is not None:
             return self._plan_match_fuzzy(q, scored)
-        terms = [t for t, _ in analyze(q.text, q.analyzer or self.ix.analyzer)]
+        toks = analyze(q.text, q.analyzer or self.ix.analyzer)
+        terms = [t for t, _ in toks]
         if not terms:
             return self._empty()  # zero_terms_query NONE
+        if len({p for _, p in toks}) != len(toks):
+            # the query analyzer emitted stacked tokens (synonym filter,
+            # posIncrement 0) — each position becomes a blended
+            # SynonymQuery, not independent term clauses
+            return self._plan_match_blended(q, toks, scored)
         # a term appearing w times in the query text yields w SHOULD clauses
         # in the reference → weight both score and clause count by w
         from collections import Counter
@@ -580,8 +592,75 @@ class Executor:
             agg = agg.filter(F.col("_n") >= msm)
         return agg.select("docid", "score")
 
+    def _plan_match_blended(self, q: Match, toks, scored: bool) -> DataFrame:
+        """Match over a token stream with stacked (same-position) tokens —
+        the synonym filter's posIncrement-0 output. Each position becomes
+        one Lucene SynonymQuery clause: the group's members are scored as
+        ONE pseudo-term with tf = Σ member tfs and docFreq = max member df
+        (MatchQuery.java newSynonymQuery / Lucene SynonymQuery.createWeight
+        blended statistics).
+
+        Plan shape: ONE postings scan over the union of member terms, one
+        groupBy(docid) with a conditional-sum column per position group; the
+        blended idf per group is a driver-side literal from the bounded
+        per-query stats lookup (same round-trip the WAND/common-terms paths
+        pay — never a corpus scan)."""
+        import math
+        from collections import Counter
+
+        bypos: dict[int, list[str]] = {}
+        for t, p in toks:
+            g = bypos.setdefault(p, [])
+            if t not in g:
+                g.append(t)
+        groups = Counter(tuple(sorted(g)) for g in bypos.values())
+        n_pos = sum(groups.values())
+        all_terms = sorted({t for g in groups for t in g})
+        dfs = {r["term"]: r["df"]
+               for r in self.ix.stats_for(all_terms).collect()}
+
+        def idf(df: int) -> float:
+            return math.log1p((self.ix.n_docs - df + 0.5) / (df + 0.5))
+
+        p = self.ix.postings_for(all_terms, with_positions=False) \
+            .select("term", "docid", "tf", "dl_q")
+        items = list(groups.items())
+        aggs = [F.max("dl_q").alias("_dlq")]
+        for j, (g, _w) in enumerate(items):
+            aggs.append(F.sum(F.when(F.col("term").isin(list(g)),
+                                     F.col("tf")).otherwise(F.lit(0)))
+                        .alias(f"_g{j}"))
+        agg = p.groupBy("docid").agg(*aggs)
+
+        score = F.lit(0.0)
+        nmatch = F.lit(0)
+        for j, (g, w) in enumerate(items):
+            bdf = max(dfs.get(t, 0) for t in g)
+            gidf = idf(bdf) if bdf > 0 else 0.0
+            gtf = F.col(f"_g{j}")
+            if scored:
+                score = score + (F.lit(float(w) * gidf)
+                                 * _tf_norm(gtf, F.col("_dlq"), self.ix.avgdl))
+            nmatch = nmatch + F.when(gtf > 0, F.lit(int(w))).otherwise(F.lit(0))
+        if q.operator == "and":
+            msm = n_pos
+        else:
+            msm = calculate_min_should_match(
+                n_pos, q.minimum_should_match, has_required=False)
+        out = agg.select("docid", score.alias("score"),
+                         nmatch.alias("_n"))
+        if msm > 1:
+            out = out.filter(F.col("_n") >= msm)
+        return out.select("docid", "score")
+
     def _plan_phrase(self, q: MatchPhrase, scored: bool) -> DataFrame:
-        terms = [t for t, _ in analyze(q.text, q.analyzer or self.ix.analyzer)]
+        ptoks = analyze(q.text, q.analyzer or self.ix.analyzer)
+        terms = [t for t, _ in ptoks]
+        if len({p for _, p in ptoks}) != len(ptoks):
+            raise NotImplementedError(
+                "match_phrase over a synonym-stacked token stream "
+                "(MultiPhraseQuery) is not supported — use query-time "
+                "synonyms with match, or index-time expansion")
         if not terms:
             return self._empty()
         if len(terms) == 1:
@@ -1159,11 +1238,15 @@ class Executor:
         return cond
 
     # ---- bool: fused single-scan execution ---------------------------------
-    @staticmethod
-    def _fusable(c: Query) -> bool:
+    def _fusable(self, c: Query) -> bool:
         if isinstance(c, Named):
             c = c.query
-        return isinstance(c, Match) and c.fuzziness is None
+        if not (isinstance(c, Match) and c.fuzziness is None):
+            return False
+        # synonym-stacked token streams need per-position blended scoring
+        # (_plan_match_blended) — the fused path scores terms independently
+        toks = analyze(c.text, c.analyzer or self.ix.analyzer)
+        return len({p for _, p in toks}) == len(toks)
 
     def _match_clause_info(self, c: Match):
         """(Counter(terms), required_match_count) for a match clause."""

@@ -31,6 +31,11 @@ class IndexReader:
         self.n_docs: int = self.meta["n_docs"]
         self.avgdl: float = self.meta["avgdl"]
         self.analyzer: str = self.meta["analyzer"]
+        if "analyzer_def" in self.meta:
+            # custom analyzer persisted with the index (settings analysis
+            # block) — re-register so this session can analyze queries
+            from sparksearch.analysis_custom import ensure_registered
+            ensure_registered(self.analyzer, self.meta["analyzer_def"])
         self.n_buckets: int = self.meta["n_buckets"]
         self.generations: list[int] = self.meta.get("generations", [0])
         self.stats_path: str = self.meta.get("stats_path", "stats")

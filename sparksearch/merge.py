@@ -80,6 +80,9 @@ def add_generation(spark: SparkSession, index_dir: str, new_pages: DataFrame,
     gen = max(meta["generations"]) + 1
     base = int(meta["n_docs"])
     analyzer = meta["analyzer"]
+    if "analyzer_def" in meta:
+        from sparksearch.analysis_custom import ensure_registered
+        ensure_registered(analyzer, meta["analyzer_def"])
     n_buckets = int(meta["n_buckets"])
 
     tok, ranged, n_new = analyze_pages(new_pages, analyzer, partitions,

@@ -82,7 +82,13 @@ def wand_topk(ix, q: Match, k: int = 10) -> DataFrame:
     Returns DataFrame(docid, score), score desc / docid asc, ≤ k rows.
     `ix` is an IndexReader with packed segments built.
     """
-    terms = [t for t, _ in analyze(q.text, q.analyzer or ix.analyzer)]
+    toks = analyze(q.text, q.analyzer or ix.analyzer)
+    terms = [t for t, _ in toks]
+    if len({p for _, p in toks}) != len(toks):
+        raise ValueError(
+            "wand_topk scores exact terms independently; synonym-stacked "
+            "token streams need the blended plan path "
+            "(Executor.search mode='plan' falls back automatically)")
     if not terms:
         return ix.docs.select(
             "docid", F.lit(0.0).alias("score")).limit(0)
