@@ -300,7 +300,8 @@ def write_meta(out_dir: str, meta: dict) -> None:
 
 def build_index(pages: DataFrame, out_dir: str, analyzer: str = "standard",
                 n_buckets: int = 8, partitions: int | None = None,
-                resume: bool = False, verify_extract: bool = False) -> dict:
+                resume: bool = False, verify_extract: bool = False,
+                similarity: dict | None = None) -> dict:
     """Build generation 0 of the index dataset under ``out_dir``.
 
     Returns the meta dict. Incremental batches: merge.add_generation.
@@ -390,6 +391,12 @@ def build_index(pages: DataFrame, out_dir: str, analyzer: str = "standard",
         "version": INDEX_VERSION,
         "analyzer": analyzer,
         **({"analyzer_def": _ca.definition} if _ca is not None else {}),
+        # index-level similarity setting (SimilarityService); validated now
+        # so a typo fails the build, not the first query
+        **({"similarity": __import__(
+                "sparksearch.similarity", fromlist=["from_config"])
+                .from_config(similarity).to_config()}
+           if similarity is not None else {}),
         "n_docs": int(n_docs),
         "total_tf": int(total_tf),
         "avgdl": float(avgdl),

@@ -94,11 +94,18 @@ def _tf_norm(tf: Column, dl_q: Column, avgdl: float,
 class Executor:
     """Executes Query ASTs against an IndexReader."""
 
-    def __init__(self, index: IndexReader, fixed_now=None):
+    def __init__(self, index: IndexReader, fixed_now=None,
+                 similarity=None):
         self.ix = index
         #: injectable `now` for date-math ranges (the reference freezes now
         #: per request context — sv/index/query/QueryShardContext nowInMillis)
         self.fixed_now = fixed_now
+        #: scoring model (SimilarityService) — explicit arg > the index's
+        #: persisted `similarity` setting > default BM25(k1=1.2, b=0.75)
+        from sparksearch.similarity import from_config
+        self.sim = from_config(
+            similarity if similarity is not None
+            else index.meta.get("similarity"))
 
     # ---- public API --------------------------------------------------------
     def search(self, q: Query, k: int = 10, fetch: bool = True,
@@ -120,8 +127,11 @@ class Executor:
         # mode="wand" trusts the caller (tests that just built segments).
         # fuzziness expands over the dictionary — the WAND path scores
         # exact terms only and would silently drop the expansion
+        # the packed segments' stored impact bounds are default-BM25 upper
+        # bounds — a tuned/non-BM25 similarity must use the plan path
         use_wand = (mode in ("auto", "wand") and isinstance(q, Match)
                     and q.fuzziness is None
+                    and self.sim.is_default_bm25
                     and self.ix.use_segments
                     and (mode == "wand" or self.ix.segments_cover_all()))
         if use_wand:
@@ -549,15 +559,33 @@ class Executor:
                 .limit(0))
 
     def _term_scores(self, terms: list[str], scored: bool) -> DataFrame:
-        """(docid, term, score) for every posting of the given terms."""
+        """(docid, term, score) for every posting of the given terms,
+        scored by the executor's similarity (BM25 default; boolean /
+        LMDirichlet / LMJelinekMercer via the `similarity` setting)."""
         p = self.ix.postings_for(terms, with_positions=False) \
             .select("term", "docid", "tf", "dl_q")
-        s = self.ix.stats_for(terms).withColumn("idf", _idf_col(self.ix.n_docs))
-        j = p.join(F.broadcast(s.select("term", "idf")), "term")
-        score = (F.col("idf") * _tf_norm(F.col("tf"), F.col("dl_q"),
-                                         self.ix.avgdl)
+        s = self.ix.stats_for(terms)
+        j = p.join(F.broadcast(s.select("term", "df", "cf")), "term")
+        score = (self.sim.score_expr(
+                     F.col("tf"), F.col("dl_q"), self.ix.n_docs,
+                     self.ix.avgdl, int(self.ix.meta["total_tf"]))
                  if scored else F.lit(0.0))
         return j.select("docid", "term", score.alias("score"))
+
+    def _tfn_sim(self, tf: Column, dl_q: Column) -> Column:
+        """BM25 tf-normalization with the executor similarity's k1/b —
+        positional/expanded paths that score pseudo-terms call
+        _require_bm25 first, so `self.sim` is a BM25Similarity here."""
+        return _tf_norm(tf, dl_q, self.ix.avgdl,
+                        self.sim.k1, self.sim.b)
+
+    def _require_bm25(self, feature: str) -> None:
+        from sparksearch.similarity import BM25Similarity
+        if not isinstance(self.sim, BM25Similarity):
+            raise NotImplementedError(
+                f"{feature} scoring under the "
+                f"{self.sim.to_config()['type']} similarity is not "
+                "implemented — positional/pseudo-term paths are BM25-only")
 
     def _plan_match(self, q: Match, scored: bool) -> DataFrame:
         if q.fuzziness is not None:
@@ -608,6 +636,8 @@ class Executor:
         import math
         from collections import Counter
 
+        self._require_bm25("synonym-blended match")
+
         bypos: dict[int, list[str]] = {}
         for t, p in toks:
             g = bypos.setdefault(p, [])
@@ -640,7 +670,7 @@ class Executor:
             gtf = F.col(f"_g{j}")
             if scored:
                 score = score + (F.lit(float(w) * gidf)
-                                 * _tf_norm(gtf, F.col("_dlq"), self.ix.avgdl))
+                                 * self._tfn_sim(gtf, F.col("_dlq")))
             nmatch = nmatch + F.when(gtf > 0, F.lit(int(w))).otherwise(F.lit(0))
         if q.operator == "and":
             msm = n_pos
@@ -740,6 +770,7 @@ class Executor:
         tf = (sloppy) phrase frequency."""
         if not scored:
             return joined.select("docid", F.lit(0.0).alias("score"))
+        self._require_bm25("phrase/span pseudo-term")
         uniq = sorted(set(terms))
         sum_idf = (self.ix.stats_for(uniq)
                    .withColumn("idf", _idf_col(self.ix.n_docs)))
@@ -752,7 +783,7 @@ class Executor:
                                      for x in (F.lit(t2), F.lit(float(c)))]),
                       F.col("term"))).alias("sum_idf"))
         score = (F.col("sum_idf") *
-                 _tf_norm(F.col("pf"), F.col("dl_q"), self.ix.avgdl))
+                 self._tfn_sim(F.col("pf"), F.col("dl_q")))
         return (joined.crossJoin(F.broadcast(sum_idf))
                 .select("docid", score.alias("score")))
 
