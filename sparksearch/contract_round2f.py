@@ -112,6 +112,18 @@ def q_custom_stop_index(spark, sf_dir):
     return C.topk_rounded(ex, Match("text", "table scan"), k=10)
 
 
+def q_multi_phrase(spark, sf_dir):
+    """MultiPhraseQuery: phrase 'merge fast' under the synonym analyzer —
+    slot 0 accepts {merge, join}, slot 1 is 'fast'; scored as the phrase
+    pseudo-term with idf summed over every member (MatchQuery.java phrase
+    path over a posIncrement-0 stream)."""
+    from sparksearch.queries import MatchPhrase
+    _register()
+    _, ex = C.get_engine(spark, sf_dir)
+    return C.topk_rounded(
+        ex, MatchPhrase("text", "merge fast", analyzer="syn_mj"), k=10)
+
+
 _ANALYZE_TEXT = "Fish & Chips the Best Fish"
 
 
@@ -230,6 +242,26 @@ LIMIT 10
 SELECT term, pos FROM (VALUES {values}) AS t(term, pos)
 ORDER BY pos, term
 """.strip(),
+        "multi_phrase": f"""
+WITH {P}, {C._TOKPOS}, {TOK}, {DL},
+m0 AS ( SELECT DISTINCT docid, pos FROM tokpos
+        WHERE term IN ({syn_in}) ),
+m1 AS ( SELECT docid, pos - 1 AS pos FROM tokpos WHERE term = 'fast' ),
+hits AS ( SELECT m0.docid, count(*) AS pf
+          FROM m0 JOIN m1 USING (docid, pos) GROUP BY m0.docid ),
+dfs AS ( SELECT term, count(DISTINCT docid) AS df FROM tok
+         WHERE term IN ({syn_in}, 'fast') GROUP BY term ),
+sumidf AS ( SELECT sum({_idf('df', '(SELECT count(*) FROM pages)')})
+            AS v FROM dfs ),
+sc AS ( SELECT h.docid,
+               sumidf.v * {_tfn('h.pf', 'dlq.dl_q', 'g.avgdl')} AS score
+        FROM hits h CROSS JOIN sumidf JOIN dlq USING (docid)
+        CROSS JOIN g )
+SELECT p.docid, p.url, round(sc.score, 4) AS score
+FROM sc JOIN pages p USING (docid)
+ORDER BY round(sc.score, 4) DESC, p.docid ASC
+LIMIT 10
+""".strip(),
     }
 
 
@@ -243,4 +275,5 @@ def queries() -> dict:
         "match_synonym_and": q_match_synonym_and,
         "custom_stop_index": q_custom_stop_index,
         "analyze_custom": q_analyze_custom,
+        "multi_phrase": q_multi_phrase,
     }

@@ -686,13 +686,17 @@ class Executor:
     def _plan_phrase(self, q: MatchPhrase, scored: bool) -> DataFrame:
         ptoks = analyze(q.text, q.analyzer or self.ix.analyzer)
         terms = [t for t, _ in ptoks]
-        if len({p for _, p in ptoks}) != len(ptoks):
-            raise NotImplementedError(
-                "match_phrase over a synonym-stacked token stream "
-                "(MultiPhraseQuery) is not supported — use query-time "
-                "synonyms with match, or index-time expansion")
         if not terms:
             return self._empty()
+        if len({p for _, p in ptoks}) != len(ptoks):
+            # stacked (synonym) tokens → MultiPhraseQuery: each position
+            # slot accepts any of its members (MatchQuery.java phrase path
+            # building MultiPhraseQuery for posIncrement-0 streams)
+            if q.slop > 0:
+                raise NotImplementedError(
+                    "sloppy multi-phrase (slop > 0 over synonym-stacked "
+                    "tokens) is not supported")
+            return self._plan_multi_phrase(ptoks, q, scored)
         if len(terms) == 1:
             return self._plan_match(
                 Match(q.field_name, q.text, analyzer=q.analyzer), scored)
@@ -722,6 +726,56 @@ class Executor:
                                F.size(pf).cast("double").alias("pf")) \
                        .filter(F.col("pf") > 0)
         return self._phrase_score(joined, terms, scored)
+
+    def _plan_multi_phrase(self, ptoks, q: MatchPhrase,
+                           scored: bool) -> DataFrame:
+        """Exact MultiPhraseQuery: position slot i matches any of its
+        member terms; phrase positions = ∩ over slots of the UNION of the
+        slot members' (shifted) positions. One postings scan; per-slot
+        groupBy(docid) unions member position arrays; scored as the phrase
+        pseudo-term with idf = Σ idfs over every member term (Lucene
+        MultiPhraseQuery passes all TermStatistics to the similarity)."""
+        slots: list[list[str]] = []
+        seen_pos: dict[int, list[str]] = {}
+        for t, pos in ptoks:
+            g = seen_pos.get(pos)
+            if g is None:
+                g = seen_pos[pos] = []
+                slots.append(g)
+            if t not in g:
+                g.append(t)
+        if len(slots) == 1:
+            # one stacked position — Lucene builds a SynonymQuery instead
+            return self._plan_match(
+                Match(q.field_name, q.text, analyzer=q.analyzer), scored)
+        all_terms = sorted({t for g in slots for t in g})
+        p = self.ix.postings_for(all_terms) \
+            .select("term", "docid", "positions", "dl_q")
+
+        def shift_by(i: int):
+            return lambda x: x - F.lit(i)
+
+        legs = []
+        for i, members in enumerate(slots):
+            union = F.array_distinct(
+                F.flatten(F.collect_list("positions")))
+            leg = (p.filter(F.col("term").isin(members))
+                    .groupBy("docid")
+                    .agg(*([union.alias("_u"), F.max("dl_q").alias("dl_q")]
+                           if i == 0 else [union.alias("_u")]))
+                    .select("docid",
+                            (F.transform(F.col("_u"), shift_by(i))
+                             if i else F.col("_u")).alias(f"pos{i}"),
+                            *(["dl_q"] if i == 0 else [])))
+            legs.append(leg)
+        joined = reduce(lambda a, b: a.join(b, "docid"), legs)
+        pf = reduce(lambda acc, i: F.array_intersect(acc, F.col(f"pos{i}")),
+                    range(1, len(slots)), F.col("pos0"))
+        joined = joined.select("docid", "dl_q",
+                               F.size(pf).cast("double").alias("pf")) \
+                       .filter(F.col("pf") > 0)
+        flat = [t for g in slots for t in g]
+        return self._phrase_score(joined, flat, scored)
 
     def _plan_phrase_sloppy(self, terms: list[str], slop: int,
                             scored: bool) -> DataFrame:

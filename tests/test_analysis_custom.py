@@ -173,3 +173,26 @@ def test_analyze_batch_custom_groups_terms():
     assert dls == [4, 6]
     assert entries[1] == [("join", 3, [0, 1, 2]), ("merge", 3, [0, 1, 2])]
     assert ("join", 1, [0]) in entries[0] and ("merge", 1, [0]) in entries[0]
+
+
+def test_multi_phrase_routing(spark, index_sf0001):
+    """Stacked-token phrase routes to MultiPhrase; single slot falls back
+    to the blended match; sloppy multi-phrase hard-errors."""
+    from sparksearch.exec import Executor
+    from sparksearch.queries import MatchPhrase
+
+    register_analyzer("t_syn2", {"tokenizer": "standard",
+                                 "filter": ["lowercase",
+                                            {"type": "synonym",
+                                             "synonyms": ["merge, join"]}]})
+    ex = Executor(index_sf0001)
+    r = ex.search(MatchPhrase("text", "merge fast", analyzer="t_syn2"),
+                  k=5, fetch=False).collect()
+    assert all(x.score > 0 for x in r)
+    # single stacked position → SynonymQuery via blended match
+    one = ex.search(MatchPhrase("text", "merge", analyzer="t_syn2"),
+                    k=3, fetch=False).collect()
+    assert len(one) == 3
+    with pytest.raises(NotImplementedError):
+        ex._plan(MatchPhrase("text", "merge fast", analyzer="t_syn2",
+                             slop=1), scored=True)
