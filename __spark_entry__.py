@@ -155,10 +155,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from sparksearch import contract_round2e as CR2E
     from sparksearch import contract_round2f as CR2F
     from sparksearch import contract_round2g as CR2G
+    from sparksearch import contract_round2h as CR2H
     out.update(CQ2.queries())
     out.update(CR2E.queries())
     out.update(CR2F.queries())
     out.update(CR2G.queries())
+    out.update(CR2H.queries())
     out.update(CR2B.queries())
     out.update(CR2C.queries())
     out.update(CR2D.queries())
@@ -187,10 +189,12 @@ def oracle_sql() -> dict[str, str]:
     from sparksearch import contract_round2e as CR2E
     from sparksearch import contract_round2f as CR2F
     from sparksearch import contract_round2g as CR2G
+    from sparksearch import contract_round2h as CR2H
     out = dict(CD.oracle_sql())
     out.update(CR2E.oracle_sql())
     out.update(CR2F.oracle_sql())
     out.update(CR2G.oracle_sql())
+    out.update(CR2H.oracle_sql())
     out.update(CQ2.oracle_sql())
     out.update(CR2B.oracle_sql())
     out.update(CR2C.oracle_sql())

@@ -846,3 +846,49 @@ def gopher_repetition(docs: DataFrame, text_col: str = "text",
                     ((top2_frac > top2_max) | (dup3_frac > dup3_max))
                     .alias("flagged"))
             .orderBy(id_col))
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + URL-level dedup (crawl-pipeline hygiene)
+# ---------------------------------------------------------------------------
+
+def canonical_url(c: Column) -> Column:
+    """RFC 3986-style URL normalization as a pure Catalyst expression
+    chain: strip fragment → lowercase scheme://host[:port] → drop default
+    ports (:80 http, :443 https) → remove tracking params (utm_*, fbclid,
+    gclid; other params kept) → strip one trailing slash.
+
+    Every step is a regexp over the URL string — whole-stage codegen, no
+    UDF — so it runs at full scan speed over a 10^12-row crawl. Patterns
+    are RE2-compatible (no lookaround) so the DuckDB oracle can mirror
+    them 1:1.
+    """
+    c = F.regexp_replace(c, r"#.*$", "")
+    head = F.lower(F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", 0))
+    tail = F.regexp_replace(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+    c = F.concat(head, tail)
+    c = F.regexp_replace(c, r"^(https://[^/:?#]*):443(/|\?|$)", "$1$2")
+    c = F.regexp_replace(c, r"^(http://[^/:?#]*):80(/|\?|$)", "$1$2")
+    _track = "utm_[^&#]*|fbclid=[^&#]*|gclid=[^&#]*"
+    c = F.regexp_replace(c, rf"&({_track})", "")
+    c = F.regexp_replace(c, rf"\?({_track})&", "?")
+    c = F.regexp_replace(c, rf"\?({_track})$", "")
+    return F.regexp_replace(c, r"/$", "")
+
+
+def url_dedup(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Collapse crawl records whose URLs normalize to the same canonical
+    form: one hash-partitioned groupBy on the canonical URL (map-side
+    combinable — same 100 TB shape as exact_dedup), keeping the earliest
+    (warc_ts, docid) record as the canonical representative.
+
+    Returns (canonical_url, keeper_docid, n_variants).
+    """
+    c = pages.withColumn("canonical_url", canonical_url(F.col(url_col)))
+    order = [c_ for c_ in ("warc_ts", "docid") if c_ in pages.columns]
+    keeper = F.min(F.struct(*order)).alias("_k")
+    return (c.groupBy("canonical_url")
+             .agg(keeper, F.count("*").alias("n_variants"))
+             .select("canonical_url",
+                     F.col("_k.docid").alias("keeper_docid"),
+                     "n_variants"))

@@ -95,3 +95,45 @@ def test_winnow_fingerprints_detect_duplicates(spark, docs):
         for d in dups:
             ids = d["ids"]
             assert len({m[i] for i in ids}) == 1
+
+
+def test_canonical_url_steps(spark):
+    from sparksearch.dataops import canonical_url
+    from pyspark.sql import functions as F
+    cases = [
+        # fragment + tracking params stripped, real param kept
+        ("https://a.example/p?utm_source=x&id=7&utm_b=2#frag",
+         "https://a.example/p?id=7"),
+        # scheme+host lowercased, default port dropped, trailing slash
+        ("HTTPS://A.Example:443/Path/", "https://a.example/Path"),
+        ("http://b.example:80/x?gclid=99", "http://b.example/x"),
+        # only-tracking query vanishes entirely
+        ("https://c.example/p?utm_source=feed&utm_medium=rss",
+         "https://c.example/p"),
+        # non-default port kept; path case preserved
+        ("https://d.example:8443/CaseSensitive", 
+         "https://d.example:8443/CaseSensitive"),
+        ("https://e.example/", "https://e.example"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.c for r in
+           df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_url_dedup_keeps_earliest(spark):
+    import datetime
+    from sparksearch.dataops import url_dedup
+    t0 = datetime.datetime(2025, 1, 1)
+    t1 = datetime.datetime(2025, 1, 2)
+    rows = [
+        (1, "https://a.example/p?utm_source=x", t1),
+        (2, "HTTPS://A.EXAMPLE:443/p", t0),     # earliest → keeper
+        (3, "https://a.example/p#frag", t1),
+        (4, "https://a.example/p?page=2", t0),  # distinct canonical
+    ]
+    df = spark.createDataFrame(rows, "docid long, url string, warc_ts timestamp")
+    out = {r.canonical_url: (r.keeper_docid, r.n_variants)
+           for r in url_dedup(df).collect()}
+    assert out == {"https://a.example/p": (2, 3),
+                   "https://a.example/p?page=2": (4, 1)}
