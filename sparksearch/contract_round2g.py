@@ -51,6 +51,17 @@ def q_sim_bm25_tuned(spark, sf_dir):
     return _run(spark, sf_dir, {"type": "BM25", "k1": _K1T, "b": _BT})
 
 
+_SCRIPT = ("Math.log(1 + doc.freq) * "
+           "Math.log(field.docCount / (term.docFreq + 1.0))")
+
+
+def q_sim_scripted(spark, sf_dir):
+    """`scripted` similarity: a TF-IDF-style user expression compiled by
+    the Painless-subset compiler into the scoring column."""
+    return _run(spark, sf_dir,
+                {"type": "scripted", "script": {"source": _SCRIPT}})
+
+
 def _per_term(term: str, tag: str, formula: str) -> str:
     """CTE chain: tf + cf for one term; `formula` references tf{tag}.tf,
     cf{tag}.cf, dlq.dl_q, g.* freely."""
@@ -96,11 +107,15 @@ def sqls() -> dict[str, str]:
         f"{_idf(f'df{g}.df', 'g.n')} * ({_K1T + 1.0} * tf{g}.tf / "
         f"(tf{g}.tf + {_K1T} * (1 - {_BT} + {_BT} * dlq.dl_q / g.avgdl)))")
 
+    scripted = lambda g: (
+        f"ln(1 + tf{g}.tf) * ln(g.n / (df{g}.df + 1.0))")
+
     return {
         "similarity_lmdirichlet": build(lmd),
         "similarity_lmjm": build(lmjm),
         "similarity_boolean": build(boolean),
         "similarity_bm25_tuned": build(bm25t),
+        "similarity_scripted": build(scripted),
     }
 
 
@@ -114,4 +129,5 @@ def queries() -> dict:
         "similarity_lmjm": q_sim_lmjm,
         "similarity_boolean": q_sim_boolean,
         "similarity_bm25_tuned": q_sim_bm25_tuned,
+        "similarity_scripted": q_sim_scripted,
     }

@@ -43,7 +43,7 @@ from sparksearch import bm25
 
 __all__ = ["Similarity", "BM25Similarity", "BooleanSimilarity",
            "LMDirichletSimilarity", "LMJelinekMercerSimilarity",
-           "from_config"]
+           "ScriptedSimilarity", "from_config"]
 
 
 @dataclass(frozen=True)
@@ -127,6 +127,33 @@ class LMJelinekMercerSimilarity(Similarity):
         return {"type": "LMJelinekMercer", "lambda": self.lam}
 
 
+@dataclass(frozen=True)
+class ScriptedSimilarity(Similarity):
+    """``scripted`` similarity (ScriptedSimilarityProvider; the script
+    context of sv/script/SimilarityScript.java): the user's expression is
+    compiled by the Painless-subset compiler to ONE Catalyst column.
+    Reference binding names map onto the per-posting join columns:
+    ``doc.freq``→tf, ``doc.length``→decoded norm (dl_q),
+    ``term.docFreq``→df, ``term.totalTermFreq``→cf;
+    ``field.docCount`` and ``field.sumTotalTermFreq`` are inlined as
+    literals at plan time."""
+    source: str = ""
+
+    def score_expr(self, tf, dl_q, n_docs, avgdl, total_tf):
+        from sparksearch.painless import compile_script
+        src = (self.source
+               .replace("doc.freq", "doc['tf']")
+               .replace("doc.length", "doc['dl_q']")
+               .replace("term.docFreq", "doc['df']")
+               .replace("term.totalTermFreq", "doc['cf']")
+               .replace("field.docCount", f"{float(n_docs)!r}")
+               .replace("field.sumTotalTermFreq", f"{float(total_tf)!r}"))
+        return compile_script(src).col.cast("double")
+
+    def to_config(self) -> dict:
+        return {"type": "scripted", "script": {"source": self.source}}
+
+
 def from_config(cfg: dict | Similarity | None) -> Similarity:
     """Parse an index-settings similarity dict
     (SimilarityProviders.java parameter names)."""
@@ -145,4 +172,6 @@ def from_config(cfg: dict | Similarity | None) -> Similarity:
     if typ == "LMJelinekMercer":
         return LMJelinekMercerSimilarity(
             lam=float(cfg.get("lambda", 0.1)))
+    if typ == "scripted":
+        return ScriptedSimilarity(source=cfg["script"]["source"])
     raise ValueError(f"unknown similarity type: {typ!r}")

@@ -104,3 +104,14 @@ def test_wand_falls_back_for_tuned_similarity(spark, index_sf0001):
     assert not ex.sim.is_default_bm25
     r = ex.search(Match("text", "hash join"), k=5, fetch=False).collect()
     assert len(r) == 5
+
+
+def test_scripted_similarity_bindings():
+    from sparksearch.similarity import ScriptedSimilarity
+    s = from_config({"type": "scripted",
+                     "script": {"source": "Math.sqrt(doc.freq)"}})
+    assert s == ScriptedSimilarity("Math.sqrt(doc.freq)")
+    assert from_config(s.to_config()) == s
+    # compiles to a Catalyst column without touching Spark data
+    col = s.score_expr(None, None, 100, 50.0, 5000)
+    assert "SQRT" in str(col).upper()
