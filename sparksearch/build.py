@@ -245,28 +245,61 @@ def analyze_pages(pages: DataFrame, analyzer: str = "standard",
     return tok, ranged, n_new
 
 
+#: time-partition granularity → filename-safe, lexicographically ordered
+#: pday format (data-stream / ILM rollover analogue)
+TIME_PARTITION_FMT = {"day": "yyyy-MM-dd", "hour": "yyyy-MM-dd-HH",
+                      "minute": "yyyy-MM-dd-HH-mm"}
+
+
+def _pday_col(granularity: str):
+    return F.date_format("warc_ts", TIME_PARTITION_FMT[granularity])
+
+
 def write_docs_postings(tok: DataFrame, out_dir: str, gen: int,
                         n_buckets: int, partitions: int | None,
                         skip_docs: bool = False,
-                        skip_postings: bool = False) -> None:
-    """Write one generation's docs + postings from an analyzed batch."""
+                        skip_postings: bool = False,
+                        time_partition: str | None = None) -> None:
+    """Write one generation's docs + postings from an analyzed batch.
+
+    time_partition ('day'/'hour'/'minute') adds a `pday` directory
+    partition derived from warc_ts to BOTH datasets — the index-per-period
+    layout of the reference's data streams / ILM rollover
+    (sv/action/admin/indices/rollover). A time-bounded query then prunes
+    whole directories before any IO, the Spark-native form of the
+    can_match shard-skipping phase (sv/action/search/
+    TransportSearchAction pre-filter round; SearchService#canMatch)."""
     if not skip_docs:
-        (tok.select("docid", "url", "warc_ts", "lang", "dl", "dl_q")
-            .repartitionByRange(max(1, (partitions or 8) // 2), "docid")
-            .sortWithinPartitions("docid")
-            .write.mode("overwrite").parquet(f"{out_dir}/docs/gen={gen}"))
+        d = tok.select("docid", "url", "warc_ts", "lang", "dl", "dl_q")
+        if time_partition:
+            (d.withColumn("pday", _pday_col(time_partition))
+              .repartitionByRange(max(1, (partitions or 8) // 2), "docid")
+              .sortWithinPartitions("docid")
+              .write.mode("overwrite").partitionBy("pday")
+              .parquet(f"{out_dir}/docs/gen={gen}"))
+        else:
+            (d.repartitionByRange(max(1, (partitions or 8) // 2), "docid")
+              .sortWithinPartitions("docid")
+              .write.mode("overwrite").parquet(f"{out_dir}/docs/gen={gen}"))
     if not skip_postings:
         postings = (tok
-                    .select("docid", "dl_q", F.explode("entries").alias("e"))
+                    .select("docid", "warc_ts", "dl_q",
+                            F.explode("entries").alias("e"))
                     .select(F.col("e.term").alias("term"), "docid",
                             F.col("e.tf").alias("tf"),
-                            F.col("e.positions").alias("positions"), "dl_q")
+                            F.col("e.positions").alias("positions"),
+                            "dl_q", "warc_ts")
                     .withColumn("bucket",
                                 F.pmod(F.xxhash64("term"), F.lit(n_buckets))))
-        (postings
+        parts = ["bucket"]
+        if time_partition:
+            postings = postings.withColumn("pday",
+                                           _pday_col(time_partition))
+            parts = ["pday", "bucket"]
+        (postings.drop("warc_ts")
          .repartition(partitions or n_buckets, "bucket", "term")
          .sortWithinPartitions("term", "docid")
-         .write.mode("overwrite").partitionBy("bucket")
+         .write.mode("overwrite").partitionBy(*parts)
          .parquet(f"{out_dir}/postings/gen={gen}"))
 
 
@@ -301,11 +334,16 @@ def write_meta(out_dir: str, meta: dict) -> None:
 def build_index(pages: DataFrame, out_dir: str, analyzer: str = "standard",
                 n_buckets: int = 8, partitions: int | None = None,
                 resume: bool = False, verify_extract: bool = False,
-                similarity: dict | None = None) -> dict:
+                similarity: dict | None = None,
+                time_partition: str | None = None) -> dict:
     """Build generation 0 of the index dataset under ``out_dir``.
 
     Returns the meta dict. Incremental batches: merge.add_generation.
     """
+    if time_partition is not None and time_partition not in \
+            TIME_PARTITION_FMT:
+        raise ValueError(f"time_partition must be one of "
+                         f"{sorted(TIME_PARTITION_FMT)}")
     spark = pages.sparkSession
     t0 = time.time()
     _timing = os.environ.get("SPARKSEARCH_TIMING") == "1"
@@ -347,12 +385,14 @@ def build_index(pages: DataFrame, out_dir: str, analyzer: str = "standard",
     def _docs_job():
         write_docs_postings(tok, out_dir, 0, n_buckets, partitions,
                             skip_docs=done("docs/gen=0"),
-                            skip_postings=True)
+                            skip_postings=True,
+                            time_partition=time_partition)
 
     def _postings_job():
         write_docs_postings(tok, out_dir, 0, n_buckets, partitions,
                             skip_docs=True,
-                            skip_postings=done("postings/gen=0"))
+                            skip_postings=done("postings/gen=0"),
+                            time_partition=time_partition)
 
     stats_path = "stats_g0"
 
@@ -397,6 +437,8 @@ def build_index(pages: DataFrame, out_dir: str, analyzer: str = "standard",
                 "sparksearch.similarity", fromlist=["from_config"])
                 .from_config(similarity).to_config()}
            if similarity is not None else {}),
+        **({"time_partition": time_partition}
+           if time_partition is not None else {}),
         "n_docs": int(n_docs),
         "total_tf": int(total_tf),
         "avgdl": float(avgdl),

@@ -158,6 +158,55 @@ def q_search_as_you_type(spark, sf_dir):
     return (hits.select("docid").orderBy("docid").limit(20))
 
 
+_ENGINES_TP: dict[str, tuple] = {}
+
+
+def _get_tp_engine(spark, sf_dir):
+    """Minute-partitioned engine (data-stream / ILM rollover layout):
+    docs + postings carry a pday directory column derived from warc_ts."""
+    from sparksearch.build import INDEX_VERSION, build_index
+    from sparksearch.corpus import pages_from_documents
+    from sparksearch.exec import Executor
+    from sparksearch.index import IndexReader
+
+    key = os.path.realpath(sf_dir)
+    if key not in _ENGINES_TP:
+        out = os.path.join(
+            tempfile.gettempdir(),
+            "sparksearch_ixtp_" + key.strip("/").replace("/", "_"))
+        meta_path = os.path.join(out, "meta.json")
+        stale = True
+        if os.path.exists(meta_path):
+            import json
+            with open(meta_path) as f:
+                stale = json.load(f).get("version") != INDEX_VERSION
+        if stale:
+            import shutil
+            shutil.rmtree(out, ignore_errors=True)
+            build_index(pages_from_documents(spark, sf_dir), out,
+                        n_buckets=8, partitions=8,
+                        time_partition="minute")
+        ix = IndexReader(spark, out)
+        _ENGINES_TP[key] = (ix, Executor(ix))
+    return _ENGINES_TP[key]
+
+
+_TP_GTE, _TP_LT = "2025-01-01 00:02:00", "2025-01-01 00:04:00"
+
+
+def q_time_partition_search(spark, sf_dir):
+    """Time-bounded BM25 over the minute-partitioned index: the pday
+    window prunes whole directories on the postings AND docs scans
+    (asserted by tests/test_time_partition.py); results must equal plain
+    filter semantics — scoring uses global stats, filter context never
+    affects scores."""
+    from sparksearch.queries import Bool, Match, Range
+    _, ex = _get_tp_engine(spark, sf_dir)
+    q = Bool(must=[Match("text", "join")],
+             filter=[Range("warc_ts", gte=_TP_GTE, lt=_TP_LT)])
+    return C.topk_rounded(ex, q, k=10)
+
+
 def sqls() -> dict[str, str]:
     P = C._PAGES
 
@@ -181,6 +230,22 @@ grp AS ( SELECT canonical_url, count(*) AS n_variants FROM canon
 SELECT CAST(n_variants AS BIGINT) AS n_variants,
        CAST(count(*) AS BIGINT) AS n_groups
 FROM grp GROUP BY n_variants ORDER BY n_variants
+""".strip(),
+        "time_partition_search": f"""
+WITH {P}, {C._TOK}, {C._DL},
+tf AS ( SELECT docid, count(*) AS tf FROM tok WHERE term = 'join'
+        GROUP BY docid ),
+dft AS ( SELECT count(*) AS df FROM tf ),
+sc AS ( SELECT tf.docid,
+               {C._idf_sql('dft.df', 'g.n')} *
+               {C._tfn_sql('tf.tf', 'dlq.dl_q', 'g.avgdl')} AS score
+        FROM tf CROSS JOIN dft JOIN dlq USING (docid) CROSS JOIN g )
+SELECT p.docid, p.url, round(sc.score, 4) AS score
+FROM sc JOIN pages p USING (docid)
+WHERE p.warc_ts >= TIMESTAMP '{_TP_GTE}'
+  AND p.warc_ts <  TIMESTAMP '{_TP_LT}'
+ORDER BY round(sc.score, 4) DESC, p.docid ASC
+LIMIT 10
 """.strip(),
         "search_as_you_type": f"""
 WITH {P},
@@ -207,4 +272,5 @@ def queries() -> dict:
         "url_dedup_sample": q_url_dedup_sample,
         "url_dedup_counts": q_url_dedup_counts,
         "search_as_you_type": q_search_as_you_type,
+        "time_partition_search": q_time_partition_search,
     }

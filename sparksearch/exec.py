@@ -106,6 +106,11 @@ class Executor:
         self.sim = from_config(
             similarity if similarity is not None
             else index.meta.get("similarity"))
+        #: active time-pruning windows (innermost last) — pushed while
+        #: planning a bool whose filter context bounds warc_ts, consumed
+        #: by _term_scores so scoring scans skip whole pday directories
+        #: (the can_match pre-filter analogue)
+        self._twindow: list[tuple] = []
 
     # ---- public API --------------------------------------------------------
     def search(self, q: Query, k: int = 10, fetch: bool = True,
@@ -562,7 +567,9 @@ class Executor:
         """(docid, term, score) for every posting of the given terms,
         scored by the executor's similarity (BM25 default; boolean /
         LMDirichlet / LMJelinekMercer via the `similarity` setting)."""
-        p = self.ix.postings_for(terms, with_positions=False) \
+        p = self.ix.postings_for(
+                terms, with_positions=False,
+                time_window=self._twindow[-1] if self._twindow else None) \
             .select("term", "docid", "tf", "dl_q")
         s = self.ix.stats_for(terms)
         j = p.join(F.broadcast(s.select("term", "df", "cf")), "term")
@@ -1312,6 +1319,14 @@ class Executor:
                 cond = cond & {"gte": col >= F.lit(v), "gt": col > F.lit(v),
                                "lte": col <= F.lit(v),
                                "lt": col < F.lit(v)}[bound]
+                if self.ix.time_partition and q.field_name == "warc_ts":
+                    # redundant partition-column conjunct → directory
+                    # pruning on the time-partitioned docs scan
+                    p = self._pday_of(v)
+                    if p is not None:
+                        pc = F.col("pday")
+                        cond = cond & (pc >= p if bound in ("gte", "gt")
+                                       else pc <= p)
         elif isinstance(q, Script):
             # compiled Painless predicate — a Catalyst expression over the
             # doc-values columns, pushed into the docs scan like any other
@@ -1348,6 +1363,59 @@ class Executor:
         return cnt, need
 
     def _plan_bool(self, q: Bool, scored: bool) -> DataFrame:
+        tw = self._time_window_of(list(q.filter) + list(q.must))
+        if tw:
+            self._twindow.append(tw)
+            try:
+                return self._plan_bool_inner(q, scored)
+            finally:
+                self._twindow.pop()
+        return self._plan_bool_inner(q, scored)
+
+    _TP_STRF = {"day": "%Y-%m-%d", "hour": "%Y-%m-%d-%H",
+                "minute": "%Y-%m-%d-%H-%M"}
+
+    def _pday_of(self, v) -> str | None:
+        """Truncate a range bound to the index's pday format; None when the
+        value doesn't parse (pruning is then skipped, never wrong)."""
+        import datetime
+        fmt = self._TP_STRF[self.ix.time_partition]
+        if isinstance(v, datetime.datetime):
+            return v.strftime(fmt)
+        try:
+            return datetime.datetime.fromisoformat(str(v)).strftime(fmt)
+        except ValueError:
+            return None
+
+    def _time_window_of(self, clauses) -> tuple | None:
+        """(lo_pday, hi_pday) derived from Range clauses on warc_ts — the
+        can_match window. Truncation makes it an over-approximation: the
+        boundary partitions stay in, row-level filters finish the job."""
+        if not self.ix.time_partition:
+            return None
+        from sparksearch.datemath import resolve_range_value
+        lo = hi = None
+        found = False
+        for c in clauses:
+            if not (isinstance(c, Range) and c.field_name == "warc_ts"):
+                continue
+            for bound, side in (("gte", "lo"), ("gt", "lo"),
+                                ("lte", "hi"), ("lt", "hi")):
+                v = getattr(c, bound)
+                if v is None:
+                    continue
+                p = self._pday_of(
+                    resolve_range_value(v, bound, self.fixed_now))
+                if p is None:
+                    continue
+                found = True
+                if side == "lo":
+                    lo = p if lo is None else max(lo, p)
+                else:
+                    hi = p if hi is None else min(hi, p)
+        return (lo, hi) if found else None
+
+    def _plan_bool_inner(self, q: Bool, scored: bool) -> DataFrame:
         must, should, must_not, filt = (list(q.must), list(q.should),
                                         list(q.must_not), list(q.filter))
         if not must and not should and not filt and must_not:

@@ -36,6 +36,9 @@ class IndexReader:
             # block) — re-register so this session can analyze queries
             from sparksearch.analysis_custom import ensure_registered
             ensure_registered(self.analyzer, self.meta["analyzer_def"])
+        #: 'day'/'hour'/'minute' when the index layout is time-partitioned
+        #: (pday directory column on docs + postings)
+        self.time_partition: str | None = self.meta.get("time_partition")
         self.n_buckets: int = self.meta["n_buckets"]
         self.generations: list[int] = self.meta.get("generations", [0])
         self.stats_path: str = self.meta.get("stats_path", "stats")
@@ -167,12 +170,21 @@ class IndexReader:
         return spark_bucket(term, self.n_buckets)
 
     def postings_for(self, terms: list[str],
-                     with_positions: bool = True) -> DataFrame:
+                     with_positions: bool = True,
+                     time_window: tuple[str | None, str | None] | None
+                     = None) -> DataFrame:
         """Postings restricted to the query terms (partition-pruned).
 
         with_positions=False lets the packed-segment decoder skip the
         position payload entirely (term/phrase queries that only need
-        (docid, tf, dl_q) — the common case)."""
+        (docid, tf, dl_q) — the common case).
+
+        time_window=(lo, hi) — pday strings in the index's time-partition
+        format — prunes whole time directories before any IO (the
+        can_match shard-skip analogue). An over-approximation by design:
+        row-level timestamp filters still apply downstream, so a wider
+        window is never wrong, only less pruned. Ignored unless the index
+        was built with time_partition."""
         if not terms:
             return self.postings.limit(0)
         uniq = sorted(set(terms))
@@ -183,9 +195,16 @@ class IndexReader:
             return self.live(self.segments.postings_for(
                 uniq, buckets, with_positions=with_positions))
         # .postings is already live-filtered
-        return (self.postings
-                .filter(F.col("bucket").isin(buckets))
-                .filter(F.col("term").isin(uniq)))
+        out = (self.postings
+               .filter(F.col("bucket").isin(buckets))
+               .filter(F.col("term").isin(uniq)))
+        if time_window and self.time_partition:
+            lo, hi = time_window
+            if lo is not None:
+                out = out.filter(F.col("pday") >= lo)
+            if hi is not None:
+                out = out.filter(F.col("pday") <= hi)
+        return out
 
     def _buckets_of(self, terms: list[str]) -> list[int]:
         from sparksearch.xxhash import spark_bucket

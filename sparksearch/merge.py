@@ -124,11 +124,14 @@ def add_generation(spark: SparkSession, index_dir: str, new_pages: DataFrame,
         stats_result["v"] = write_stats(
             spark, index_dir, merged, stats_path, partitions)
 
+    _tp = meta.get("time_partition")
     run_jobs([
         lambda: write_docs_postings(tok, index_dir, gen, n_buckets,
-                                    partitions, skip_postings=True),
+                                    partitions, skip_postings=True,
+                                    time_partition=_tp),
         lambda: write_docs_postings(tok, index_dir, gen, n_buckets,
-                                    partitions, skip_docs=True),
+                                    partitions, skip_docs=True,
+                                    time_partition=_tp),
         _stats_job,
     ])
     n_terms, max_df, total_tf = stats_result["v"]
