@@ -597,3 +597,99 @@ def percentiles_bucket(buckets: DataFrame, metric: str = "doc_count",
     return buckets.agg(*[
         F.round(F.percentile(m, F.lit(float(p))), 6)
         .alias(f"p{int(p * 100)}") for p in pcts])
+
+
+# --- round-2i metric/pipeline aggs (SearchModule registrations) ------------
+
+def boxplot_agg(df: DataFrame, field: str) -> DataFrame:
+    """`boxplot` agg: min / q1 / q2 / q3 / max (exact interpolated
+    percentiles — the small-scale oracle gate; approx_percentile is the
+    documented 100 TB swap). Reference reg.: BoxplotAggregationBuilder
+    (analytics module)."""
+    v = F.col(field).cast("double")
+    return df.agg(
+        F.min(v).alias("min"),
+        F.round(F.percentile(v, F.lit(0.25)), 6).alias("q1"),
+        F.round(F.percentile(v, F.lit(0.5)), 6).alias("q2"),
+        F.round(F.percentile(v, F.lit(0.75)), 6).alias("q3"),
+        F.max(v).alias("max"))
+
+
+def top_metrics_agg(df: DataFrame, sort_field: str, metric_fields: list[str],
+                    size: int = 3, asc: bool = False) -> DataFrame:
+    """`top_metrics`: the metric values of the top-`size` docs by
+    `sort_field` (TopMetricsAggregationBuilder). TakeOrderedAndProject —
+    never a full sort."""
+    key = F.col(sort_field)
+    order = [key.asc() if asc else key.desc(), F.col("docid").asc()]
+    return df.orderBy(*order).limit(size) \
+             .select(sort_field, *metric_fields)
+
+
+def t_test_agg(df: DataFrame, field: str, group_col: Column) -> DataFrame:
+    """`t_test` (heteroscedastic / Welch): t = (m_a − m_b) /
+    sqrt(s²_a/n_a + s²_b/n_b) with sample variances
+    (TTestAggregationBuilder, analytics module)."""
+    v = F.col(field).cast("double")
+    g = df.groupBy(group_col.alias("_g")).agg(
+        F.avg(v).alias("m"), F.var_samp(v).alias("s2"),
+        F.count("*").cast("double").alias("n"))
+    a = g.filter(F.col("_g")).select(F.col("m").alias("ma"),
+                                     F.col("s2").alias("sa"),
+                                     F.col("n").alias("na"))
+    b = g.filter(~F.col("_g")).select(F.col("m").alias("mb"),
+                                      F.col("s2").alias("sb"),
+                                      F.col("n").alias("nb"))
+    return a.crossJoin(b).select(
+        F.round((F.col("ma") - F.col("mb"))
+                / F.sqrt(F.col("sa") / F.col("na")
+                         + F.col("sb") / F.col("nb")), 6).alias("t"))
+
+
+def rate_agg(buckets: DataFrame, metric: str = "doc_count",
+             bucket_seconds: float = 60.0,
+             unit_seconds: float = 1.0) -> DataFrame:
+    """`rate` inside a date_histogram: metric / (bucket span in rate
+    units) (RateAggregationBuilder)."""
+    m = F.col(metric).cast("double")
+    return buckets.withColumn(
+        "rate", F.round(m / F.lit(bucket_seconds / unit_seconds), 6)) \
+        .orderBy("key")
+
+
+def normalize_agg(buckets: DataFrame, metric: str = "doc_count") -> DataFrame:
+    """`normalize` pipeline agg: percent_of_sum + rescale_0_1 over the
+    sibling buckets (NormalizePipelineAggregationBuilder)."""
+    m = F.col(metric).cast("double")
+    w = Window.partitionBy()
+    return (buckets
+            .withColumn("percent_of_sum",
+                        F.round(m / F.sum(m).over(w), 6))
+            .withColumn("rescale_0_1",
+                        F.round((m - F.min(m).over(w))
+                                / (F.max(m).over(w) - F.min(m).over(w)), 6))
+            .orderBy("key"))
+
+
+def string_stats_agg(df: DataFrame, field: str) -> DataFrame:
+    """`string_stats` with show_distribution's entropy: count / min_length /
+    max_length / avg_length over values, plus the Shannon entropy (log2) of
+    the CHARACTER distribution across all values
+    (StringStatsAggregationBuilder, analytics module). The char histogram
+    is an explode + groupBy — map-side combinable on a Zipf alphabet."""
+    v = F.col(field)
+    lens = df.filter(v.isNotNull()).select(v.alias("_v"),
+                                           F.length(v).alias("_l"))
+    base = lens.agg(F.count("*").cast("long").alias("count"),
+                    F.min("_l").alias("min_length"),
+                    F.max("_l").alias("max_length"),
+                    F.round(F.avg("_l"), 6).alias("avg_length"))
+    chars = (lens.select(F.explode(F.split("_v", "")).alias("c"))
+             .filter(F.col("c") != "")
+             .groupBy("c").agg(F.count("*").cast("double").alias("n")))
+    tot = chars.agg(F.sum("n").alias("t"))
+    ent = (chars.crossJoin(F.broadcast(tot))
+           .select((F.col("n") / F.col("t")).alias("p"))
+           .agg(F.round(-F.sum(F.col("p") * F.log2("p")), 6)
+                .alias("entropy")))
+    return base.crossJoin(ent)
