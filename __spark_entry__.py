@@ -157,7 +157,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from sparksearch import contract_round2g as CR2G
     from sparksearch import contract_round2h as CR2H
     from sparksearch import contract_round2i as CR2I
+    from sparksearch import contract_round2j as CR2J
     out.update(CQ2.queries())
+    out.update(CR2J.queries())
     out.update(CR2I.queries())
     out.update(CR2E.queries())
     out.update(CR2F.queries())
@@ -193,7 +195,9 @@ def oracle_sql() -> dict[str, str]:
     from sparksearch import contract_round2g as CR2G
     from sparksearch import contract_round2h as CR2H
     from sparksearch import contract_round2i as CR2I
+    from sparksearch import contract_round2j as CR2J
     out = dict(CD.oracle_sql())
+    out.update(CR2J.oracle_sql())
     out.update(CR2I.oracle_sql())
     out.update(CR2E.oracle_sql())
     out.update(CR2F.oracle_sql())

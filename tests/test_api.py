@@ -1,0 +1,90 @@
+"""`_search` request-body API (sparksearch.api)."""
+
+import pytest
+
+from sparksearch.api import _parse_sort, aggs_df, run_search, search_df
+
+
+def test_parse_sort_forms():
+    assert _parse_sort(None) == [("_score", False), ("_doc", True)]
+    assert _parse_sort([{"dl": {"order": "desc"}}]) == \
+        [("dl", False), ("_doc", True)]
+    assert _parse_sort([{"dl": "desc"}, "_score"]) == \
+        [("dl", False), ("_score", False), ("_doc", True)]
+    assert _parse_sort(["lang"]) == [("lang", True), ("_doc", True)]
+
+
+@pytest.fixture(scope="module")
+def ex(spark, index_sf0001):
+    from sparksearch.exec import Executor
+    return Executor(index_sf0001)
+
+
+def test_run_search_envelope(ex):
+    body = {"query": {"match": {"text": "hash join"}}, "size": 3,
+            "_source": {"includes": ["lang", "dl"]}}
+    resp = run_search(ex, body)
+    assert resp["hits"]["total"]["relation"] == "eq"
+    assert resp["hits"]["total"]["value"] > 3
+    hits = resp["hits"]["hits"]
+    assert len(hits) == 3
+    assert hits[0]["_score"] == resp["hits"]["max_score"]
+    assert set(hits[0]["_source"]) == {"lang", "dl"}
+    assert hits[0]["_id"].startswith("https://")
+    # scores descending
+    scores = [h["_score"] for h in hits]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_source_false_and_excludes(ex):
+    body = {"query": {"match_all": {}}, "size": 2, "_source": False}
+    rows = search_df(ex, body).columns
+    assert set(rows) == {"docid", "url", "score"}
+    body2 = {"query": {"match_all": {}}, "size": 2,
+             "_source": {"excludes": ["warc_*", "dl_q"]}}
+    cols = search_df(ex, body2).columns
+    assert "warc_ts" not in cols and "dl_q" not in cols and "lang" in cols
+
+
+def test_from_pagination_disjoint(ex):
+    body = {"query": {"match": {"text": "join"}}, "size": 5,
+            "_source": False}
+    p1 = [r.docid for r in search_df(ex, body).collect()]
+    p2 = [r.docid for r in
+          search_df(ex, {**body, "from": 5}).collect()]
+    assert len(p1) == len(p2) == 5 and not set(p1) & set(p2)
+
+
+def test_search_after_equals_offset(ex):
+    body = {"query": {"match_all": {}},
+            "sort": [{"dl": {"order": "desc"}}], "size": 7,
+            "_source": {"includes": ["dl"]}}
+    page1 = search_df(ex, body).collect()
+    cursor = [int(page1[-1]["dl"]), int(page1[-1]["docid"])]
+    p2 = [r.docid for r in
+          search_df(ex, {**body, "search_after": cursor}).collect()]
+    off = [r.docid for r in
+           search_df(ex, {**body, "from": 7}).collect()]
+    assert p2 == off and len(p2) == 7
+
+
+def test_aggs_metric_and_histogram(ex):
+    m = aggs_df(ex, {"aggs": {"avg_dl": {"avg": {"field": "dl"}}}}) \
+        .collect()[0]
+    assert m["avg_dl"] > 0
+    h = aggs_df(ex, {"aggs": {"h": {"histogram": {"field": "dl",
+                                                  "interval": 20}}}}) \
+        .collect()
+    assert sum(r.doc_count for r in h) == ex.ix.n_docs
+    assert all(r.key % 20 == 0 for r in h)
+    with pytest.raises(ValueError):
+        aggs_df(ex, {"aggs": {"x": {"geo_grid": {"field": "p"}}}})
+
+
+def test_run_search_with_aggs(ex):
+    resp = run_search(ex, {
+        "query": {"match_all": {}}, "size": 1,
+        "aggs": {"langs": {"terms": {"field": "lang", "size": 3}}}})
+    buckets = resp["aggregations"]["langs"]
+    assert len(buckets) == 3
+    assert buckets[0]["doc_count"] >= buckets[-1]["doc_count"]

@@ -23,7 +23,16 @@ def tp_engine(spark, tmp_path_factory):
 
 
 def _partition_filters(df) -> list[str]:
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    # FileScan metadata strings truncate at spark.sql.maxMetadataStringLength
+    # (default 100 chars) — with a long-lived session's longer expression IDs
+    # the pday literals fall past the cutoff, so widen it for the assertion
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
     return re.findall(r"PartitionFilters: \[[^\]]*", plan)
 
 
