@@ -16,9 +16,11 @@ Two shapes:
 - ``aggs_df(ex, body)`` → one top-level agg as a bucket DataFrame.
 
 Supported body keys: query, size, from, sort (field / ``_score`` /
-``_doc``, asc/desc), search_after, min_score, _source
-(bool / includes / excludes), aggs (terms / histogram /
-date_histogram / metric leaves, one nesting level of sub-metrics).
+``_doc``, asc/desc), search_after, min_score, post_filter (hits only —
+aggs deliberately don't see it), track_total_hits (True=exact /
+int cap, default 10,000), _source (bool / includes / excludes), aggs
+(terms / histogram / date_histogram / metric leaves, one nesting level
+of sub-metrics; scoped to the body's query in filter context).
 Highlighting stays on the fetchops surface (it needs the raw pages
 source, which the docs table deliberately does not carry).
 """
@@ -76,6 +78,12 @@ def search_df(ex, body: dict) -> DataFrame:
     if "min_score" in body:
         scored = scored.filter(
             F.col("score") >= float(body["min_score"]))
+    if "post_filter" in body:
+        # filters HITS only — aggs_df deliberately never sees it
+        # (SearchSourceBuilder postFilter semantics)
+        pf = ex._plan(from_dsl(body["post_filter"]),
+                      scored=False).select("docid")
+        scored = scored.join(pf, "docid", "left_semi")
     scored = scored.select("docid", _SCORE_4(F.col("score")).alias("score"))
 
     doc_fields = {f for f, _ in sort if f not in ("_score", "_doc")}
@@ -130,6 +138,16 @@ def run_search(ex, body: dict) -> dict:
     hit rows driver-side; total is a separate count on the filter plan."""
     q = from_dsl(body["query"]) if "query" in body else MatchAll()
     total = ex._plan(q, scored=False).count()
+    # track_total_hits: True → exact; int cap (default 10,000 like the
+    # reference's SearchContext.TRACK_TOTAL_HITS_UP_TO) → capped + "gte"
+    tth = body.get("track_total_hits", 10_000)
+    if tth is True:
+        total_rep = {"value": total, "relation": "eq"}
+    else:
+        cap = int(tth)
+        total_rep = ({"value": total, "relation": "eq"}
+                     if total <= cap else
+                     {"value": cap, "relation": "gte"})
     rows = search_df(ex, body).collect()
     hits = []
     for r in rows:
@@ -139,12 +157,15 @@ def run_search(ex, body: dict) -> dict:
         hits.append(hit)
     max_score = max((h["_score"] for h in hits
                      if h["_score"] is not None), default=None)
-    resp = {"hits": {"total": {"value": total, "relation": "eq"},
+    resp = {"hits": {"total": total_rep,
                      "max_score": max_score, "hits": hits}}
     if "aggs" in body:
         resp["aggregations"] = {}
         for name, spec in body["aggs"].items():
-            bdf = aggs_df(ex, {"aggs": {name: spec}})
+            sub = {"aggs": {name: spec}}
+            if "query" in body:       # aggs see the query, not post_filter
+                sub["query"] = body["query"]
+            bdf = aggs_df(ex, sub)
             resp["aggregations"][name] = [r.asDict() for r in bdf.collect()]
     return resp
 
@@ -164,12 +185,21 @@ def _metric_col(kind: str, spec: dict, name: str):
 def aggs_df(ex, body: dict) -> DataFrame:
     """One top-level agg from the body (+ one level of sub-metrics) as a
     bucket DataFrame — terms / histogram / date_histogram buckets, or a
-    single-row metric."""
+    single-row metric.
+
+    Aggregations run over the QUERY-MATCHED set (AggregationPhase sits
+    behind the query in the reference), not the whole index — the body's
+    `query` is applied as a filter-context semi-join. `post_filter` by
+    design does NOT reach aggs (it only filters hits)."""
     (name, spec), = body["aggs"].items()
     spec = dict(spec)
     sub = spec.pop("aggs", None)
     (kind, cfg), = ((k, v) for k, v in spec.items() if k != "aggs")
     d = ex.ix.docs
+    if "query" in body:
+        matched = ex._plan(from_dsl(body["query"]),
+                           scored=False).select("docid")
+        d = d.join(matched, "docid", "left_semi")
     subcols = []
     if sub:
         for sname, sspec in sub.items():

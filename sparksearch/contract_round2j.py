@@ -59,6 +59,28 @@ def q_api_search_after(spark, sf_dir):
             .select("docid", "url", F.col("dl").cast("long").alias("dl")))
 
 
+def q_api_post_filter(spark, sf_dir):
+    """post_filter narrows HITS (not aggs) after scoring — scores must be
+    identical to the unfiltered query (SearchSourceBuilder postFilter)."""
+    from sparksearch.api import search_df
+    _, ex = C.get_engine(spark, sf_dir)
+    body = {"query": {"match": {"text": "hash join"}},
+            "post_filter": {"term": {"lang": "en"}},
+            "size": 10, "_source": False}
+    return search_df(ex, body).select("docid", "url", "score")
+
+
+def q_api_scoped_agg(spark, sf_dir):
+    """Body aggs run over the query-matched set in filter context
+    (AggregationPhase behind the query), not the whole index."""
+    from sparksearch.api import aggs_df
+    _, ex = C.get_engine(spark, sf_dir)
+    body = {"query": {"match": {"text": "join"}},
+            "aggs": {"langs": {"terms": {"field": "lang", "size": 5},
+                               "aggs": {"avg_dl": {"avg": {"field": "dl"}}}}}}
+    return aggs_df(ex, body)
+
+
 def q_api_terms_agg(spark, sf_dir):
     """Body aggs: terms(lang) buckets with avg(dl) sub-metric."""
     from sparksearch.api import aggs_df
@@ -114,6 +136,26 @@ SELECT docid, url, dl FROM ordered
 ORDER BY dl DESC, docid ASC
 LIMIT 10 OFFSET 10
 """.strip(),
+        "api_post_filter": f"""
+WITH {P}, {TOK}, {DL}, {match2}
+SELECT p.docid, p.url, sc.score
+FROM sc JOIN pages p USING (docid)
+WHERE p.lang = 'en'
+ORDER BY sc.score DESC, p.docid ASC
+LIMIT 10
+""".strip(),
+        "api_scoped_agg": f"""
+WITH {P}, {TOK}, {DL},
+m AS ( SELECT DISTINCT docid FROM tok WHERE term = 'join' ),
+j AS ( SELECT p.lang, CAST(dlq.dl AS DOUBLE) AS dl
+       FROM pages p JOIN m USING (docid) JOIN dlq USING (docid)
+       WHERE p.lang IS NOT NULL )
+SELECT lang AS key, CAST(count(*) AS BIGINT) AS doc_count,
+       CAST(round(avg(dl), 6) AS DOUBLE) AS avg_dl
+FROM j GROUP BY lang
+ORDER BY doc_count DESC, key ASC
+LIMIT 5
+""".strip(),
         "api_terms_agg": f"""
 WITH {P}, {TOK}, {DL},
 j AS ( SELECT p.lang, CAST(dlq.dl AS DOUBLE) AS dl
@@ -137,4 +179,6 @@ def queries() -> dict:
         "api_field_sort": q_api_field_sort,
         "api_search_after": q_api_search_after,
         "api_terms_agg": q_api_terms_agg,
+        "api_post_filter": q_api_post_filter,
+        "api_scoped_agg": q_api_scoped_agg,
     }

@@ -81,6 +81,46 @@ def test_aggs_metric_and_histogram(ex):
         aggs_df(ex, {"aggs": {"x": {"geo_grid": {"field": "p"}}}})
 
 
+def test_post_filter_hits_only(ex):
+    base = {"query": {"match": {"text": "join"}}, "size": 100_000,
+            "_source": {"includes": ["lang"]}}
+    all_hits = search_df(ex, base).collect()
+    pf = search_df(ex, {**base,
+                        "post_filter": {"term": {"lang": "en"}}}).collect()
+    assert pf and all(r.lang == "en" for r in pf)
+    kept = {r.docid for r in all_hits if r.lang == "en"}
+    assert {r.docid for r in pf} == kept
+    # scores unchanged by the post filter
+    s = {r.docid: r.score for r in all_hits}
+    assert all(abs(s[r.docid] - r.score) < 1e-9 for r in pf)
+
+
+def test_track_total_hits(ex):
+    body = {"query": {"match_all": {}}, "size": 1, "_source": False}
+    capped = run_search(ex, {**body, "track_total_hits": 5})
+    assert capped["hits"]["total"] == {"value": 5, "relation": "gte"}
+    exact = run_search(ex, {**body, "track_total_hits": True})
+    assert exact["hits"]["total"]["relation"] == "eq"
+    assert exact["hits"]["total"]["value"] == ex.ix.n_docs
+    # below the default 10k cap → exact without opting in
+    dflt = run_search(ex, body)
+    assert dflt["hits"]["total"] == exact["hits"]["total"]
+
+
+def test_aggs_scoped_to_query(ex):
+    whole = aggs_df(ex, {"aggs": {"n": {"value_count": {"field": "dl"}}}}) \
+        .collect()[0]["n"]
+    scoped_body = {"query": {"term": {"lang": "en"}},
+                   "aggs": {"n": {"value_count": {"field": "dl"}}}}
+    scoped = aggs_df(ex, scoped_body).collect()[0]["n"]
+    n_en = ex.ix.docs.filter("lang = 'en'").count()
+    assert scoped == n_en < whole
+    # run_search forwards the query to aggs (and post_filter never reaches)
+    resp = run_search(ex, {**scoped_body, "size": 0,
+                           "post_filter": {"term": {"lang": "de"}}})
+    assert resp["aggregations"]["n"][0]["n"] == n_en
+
+
 def test_run_search_with_aggs(ex):
     resp = run_search(ex, {
         "query": {"match_all": {}}, "size": 1,
