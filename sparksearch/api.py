@@ -19,8 +19,10 @@ Supported body keys: query, size, from, sort (field / ``_score`` /
 ``_doc``, asc/desc), search_after, min_score, post_filter (hits only —
 aggs deliberately don't see it), track_total_hits (True=exact /
 int cap, default 10,000), _source (bool / includes / excludes), aggs
-(terms / histogram / date_histogram / metric leaves, one nesting level
-of sub-metrics; scoped to the body's query in filter context).
+(terms / histogram / date_histogram / range / filters buckets; metric
+leaves avg/sum/min/max/value_count/cardinality/weighted_avg/stats/
+extended_stats/percentiles; metric sub-aggs plus one nested bucket
+level; scoped to the body's query in filter context).
 Highlighting stays on the fetchops surface (it needs the raw pages
 source, which the docs table deliberately does not carry).
 """
@@ -173,8 +175,18 @@ def run_search(ex, body: dict) -> dict:
 _METRICS = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
             "value_count": F.count}
 
+#: bucket kinds that assign every doc to exactly one bucket — the ones
+#: that compose as outer/inner levels of a nested agg
+_PARTITIONING_BUCKETS = ("terms", "histogram", "date_histogram")
+
 
 def _metric_col(kind: str, spec: dict, name: str):
+    if kind == "cardinality":
+        return F.countDistinct(F.col(spec["field"])).cast("long").alias(name)
+    if kind == "weighted_avg":
+        v = F.col(spec["value"]["field"]).cast("double")
+        w = F.col(spec["weight"]["field"]).cast("double")
+        return F.round(F.sum(v * w) / F.sum(w), 6).alias(name)
     v = F.col(spec["field"]).cast("double")
     c = _METRICS[kind](v)
     if kind == "value_count":
@@ -182,15 +194,60 @@ def _metric_col(kind: str, spec: dict, name: str):
     return F.round(c, 6).alias(name)
 
 
+def _fixed_secs(iv: str) -> int:
+    import re
+    m = re.fullmatch(r"(\d+)([smhd])", iv)
+    if not m:
+        raise ValueError(f"unsupported fixed_interval: {iv!r}")
+    return int(m.group(1)) * {"s": 1, "m": 60, "h": 3600, "d": 86400}[
+        m.group(2)]
+
+
+def _key_col(kind: str, cfg: dict):
+    """Per-doc bucket key for a partitioning bucket kind."""
+    f = F.col(cfg["field"])
+    if kind == "terms":
+        return f
+    if kind == "histogram":
+        iv = float(cfg["interval"])
+        return (F.floor(f.cast("double") / iv) * iv).cast("double")
+    if kind == "date_histogram":
+        if "calendar_interval" in cfg:
+            return F.date_trunc(cfg["calendar_interval"], f)
+        secs = _fixed_secs(cfg.get("fixed_interval", "1m"))
+        return (F.floor(F.unix_timestamp(f) / secs).cast("long") * secs)
+    raise ValueError(f"unsupported bucket type: {kind!r}")
+
+
+def _split_sub(sub: dict | None):
+    """Partition a sub-aggs dict into (bucket sub-agg or None, metric cols)."""
+    bucket = None
+    metrics = []
+    for sname, sspec in (sub or {}).items():
+        (skind, scfg), = ((k, v) for k, v in sspec.items() if k != "aggs")
+        if skind in _PARTITIONING_BUCKETS:
+            if bucket is not None:
+                raise ValueError("one bucket sub-agg per level")
+            bucket = (sname, skind, scfg,
+                      sspec.get("aggs") if isinstance(sspec, dict) else None)
+        else:
+            metrics.append(_metric_col(skind, scfg, sname))
+    return bucket, metrics
+
+
 def aggs_df(ex, body: dict) -> DataFrame:
-    """One top-level agg from the body (+ one level of sub-metrics) as a
-    bucket DataFrame — terms / histogram / date_histogram buckets, or a
-    single-row metric.
+    """One top-level agg from the body as a DataFrame — bucket rows
+    (terms / histogram / date_histogram / range / filters) or a single-row
+    metric (avg/sum/min/max/value_count/cardinality/weighted_avg/stats/
+    extended_stats/percentiles). Buckets take metric sub-aggs plus at most
+    one nested partitioning bucket (one row per outer×inner bucket pair,
+    the flat form of the reference's nested bucket response).
 
     Aggregations run over the QUERY-MATCHED set (AggregationPhase sits
     behind the query in the reference), not the whole index — the body's
     `query` is applied as a filter-context semi-join. `post_filter` by
     design does NOT reach aggs (it only filters hits)."""
+    from sparksearch import aggs as A
     (name, spec), = body["aggs"].items()
     spec = dict(spec)
     sub = spec.pop("aggs", None)
@@ -200,37 +257,79 @@ def aggs_df(ex, body: dict) -> DataFrame:
         matched = ex._plan(from_dsl(body["query"]),
                            scored=False).select("docid")
         d = d.join(matched, "docid", "left_semi")
-    subcols = []
-    if sub:
-        for sname, sspec in sub.items():
-            (skind, scfg), = sspec.items()
-            subcols.append(_metric_col(skind, scfg, sname))
 
-    if kind in _METRICS:
+    # ---- single-row metric leaves ----
+    if kind in _METRICS or kind in ("cardinality", "weighted_avg"):
         return d.agg(_metric_col(kind, cfg, name))
+    if kind in ("stats", "extended_stats"):
+        return A.stats_agg(d, cfg["field"], extended=kind == "extended_stats")
+    if kind == "percentiles":
+        pcts = [p / 100.0 for p in cfg.get("percents", (25, 50, 75, 95))]
+        return A.percentiles_agg(d, cfg["field"], pcts)
+
+    # ---- non-partitioning buckets (top level only) ----
+    if kind == "range":
+        if sub:
+            raise ValueError("range buckets may overlap; sub-aggs "
+                             "unsupported in the body form")
+        ranges = [(r.get("from"), r.get("to")) for r in cfg["ranges"]]
+        return A.range_agg(d, cfg["field"], ranges)
+    if kind == "filters":
+        if sub:
+            raise ValueError("sub-aggs unsupported under body filters")
+        counts = None
+        for fname, fdsl in cfg["filters"].items():
+            m = ex._plan(from_dsl(fdsl), scored=False).select("docid")
+            c = (d.join(m, "docid", "left_semi")
+                 .agg(F.count("*").cast("long").alias(fname)))
+            counts = c if counts is None else counts.crossJoin(c)
+        return counts
+
+    if kind not in _PARTITIONING_BUCKETS:
+        raise ValueError(f"unsupported agg type: {kind!r}")
+
+    inner, subcols = _split_sub(sub)
+    out = d.withColumn("key", _key_col(kind, cfg))
     if kind == "terms":
-        key = F.col(cfg["field"]).alias("key")
-        out = (d.filter(F.col(cfg["field"]).isNotNull())
-               .groupBy(key)
-               .agg(F.count("*").cast("long").alias("doc_count"), *subcols)
-               .orderBy(F.col("doc_count").desc(), F.col("key").asc())
-               .limit(int(cfg.get("size", 10))))
-        return out
-    if kind == "histogram":
-        interval = float(cfg["interval"])
-        key = (F.floor(F.col(cfg["field"]).cast("double") / interval)
-               * interval).alias("key")
-        return (d.groupBy(key)
-                .agg(F.count("*").cast("long").alias("doc_count"),
-                     *subcols)
-                .orderBy("key"))
-    if kind == "date_histogram":
-        iv = cfg.get("fixed_interval", "1m")
-        secs = {"1m": 60, "1h": 3600, "1d": 86400}[iv]
-        key = (F.floor(F.unix_timestamp(F.col(cfg["field"])) / secs)
-               .cast("long") * secs).alias("key")
-        return (d.groupBy(key)
-                .agg(F.count("*").cast("long").alias("doc_count"),
-                     *subcols)
-                .orderBy("key"))
-    raise ValueError(f"unsupported agg type: {kind!r}")
+        out = out.filter(F.col("key").isNotNull())
+
+    if inner is None:
+        g = out.groupBy("key").agg(
+            F.count("*").cast("long").alias("doc_count"), *subcols)
+        if kind == "terms":
+            return (g.orderBy(F.col("doc_count").desc(),
+                              F.col("key").asc())
+                    .limit(int(cfg.get("size", 10))))
+        return g.orderBy("key")
+
+    # ---- one nested bucket level: rows are (key, <inner>, doc_count, …) ----
+    iname, ikind, icfg, isub = inner
+    ibucket, isubcols = _split_sub(isub)
+    if ibucket is not None:
+        raise ValueError("nesting depth is two bucket levels")
+    out = out.withColumn(iname, _key_col(ikind, icfg))
+    if ikind == "terms":
+        out = out.filter(F.col(iname).isNotNull())
+    if kind == "terms":
+        # outer top-N by TOTAL doc count (terms order), then drill in
+        top = (out.groupBy("key")
+               .agg(F.count("*").alias("_n"))
+               .orderBy(F.col("_n").desc(), F.col("key").asc())
+               .limit(int(cfg.get("size", 10)))
+               .select("key"))
+        out = out.join(F.broadcast(top), "key", "left_semi")
+    g = out.groupBy("key", iname).agg(
+        F.count("*").cast("long").alias("doc_count"), *isubcols)
+    if ikind == "terms":
+        from pyspark.sql import Window
+        w = (Window.partitionBy("key")
+             .orderBy(F.col("doc_count").desc(), F.col(iname).asc()))
+        g = (g.withColumn("_rn", F.row_number().over(w))
+             .filter(F.col("_rn") <= int(icfg.get("size", 10)))
+             .drop("_rn"))
+    if subcols:
+        # metric sub-aggs sibling to the nested bucket are per OUTER
+        # bucket (reference semantics) — replicated across inner rows in
+        # this flat form
+        g = g.join(out.groupBy("key").agg(*subcols), "key")
+    return g.orderBy("key", iname)

@@ -81,6 +81,21 @@ def q_api_scoped_agg(spark, sf_dir):
     return aggs_df(ex, body)
 
 
+def q_api_nested_agg(spark, sf_dir):
+    """Nested bucket agg: terms(lang) × histogram(dl) drill-down over the
+    query-matched set, with a sibling per-outer-bucket avg metric — one
+    flat row per (lang, dl-bucket) pair."""
+    from sparksearch.api import aggs_df
+    _, ex = C.get_engine(spark, sf_dir)
+    body = {"query": {"match": {"text": "join"}},
+            "aggs": {"langs": {
+                "terms": {"field": "lang", "size": 3},
+                "aggs": {"dl_h": {"histogram": {"field": "dl",
+                                                "interval": 25}},
+                         "avg_dl": {"avg": {"field": "dl"}}}}}}
+    return aggs_df(ex, body)
+
+
 def q_api_terms_agg(spark, sf_dir):
     """Body aggs: terms(lang) buckets with avg(dl) sub-metric."""
     from sparksearch.api import aggs_df
@@ -156,6 +171,22 @@ FROM j GROUP BY lang
 ORDER BY doc_count DESC, key ASC
 LIMIT 5
 """.strip(),
+        "api_nested_agg": f"""
+WITH {P}, {TOK}, {DL},
+m AS ( SELECT DISTINCT docid FROM tok WHERE term = 'join' ),
+j AS ( SELECT p.lang, CAST(dlq.dl AS DOUBLE) AS dl
+       FROM pages p JOIN m USING (docid) JOIN dlq USING (docid)
+       WHERE p.lang IS NOT NULL ),
+top3 AS ( SELECT lang FROM j GROUP BY lang
+          ORDER BY count(*) DESC, lang ASC LIMIT 3 ),
+outer_m AS ( SELECT lang, CAST(round(avg(dl), 6) AS DOUBLE) AS avg_dl
+             FROM j JOIN top3 USING (lang) GROUP BY lang )
+SELECT j.lang AS key, floor(j.dl / 25) * 25 AS dl_h,
+       CAST(count(*) AS BIGINT) AS doc_count, outer_m.avg_dl
+FROM j JOIN top3 USING (lang) JOIN outer_m ON outer_m.lang = j.lang
+GROUP BY j.lang, floor(j.dl / 25) * 25, outer_m.avg_dl
+ORDER BY key, dl_h
+""".strip(),
         "api_terms_agg": f"""
 WITH {P}, {TOK}, {DL},
 j AS ( SELECT p.lang, CAST(dlq.dl AS DOUBLE) AS dl
@@ -181,4 +212,5 @@ def queries() -> dict:
         "api_terms_agg": q_api_terms_agg,
         "api_post_filter": q_api_post_filter,
         "api_scoped_agg": q_api_scoped_agg,
+        "api_nested_agg": q_api_nested_agg,
     }

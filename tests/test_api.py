@@ -121,6 +121,61 @@ def test_aggs_scoped_to_query(ex):
     assert resp["aggregations"]["n"][0]["n"] == n_en
 
 
+def test_metric_leaves(ex):
+    card = aggs_df(ex, {"aggs": {"c": {"cardinality": {"field": "lang"}}}}) \
+        .collect()[0]["c"]
+    assert card == ex.ix.docs.select("lang").distinct().count()
+    st = aggs_df(ex, {"aggs": {"s": {"stats": {"field": "dl"}}}}).collect()[0]
+    assert st["count"] == ex.ix.n_docs and st["min"] <= st["avg"] <= st["max"]
+    ext = aggs_df(ex, {"aggs": {"s": {"extended_stats": {"field": "dl"}}}}) \
+        .collect()[0]
+    assert ext["variance"] >= 0 and "std_deviation" in ext.asDict()
+    pc = aggs_df(ex, {"aggs": {"p": {"percentiles": {
+        "field": "dl", "percents": [50, 95]}}}}).collect()[0]
+    assert pc["p50"] <= pc["p95"]
+    wa = aggs_df(ex, {"aggs": {"w": {"weighted_avg": {
+        "value": {"field": "dl"}, "weight": {"field": "dl_q"}}}}}) \
+        .collect()[0]["w"]
+    assert st["min"] <= wa <= st["max"]
+
+
+def test_range_and_filters_buckets(ex):
+    r = aggs_df(ex, {"aggs": {"r": {"range": {
+        "field": "dl",
+        "ranges": [{"to": 50}, {"from": 50, "to": 150}, {"from": 150}]}}}}) \
+        .collect()
+    assert [x.key for x in r] == ["*-50", "50-150", "150-*"]
+    assert sum(x.doc_count for x in r) == ex.ix.n_docs
+    f = aggs_df(ex, {"aggs": {"f": {"filters": {"filters": {
+        "en": {"term": {"lang": "en"}},
+        "joins": {"match": {"text": "join"}}}}}}}).collect()[0]
+    assert f["en"] == ex.ix.docs.filter("lang = 'en'").count()
+    assert f["joins"] > 0
+
+
+def test_nested_bucket_agg(ex):
+    body = {"aggs": {"langs": {
+        "terms": {"field": "lang", "size": 2},
+        "aggs": {"dl_h": {"histogram": {"field": "dl", "interval": 50}},
+                 "avg_dl": {"avg": {"field": "dl"}}}}}}
+    # sibling metrics are per OUTER bucket, replicated across inner rows
+    rows = aggs_df(ex, body).collect()
+    assert set(rows[0].asDict()) == {"key", "dl_h", "doc_count", "avg_dl"}
+    for lg in {r.key for r in rows}:
+        vals = {r.avg_dl for r in rows if r.key == lg}
+        assert len(vals) == 1
+    langs = {r.key for r in rows}
+    assert len(langs) == 2
+    top2 = {r.key for r in aggs_df(ex, {"aggs": {"l": {
+        "terms": {"field": "lang", "size": 2}}}}).collect()}
+    assert langs == top2
+    # inner histogram counts per lang sum to the lang's doc count
+    per_lang = {r.key: r.doc_count for r in aggs_df(ex, {"aggs": {"l": {
+        "terms": {"field": "lang", "size": 2}}}}).collect()}
+    for lg in langs:
+        assert sum(r.doc_count for r in rows if r.key == lg) == per_lang[lg]
+
+
 def test_run_search_with_aggs(ex):
     resp = run_search(ex, {
         "query": {"match_all": {}}, "size": 1,
