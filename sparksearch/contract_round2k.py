@@ -1,0 +1,113 @@
+"""Driver-contract entries, round-2k surface: crawl-curation dataops —
+PII redaction and per-domain capping.
+
+The synthetic corpus text carries no natural PII, so the pii entry
+deterministically INJECTS emails / IPv4s / phone numbers from doc_id on
+BOTH sides (same concat rule in Spark and SQL) before redacting — the
+gate then checks the real thing: pattern coverage, count semantics, and
+replacement order, not a no-op pass-through.
+
+DuckDB regexp_replace defaults to first-match-only, so every oracle
+replace carries the 'g' flag to mirror Spark's replace-all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _injected(spark, sf_dir):
+    """documents + deterministic PII tail derived from doc_id."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tail = F.concat(
+        F.lit(" contact user"), (F.col("doc_id") % 7).cast("string"),
+        F.lit("@mail"), (F.col("doc_id") % 3).cast("string"),
+        F.lit(".example from 10."), (F.col("doc_id") % 4).cast("string"),
+        F.lit(".0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(" call 555-12"), (F.col("doc_id") % 10).cast("string"),
+        F.lit("-4567"))
+    return d.withColumn("text", F.concat(F.col("text"), tail))
+
+
+def q_pii_redact(spark, sf_dir):
+    from sparksearch.dataops import pii_redact
+    out = pii_redact(_injected(spark, sf_dir))
+    return (out.select("doc_id", "n_emails", "n_ips", "n_phones",
+                       F.md5(F.col("text")).alias("text_md5"))
+            .orderBy("doc_id"))
+
+
+def q_domain_cap(spark, sf_dir):
+    """Cap the 97 synthetic hosts at 60 pages each; urls derived from
+    doc_id by the corpus rule so no index build is needed."""
+    from sparksearch.dataops import domain_cap
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    url = F.concat(F.lit("https://site"),
+                   (F.col("doc_id") % 97).cast("string"),
+                   F.lit(".example/p/"),
+                   F.lpad(F.col("doc_id").cast("string"), 8, "0"))
+    pages = d.select(F.col("doc_id").alias("docid"), url.alias("url"))
+    kept = domain_cap(pages, cap=60)
+    return (kept.select("docid", "host",
+                        F.col("host_rank").cast("long").alias("host_rank"))
+            .orderBy("docid"))
+
+
+_PII_TAIL_SQL = """
+SELECT doc_id,
+       text || ' contact user' || CAST(doc_id % 7 AS VARCHAR) ||
+       '@mail' || CAST(doc_id % 3 AS VARCHAR) ||
+       '.example from 10.' || CAST(doc_id % 4 AS VARCHAR) ||
+       '.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+       ' call 555-12' || CAST(doc_id % 10 AS VARCHAR) || '-4567' AS text
+FROM documents
+""".strip()
+
+_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_IPV4 = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+_PHONE = "\\+?\\d{3}[-. ]\\d{3}[-. ]\\d{4}"
+
+
+def oracle_sql() -> dict:
+    return {
+        "pii_redact": f"""
+WITH inj AS ( {_PII_TAIL_SQL} ),
+counted AS (
+  SELECT doc_id, text,
+         CAST(len(regexp_extract_all(text, '{_EMAIL}')) AS BIGINT) AS n_emails,
+         CAST(len(regexp_extract_all(text, '{_IPV4}')) AS BIGINT) AS n_ips,
+         CAST(len(regexp_extract_all(text, '{_PHONE}')) AS BIGINT) AS n_phones
+  FROM inj )
+SELECT doc_id, n_emails, n_ips, n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '{_EMAIL}', '<EMAIL>', 'g'),
+           '{_IPV4}', '<IP>', 'g'),
+           '{_PHONE}', '<PHONE>', 'g')) AS text_md5
+FROM counted
+ORDER BY doc_id
+""".strip(),
+        "domain_cap": """
+WITH pages AS (
+  SELECT doc_id AS docid,
+         'https://site' || CAST(doc_id % 97 AS VARCHAR) ||
+         '.example/p/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url
+  FROM documents ),
+ranked AS (
+  SELECT docid,
+         regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]*)', 1) AS host,
+         CAST(row_number() OVER (
+           PARTITION BY regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]*)', 1)
+           ORDER BY docid) AS BIGINT) AS host_rank
+  FROM pages )
+SELECT docid, host, host_rank FROM ranked
+WHERE host_rank <= 60
+ORDER BY docid
+""".strip(),
+    }
+
+
+def queries() -> dict:
+    return {
+        "pii_redact": q_pii_redact,
+        "domain_cap": q_domain_cap,
+    }

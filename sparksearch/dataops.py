@@ -40,6 +40,8 @@ __all__ = [
     "token_stats",
     "winnow_fingerprints",
     "gopher_repetition",
+    "pii_redact",
+    "domain_cap",
 ]
 
 
@@ -892,3 +894,64 @@ def url_dedup(pages: DataFrame, url_col: str = "url") -> DataFrame:
              .select("canonical_url",
                      F.col("_k.docid").alias("keeper_docid"),
                      "n_variants"))
+
+
+# ---------------------------------------------------------------------------
+# PII redaction + per-domain capping (crawl-curation stages)
+# ---------------------------------------------------------------------------
+
+#: RE2-compatible patterns (no lookaround) so the DuckDB oracle mirrors
+#: them 1:1; Java regex and RE2 agree on every construct used here
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE = r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}"
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub emails / IPv4s / phone numbers from `text_col`, appending
+    per-doc redaction counts (counted on the ORIGINAL text, then replaced
+    in email → ip → phone order so one category can't consume another's
+    span mid-count).
+
+    Pure regexp Catalyst chain — whole-stage codegen, no UDF — so it runs
+    at full scan speed over a 10^12-row crawl; the common no-PII row costs
+    three cheap regex scans and no allocation.
+    """
+    t = F.col(text_col)
+    out = (docs
+           .withColumn("n_emails",
+                       F.regexp_count(t, F.lit(PII_EMAIL)).cast("long"))
+           .withColumn("n_ips",
+                       F.regexp_count(t, F.lit(PII_IPV4)).cast("long"))
+           .withColumn("n_phones",
+                       F.regexp_count(t, F.lit(PII_PHONE)).cast("long")))
+    red = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    red = F.regexp_replace(red, PII_IPV4, "<IP>")
+    red = F.regexp_replace(red, PII_PHONE, "<PHONE>")
+    return out.withColumn(text_col, red)
+
+
+def domain_cap(pages: DataFrame, cap: int, url_col: str = "url",
+               order_col: str = "docid") -> DataFrame:
+    """Keep at most `cap` pages per host (head-domain quota — standard
+    crawl curation so template-heavy megasites can't dominate a training
+    mix). Keeps the first `cap` by `order_col` within each host.
+
+    Scale shape: top-k-per-key. A single global window on host would
+    shuffle every row to its host's partition — head domains ARE the skew.
+    Two stages instead: (1) per-(host, input-partition) rank prunes each
+    partition to ≤ cap candidates per host with only a skew-free
+    (host, pid) shuffle; (2) the global per-host rank then runs over
+    ≤ cap·P survivors per host, not the raw crawl.
+    """
+    from pyspark.sql import Window
+    host = F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://([^/:?#]*)", 1)
+    p = pages.withColumn("host", host) \
+             .withColumn("_pid", F.spark_partition_id())
+    w1 = (Window.partitionBy("host", "_pid")
+          .orderBy(F.col(order_col).asc()))
+    cand = (p.withColumn("_r1", F.row_number().over(w1))
+            .filter(F.col("_r1") <= cap).drop("_r1", "_pid"))
+    w2 = Window.partitionBy("host").orderBy(F.col(order_col).asc())
+    return (cand.withColumn("host_rank", F.row_number().over(w2))
+            .filter(F.col("host_rank") <= cap))

@@ -137,3 +137,42 @@ def test_url_dedup_keeps_earliest(spark):
            for r in url_dedup(df).collect()}
     assert out == {"https://a.example/p": (2, 3),
                    "https://a.example/p?page=2": (4, 1)}
+
+
+def test_pii_redact(spark):
+    from sparksearch.dataops import pii_redact
+    rows = [
+        (1, "write to bob.smith+x@corp.example today"),
+        (2, "server at 192.168.1.254 and 10.0.0.1 rebooted"),
+        (3, "call 555-123-4567 or +1 555 987 6543 now"),
+        (4, "clean text with no pii at all"),
+        (5, "mixed a@b.co 8.8.8.8 555-000-1111"),
+    ]
+    df = spark.createDataFrame(rows, "docid long, text string")
+    out = {r.docid: r for r in pii_redact(df).collect()}
+    assert out[1].text == "write to <EMAIL> today"
+    assert (out[1].n_emails, out[1].n_ips, out[1].n_phones) == (1, 0, 0)
+    assert out[2].text == "server at <IP> and <IP> rebooted"
+    assert out[2].n_ips == 2
+    assert out[3].n_phones == 2 and out[3].text.count("<PHONE>") == 2
+    assert out[4].text == rows[3][1]
+    assert (out[5].n_emails, out[5].n_ips, out[5].n_phones) == (1, 1, 1)
+    assert out[5].text == "mixed <EMAIL> <IP> <PHONE>"
+
+
+def test_domain_cap(spark):
+    from sparksearch.dataops import domain_cap
+    rows = [(i, f"https://{'big' if i % 4 else 'small'}.example/p/{i}")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "docid long, url string") \
+        .repartition(8)  # exercise the two-stage (host, pid) pre-prune
+    kept = domain_cap(df, cap=5).collect()
+    by_host = {}
+    for r in kept:
+        by_host.setdefault(r.host, []).append(r)
+    assert len(by_host["small.example"]) == 5
+    assert len(by_host["big.example"]) == 5
+    # first `cap` by docid survive, ranked densely
+    big = sorted(by_host["big.example"], key=lambda r: r.host_rank)
+    assert [r.docid for r in big] == [1, 2, 3, 5, 6]
+    assert [r.host_rank for r in big] == [1, 2, 3, 4, 5]
