@@ -18,7 +18,9 @@ Two shapes:
 Supported body keys: query, size, from, sort (field / ``_score`` /
 ``_doc``, asc/desc), search_after, min_score, post_filter (hits only —
 aggs deliberately don't see it), track_total_hits (True=exact /
-int cap, default 10,000), _source (bool / includes / excludes), aggs
+int cap, default 10,000), collapse (best hit per field group),
+highlight (pre/post tags over analyzed query terms; needs the raw
+corpus passed as `pages`), _source (bool / includes / excludes), aggs
 (terms / histogram / date_histogram / range / filters buckets; metric
 leaves avg/sum/min/max/value_count/cardinality/weighted_avg/stats/
 extended_stats/percentiles; metric sub-aggs plus one nested bucket
@@ -66,9 +68,31 @@ def _sort_col(field: str):
     return F.col(field)
 
 
-def search_df(ex, body: dict) -> DataFrame:
+def _query_texts(node) -> list[str]:
+    """Fulltext query strings inside a body query dict (for highlighting)."""
+    out: list[str] = []
+    if isinstance(node, dict):
+        for k, v in node.items():
+            if k in ("match", "match_phrase", "match_phrase_prefix",
+                     "match_bool_prefix"):
+                (_, spec), = v.items()
+                out.append(spec["query"] if isinstance(spec, dict)
+                           else str(spec))
+            elif k == "multi_match":
+                out.append(str(v.get("query", "")))
+            else:
+                out.extend(_query_texts(v))
+    elif isinstance(node, list):
+        for x in node:
+            out.extend(_query_texts(x))
+    return out
+
+
+def search_df(ex, body: dict, pages: DataFrame | None = None) -> DataFrame:
     """Execute a `_search` body; returns (docid, url, score, <sort and
-    _source fields>) ordered per the body's sort, offset by `from`."""
+    _source fields>) ordered per the body's sort, offset by `from`.
+    `pages` (the raw corpus) is only needed when the body asks for
+    `highlight` — the docs table deliberately doesn't carry source text."""
     q = from_dsl(body["query"]) if "query" in body else MatchAll()
     size = int(body.get("size", 10))
     from_ = int(body.get("from", 0))
@@ -89,6 +113,8 @@ def search_df(ex, body: dict) -> DataFrame:
     scored = scored.select("docid", _SCORE_4(F.col("score")).alias("score"))
 
     doc_fields = {f for f, _ in sort if f not in ("_score", "_doc")}
+    if "collapse" in body:
+        doc_fields.add(body["collapse"]["field"])
     src = body.get("_source", True)
     inc = exc = None
     if isinstance(src, dict):
@@ -113,6 +139,13 @@ def search_df(ex, body: dict) -> DataFrame:
 
     order = [(_sort_col(f).asc() if asc else _sort_col(f).desc())
              for f, asc in sort]
+    if "collapse" in body:
+        # one best hit per group, chosen by the body's sort order
+        # (sv/search/collapse/CollapseBuilder.java)
+        from pyspark.sql import Window
+        cw = Window.partitionBy(body["collapse"]["field"]).orderBy(*order)
+        out = (out.withColumn("_cr", F.row_number().over(cw))
+               .filter(F.col("_cr") == 1).drop("_cr"))
     after = body.get("search_after")
     if after is not None:
         # keyset: strictly after the cursor in the sort's lexicographic
@@ -132,10 +165,31 @@ def search_df(ex, body: dict) -> DataFrame:
         w = Window.orderBy(*order)
         out = (out.withColumn("_rn", F.row_number().over(w))
                .filter(F.col("_rn") > from_).drop("_rn"))
+    if "highlight" in body:
+        if pages is None:
+            raise ValueError("highlight needs the raw corpus: "
+                             "search_df(ex, body, pages=...)")
+        import re
+        from sparksearch.analysis import analyze
+        hl = body["highlight"]
+        pre = (hl.get("pre_tags") or ["<em>"])[0]
+        post = (hl.get("post_tags") or ["</em>"])[0]
+        terms = sorted({t for txt in _query_texts(body.get("query", {}))
+                        for t, _ in analyze(txt, ex.ix.analyzer)})
+        if terms:
+            pat = r"\b(" + "|".join(re.escape(t) for t in terms) + r")\b"
+            # out is ≤ from+size rows — broadcast it against the corpus
+            out = (pages.select("url", "text")
+                   .join(F.broadcast(out), "url")
+                   .withColumn("highlight",
+                               F.regexp_replace(F.col("text"), pat,
+                                                f"{pre}$1{post}"))
+                   .drop("text")
+                   .orderBy(*order))
     return out
 
 
-def run_search(ex, body: dict) -> dict:
+def run_search(ex, body: dict, pages: DataFrame | None = None) -> dict:
     """The response envelope (RestSearchAction shape). Collects ≤ size
     hit rows driver-side; total is a separate count on the filter plan."""
     q = from_dsl(body["query"]) if "query" in body else MatchAll()
@@ -150,12 +204,14 @@ def run_search(ex, body: dict) -> dict:
         total_rep = ({"value": total, "relation": "eq"}
                      if total <= cap else
                      {"value": cap, "relation": "gte"})
-    rows = search_df(ex, body).collect()
+    rows = search_df(ex, body, pages=pages).collect()
     hits = []
     for r in rows:
         d = r.asDict()
-        hit = {"_id": d.pop("url"), "_score": d.pop("score", None),
-               "_source": {k: v for k, v in d.items() if k != "docid"}}
+        hit = {"_id": d.pop("url"), "_score": d.pop("score", None)}
+        if "highlight" in d:
+            hit["highlight"] = {"text": [d.pop("highlight")]}
+        hit["_source"] = {k: v for k, v in d.items() if k != "docid"}
         hits.append(hit)
     max_score = max((h["_score"] for h in hits
                      if h["_score"] is not None), default=None)

@@ -96,6 +96,29 @@ def q_api_nested_agg(spark, sf_dir):
     return aggs_df(ex, body)
 
 
+def q_api_collapse(spark, sf_dir):
+    """Body collapse: one best hit per lang by the relevance sort."""
+    from sparksearch.api import search_df
+    _, ex = C.get_engine(spark, sf_dir)
+    body = {"query": {"match": {"text": "hash join"}},
+            "collapse": {"field": "lang"}, "size": 10,
+            "_source": {"includes": ["lang"]}}
+    return search_df(ex, body).select("docid", "url", "score", "lang")
+
+
+def q_api_highlight(spark, sf_dir):
+    """Body highlight: pre/post tags wrap analyzed query-term occurrences
+    in the fetched source text."""
+    from sparksearch.api import search_df
+    _, ex = C.get_engine(spark, sf_dir)
+    pages = C.pages_df(spark, sf_dir)
+    body = {"query": {"match": {"text": "join"}}, "size": 3,
+            "_source": False,
+            "highlight": {"fields": {"text": {}}}}
+    return (search_df(ex, body, pages=pages)
+            .select("docid", "url", "score", "highlight"))
+
+
 def q_api_terms_agg(spark, sf_dir):
     """Body aggs: terms(lang) buckets with avg(dl) sub-metric."""
     from sparksearch.api import aggs_df
@@ -171,6 +194,27 @@ FROM j GROUP BY lang
 ORDER BY doc_count DESC, key ASC
 LIMIT 5
 """.strip(),
+        "api_collapse": f"""
+WITH {P}, {TOK}, {DL}, {match2},
+ranked AS (
+  SELECT p.docid, p.url, sc.score, p.lang,
+         row_number() OVER (PARTITION BY p.lang
+                            ORDER BY sc.score DESC, p.docid ASC) AS rn
+  FROM sc JOIN pages p USING (docid) )
+SELECT docid, url, score, lang FROM ranked
+WHERE rn = 1
+ORDER BY score DESC, docid ASC
+LIMIT 10
+""".strip(),
+        "api_highlight": f"""
+WITH topk AS ( {C.match_sql('join', k=3)} ),
+{C._PAGES.replace('pages AS', 'pages2 AS')}
+SELECT t.docid, t.url, t.score,
+       regexp_replace(p.text, '\\b(join)\\b', '<em>\\1</em>', 'g')
+         AS highlight
+FROM topk t JOIN pages2 p ON p.url = t.url
+ORDER BY t.score DESC, t.docid ASC
+""".strip(),
         "api_nested_agg": f"""
 WITH {P}, {TOK}, {DL},
 m AS ( SELECT DISTINCT docid FROM tok WHERE term = 'join' ),
@@ -213,4 +257,6 @@ def queries() -> dict:
         "api_post_filter": q_api_post_filter,
         "api_scoped_agg": q_api_scoped_agg,
         "api_nested_agg": q_api_nested_agg,
+        "api_collapse": q_api_collapse,
+        "api_highlight": q_api_highlight,
     }

@@ -121,6 +121,41 @@ def test_aggs_scoped_to_query(ex):
     assert resp["aggregations"]["n"][0]["n"] == n_en
 
 
+def test_collapse_in_body(ex):
+    body = {"query": {"match": {"text": "join"}}, "size": 10,
+            "collapse": {"field": "lang"}, "_source": {"includes": ["lang"]}}
+    rows = search_df(ex, body).collect()
+    langs = [r.lang for r in rows]
+    assert len(langs) == len(set(langs))
+    # each surviving hit is its group's best by (score desc, docid asc)
+    full = search_df(ex, {"query": body["query"], "size": 100_000,
+                          "_source": {"includes": ["lang"]}}).collect()
+    best = {}
+    for r in sorted(full, key=lambda r: (-r.score, r.docid)):
+        best.setdefault(r.lang, r.docid)
+    for r in rows:
+        assert best[r.lang] == r.docid
+
+
+def test_highlight_in_body(spark, ex):
+    import pytest as _pt
+    from sparksearch.corpus import pages_from_documents
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001")
+    body = {"query": {"match": {"text": "hash join"}}, "size": 3,
+            "_source": False,
+            "highlight": {"fields": {"text": {}},
+                          "pre_tags": ["["], "post_tags": ["]"]}}
+    rows = search_df(ex, body, pages=pages).collect()
+    assert len(rows) == 3
+    assert all("[hash]" in r.highlight or "[join]" in r.highlight
+               for r in rows)
+    resp = run_search(ex, body, pages=pages)
+    assert resp["hits"]["hits"][0]["highlight"]["text"][0] == \
+        rows[0].highlight
+    with _pt.raises(ValueError):
+        search_df(ex, body)  # highlight without the corpus
+
+
 def test_metric_leaves(ex):
     card = aggs_df(ex, {"aggs": {"c": {"cardinality": {"field": "lang"}}}}) \
         .collect()[0]["c"]
