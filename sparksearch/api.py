@@ -20,7 +20,9 @@ Supported body keys: query, size, from, sort (field / ``_score`` /
 aggs deliberately don't see it), track_total_hits (True=exact /
 int cap, default 10,000), collapse (best hit per field group),
 highlight (pre/post tags over analyzed query terms; needs the raw
-corpus passed as `pages`), _source (bool / includes / excludes), aggs
+corpus passed as `pages`), explain (per-hit BM25 Explanation tree,
+match queries), suggest (term / phrase / completion suggesters),
+_source (bool / includes / excludes), aggs
 (terms / histogram / date_histogram / range / filters buckets; metric
 leaves avg/sum/min/max/value_count/cardinality/weighted_avg/stats/
 extended_stats/percentiles; metric sub-aggs plus one nested bucket
@@ -211,6 +213,16 @@ def run_search(ex, body: dict, pages: DataFrame | None = None) -> dict:
         hit = {"_id": d.pop("url"), "_score": d.pop("score", None)}
         if "highlight" in d:
             hit["highlight"] = {"text": [d.pop("highlight")]}
+        if body.get("explain"):
+            # per-hit Explanation tree — one bounded job per hit, the same
+            # per-doc cost shape as the reference's _explain endpoint
+            from sparksearch.fetchops import explain as _explain
+            from sparksearch.queries import Match as _Match
+            if not isinstance(q, _Match):
+                raise ValueError("body explain supports match queries")
+            hit["_explanation"] = [e.asDict()
+                                   for e in _explain(ex, q, d["docid"])
+                                   .collect()]
         hit["_source"] = {k: v for k, v in d.items() if k != "docid"}
         hits.append(hit)
     max_score = max((h["_score"] for h in hits
@@ -225,6 +237,23 @@ def run_search(ex, body: dict, pages: DataFrame | None = None) -> dict:
                 sub["query"] = body["query"]
             bdf = aggs_df(ex, sub)
             resp["aggregations"][name] = [r.asDict() for r in bdf.collect()]
+    if "suggest" in body:
+        from sparksearch import fetchops as FO
+        resp["suggest"] = {}
+        for sname, sspec in body["suggest"].items():
+            if "term" in sspec:
+                df = FO.suggest_terms(ex.ix, sspec["text"],
+                                      size=sspec["term"].get("size", 3))
+            elif "phrase" in sspec:
+                df = FO.suggest_phrase(ex.ix, sspec["text"],
+                                       size=sspec["phrase"].get("size", 3))
+            elif "completion" in sspec:
+                df = FO.suggest_completion(
+                    ex.ix, sspec["prefix"],
+                    size=sspec["completion"].get("size", 5))
+            else:
+                raise ValueError(f"unsupported suggester in {sname!r}")
+            resp["suggest"][sname] = [r.asDict() for r in df.collect()]
     return resp
 
 

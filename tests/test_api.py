@@ -156,6 +156,36 @@ def test_highlight_in_body(spark, ex):
         search_df(ex, body)  # highlight without the corpus
 
 
+def test_suggest_in_body(ex):
+    resp = run_search(ex, {
+        "size": 0,
+        "suggest": {
+            "fix": {"text": "joni", "term": {"field": "text"}},
+            "auto": {"prefix": "jo", "completion": {"size": 3}}}})
+    fix = resp["suggest"]["fix"]
+    assert fix and all(r["input"] == "joni" for r in fix)
+    assert any(r["term"] == "join" for r in fix)
+    auto = resp["suggest"]["auto"]
+    assert 0 < len(auto) <= 3
+    assert all(r["term"].startswith("jo") for r in auto)
+    dfs = [r["df"] for r in auto]
+    assert dfs == sorted(dfs, reverse=True)
+
+
+def test_explain_in_body(ex):
+    resp = run_search(ex, {
+        "query": {"match": {"text": "hash join"}}, "size": 2,
+        "_source": False, "explain": True})
+    for h in resp["hits"]["hits"]:
+        exp = h["_explanation"]
+        assert exp and {e["term"] for e in exp} <= {"hash", "join"}
+        total = sum(e["contribution"] for e in exp)
+        assert abs(total - h["_score"]) < 2e-4  # per-term rounding
+    with pytest.raises(ValueError):
+        run_search(ex, {"query": {"term": {"lang": "en"}},
+                        "size": 1, "explain": True})
+
+
 def test_metric_leaves(ex):
     card = aggs_df(ex, {"aggs": {"c": {"cardinality": {"field": "lang"}}}}) \
         .collect()[0]["c"]
