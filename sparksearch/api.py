@@ -195,17 +195,22 @@ def run_search(ex, body: dict, pages: DataFrame | None = None) -> dict:
     """The response envelope (RestSearchAction shape). Collects ≤ size
     hit rows driver-side; total is a separate count on the filter plan."""
     q = from_dsl(body["query"]) if "query" in body else MatchAll()
-    total = ex._plan(q, scored=False).count()
-    # track_total_hits: True → exact; int cap (default 10,000 like the
-    # reference's SearchContext.TRACK_TOTAL_HITS_UP_TO) → capped + "gte"
+    # track_total_hits: True → exact count; int cap (default 10,000 like
+    # the reference's SearchContext.TRACK_TOTAL_HITS_UP_TO) → counting
+    # STOPS at cap+1 (limit compiles to CollectLimit — partitions stop
+    # producing once the limit is hit, the Spark analogue of the
+    # reference's early-terminating total-hits collector; an exact count
+    # of a 10^12-doc match would scan every posting for a number nobody
+    # asked for)
     tth = body.get("track_total_hits", 10_000)
+    matched = ex._plan(q, scored=False)
     if tth is True:
-        total_rep = {"value": total, "relation": "eq"}
+        total_rep = {"value": matched.count(), "relation": "eq"}
     else:
         cap = int(tth)
-        total_rep = ({"value": total, "relation": "eq"}
-                     if total <= cap else
-                     {"value": cap, "relation": "gte"})
+        seen = matched.limit(cap + 1).count()
+        total_rep = ({"value": seen, "relation": "eq"} if seen <= cap
+                     else {"value": cap, "relation": "gte"})
     rows = search_df(ex, body, pages=pages).collect()
     hits = []
     for r in rows:
