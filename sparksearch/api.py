@@ -16,7 +16,10 @@ Two shapes:
 - ``aggs_df(ex, body)`` → one top-level agg as a bucket DataFrame.
 
 Supported body keys: query, size, from, sort (field / ``_score`` /
-``_doc``, asc/desc), search_after, min_score, post_filter (hits only —
+``_doc`` / ``_script``, asc/desc), search_after, min_score, rescore
+(windowed QueryRescorer re-rank), script_fields + runtime_mappings
+(Painless-subset → Catalyst columns), docvalue_fields, post_filter
+(hits only —
 aggs deliberately don't see it), track_total_hits (True=exact /
 int cap, default 10,000), collapse (best hit per field group),
 highlight (pre/post tags over analyzed query terms; needs the raw
@@ -95,10 +98,36 @@ def search_df(ex, body: dict, pages: DataFrame | None = None) -> DataFrame:
     _source fields>) ordered per the body's sort, offset by `from`.
     `pages` (the raw corpus) is only needed when the body asks for
     `highlight` — the docs table deliberately doesn't carry source text."""
+    if "runtime_mappings" in body:
+        # script-derived columns inlined into the same docs scan — the
+        # derived Executor plans them identically to stored fields
+        from sparksearch.exec import Executor
+        srcs = {f: (m["script"]["source"] if isinstance(m, dict)
+                    and "script" in m else m)
+                for f, m in body["runtime_mappings"].items()}
+        ex = Executor(ex.ix.with_runtime(srcs), fixed_now=ex.fixed_now)
     q = from_dsl(body["query"]) if "query" in body else MatchAll()
     size = int(body.get("size", 10))
     from_ = int(body.get("from", 0))
-    sort = _parse_sort(body.get("sort"))
+
+    script_sorts: dict = {}   # placeholder name -> CompiledScript
+    sort_spec = body.get("sort")
+    if sort_spec:
+        from sparksearch.painless import compile_script
+        rewritten = []
+        for i, s in enumerate(sort_spec if isinstance(sort_spec, list)
+                              else [sort_spec]):
+            if isinstance(s, dict) and "_script" in s:
+                sc = s["_script"]
+                comp = compile_script(sc["script"]["source"],
+                                      sc["script"].get("params"))
+                nm = f"_script_{i}"
+                script_sorts[nm] = comp
+                rewritten.append({nm: {"order": sc.get("order", "asc")}})
+            else:
+                rewritten.append(s)
+        sort_spec = rewritten
+    sort = _parse_sort(sort_spec)
     needs_score = any(f == "_score" for f, _ in sort) \
         or "min_score" in body or not body.get("sort")
 
@@ -106,6 +135,26 @@ def search_df(ex, body: dict, pages: DataFrame | None = None) -> DataFrame:
     if "min_score" in body:
         scored = scored.filter(
             F.col("score") >= float(body["min_score"]))
+    if "rescore" in body:
+        # QueryRescorer: total = qw·primary + rw·secondary over the top
+        # `window_size` primary hits; pagination must fit in the window
+        rs = body["rescore"]
+        window = int(rs.get("window_size", 10))
+        if from_ + size > window:
+            raise ValueError("from+size exceeds the rescore window")
+        rq = from_dsl(rs["query"]["rescore_query"])
+        qw = float(rs["query"].get("query_weight", 1.0))
+        rw = float(rs["query"].get("rescore_query_weight", 1.0))
+        primary = (scored.orderBy(F.col("score").desc(),
+                                  F.col("docid").asc())
+                   .limit(window))
+        secondary = (ex._plan(rq, scored=True)
+                     .select("docid", F.col("score").alias("_s2")))
+        scored = (primary.join(secondary, "docid", "left")
+                  .withColumn("score",
+                              F.col("score") * qw
+                              + F.coalesce(F.col("_s2"), F.lit(0.0)) * rw)
+                  .drop("_s2"))
     if "post_filter" in body:
         # filters HITS only — aggs_df deliberately never sees it
         # (SearchSourceBuilder postFilter semantics)
@@ -114,9 +163,24 @@ def search_df(ex, body: dict, pages: DataFrame | None = None) -> DataFrame:
         scored = scored.join(pf, "docid", "left_semi")
     scored = scored.select("docid", _SCORE_4(F.col("score")).alias("score"))
 
-    doc_fields = {f for f, _ in sort if f not in ("_score", "_doc")}
+    doc_fields = {f for f, _ in sort
+                  if f not in ("_score", "_doc") and f not in script_sorts}
+    for comp in script_sorts.values():
+        doc_fields |= comp.doc_fields
     if "collapse" in body:
         doc_fields.add(body["collapse"]["field"])
+    doc_fields |= set(body.get("docvalue_fields", []))
+    sf_compiled: dict = {}
+    if "script_fields" in body:
+        from sparksearch.painless import compile_script
+        for nm, spec in body["script_fields"].items():
+            sc = spec["script"] if isinstance(spec, dict) else {"source": spec}
+            comp = compile_script(sc["source"] if isinstance(sc, dict)
+                                  else sc,
+                                  sc.get("params") if isinstance(sc, dict)
+                                  else None)
+            sf_compiled[nm] = comp
+            doc_fields |= comp.doc_fields
     src = body.get("_source", True)
     inc = exc = None
     if isinstance(src, dict):
@@ -138,6 +202,11 @@ def search_df(ex, body: dict, pages: DataFrame | None = None) -> DataFrame:
     fetch_cols = ["docid", "url"] + sorted(doc_fields | set(keep_src))
     d = ex.ix.docs.select(*fetch_cols)
     out = scored.join(d, "docid")
+    for nm, comp in script_sorts.items():
+        out = out.withColumn(nm, comp.col)
+    for nm, comp in sf_compiled.items():
+        # _score inside a script field resolves to the hit's score
+        out = out.withColumn(nm, comp.col)
 
     order = [(_sort_col(f).asc() if asc else _sort_col(f).desc())
              for f, asc in sort]

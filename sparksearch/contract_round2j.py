@@ -119,6 +119,21 @@ def q_api_highlight(spark, sf_dir):
             .select("docid", "url", "score", "highlight"))
 
 
+def q_api_rescore(spark, sf_dir):
+    """Body rescore: QueryRescorer over the top-20 primary window,
+    total = 1·primary + 2·secondary."""
+    from sparksearch.api import search_df
+    _, ex = C.get_engine(spark, sf_dir)
+    body = {"query": {"match": {"text": "hash join"}},
+            "rescore": {"window_size": 20,
+                        "query": {"rescore_query":
+                                  {"match": {"text": "table"}},
+                                  "query_weight": 1.0,
+                                  "rescore_query_weight": 2.0}},
+            "size": 10, "_source": False}
+    return search_df(ex, body).select("docid", "url", "score")
+
+
 def q_api_terms_agg(spark, sf_dir):
     """Body aggs: terms(lang) buckets with avg(dl) sub-metric."""
     from sparksearch.api import aggs_df
@@ -194,6 +209,23 @@ FROM j GROUP BY lang
 ORDER BY doc_count DESC, key ASC
 LIMIT 5
 """.strip(),
+        "api_rescore": f"""
+WITH {P}, {TOK}, {DL}, {match2},
+tfc AS ( SELECT docid, count(*) AS tf FROM tok WHERE term = 'table'
+         GROUP BY docid ),
+dfc AS ( SELECT count(*) AS df FROM tfc ),
+sc2 AS ( SELECT tfc.docid, {_idf('dfc.df', 'g.n')} *
+                {_tfn('tfc.tf', 'dlq.dl_q', 'g.avgdl')} AS s
+         FROM tfc CROSS JOIN dfc JOIN dlq USING (docid) CROSS JOIN g ),
+prim AS ( SELECT docid, raw FROM sc ORDER BY raw DESC, docid ASC LIMIT 20 )
+SELECT p.docid, p.url,
+       CAST(round(prim.raw * 1.0 + coalesce(sc2.s, 0) * 2.0, 4)
+            AS DOUBLE) AS score
+FROM prim LEFT JOIN sc2 USING (docid) JOIN pages p USING (docid)
+ORDER BY round(prim.raw * 1.0 + coalesce(sc2.s, 0) * 2.0, 4) DESC,
+         p.docid ASC
+LIMIT 10
+""".strip(),
         "api_collapse": f"""
 WITH {P}, {TOK}, {DL}, {match2},
 ranked AS (
@@ -259,4 +291,5 @@ def queries() -> dict:
         "api_nested_agg": q_api_nested_agg,
         "api_collapse": q_api_collapse,
         "api_highlight": q_api_highlight,
+        "api_rescore": q_api_rescore,
     }

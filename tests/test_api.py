@@ -186,6 +186,58 @@ def test_explain_in_body(ex):
                         "size": 1, "explain": True})
 
 
+def test_rescore_in_body(ex):
+    base = {"query": {"match": {"text": "hash"}}, "size": 5,
+            "_source": False}
+    plain = search_df(ex, base).collect()
+    body = {**base, "rescore": {
+        "window_size": 20,
+        "query": {"rescore_query": {"match": {"text": "join"}},
+                  "query_weight": 1.0, "rescore_query_weight": 2.0}}}
+    rescored = search_df(ex, body).collect()
+    assert len(rescored) == 5
+    # combined score ≥ primary score for any doc that also matches 'join'
+    prim = {r.docid: r.score for r in search_df(
+        ex, {**base, "size": 100_000}).collect()}
+    assert all(r.score >= prim[r.docid] - 1e-9 for r in rescored)
+    assert [r.docid for r in rescored] != [r.docid for r in plain] or \
+        all(abs(r.score - prim[r.docid]) < 1e-9 for r in rescored)
+    with pytest.raises(ValueError):
+        search_df(ex, {**body, "from": 18})  # from+size > window
+
+
+def test_script_fields_and_script_sort(ex):
+    body = {"query": {"term": {"lang": "en"}}, "size": 6,
+            "_source": False,
+            "script_fields": {"dl2": {"script":
+                                      {"source": "doc['dl'].value * 2"}}},
+            "sort": [{"_script": {"script": {"source":
+                                             "doc['dl'].value % 5"},
+                      "order": "desc"}}]}
+    rows = search_df(ex, body).collect()
+    # script field = 2·dl; sort key = dl % 5 desc
+    docs = {r.docid: r.dl for r in
+            ex.ix.docs.filter("lang='en'").select("docid", "dl").collect()}
+    for r in rows:
+        assert r.dl2 == docs[r.docid] * 2
+    keys = [r["_script_0"] for r in rows]
+    assert keys == sorted(keys, reverse=True)
+
+
+def test_runtime_mappings_in_body(ex):
+    body = {"query": {"range": {"dl_sq": {"gte": 2500}}},
+            "runtime_mappings": {"dl_sq": {"type": "double",
+                                           "script": {"source":
+                                                      "doc['dl'].value * "
+                                                      "doc['dl'].value"}}},
+            "sort": [{"dl_sq": {"order": "asc"}}], "size": 5,
+            "_source": {"includes": ["dl"]}}
+    rows = search_df(ex, body).collect()
+    assert rows and all(r.dl * r.dl >= 2500 for r in rows)
+    vals = [r.dl * r.dl for r in rows]
+    assert vals == sorted(vals)
+
+
 def test_metric_leaves(ex):
     card = aggs_df(ex, {"aggs": {"c": {"cardinality": {"field": "lang"}}}}) \
         .collect()[0]["c"]
