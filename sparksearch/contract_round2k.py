@@ -37,6 +37,14 @@ def q_pii_redact(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_knn_sq8(spark, sf_dir):
+    """SQ8 scalar-quantized kNN: both sides quantized to the global
+    256-level grid, cosine over dequantized codes, top-10 for vec 0."""
+    from sparksearch.dataops import sq8_knn
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return sq8_knn(emb, query_id=0, k=10)
+
+
 def q_domain_cap(spark, sf_dir):
     """Cap the 97 synthetic hosts at 60 pages each; urls derived from
     doc_id by the corpus rule so no index build is needed."""
@@ -86,6 +94,30 @@ SELECT doc_id, n_emails, n_ips, n_phones,
 FROM counted
 ORDER BY doc_id
 """.strip(),
+        "knn_sq8": """
+WITH comp AS (
+  SELECT vec_id, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS d
+  FROM embeddings ),
+g AS ( SELECT CAST(min(v) AS DOUBLE) AS lo,
+              CAST(max(v) AS DOUBLE) AS hi FROM comp ),
+deq AS (
+  SELECT vec_id, d,
+         g.lo + floor((CAST(v AS DOUBLE) - g.lo) * 255.0 / (g.hi - g.lo)
+                      + 0.5) * (g.hi - g.lo) / 255.0 AS dv
+  FROM comp CROSS JOIN g ),
+qv AS ( SELECT d, dv AS qdv FROM deq WHERE vec_id = 0 ),
+qn AS ( SELECT sqrt(sum(qdv * qdv)) AS nq FROM qv ),
+dots AS (
+  SELECT deq.vec_id, sum(dv * qdv) AS dot, sqrt(sum(dv * dv)) AS nv
+  FROM deq JOIN qv USING (d)
+  WHERE deq.vec_id <> 0
+  GROUP BY deq.vec_id )
+SELECT vec_id, CAST(round(dot / (nv * nq), 6) AS DOUBLE) AS cosine
+FROM dots CROSS JOIN qn
+ORDER BY round(dot / (nv * nq), 6) DESC, vec_id ASC
+LIMIT 10
+""".strip(),
         "domain_cap": """
 WITH pages AS (
   SELECT doc_id AS docid,
@@ -110,4 +142,5 @@ def queries() -> dict:
     return {
         "pii_redact": q_pii_redact,
         "domain_cap": q_domain_cap,
+        "knn_sq8": q_knn_sq8,
     }

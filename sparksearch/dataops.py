@@ -42,6 +42,8 @@ __all__ = [
     "gopher_repetition",
     "pii_redact",
     "domain_cap",
+    "sq8_encode",
+    "sq8_knn",
 ]
 
 
@@ -955,3 +957,56 @@ def domain_cap(pages: DataFrame, cap: int, url_col: str = "url",
     w2 = Window.partitionBy("host").orderBy(F.col(order_col).asc())
     return (cand.withColumn("host_rank", F.row_number().over(w2))
             .filter(F.col("host_rank") <= cap))
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar-quantized kNN (Lucene int8 vector quantization analogue)
+# ---------------------------------------------------------------------------
+
+def sq8_encode(emb: DataFrame, vec_col: str = "embedding"):
+    """Scalar-quantize float vectors to uint8 codes (Lucene's
+    ScalarQuantizer / OpenSearch SQ kNN: one global [lo, hi] interval over
+    all components, 256 levels). Returns (codes_df, lo, hi): codes_df
+    carries `code: array<int>` in 1 byte/dim of information — a 4×
+    footprint cut that at 100 TB of embeddings is the difference between
+    spilling and a RAM-resident scan.
+
+    (lo, hi) comes from one bounded 1-row driver agg; encoding itself is
+    a JVM `transform` over the array — no Python, no shuffle.
+    """
+    lo, hi = emb.agg(
+        F.min(F.array_min(F.col(vec_col))).cast("double"),
+        F.max(F.array_max(F.col(vec_col))).cast("double")).first()
+    scale = 255.0 / (hi - lo) if hi > lo else 0.0
+    codes = emb.withColumn(
+        "code",
+        F.transform(F.col(vec_col),
+                    lambda v: F.round((v.cast("double") - lo) * scale)
+                    .cast("int")))
+    return codes, lo, hi
+
+
+def sq8_knn(emb: DataFrame, query_id: int, k: int = 10,
+            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate cosine top-k over SQ8-dequantized vectors: both sides
+    quantize to the shared 256-level grid, distances run on the
+    dequantized codes (asymmetric-distance-style). Same distributed shape
+    as brute_force_knn — 1-row broadcast, JVM higher-order fns,
+    TakeOrderedAndProject — but the scan reads 1-byte codes, not floats.
+    """
+    codes, lo, hi = sq8_encode(emb, vec_col)
+    step = (hi - lo) / 255.0
+    deq = codes.select(
+        id_col,
+        F.transform(F.col("code"),
+                    lambda c: F.lit(lo) + c.cast("double") * F.lit(step))
+        .alias("_dv"))
+    q = deq.where(F.col(id_col) == query_id) \
+           .select(F.col("_dv").alias("_qv"))
+    scored = (deq.crossJoin(F.broadcast(q))
+              .where(F.col(id_col) != query_id)
+              .select(id_col,
+                      F.round(_cosine(F.col("_dv"), F.col("_qv")), 6)
+                      .alias("cosine")))
+    return scored.orderBy(F.col("cosine").desc(),
+                          F.col(id_col).asc()).limit(k)

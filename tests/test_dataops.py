@@ -176,3 +176,21 @@ def test_domain_cap(spark):
     big = sorted(by_host["big.example"], key=lambda r: r.host_rank)
     assert [r.docid for r in big] == [1, 2, 3, 5, 6]
     assert [r.host_rank for r in big] == [1, 2, 3, 4, 5]
+
+
+def test_sq8_knn_vs_brute(spark):
+    from sparksearch.dataops import brute_force_knn, sq8_encode, sq8_knn
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    codes, lo, hi = sq8_encode(emb)
+    row = codes.first()
+    assert lo < hi
+    assert all(0 <= c <= 255 for c in row.code)
+    # max dequantization error is half a step
+    step = (hi - lo) / 255.0
+    deq = [lo + c * step for c in row.code]
+    assert max(abs(a - b) for a, b in zip(deq, row.embedding)) <= step / 2 + 1e-9
+    # quantized top-k closely tracks the exact top-k
+    exact = [r.vec_id for r in brute_force_knn(emb, 0, k=10).collect()]
+    approx = [r.vec_id for r in sq8_knn(emb, 0, k=10).collect()]
+    assert len(set(exact) & set(approx)) >= 7
+    assert approx[0] == exact[0]
