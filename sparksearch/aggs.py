@@ -693,3 +693,55 @@ def string_stats_agg(df: DataFrame, field: str) -> DataFrame:
            .agg(F.round(-F.sum(F.col("p") * F.log2("p")), 6)
                 .alias("entropy")))
     return base.crossJoin(ent)
+
+
+def terms_agg_sharded(df: DataFrame, field: str, size: int = 10,
+                      shard_size: int = 25,
+                      shard_col: Column | None = None) -> DataFrame:
+    """Terms agg with the reference's distributed merge semantics: each
+    shard returns only its local top `shard_size` buckets, the coordinator
+    sums what came back and reports a per-bucket
+    `doc_count_error_upper_bound` (sv TermsAggregator / InternalTerms
+    reduce: a shard that did NOT return a bucket may have been hiding up
+    to its last returned count of it).
+
+    A shard's error contribution is its smallest RETURNED count — zero if
+    it returned every bucket it had (nothing hidden). A bucket's bound is
+    the sum over shards that missed it, computed as
+    T − Σ(contributions of shards that did return it).
+
+    `shard_col` defaults to `spark_partition_id()` (real shards). Pass an
+    explicit deterministic column (e.g. `doc_id % n`) for reproducible
+    tests/oracles — the algebra is identical either way. The exact
+    `terms_agg` needs no bounds; this exists to mirror the reference's
+    coordinator protocol and for one-pass approximations where shipping
+    full per-shard bucket lists is the bottleneck.
+    """
+    shard = (shard_col if shard_col is not None
+             else F.spark_partition_id()).alias("_shard")
+    local = (df.filter(F.col(field).isNotNull())
+             .groupBy(shard, F.col(field).alias("key"))
+             .agg(F.count("*").cast("long").alias("cnt")))
+    w = (Window.partitionBy("_shard")
+         .orderBy(F.col("cnt").desc(), F.col("key").asc()))
+    ranked = local.withColumn("_rn", F.row_number().over(w))
+    returned = ranked.filter(F.col("_rn") <= shard_size)
+    per_shard = (ranked.groupBy("_shard")
+                 .agg(F.count("*").alias("n_all"),
+                      F.min(F.when(F.col("_rn") <= shard_size,
+                                   F.col("cnt"))).alias("cut")))
+    cutoffs = per_shard.select(
+        "_shard",
+        F.when(F.col("n_all") > shard_size, F.col("cut"))
+        .otherwise(F.lit(0)).cast("long").alias("cut_eff"))
+    total_cut = cutoffs.agg(F.sum("cut_eff").alias("_t"))
+    merged = (returned.join(cutoffs, "_shard")
+              .groupBy("key")
+              .agg(F.sum("cnt").cast("long").alias("doc_count"),
+                   F.sum("cut_eff").cast("long").alias("_seen_cut")))
+    return (merged.crossJoin(F.broadcast(total_cut))
+            .select("key", "doc_count",
+                    (F.col("_t") - F.col("_seen_cut")).cast("long")
+                    .alias("doc_count_error_upper_bound"))
+            .orderBy(F.col("doc_count").desc(), F.col("key").asc())
+            .limit(size))

@@ -45,6 +45,17 @@ def q_knn_sq8(spark, sf_dir):
     return sq8_knn(emb, query_id=0, k=10)
 
 
+def q_terms_sharded(spark, sf_dir):
+    """Distributed terms merge with doc_count_error_upper_bound: 4
+    deterministic shards (doc_id % 4) each return only their local top-2
+    langs; the coordinator sums and bounds what a missing shard may have
+    hidden (InternalTerms reduce semantics)."""
+    from sparksearch.aggs import terms_agg_sharded
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return terms_agg_sharded(d, "lang", size=5, shard_size=2,
+                             shard_col=(F.col("doc_id") % 4))
+
+
 def q_domain_cap(spark, sf_dir):
     """Cap the 97 synthetic hosts at 60 pages each; urls derived from
     doc_id by the corpus rule so no index build is needed."""
@@ -93,6 +104,34 @@ SELECT doc_id, n_emails, n_ips, n_phones,
            '{_PHONE}', '<PHONE>', 'g')) AS text_md5
 FROM counted
 ORDER BY doc_id
+""".strip(),
+        "terms_sharded": """
+WITH local AS (
+  SELECT doc_id % 4 AS shard, lang AS key, count(*) AS cnt
+  FROM documents WHERE lang IS NOT NULL
+  GROUP BY doc_id % 4, lang ),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY shard
+                               ORDER BY cnt DESC, key ASC) AS rn
+  FROM local ),
+per_shard AS (
+  SELECT shard, count(*) AS n_all,
+         min(CASE WHEN rn <= 2 THEN cnt END) AS cut
+  FROM ranked GROUP BY shard ),
+cutoffs AS (
+  SELECT shard, CASE WHEN n_all > 2 THEN cut ELSE 0 END AS cut_eff
+  FROM per_shard ),
+t AS ( SELECT sum(cut_eff) AS total_cut FROM cutoffs ),
+merged AS (
+  SELECT r.key, sum(r.cnt) AS doc_count, sum(c.cut_eff) AS seen_cut
+  FROM ranked r JOIN cutoffs c USING (shard)
+  WHERE r.rn <= 2 GROUP BY r.key )
+SELECT key, CAST(doc_count AS BIGINT) AS doc_count,
+       CAST(t.total_cut - seen_cut AS BIGINT)
+         AS doc_count_error_upper_bound
+FROM merged CROSS JOIN t
+ORDER BY doc_count DESC, key ASC
+LIMIT 5
 """.strip(),
         "knn_sq8": """
 WITH comp AS (
@@ -143,4 +182,5 @@ def queries() -> dict:
         "pii_redact": q_pii_redact,
         "domain_cap": q_domain_cap,
         "knn_sq8": q_knn_sq8,
+        "terms_sharded": q_terms_sharded,
     }

@@ -88,3 +88,29 @@ def test_scripted_metric_partition_invariant(spark):
         v = scripted_metric(df.repartition(parts), F.col("x") * F.col("x"),
                             combine="sum", reduce="sum").collect()[0]["value"]
         assert v == pytest.approx(sum(i * i for i in range(1, 101)))
+
+
+def test_terms_agg_sharded_error_bounds(spark):
+    from pyspark.sql import functions as F
+
+    from sparksearch.aggs import terms_agg_sharded
+    rows = ([(i, "a") for i in (0, 2, 4)] + [(i, "b") for i in (6, 8)]
+            + [(i, "b") for i in (1, 3, 5)] + [(7, "a")])
+    df = spark.createDataFrame(rows, "id long, lang string")
+    out = {r.key: r for r in terms_agg_sharded(
+        df, "lang", size=10, shard_size=1,
+        shard_col=(F.col("id") % 2)).collect()}
+    # shard0 returns only (a,3) hiding (b,2); shard1 only (b,3) hiding
+    # (a,1). A missing shard's worst case is its smallest RETURNED count
+    # (3 on both shards), so each bucket's bound is 3 — ≥ the truly
+    # hidden 2 and 1 (it's an upper bound, not the hidden count)
+    assert out["a"].doc_count == 3
+    assert out["a"].doc_count_error_upper_bound == 3
+    assert out["b"].doc_count == 3
+    assert out["b"].doc_count_error_upper_bound == 3
+    # with shard_size covering everything, counts are exact, bounds zero
+    exact = {r.key: r for r in terms_agg_sharded(
+        df, "lang", size=10, shard_size=10,
+        shard_col=(F.col("id") % 2)).collect()}
+    assert exact["a"].doc_count == 4 and exact["b"].doc_count == 5
+    assert all(r.doc_count_error_upper_bound == 0 for r in exact.values())
