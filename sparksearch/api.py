@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 from sparksearch.dsl import from_dsl
 from sparksearch.queries import MatchAll
 
-__all__ = ["search_df", "run_search", "aggs_df"]
+__all__ = ["search_df", "run_search", "aggs_df", "count_api", "mget"]
 
 _SCORE_4 = lambda c: F.round(c, 4)
 
@@ -139,6 +139,10 @@ def search_df(ex, body: dict, pages: DataFrame | None = None) -> DataFrame:
         # QueryRescorer: total = qw·primary + rw·secondary over the top
         # `window_size` primary hits; pagination must fit in the window
         rs = body["rescore"]
+        if body.get("sort"):
+            # the reference rejects this outright (SearchService: "Cannot
+            # use [sort] option in conjunction with [rescore]")
+            raise ValueError("rescore cannot combine with explicit sort")
         window = int(rs.get("window_size", 10))
         if from_ + size > window:
             raise ValueError("from+size exceeds the rescore window")
@@ -329,6 +333,32 @@ def run_search(ex, body: dict, pages: DataFrame | None = None) -> dict:
                 raise ValueError(f"unsupported suggester in {sname!r}")
             resp["suggest"][sname] = [r.asDict() for r in df.collect()]
     return resp
+
+
+def count_api(ex, body: dict) -> dict:
+    """The `_count` endpoint: filter-context match count, no scoring, no
+    fetch (sv/action/search — RestCountAction)."""
+    q = from_dsl(body["query"]) if "query" in body else MatchAll()
+    return {"count": ex._plan(q, scored=False).count()}
+
+
+def mget(ex, ids: list[str], source: bool = True) -> dict:
+    """The `_mget` endpoint: fetch docs by id (url) in request order,
+    `found: false` for misses (sv/action/get/TransportMultiGetAction).
+    One isin-pruned scan — N ids never become N jobs."""
+    rows = {r["url"]: r.asDict()
+            for r in ex.ix.docs.filter(F.col("url").isin(list(ids)))
+            .collect()}
+    docs = []
+    for i in ids:
+        if i in rows:
+            d = {k: v for k, v in rows[i].items()
+                 if k not in ("docid", "url")}
+            docs.append({"_id": i, "found": True,
+                         **({"_source": d} if source else {})})
+        else:
+            docs.append({"_id": i, "found": False})
+    return {"docs": docs}
 
 
 _METRICS = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,

@@ -30,10 +30,12 @@ __all__ = ["percolate"]
 
 
 def percolate(docs: DataFrame, queries: DataFrame,
-              analyzer: str = "standard") -> DataFrame:
+              analyzer: str = "standard", sort: bool = True) -> DataFrame:
     """(url, qid) for every stored query matching each document.
 
     `docs`: (url, text); `queries`: (qid, kind, terms array<string>, msm).
+    `sort=False` skips the final global sort — required on streaming
+    inputs (percolate_stream), where a global order is meaningless.
     """
     tok = docs.select(
         "url", doc_postings_udf(analyzer)(F.col("text")).alias("_t"))
@@ -72,6 +74,5 @@ def percolate(docs: DataFrame, queries: DataFrame,
                      F.when(n_terms == 1, n_present >= 1)
                      .otherwise((n_terms >= 2) & phrase_ok))
                .otherwise(F.lit(False)))
-    return (paired.where(matched)
-            .select("url", "qid")
-            .orderBy("url", "qid"))
+    out = paired.where(matched).select("url", "qid")
+    return out.orderBy("url", "qid") if sort else out

@@ -32,7 +32,8 @@ from pyspark.sql import DataFrame, SparkSession
 from sparksearch.merge import add_generation, merge_segments, should_merge
 
 __all__ = ["stream_index", "indexed_batches",
-           "windowed_page_stats", "site_running_counts"]
+           "windowed_page_stats", "site_running_counts",
+           "percolate_stream"]
 
 
 def indexed_batches(index_dir: str) -> dict[str, int]:
@@ -172,3 +173,20 @@ def dedup_stream(pages_stream: DataFrame,
     return (hashed
             .withWatermark("warc_ts", watermark)
             .dropDuplicatesWithinWatermark(["content_hash"]))
+
+
+def percolate_stream(pages_stream: DataFrame, queries: DataFrame,
+                     analyzer: str = "standard") -> DataFrame:
+    """Continuous percolation — the alerting analogue: every stored query
+    is matched against each arriving page, emitting (url, qid) alert rows
+    (reference: percolator queries driving monitors/alerting; the batch
+    form is percolate.percolate).
+
+    Stateless stream-static broadcast join: the query table broadcasts to
+    every micro-batch, per-doc token maps are built inside the batch, and
+    no watermark or state store is needed — alerts append as pages arrive.
+    At 10^12 docs/day the cost is one analyzer pass per page plus a
+    broadcast loop over Q queries, exactly the batch percolator's shape.
+    """
+    from sparksearch.percolate import percolate
+    return percolate(pages_stream, queries, analyzer, sort=False)

@@ -300,3 +300,24 @@ def test_run_search_with_aggs(ex):
     buckets = resp["aggregations"]["langs"]
     assert len(buckets) == 3
     assert buckets[0]["doc_count"] >= buckets[-1]["doc_count"]
+
+
+def test_count_and_mget(ex):
+    from sparksearch.api import count_api, mget
+    c = count_api(ex, {"query": {"term": {"lang": "en"}}})
+    assert c["count"] == ex.ix.docs.filter("lang = 'en'").count()
+    assert count_api(ex, {})["count"] == ex.ix.n_docs
+    urls = [r.url for r in ex.ix.docs.select("url").limit(2).collect()]
+    got = mget(ex, [urls[0], "https://nosuch.example/x", urls[1]])
+    assert [d["found"] for d in got["docs"]] == [True, False, True]
+    assert got["docs"][0]["_id"] == urls[0]
+    assert "lang" in got["docs"][0]["_source"]
+    assert "_source" not in mget(ex, [urls[0]], source=False)["docs"][0]
+
+
+def test_rescore_sort_conflict(ex):
+    with pytest.raises(ValueError):
+        search_df(ex, {"query": {"match": {"text": "hash"}},
+                       "sort": [{"dl": "desc"}],
+                       "rescore": {"window_size": 10, "query": {
+                           "rescore_query": {"match": {"text": "join"}}}}})

@@ -189,3 +189,43 @@ def test_dedup_stream_across_batches(spark, tmp_path_factory):
     assert got.count() == n + 20
     assert got.select("text").distinct().count() == n + 20
     pages.unpersist()
+
+
+def test_percolate_stream_alerts(spark, tmp_path_factory):
+    """Stored queries fire continuously against arriving pages; a second
+    batch only appends its own alerts (no reprocessing)."""
+    from pyspark.sql import functions as F
+
+    from sparksearch.corpus import pages_from_documents
+    from sparksearch.percolate import percolate
+    from sparksearch.streaming import percolate_stream
+
+    root = tmp_path_factory.mktemp("sperc")
+    src, out, ckpt = (str(root / d) for d in ("in", "out", "ckpt"))
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001") \
+        .select("url", "text").orderBy("url").limit(40).cache()
+    queries = spark.createDataFrame(
+        [(1, "term", ["join"], 1), (2, "match", ["hash", "table"], 2)],
+        "qid int, kind string, terms array<string>, msm int").cache()
+
+    def drain():
+        stream = spark.readStream.schema(pages.schema).parquet(src)
+        q = (percolate_stream(stream, queries)
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    batch1 = pages.limit(25)
+    batch1.write.mode("overwrite").parquet(src)
+    drain()
+    got1 = {(r.url, r.qid) for r in spark.read.parquet(out).collect()}
+    want1 = {(r.url, r.qid) for r in percolate(batch1, queries).collect()}
+    assert got1 == want1 and got1
+
+    batch2 = pages.subtract(batch1)
+    batch2.write.mode("append").parquet(src)
+    drain()
+    got = {(r.url, r.qid) for r in spark.read.parquet(out).collect()}
+    want = {(r.url, r.qid) for r in percolate(pages, queries).collect()}
+    assert got == want and len(got) > len(got1)
