@@ -120,3 +120,52 @@ def test_bool_fused_single_postings_scan(engine):
     dv_scan = [seg for seg in plan.split("FileScan")
                if "/docs/" in seg][0]
     assert "lang" in dv_scan and "warc_ts" in dv_scan
+
+
+def test_api_post_filter_is_semi_join(engine):
+    from sparksearch.api import search_df
+    _, ex = engine
+    body = {"query": {"match": {"text": "hash"}},
+            "post_filter": {"term": {"lang": "en"}},
+            "size": 5, "_source": False}
+    plan = _plan_str(search_df(ex, body))
+    assert "LeftSemi" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_api_capped_total_is_collect_limit(engine):
+    from pyspark.sql import functions as F
+
+    from sparksearch.dsl import from_dsl
+    _, ex = engine
+    # the capped-total plan must stop producing at cap+1, not count all
+    matched = ex._plan(from_dsl({"match": {"text": "hash"}}), scored=False)
+    plan = _plan_str(matched.limit(101))
+    assert "CollectLimit" in plan or "GlobalLimit" in plan
+
+
+def test_api_nested_agg_broadcasts_outer_top(engine):
+    from sparksearch.api import aggs_df
+    _, ex = engine
+    body = {"aggs": {"langs": {
+        "terms": {"field": "lang", "size": 3},
+        "aggs": {"h": {"histogram": {"field": "dl", "interval": 25}}}}}}
+    plan = _plan_str(aggs_df(ex, body))
+    # outer top-N keys semi-join back as a broadcast, never a shuffle join
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "partial_count" in plan  # map-side combine on the groupBys
+
+
+def test_domain_cap_preprune_before_global_window(engine):
+    from pyspark.sql import functions as F
+
+    from sparksearch.corpus import pages_from_documents
+    from sparksearch.dataops import domain_cap
+    ix, _ = engine
+    pages = pages_from_documents(ix.spark, "/root/testdata/sf0.001") \
+        .select(F.monotonically_increasing_id().alias("docid"), "url")
+    plan = _plan_str(domain_cap(pages, cap=5))
+    # two window stages: the skew-free (host, pid) pre-prune, then the
+    # per-host global rank over <= cap*P survivors
+    assert plan.count("RunningWindowFunction") >= 2 or \
+        plan.count("Window") >= 2
