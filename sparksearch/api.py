@@ -21,7 +21,8 @@ Supported body keys: query, size, from, sort (field / ``_score`` /
 (Painless-subset → Catalyst columns), docvalue_fields, post_filter
 (hits only —
 aggs deliberately don't see it), track_total_hits (True=exact /
-int cap, default 10,000), collapse (best hit per field group),
+int cap, default 10,000), collapse (best hit per field group, optional inner_hits
+expansion),
 highlight (pre/post tags over analyzed query terms; needs the raw
 corpus passed as `pages`), explain (per-hit BM25 Explanation tree,
 match queries), suggest (term / phrase / completion suggesters),
@@ -303,6 +304,33 @@ def run_search(ex, body: dict, pages: DataFrame | None = None) -> dict:
                                    .collect()]
         hit["_source"] = {k: v for k, v in d.items() if k != "docid"}
         hits.append(hit)
+    clp = body.get("collapse")
+    if clp and "inner_hits" in clp and hits:
+        # per-group top-M expansion: ONE bounded job over the collapsed
+        # groups (CollapseBuilder innerHits — a second fetch phase)
+        from pyspark.sql import Window
+        ih = clp["inner_hits"]
+        m = int(ih.get("size", 3))
+        nm = ih.get("name", "inner")
+        field = clp["field"]
+        groups = [h["_source"][field] for h in hits]
+        g = (ex._plan(q, scored=True)
+             .join(ex.ix.docs.select("docid", "url", field), "docid")
+             .filter(F.col(field).isin(groups)))
+        w = (Window.partitionBy(field)
+             .orderBy(F.col("score").desc(), F.col("docid").asc()))
+        inner_rows = (g.withColumn("_rn", F.row_number().over(w))
+                      .filter(F.col("_rn") <= m)
+                      .select(field, "url", _SCORE_4(F.col("score"))
+                              .alias("score"), "_rn")
+                      .collect())
+        by_group: dict = {}
+        for r in inner_rows:
+            by_group.setdefault(r[field], []).append(
+                {"_id": r["url"], "_score": r["score"]})
+        for h in hits:
+            h["inner_hits"] = {nm: {"hits":
+                                    by_group.get(h["_source"][field], [])}}
     max_score = max((h["_score"] for h in hits
                      if h["_score"] is not None), default=None)
     resp = {"hits": {"total": total_rep,

@@ -321,3 +321,21 @@ def test_rescore_sort_conflict(ex):
                        "sort": [{"dl": "desc"}],
                        "rescore": {"window_size": 10, "query": {
                            "rescore_query": {"match": {"text": "join"}}}}})
+
+
+def test_collapse_inner_hits(ex):
+    resp = run_search(ex, {
+        "query": {"match": {"text": "join"}}, "size": 3,
+        "collapse": {"field": "lang", "inner_hits": {"size": 2,
+                                                     "name": "per_lang"}},
+        "_source": {"includes": ["lang"]}})
+    hits = resp["hits"]["hits"]
+    assert hits
+    for h in hits:
+        inner = h["inner_hits"]["per_lang"]["hits"]
+        assert 1 <= len(inner) <= 2
+        # the collapsed hit is its group's best — inner hit #1 is itself
+        assert inner[0]["_id"] == h["_id"]
+        assert inner[0]["_score"] == h["_score"]
+        scores = [i["_score"] for i in inner]
+        assert scores == sorted(scores, reverse=True)
