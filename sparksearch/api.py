@@ -31,8 +31,8 @@ _source (bool / includes / excludes), aggs
 leaves avg/sum/min/max/value_count/cardinality/weighted_avg/stats/
 extended_stats/percentiles; metric sub-aggs plus one nested bucket
 level; scoped to the body's query in filter context).
-Highlighting stays on the fetchops surface (it needs the raw pages
-source, which the docs table deliberately does not carry).
+
+Sibling endpoints: ``count_api`` (_count) and ``mget`` (_mget).
 """
 
 from __future__ import annotations
