@@ -56,6 +56,23 @@ def q_terms_sharded(spark, sf_dir):
                              shard_col=(F.col("doc_id") % 4))
 
 
+def q_repeated_spans(spark, sf_dir):
+    """Substring-level dedup signal: maximal token spans whose 3-gram
+    shingles recur across >= 3 docs (Lee et al. suffix-array dedup,
+    distributed approximation)."""
+    from sparksearch.dataops import repeated_ngram_spans
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repeated_ngram_spans(d, k=3, min_df=3)
+
+
+def q_hashed_bow(spark, sf_dir):
+    """Feature-hashed linear scorer (fastText-style classifier serving
+    plumbing): token -> md5 bucket -> md5-derived weight -> mean."""
+    from sparksearch.dataops import hashed_bow_score
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hashed_bow_score(d, dim=1024)
+
+
 def q_domain_cap(spark, sf_dir):
     """Cap the 97 synthetic hosts at 60 pages each; urls derived from
     doc_id by the corpus rule so no index build is needed."""
@@ -104,6 +121,51 @@ SELECT doc_id, n_emails, n_ips, n_phones,
            '{_PHONE}', '<PHONE>', 'g')) AS text_md5
 FROM counted
 ORDER BY doc_id
+""".strip(),
+        "repeated_spans": """
+WITH t AS ( SELECT doc_id, string_split(text, ' ') AS tt FROM documents ),
+grams AS (
+  SELECT doc_id, unnest(gl) AS g, generate_subscripts(gl, 1) - 1 AS pos
+  FROM ( SELECT doc_id,
+                CASE WHEN len(tt) >= 3 THEN
+                  list_transform(range(0, len(tt) - 2),
+                                 i -> array_to_string(tt[i+1:i+3], ' '))
+                ELSE [] END AS gl
+         FROM t ) ),
+freq AS ( SELECT g FROM (
+            SELECT g, count(DISTINCT doc_id) AS df FROM grams GROUP BY g )
+          WHERE df >= 3 ),
+hot AS ( SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM freq) ),
+runs AS ( SELECT doc_id, pos,
+                 pos - row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY pos) AS isl
+          FROM hot )
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 2 AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_grams
+FROM runs GROUP BY doc_id, isl
+ORDER BY doc_id, span_start
+""".strip(),
+        "hashed_bow": """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tkn FROM documents ),
+b AS (
+  SELECT doc_id,
+         CAST(((instr('0123456789abcdef', substring(md5(tkn), 1, 1)) - 1)
+               * 256 +
+               (instr('0123456789abcdef', substring(md5(tkn), 2, 1)) - 1)
+               * 16 +
+               (instr('0123456789abcdef', substring(md5(tkn), 3, 1)) - 1))
+              % 1024 AS INTEGER) AS bucket
+  FROM tok WHERE tkn <> '' ),
+w AS (
+  SELECT doc_id,
+         ((instr('0123456789abcdef',
+                 substring(md5(CAST(bucket AS VARCHAR)), 1, 1)) - 1)
+          - 7.5) / 8.0 AS w
+  FROM b )
+SELECT doc_id, CAST(round(avg(w), 6) AS DOUBLE) AS score
+FROM w GROUP BY doc_id ORDER BY doc_id
 """.strip(),
         "terms_sharded": """
 WITH local AS (
@@ -183,4 +245,6 @@ def queries() -> dict:
         "domain_cap": q_domain_cap,
         "knn_sq8": q_knn_sq8,
         "terms_sharded": q_terms_sharded,
+        "repeated_spans": q_repeated_spans,
+        "hashed_bow": q_hashed_bow,
     }

@@ -44,6 +44,8 @@ __all__ = [
     "domain_cap",
     "sq8_encode",
     "sq8_knn",
+    "repeated_ngram_spans",
+    "hashed_bow_score",
 ]
 
 
@@ -1010,3 +1012,79 @@ def sq8_knn(emb: DataFrame, query_id: int, k: int = 10,
                       .alias("cosine")))
     return scored.orderBy(F.col("cosine").desc(),
                           F.col(id_col).asc()).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# substring-level dedup + feature-hashed quality scoring
+# ---------------------------------------------------------------------------
+
+def repeated_ngram_spans(docs: DataFrame, k: int = 5, min_df: int = 3,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Token spans whose k-gram shingles recur across ≥ min_df docs — the
+    distributed approximation of suffix-array substring dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better": remove
+    repeated substrings, not just whole-doc dups).
+
+    Positions whose shingle is corpus-frequent merge into maximal spans by
+    gaps-and-islands (pos − row_number is constant within a run). Returns
+    (doc_id, span_start, span_end, n_grams) with token-index bounds
+    [span_start, span_end] inclusive, end = last covered token.
+
+    Scale shape: one explode + one groupBy(shingle) for the df table
+    (map-side combinable), a broadcast-free semi-join back on the shingle
+    hash, then per-doc windows (per-doc rows ≪ partition size; no skew —
+    the hot shingles distribute by doc).
+    """
+    toks = docs.select(F.col(id_col),
+                       F.split(F.col(text_col), " ").alias("_t"))
+    n = F.size("_t")
+    grams = toks.select(
+        id_col,
+        F.when(n >= k,
+               F.expr(f"transform(sequence(0, size(_t) - {k}), "
+                      f"i -> struct(i AS pos, "
+                      f"concat_ws(' ', slice(_t, i + 1, {k})) AS g))")
+               ).otherwise(F.array()).alias("_gs"))
+    pos = grams.select(id_col, F.explode("_gs").alias("e")) \
+               .select(id_col, F.col("e.pos").alias("pos"),
+                       F.md5(F.col("e.g")).alias("gh"))
+    freq = (pos.groupBy("gh")
+            .agg(F.countDistinct(id_col).alias("df"))
+            .filter(F.col("df") >= min_df)
+            .select("gh"))
+    hot = pos.join(freq, "gh", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = hot.withColumn("_isl", F.col("pos") - F.row_number().over(w))
+    return (runs.groupBy(id_col, "_isl")
+            .agg(F.min("pos").cast("long").alias("span_start"),
+                 (F.max("pos") + (k - 1)).cast("long").alias("span_end"),
+                 F.count("*").cast("long").alias("n_grams"))
+            .drop("_isl")
+            .orderBy(id_col, "span_start"))
+
+
+def hashed_bow_score(docs: DataFrame, dim: int = 1024,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Feature-hashed linear text scorer — the fastText-style quality
+    classifier's serving plumbing (CCNet / web-corpus filtering): token →
+    hashed bucket → per-bucket weight → mean over tokens. The md5-derived
+    demo weights stand in for a trained model; swap in a real
+    (bucket, weight) table and nothing else changes.
+
+    Pure Catalyst: explode + modular bucket hash + groupBy mean. At crawl
+    scale it's one shuffle keyed by doc_id with map-side partial sums.
+    """
+    tok = docs.select(F.col(id_col),
+                      F.explode(F.split(F.col(text_col), " ")).alias("t")) \
+              .filter(F.col("t") != "")
+    h = F.md5(F.col("t"))
+    bucket = ((_digit(h, 1) * 256 + _digit(h, 2) * 16 + _digit(h, 3))
+              % dim).alias("bucket")
+    wh = F.md5(F.col("bucket").cast("string"))
+    weight = ((_digit(wh, 1) - 7.5) / 8.0).alias("w")
+    scored = tok.select(id_col, bucket).select(id_col, "bucket", weight)
+    return (scored.groupBy(id_col)
+            .agg(F.round(F.avg("w"), 6).alias("score"))
+            .orderBy(id_col))

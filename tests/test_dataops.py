@@ -194,3 +194,38 @@ def test_sq8_knn_vs_brute(spark):
     approx = [r.vec_id for r in sq8_knn(emb, 0, k=10).collect()]
     assert len(set(exact) & set(approx)) >= 7
     assert approx[0] == exact[0]
+
+
+def test_repeated_ngram_spans(spark):
+    from sparksearch.dataops import repeated_ngram_spans
+    boiler = "all rights reserved contact us today"
+    rows = [
+        (1, f"alpha beta {boiler} gamma"),
+        (2, f"{boiler} delta epsilon zeta"),
+        (3, f"unique words only here nothing shared {boiler}"),
+        (4, "totally distinct text with no repeats anywhere at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = repeated_ngram_spans(df, k=3, min_df=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 4 not in by_doc
+    # the 6-token boilerplate yields 4 frequent 3-gram starts → one
+    # merged span covering exactly the boilerplate tokens
+    for d, start in ((1, 2), (2, 0), (3, 6)):
+        spans = by_doc[d]
+        assert len(spans) == 1
+        s = spans[0]
+        assert (s.span_start, s.span_end, s.n_grams) == (start, start + 5, 4)
+
+
+def test_hashed_bow_score(spark):
+    from sparksearch.dataops import hashed_bow_score
+    rows = [(1, "same words same words"), (2, "same words same words"),
+            (3, "different vocabulary entirely")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.score for r in hashed_bow_score(df, dim=64).collect()}
+    assert out[1] == out[2]            # deterministic per content
+    assert -1.0 <= out[3] <= 1.0
+    assert out[1] != out[3]
