@@ -12,6 +12,8 @@ Usage (cluster; exercised end-to-end against Spark's spark-submit):
         --index /data/index
     spark-submit --py-files sparksearch.zip sparksearch/cli.py query \
         --index /data/index --match "hash join" --k 10 [--wand]
+    spark-submit --py-files sparksearch.zip sparksearch/cli.py search \
+        --index /data/index --body body.json   # full _search request body
 
 The driver-side session builder honors an existing SparkSession when run
 under spark-submit (getOrCreate) — master/cores/memory come from the
@@ -111,6 +113,24 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_search(args) -> int:
+    """Full `_search` request body from a JSON file (or '-' for stdin) —
+    the complete body surface (query DSL, sort, aggs, rescore, collapse,
+    suggest, …) via spark-submit."""
+    from sparksearch.api import run_search
+    from sparksearch.exec import Executor
+    from sparksearch.index import IndexReader
+    spark = _spark("sparksearch-search")
+    ix = IndexReader(spark, args.index, use_segments=False)
+    ex = Executor(ix)
+    body = json.load(sys.stdin if args.body == "-" else open(args.body))
+    t0 = time.time()
+    resp = run_search(ex, body)
+    resp["took_sec"] = round(time.time() - t0, 3)
+    print(json.dumps(resp, default=str))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="sparksearch")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -156,6 +176,12 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--wand", action="store_true")
     q.set_defaults(fn=cmd_query)
+
+    se = sub.add_parser("search")
+    se.add_argument("--index", required=True)
+    se.add_argument("--body", required=True,
+                    help="path to a _search JSON body, or - for stdin")
+    se.set_defaults(fn=cmd_search)
 
     args = p.parse_args(argv)
     return args.fn(args)
