@@ -25,7 +25,8 @@ int cap, default 10,000), collapse (best hit per field group, optional inner_hit
 expansion),
 highlight (pre/post tags over analyzed query terms; needs the raw
 corpus passed as `pages`), explain (per-hit BM25 Explanation tree,
-match queries), suggest (term / phrase / completion suggesters),
+match queries), suggest (term / phrase / completion suggesters), profile
+(per-phase driver timings + the executed physical plan),
 _source (bool / includes / excludes), aggs
 (terms / histogram / date_histogram / range / filters buckets; metric
 leaves avg/sum/min/max/value_count/cardinality/weighted_avg/stats/
@@ -276,16 +277,30 @@ def run_search(ex, body: dict, pages: DataFrame | None = None) -> dict:
     # reference's early-terminating total-hits collector; an exact count
     # of a 10^12-doc match would scan every posting for a number nobody
     # asked for)
+    import time as _time
+    profiling = bool(body.get("profile"))
+    phases: list[dict] = []
+
+    def _timed(name, fn):
+        t0 = _time.time()
+        r = fn()
+        if profiling:
+            phases.append({"phase": name,
+                           "time_ms": round((_time.time() - t0) * 1e3, 1)})
+        return r
+
     tth = body.get("track_total_hits", 10_000)
     matched = ex._plan(q, scored=False)
     if tth is True:
-        total_rep = {"value": matched.count(), "relation": "eq"}
+        total = _timed("total_hits_exact", matched.count)
+        total_rep = {"value": total, "relation": "eq"}
     else:
         cap = int(tth)
-        seen = matched.limit(cap + 1).count()
+        seen = _timed("total_hits_capped", matched.limit(cap + 1).count)
         total_rep = ({"value": seen, "relation": "eq"} if seen <= cap
                      else {"value": cap, "relation": "gte"})
-    rows = search_df(ex, body, pages=pages).collect()
+    hits_df = search_df(ex, body, pages=pages)
+    rows = _timed("query_fetch", hits_df.collect)
     hits = []
     for r in rows:
         d = r.asDict()
@@ -342,7 +357,9 @@ def run_search(ex, body: dict, pages: DataFrame | None = None) -> dict:
             if "query" in body:       # aggs see the query, not post_filter
                 sub["query"] = body["query"]
             bdf = aggs_df(ex, sub)
-            resp["aggregations"][name] = [r.asDict() for r in bdf.collect()]
+            resp["aggregations"][name] = _timed(
+                f"agg:{name}", lambda b=bdf: [r.asDict()
+                                              for r in b.collect()])
     if "suggest" in body:
         from sparksearch import fetchops as FO
         resp["suggest"] = {}
@@ -359,7 +376,17 @@ def run_search(ex, body: dict, pages: DataFrame | None = None) -> dict:
                     size=sspec["completion"].get("size", 5))
             else:
                 raise ValueError(f"unsupported suggester in {sname!r}")
-            resp["suggest"][sname] = [r.asDict() for r in df.collect()]
+            resp["suggest"][sname] = _timed(
+                f"suggest:{sname}", lambda d=df: [r.asDict()
+                                                 for r in d.collect()])
+    if profiling:
+        # the Spark-native Explanation of a profile request
+        # (sv/search/profile): per-phase driver timings plus the executed
+        # physical plan of the hits query
+        resp["profile"] = {
+            "phases": phases,
+            "plan": hits_df._jdf.queryExecution().executedPlan().toString(),
+        }
     return resp
 
 

@@ -339,3 +339,19 @@ def test_collapse_inner_hits(ex):
         assert inner[0]["_score"] == h["_score"]
         scores = [i["_score"] for i in inner]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_profile_in_body(ex):
+    resp = run_search(ex, {
+        "query": {"match": {"text": "hash"}}, "size": 2,
+        "_source": False, "profile": True,
+        "aggs": {"langs": {"terms": {"field": "lang", "size": 2}}}})
+    prof = resp["profile"]
+    names = [p["phase"] for p in prof["phases"]]
+    assert "total_hits_capped" in names
+    assert "query_fetch" in names and "agg:langs" in names
+    assert all(p["time_ms"] >= 0 for p in prof["phases"])
+    assert "TakeOrderedAndProject" in prof["plan"]
+    # profile off → no key
+    assert "profile" not in run_search(
+        ex, {"query": {"match_all": {}}, "size": 1, "_source": False})
