@@ -225,6 +225,10 @@ def search_df(ex, body: dict, pages: DataFrame | None = None) -> DataFrame:
                .filter(F.col("_cr") == 1).drop("_cr"))
     after = body.get("search_after")
     if after is not None:
+        if from_:
+            # reference: "`from` parameter must be set to 0 when
+            # `search_after` is used" (SearchService validation)
+            raise ValueError("search_after cannot combine with from")
         # keyset: strictly after the cursor in the sort's lexicographic
         # order (SearchAfterBuilder semantics)
         cond = F.lit(False)
@@ -317,6 +321,10 @@ def run_search(ex, body: dict, pages: DataFrame | None = None) -> dict:
             hit["_explanation"] = [e.asDict()
                                    for e in _explain(ex, q, d["docid"])
                                    .collect()]
+        sort_vals = [d.pop(k) for k in sorted(d)
+                     if k.startswith("_script_")]
+        if sort_vals:
+            hit["sort"] = sort_vals
         hit["_source"] = {k: v for k, v in d.items() if k != "docid"}
         hits.append(hit)
     clp = body.get("collapse")

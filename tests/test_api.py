@@ -355,3 +355,17 @@ def test_profile_in_body(ex):
     # profile off → no key
     assert "profile" not in run_search(
         ex, {"query": {"match_all": {}}, "size": 1, "_source": False})
+
+
+def test_search_after_from_conflict_and_sort_values(ex):
+    with pytest.raises(ValueError):
+        search_df(ex, {"query": {"match_all": {}},
+                       "sort": [{"dl": "desc"}], "from": 5,
+                       "search_after": [100, 1]})
+    resp = run_search(ex, {
+        "query": {"term": {"lang": "en"}}, "size": 2, "_source": False,
+        "sort": [{"_script": {"script": {"source": "doc['dl'].value % 5"},
+                              "order": "desc"}}]})
+    h = resp["hits"]["hits"][0]
+    assert "sort" in h and len(h["sort"]) == 1
+    assert "_script_0" not in h["_source"]
