@@ -130,8 +130,11 @@ def search_df(ex, body: dict, pages: DataFrame | None = None) -> DataFrame:
                 rewritten.append(s)
         sort_spec = rewritten
     sort = _parse_sort(sort_spec)
+    # track_scores: compute scores even under a field sort
+    # (sv/search/fetch/subphase/FetchScorePhase.java)
     needs_score = any(f == "_score" for f, _ in sort) \
-        or "min_score" in body or not body.get("sort")
+        or "min_score" in body or not body.get("sort") \
+        or bool(body.get("track_scores"))
 
     scored = ex._plan(q, scored=needs_score)
     if "min_score" in body:
@@ -175,7 +178,11 @@ def search_df(ex, body: dict, pages: DataFrame | None = None) -> DataFrame:
         doc_fields |= comp.doc_fields
     if "collapse" in body:
         doc_fields.add(body["collapse"]["field"])
-    doc_fields |= set(body.get("docvalue_fields", []))
+    # `fields` (FetchFieldsPhase) and `docvalue_fields` both force doc
+    # columns into the fetch regardless of _source filtering
+    for fk in ("docvalue_fields", "fields"):
+        doc_fields |= {f["field"] if isinstance(f, dict) else f
+                       for f in body.get(fk, [])}
     sf_compiled: dict = {}
     if "script_fields" in body:
         from sparksearch.painless import compile_script
@@ -257,7 +264,27 @@ def search_df(ex, body: dict, pages: DataFrame | None = None) -> DataFrame:
         post = (hl.get("post_tags") or ["</em>"])[0]
         terms = sorted({t for txt in _query_texts(body.get("query", {}))
                         for t, _ in analyze(txt, ex.ix.analyzer)})
-        if terms:
+        if terms and ("fragment_size" in hl
+                      or "number_of_fragments" in hl):
+            # snippet form: top-N fixed windows per hit, as an array
+            from sparksearch.fetchops import highlight_fragments
+            fr = highlight_fragments(
+                out.select("docid", "url", "score"), pages, terms,
+                int(hl.get("fragment_size", 100)),
+                int(hl.get("number_of_fragments", 2)), pre, post)
+            arr = (fr.groupBy("docid")
+                   .agg(F.transform(
+                       F.sort_array(F.collect_list(F.struct(
+                           (-F.col("n_matches")).alias("nm"),
+                           F.col("frag_idx").alias("fi"),
+                           F.col("fragment").alias("fr")))),
+                       lambda x: x["fr"]).alias("highlight")))
+            out = (out.join(arr, "docid", "left")
+                   .withColumn("highlight",
+                               F.coalesce(F.col("highlight"),
+                                          F.array().cast("array<string>")))
+                   .orderBy(*order))
+        elif terms:
             pat = r"\b(" + "|".join(re.escape(t) for t in terms) + r")\b"
             # out is ≤ from+size rows — broadcast it against the corpus
             out = (pages.select("url", "text")
@@ -310,7 +337,9 @@ def run_search(ex, body: dict, pages: DataFrame | None = None) -> dict:
         d = r.asDict()
         hit = {"_id": d.pop("url"), "_score": d.pop("score", None)}
         if "highlight" in d:
-            hit["highlight"] = {"text": [d.pop("highlight")]}
+            v = d.pop("highlight")
+            hit["highlight"] = {"text": list(v) if isinstance(v, list)
+                                else [v]}
         if body.get("explain"):
             # per-hit Explanation tree — one bounded job per hit, the same
             # per-doc cost shape as the reference's _explain endpoint
@@ -321,10 +350,23 @@ def run_search(ex, body: dict, pages: DataFrame | None = None) -> dict:
             hit["_explanation"] = [e.asDict()
                                    for e in _explain(ex, q, d["docid"])
                                    .collect()]
-        sort_vals = [d.pop(k) for k in sorted(d)
-                     if k.startswith("_script_")]
-        if sort_vals:
+        if body.get("sort"):
+            # every explicitly-sorted hit carries its sort values — the
+            # reference's SearchSortValues, and the search_after cursor
+            sort_vals = []
+            for i, s in enumerate(body["sort"]
+                                  if isinstance(body["sort"], list)
+                                  else [body["sort"]]):
+                if isinstance(s, dict) and "_script" in s:
+                    sort_vals.append(d.pop(f"_script_{i}", None))
+                else:
+                    f = s if isinstance(s, str) else next(iter(s))
+                    sort_vals.append(hit["_score"] if f == "_score"
+                                     else d.get("docid") if f == "_doc"
+                                     else d.get(f))
             hit["sort"] = sort_vals
+        for k in [k for k in d if k.startswith("_script_")]:
+            d.pop(k)
         hit["_source"] = {k: v for k, v in d.items() if k != "docid"}
         hits.append(hit)
     clp = body.get("collapse")

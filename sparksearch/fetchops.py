@@ -298,3 +298,47 @@ def explain(ex, q, docid: int) -> DataFrame:
                     F.round(F.element_at(w, F.col("term")) * idf * tfn, 6)
                     .alias("contribution"))
             .orderBy("term"))
+
+
+def highlight_fragments(topk: DataFrame, pages: DataFrame,
+                        terms: list[str], fragment_size: int = 100,
+                        number_of_fragments: int = 2,
+                        pre: str = "<em>",
+                        post: str = "</em>") -> DataFrame:
+    """Fragmenting highlighter: fixed-size char windows of the highlighted
+    text ranked by match count, top N per hit — the snippet form users
+    actually see (sv/search/fetch/subphase/highlight — the unified
+    highlighter's passage scoring, with a simple fixed-window fragmenter
+    instead of Lucene's sentence boundary scanner).
+
+    All Catalyst exprs: one regexp pass, a transform over window offsets,
+    explode + per-doc top-N window. Returns (docid, url, score, frag_idx,
+    fragment, n_matches) — frag_idx is the window's position order.
+    """
+    import re as _re
+    pat = r"\b(" + "|".join(_re.escape(t) for t in sorted(set(terms))) + r")\b"
+    fetched = pages.select("url", "text").join(F.broadcast(topk), "url")
+    h = F.regexp_replace(F.col("text"), pat, f"{pre}$1{post}")
+    hl = fetched.withColumn("_h", h)
+    sz = int(fragment_size)
+    nwin = F.greatest(F.lit(1),
+                      F.ceil(F.length("_h") / sz)).cast("int")
+    frags = hl.select(
+        "docid", "url", "score",
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), nwin - 1),
+                        lambda i: F.substring(
+                            F.col("_h"), i * sz + 1, sz)))
+        .alias("frag_idx", "fragment"))
+    n_matches = ((F.length("fragment")
+                  - F.length(F.replace(F.col("fragment"), F.lit(pre),
+                                       F.lit(""))))
+                 / len(pre)).cast("int")
+    scored = frags.withColumn("n_matches", n_matches) \
+                  .filter(F.col("n_matches") > 0)
+    w = Window.partitionBy("docid").orderBy(
+        F.col("n_matches").desc(), F.col("frag_idx").asc())
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= number_of_fragments).drop("_rn")
+            .orderBy(F.col("score").desc(), F.col("docid").asc(),
+                     F.col("frag_idx").asc()))

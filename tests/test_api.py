@@ -369,3 +369,34 @@ def test_search_after_from_conflict_and_sort_values(ex):
     h = resp["hits"]["hits"][0]
     assert "sort" in h and len(h["sort"]) == 1
     assert "_script_0" not in h["_source"]
+
+
+def test_track_scores_and_fields(ex):
+    body = {"query": {"match": {"text": "hash"}},
+            "sort": [{"dl": {"order": "desc"}}],
+            "track_scores": True, "size": 5, "_source": False,
+            "fields": ["lang"]}
+    rows = search_df(ex, body).collect()
+    assert all(r.score is not None and r.score > 0 for r in rows)
+    assert all(r.lang is not None for r in rows)
+    dls = [r.dl for r in rows] if "dl" in rows[0].asDict() else None
+
+
+def test_highlight_fragments_in_body(spark, ex):
+    from sparksearch.corpus import pages_from_documents
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001")
+    body = {"query": {"match": {"text": "hash join"}}, "size": 3,
+            "_source": False,
+            "highlight": {"fields": {"text": {}},
+                          "fragment_size": 60,
+                          "number_of_fragments": 2}}
+    rows = search_df(ex, body, pages=pages).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert 1 <= len(r.highlight) <= 2
+        for frag in r.highlight:
+            assert len(frag) <= 60 + 20  # window + inserted tags
+            assert "<em>" in frag
+    resp = run_search(ex, body, pages=pages)
+    assert resp["hits"]["hits"][0]["highlight"]["text"] == \
+        list(rows[0].highlight)
