@@ -159,9 +159,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from sparksearch import contract_round2i as CR2I
     from sparksearch import contract_round2j as CR2J
     from sparksearch import contract_round2k as CR2K
+    from sparksearch import contract_round2l as CR2L
     out.update(CQ2.queries())
     out.update(CR2J.queries())
     out.update(CR2K.queries())
+    out.update(CR2L.queries())
     out.update(CR2I.queries())
     out.update(CR2E.queries())
     out.update(CR2F.queries())
@@ -199,9 +201,11 @@ def oracle_sql() -> dict[str, str]:
     from sparksearch import contract_round2i as CR2I
     from sparksearch import contract_round2j as CR2J
     from sparksearch import contract_round2k as CR2K
+    from sparksearch import contract_round2l as CR2L
     out = dict(CD.oracle_sql())
     out.update(CR2J.oracle_sql())
     out.update(CR2K.oracle_sql())
+    out.update(CR2L.oracle_sql())
     out.update(CR2I.oracle_sql())
     out.update(CR2E.oracle_sql())
     out.update(CR2F.oracle_sql())

@@ -95,11 +95,77 @@ def _query_texts(node) -> list[str]:
     return out
 
 
-def search_df(ex, body: dict, pages: DataFrame | None = None) -> DataFrame:
+def _is_vector_query(qdsl) -> bool:
+    return isinstance(qdsl, dict) and ("knn" in qdsl or "hybrid" in qdsl)
+
+
+def _plan_vector_body(ex, qdsl: dict, emb: DataFrame) -> DataFrame:
+    """Plan a `knn` or `hybrid` body query to a BOUNDED (docid, score)
+    frame.
+
+    knn (k-NN plugin query shape ``{"knn": {field: {"vector", "k",
+    "space_type", "filter"}}}``; the plugin lives outside the reference
+    core repo): scores every vector against the literal query vector
+    JVM-side, takes top-k, then broadcast-joins the ≤k winners to the
+    docs table through the url→vec_id bridge. With a `filter` the
+    allowed vec_ids are semi-joined BEFORE the top-k (the plugin's
+    filtered-search path), so the limit never starves.
+
+    hybrid (neural-search hybrid query + the RRF score processor):
+    each sub-query retrieves its own top-`pagination_depth` pool —
+    lexical legs through the BM25 engine, knn legs as above — and the
+    pools are rank-fused (score = Σ 1/(rank_constant + rank)).
+    """
+    if emb is None:
+        raise ValueError("knn/hybrid queries need the embeddings frame "
+                         "(emb=)")
+    from sparksearch.dataops import knn_vector_scores
+    from sparksearch.hybrid import _doc_id_of_url, rrf_fuse
+    if "knn" in qdsl:
+        (field, spec), = qdsl["knn"].items()
+        k = int(spec.get("k", 10))
+        vec_col = field if field in emb.columns else "embedding"
+        id_col = "vec_id" if "vec_id" in emb.columns else emb.columns[0]
+        sc = knn_vector_scores(emb, spec["vector"],
+                               spec.get("space_type", "cosinesimil"),
+                               id_col=id_col, vec_col=vec_col)
+        bridge = ex.ix.docs.select(
+            "docid", _doc_id_of_url(F.col("url")).alias(id_col))
+        if "filter" in spec:
+            allowed = (ex._plan(from_dsl(spec["filter"]), scored=False)
+                       .select("docid"))
+            bridge = bridge.join(allowed, "docid", "left_semi")
+            top = (sc.join(bridge, id_col)
+                   .orderBy(F.col("score").desc(), F.col("docid").asc())
+                   .limit(k).select("docid", "score"))
+        else:
+            top = (sc.orderBy(F.col("score").desc(),
+                              F.col(id_col).asc()).limit(k))
+            top = (bridge.join(F.broadcast(top), id_col)
+                   .select("docid", "score")
+                   .orderBy(F.col("score").desc(), F.col("docid").asc()))
+        return top
+    hy = qdsl["hybrid"]
+    pool = int(hy.get("pagination_depth", 50))
+    rrf_k = int(hy.get("rank_constant", 60))
+    legs = []
+    for sub in hy["queries"]:
+        if _is_vector_query(sub):
+            legs.append(_plan_vector_body(ex, sub, emb))
+        else:
+            legs.append(ex._plan(from_dsl(sub), scored=True)
+                        .orderBy(F.col("score").desc(),
+                                 F.col("docid").asc()).limit(pool))
+    return rrf_fuse(legs, rrf_k=rrf_k, top_n=pool, key="docid")
+
+
+def search_df(ex, body: dict, pages: DataFrame | None = None,
+              emb: DataFrame | None = None) -> DataFrame:
     """Execute a `_search` body; returns (docid, url, score, <sort and
     _source fields>) ordered per the body's sort, offset by `from`.
     `pages` (the raw corpus) is only needed when the body asks for
-    `highlight` — the docs table deliberately doesn't carry source text."""
+    `highlight` — the docs table deliberately doesn't carry source text.
+    `emb` (the embeddings frame) is only needed for knn/hybrid queries."""
     if "runtime_mappings" in body:
         # script-derived columns inlined into the same docs scan — the
         # derived Executor plans them identically to stored fields
@@ -108,7 +174,9 @@ def search_df(ex, body: dict, pages: DataFrame | None = None) -> DataFrame:
                     and "script" in m else m)
                 for f, m in body["runtime_mappings"].items()}
         ex = Executor(ex.ix.with_runtime(srcs), fixed_now=ex.fixed_now)
-    q = from_dsl(body["query"]) if "query" in body else MatchAll()
+    is_vec = _is_vector_query(body.get("query"))
+    q = (MatchAll() if "query" not in body
+         else None if is_vec else from_dsl(body["query"]))
     size = int(body.get("size", 10))
     from_ = int(body.get("from", 0))
 
@@ -136,7 +204,8 @@ def search_df(ex, body: dict, pages: DataFrame | None = None) -> DataFrame:
         or "min_score" in body or not body.get("sort") \
         or bool(body.get("track_scores"))
 
-    scored = ex._plan(q, scored=needs_score)
+    scored = (_plan_vector_body(ex, body["query"], emb) if is_vec
+              else ex._plan(q, scored=needs_score))
     if "min_score" in body:
         scored = scored.filter(
             F.col("score") >= float(body["min_score"]))
@@ -297,10 +366,17 @@ def search_df(ex, body: dict, pages: DataFrame | None = None) -> DataFrame:
     return out
 
 
-def run_search(ex, body: dict, pages: DataFrame | None = None) -> dict:
+def run_search(ex, body: dict, pages: DataFrame | None = None,
+               emb: DataFrame | None = None) -> dict:
     """The response envelope (RestSearchAction shape). Collects ≤ size
     hit rows driver-side; total is a separate count on the filter plan."""
-    q = from_dsl(body["query"]) if "query" in body else MatchAll()
+    is_vec = _is_vector_query(body.get("query"))
+    clp = body.get("collapse")
+    if is_vec and (clp and "inner_hits" in clp or "aggs" in body):
+        raise ValueError("collapse inner_hits / query-scoped aggs are "
+                         "not supported on knn/hybrid queries")
+    q = (MatchAll() if "query" not in body
+         else None if is_vec else from_dsl(body["query"]))
     # track_total_hits: True → exact count; int cap (default 10,000 like
     # the reference's SearchContext.TRACK_TOTAL_HITS_UP_TO) → counting
     # STOPS at cap+1 (limit compiles to CollectLimit — partitions stop
@@ -321,7 +397,10 @@ def run_search(ex, body: dict, pages: DataFrame | None = None) -> dict:
         return r
 
     tth = body.get("track_total_hits", 10_000)
-    matched = ex._plan(q, scored=False)
+    # vector plans are bounded (≤k / ≤pagination_depth) by construction,
+    # so their "total" is just the candidate count
+    matched = (_plan_vector_body(ex, body["query"], emb) if is_vec
+               else ex._plan(q, scored=False))
     if tth is True:
         total = _timed("total_hits_exact", matched.count)
         total_rep = {"value": total, "relation": "eq"}
@@ -330,7 +409,7 @@ def run_search(ex, body: dict, pages: DataFrame | None = None) -> dict:
         seen = _timed("total_hits_capped", matched.limit(cap + 1).count)
         total_rep = ({"value": seen, "relation": "eq"} if seen <= cap
                      else {"value": cap, "relation": "gte"})
-    hits_df = search_df(ex, body, pages=pages)
+    hits_df = search_df(ex, body, pages=pages, emb=emb)
     rows = _timed("query_fetch", hits_df.collect)
     hits = []
     for r in rows:
@@ -369,7 +448,6 @@ def run_search(ex, body: dict, pages: DataFrame | None = None) -> dict:
             d.pop(k)
         hit["_source"] = {k: v for k, v in d.items() if k != "docid"}
         hits.append(hit)
-    clp = body.get("collapse")
     if clp and "inner_hits" in clp and hits:
         # per-group top-M expansion: ONE bounded job over the collapsed
         # groups (CollapseBuilder innerHits — a second fetch phase)

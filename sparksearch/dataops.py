@@ -32,6 +32,7 @@ __all__ = [
     "simhash_fingerprints",
     "simhash_pairs",
     "brute_force_knn",
+    "knn_vector_scores",
     "lsh_knn",
     "lsh_knn_join",
     "connected_components",
@@ -319,6 +320,37 @@ def brute_force_knn(emb: DataFrame, query_id: int, k: int = 10,
                               6).alias("cosine")))
     return scored.orderBy(F.col("cosine").desc(),
                           F.col(id_col).asc()).limit(k)
+
+
+def knn_vector_scores(emb: DataFrame, vector: list[float],
+                      space_type: str = "cosinesimil",
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Score every vector against one LITERAL query vector — the knn
+    query's scoring pass (k-NN plugin spaces; plugin repo, not in
+    /root/reference core). Returns (id_col, score) unlimited; callers
+    apply the top-k.
+
+    Score transforms mirror the plugin's distance→score maps:
+    cosinesimil → (2 - (1 - cos)) / 2 = (1 + cos) / 2;  l2 → 1 / (1 + d²).
+    The query vector is a Catalyst array literal broadcast inside the
+    expression — no join, no Python; TakeOrderedAndProject downstream.
+    """
+    qv = F.array(*[F.lit(float(x)) for x in vector])
+    v = F.col(vec_col).cast("array<double>")
+    if space_type == "cosinesimil" and not any(float(x) for x in vector):
+        # the plugin rejects this too (cosine undefined for the zero
+        # vector); catching it driver-side avoids an ANSI 0/0 task error
+        raise ValueError("zero vector is not supported for cosinesimil")
+    if space_type == "cosinesimil":
+        score = (F.lit(1.0) + _cosine(v, qv)) / 2.0
+    elif space_type == "l2":
+        d2 = F.aggregate(F.zip_with(v, qv, lambda x, y: (x - y) * (x - y)),
+                         F.lit(0.0), lambda acc, z: acc + z)
+        score = 1.0 / (1.0 + d2)
+    else:
+        raise ValueError(f"unsupported space_type: {space_type}")
+    return emb.select(id_col, score.alias("score"))
 
 
 def _plane_vals(planes: int, dim: int) -> list[list[float]]:

@@ -400,3 +400,74 @@ def test_highlight_fragments_in_body(spark, ex):
     resp = run_search(ex, body, pages=pages)
     assert resp["hits"]["hits"][0]["highlight"]["text"] == \
         list(rows[0].highlight)
+
+
+@pytest.fixture(scope="module")
+def emb001(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_knn_body_query(ex, emb001):
+    qv = list(emb001.where("vec_id = 3").collect()[0]["embedding"])
+    body = {"query": {"knn": {"embedding": {"vector": qv, "k": 5}}}}
+    resp = run_search(ex, body, emb=emb001)
+    hits = resp["hits"]["hits"]
+    assert len(hits) == 5
+    assert resp["hits"]["total"] == {"value": 5, "relation": "eq"}
+    # self-match first at cosine 1 → score (1+1)/2 = 1.0
+    assert hits[0]["_id"].endswith("00000003")
+    assert hits[0]["_score"] == 1.0
+    scores = [h["_score"] for h in hits]
+    assert scores == sorted(scores, reverse=True)
+    assert all(0.0 <= s <= 1.0 for s in scores)
+
+
+def test_knn_body_filter_and_l2(ex, emb001):
+    qv = list(emb001.where("vec_id = 3").collect()[0]["embedding"])
+    body = {"query": {"knn": {"embedding": {
+        "vector": qv, "k": 4, "filter": {"term": {"lang": "de"}}}}},
+        "_source": {"includes": ["lang"]}}
+    rows = search_df(ex, body, emb=emb001).collect()
+    assert 0 < len(rows) <= 4
+    assert all(r.lang == "de" for r in rows)
+    l2 = {"query": {"knn": {"embedding": {
+        "vector": qv, "k": 3, "space_type": "l2"}}}}
+    rows2 = search_df(ex, l2, emb=emb001).collect()
+    assert rows2[0].score == 1.0          # d=0 → 1/(1+0)
+    assert rows2[1].score < 1.0
+
+
+def test_hybrid_body_query(ex, emb001):
+    qv = list(emb001.where("vec_id = 3").collect()[0]["embedding"])
+    body = {"query": {"hybrid": {"queries": [
+                {"match": {"text": "join"}},
+                {"knn": {"embedding": {"vector": qv, "k": 15}}}],
+            "pagination_depth": 15}}, "size": 10}
+    resp = run_search(ex, body, emb=emb001)
+    hits = resp["hits"]["hits"]
+    assert len(hits) == 10
+    # RRF ceiling: a doc ranked 1st in both lists scores 2/61
+    assert all(0 < h["_score"] <= round(2 / 61, 4) for h in hits)
+    # the knn self-match doc must be present (rank 1 in the knn list)
+    assert any(h["_id"].endswith("00000003") for h in hits)
+
+
+def test_vector_body_errors(ex, emb001):
+    qv = [0.0] * 64
+    with pytest.raises(ValueError, match="emb"):
+        search_df(ex, {"query": {"knn": {"embedding":
+                                         {"vector": qv, "k": 3}}}})
+    with pytest.raises(ValueError, match="zero vector"):
+        search_df(ex, {"query": {"knn": {"embedding":
+                                         {"vector": qv, "k": 3}}}},
+                  emb=emb001)
+    with pytest.raises(ValueError, match="space_type"):
+        search_df(ex, {"query": {"knn": {"embedding":
+                                         {"vector": qv, "k": 3,
+                                          "space_type": "hamming"}}}},
+                  emb=emb001)
+    with pytest.raises(ValueError, match="aggs"):
+        run_search(ex, {"query": {"knn": {"embedding":
+                                          {"vector": qv, "k": 3}}},
+                        "aggs": {"l": {"terms": {"field": "lang"}}}},
+                   emb=emb001)
