@@ -156,6 +156,20 @@ def _plan_vector_body(ex, qdsl: dict, emb: DataFrame) -> DataFrame:
             legs.append(ex._plan(from_dsl(sub), scored=True)
                         .orderBy(F.col("score").desc(),
                                  F.col("docid").asc()).limit(pool))
+    # fusion technique: RRF by default; a `normalization`/`combination`
+    # block (the search-pipeline normalization-processor config, inlined
+    # into the body) switches to score-normalization fusion
+    if "normalization" in hy or "combination" in hy:
+        from sparksearch.hybrid import normalize_fuse
+        comb = hy.get("combination", {})
+        params = comb.get("parameters", {})
+        return normalize_fuse(
+            legs,
+            normalization=hy.get("normalization", {}).get("technique",
+                                                          "min_max"),
+            combination=comb.get("technique", "arithmetic_mean"),
+            weights=params.get("weights"),
+            top_n=pool, key="docid")
     return rrf_fuse(legs, rrf_k=rrf_k, top_n=pool, key="docid")
 
 

@@ -79,6 +79,32 @@ def q_api_hybrid(spark, sf_dir):
     return search_df(ex, body, emb=emb).select("docid", "url", "score")
 
 
+def q_api_hybrid_minmax(spark, sf_dir):
+    """Hybrid with score-normalization fusion instead of RRF: each leg's
+    pool is min-max normalized, then combined by weighted arithmetic
+    mean (weights 0.4 lexical / 0.6 vector; docs missing from a leg
+    contribute 0 for it) — the normalization-processor default."""
+    from sparksearch.api import search_df
+    _, ex = C.get_engine(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    body = {"query": {"hybrid": {
+                "queries": [
+                    {"match": {"text": "join"}},
+                    {"knn": {"embedding": {"vector": _qvec(spark, sf_dir),
+                                           "k": _HY_POOL}}}],
+                "pagination_depth": _HY_POOL,
+                "normalization": {"technique": "min_max"},
+                "combination": {"technique": "arithmetic_mean",
+                                "parameters": {"weights": [0.4, 0.6]}}}},
+            "size": 10, "_source": False}
+    return search_df(ex, body, emb=emb).select("docid", "url", "score")
+
+
+#: min-max normalize column s over the whole (bounded) CTE
+_MM = ("CASE WHEN max(s) OVER () = min(s) OVER () THEN 1.0 "
+       "ELSE (s - min(s) OVER ()) / (max(s) OVER () - min(s) OVER ()) END")
+
+
 def oracle_sql() -> dict:
     P, TOK, DL = C._PAGES, C._TOK, C._DL
 
@@ -146,6 +172,35 @@ FROM fused f JOIN pages p USING (docid)
 ORDER BY round(f.s, 4) DESC, p.docid ASC
 LIMIT 10
 """.strip()
+
+    out["api_hybrid_minmax"] = f"""
+WITH {P}, {TOK}, {DL},
+tf AS ( SELECT docid, count(*) AS tf FROM tok WHERE term = 'join'
+        GROUP BY docid ),
+dft AS ( SELECT count(*) AS df FROM tf ),
+sc AS ( SELECT tf.docid, {_idf('dft.df', 'g.n')} *
+               {_tfn('tf.tf', 'dlq.dl_q', 'g.avgdl')} AS s
+        FROM tf CROSS JOIN dft JOIN dlq USING (docid) CROSS JOIN g ),
+bm_pool AS ( SELECT docid, s FROM sc
+             ORDER BY s DESC, docid ASC LIMIT {_HY_POOL} ),
+bmn AS ( SELECT docid, 0.4 * ({_MM}) AS c FROM bm_pool ),
+{knn_base},
+ktop AS ( SELECT vec_id, s FROM vs
+          ORDER BY s DESC, vec_id ASC LIMIT {_HY_POOL} ),
+kd AS ( SELECT p.docid, t.s
+        FROM ktop t JOIN pages p
+          ON CAST(right(p.url, 8) AS BIGINT) = t.vec_id ),
+knn AS ( SELECT docid, 0.6 * ({_MM}) AS c FROM kd ),
+fused AS ( SELECT docid, round(sum(c) / 1.0, 6) AS s
+           FROM ( SELECT * FROM bmn UNION ALL SELECT * FROM knn )
+           GROUP BY docid
+           ORDER BY round(sum(c) / 1.0, 6) DESC, docid ASC
+           LIMIT {_HY_POOL} )
+SELECT p.docid, p.url, CAST(round(f.s, 4) AS DOUBLE) AS score
+FROM fused f JOIN pages p USING (docid)
+ORDER BY round(f.s, 4) DESC, p.docid ASC
+LIMIT 10
+""".strip()
     return out
 
 
@@ -154,4 +209,5 @@ def queries() -> dict:
         "api_knn": q_api_knn,
         "api_knn_filtered": q_api_knn_filtered,
         "api_hybrid": q_api_hybrid,
+        "api_hybrid_minmax": q_api_hybrid_minmax,
     }

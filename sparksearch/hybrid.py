@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["rrf_fuse", "hybrid_search"]
+__all__ = ["rrf_fuse", "normalize_fuse", "hybrid_search"]
 
 
 def rrf_fuse(ranked_lists: list[DataFrame], rrf_k: int = 60,
@@ -42,6 +42,68 @@ def rrf_fuse(ranked_lists: list[DataFrame], rrf_k: int = 60,
         u = u.unionByName(c)
     return (u.groupBy(key)
             .agg(F.round(F.sum("_c"), 6).alias("score"))
+            .orderBy(F.col("score").desc(), F.col(key).asc())
+            .limit(top_n))
+
+
+def normalize_fuse(ranked_lists: list[DataFrame],
+                   normalization: str = "min_max",
+                   combination: str = "arithmetic_mean",
+                   weights: list[float] | None = None,
+                   top_n: int = 10, key: str = "docid") -> DataFrame:
+    """Score-normalization fusion — the neural-search plugin's
+    normalization-processor semantics (plugin repo, not in the reference
+    core; core only registers the phase-results hook):
+
+    per list:  min_max → (s - min)/(max - min), constant list → 1.0;
+               l2 → s / sqrt(Σ s²), zero list → 0.0
+    combine:   arithmetic_mean → Σ wᵢ·nᵢ / Σ wᵢ over ALL lists
+               (a doc missing from a list contributes 0 for it);
+               geometric_mean → exp(Σ wᵢ·ln nᵢ / Σ wᵢ) and
+               harmonic_mean → Σ wᵢ / Σ wᵢ/nᵢ, both over the lists
+               where the doc appears with n > 0 (log/÷0 guards).
+
+    Inputs are bounded top-pool frames, so the per-list min/max window
+    and the fusion groupBy run over ≤ n_lists·pool rows total."""
+    nl = len(ranked_lists)
+    w = [1.0] * nl if weights is None else [float(x) for x in weights]
+    if len(w) != nl:
+        raise ValueError(f"weights length {len(w)} != {nl} sub-queries")
+    if normalization not in ("min_max", "l2"):
+        raise ValueError(f"unsupported normalization: {normalization}")
+    if combination not in ("arithmetic_mean", "geometric_mean",
+                           "harmonic_mean"):
+        raise ValueError(f"unsupported combination: {combination}")
+    win = Window.partitionBy()          # whole (bounded) leg
+    legs = []
+    for i, df in enumerate(ranked_lists):
+        s = F.col("score")
+        if normalization == "min_max":
+            mn, mx = F.min(s).over(win), F.max(s).over(win)
+            norm = (F.when(mx == mn, F.lit(1.0))
+                    .otherwise((s - mn) / (mx - mn)))
+        else:
+            nrm = F.sqrt(F.sum(s * s).over(win))
+            norm = F.when(nrm == 0.0, F.lit(0.0)).otherwise(s / nrm)
+        legs.append(df.select(key, norm.alias("_n"),
+                              F.lit(w[i]).alias("_w")))
+    u = legs[0]
+    for leg in legs[1:]:
+        u = u.unionByName(leg)
+    tot_w = float(sum(w))
+    if combination == "arithmetic_mean":
+        score = F.sum(F.col("_w") * F.col("_n")) / F.lit(tot_w)
+    elif combination == "geometric_mean":
+        pos = F.col("_n") > 0.0
+        score = F.exp(F.sum(F.when(pos, F.col("_w") * F.log("_n")))
+                      / F.sum(F.when(pos, F.col("_w"))))
+    else:
+        pos = F.col("_n") > 0.0
+        score = (F.sum(F.when(pos, F.col("_w")))
+                 / F.sum(F.when(pos, F.col("_w") / F.col("_n"))))
+    return (u.groupBy(key)
+            .agg(F.round(score, 6).alias("score"))
+            .filter(F.col("score").isNotNull())
             .orderBy(F.col("score").desc(), F.col(key).asc())
             .limit(top_n))
 

@@ -452,6 +452,48 @@ def test_hybrid_body_query(ex, emb001):
     assert any(h["_id"].endswith("00000003") for h in hits)
 
 
+def test_hybrid_normalization_fusion(ex, emb001):
+    qv = list(emb001.where("vec_id = 3").collect()[0]["embedding"])
+    legs = [{"match": {"text": "join"}},
+            {"knn": {"embedding": {"vector": qv, "k": 15}}}]
+    body = {"query": {"hybrid": {
+        "queries": legs, "pagination_depth": 15,
+        "normalization": {"technique": "min_max"},
+        "combination": {"technique": "arithmetic_mean"}}}, "size": 10}
+    resp = run_search(ex, body, emb=emb001)
+    hits = resp["hits"]["hits"]
+    assert hits and all(0.0 <= h["_score"] <= 1.0 for h in hits)
+    # the knn self-match is min-max 1.0 in its leg; with equal weights
+    # its fused score is ≥ 0.5 and it must surface
+    self_hit = [h for h in hits if h["_id"].endswith("00000003")]
+    assert self_hit and self_hit[0]["_score"] >= 0.5
+
+    from sparksearch.hybrid import normalize_fuse
+    spark = emb001.sparkSession
+    a = spark.createDataFrame([(1, 10.0), (2, 5.0)], "docid long, score double")
+    b = spark.createDataFrame([(1, 2.0), (3, 1.0)], "docid long, score double")
+    rows = {r.docid: r.score
+            for r in normalize_fuse([a, b], top_n=10).collect()}
+    # doc1: (1.0 + 1.0)/2 = 1.0; doc2: (0 + 0)/2 = 0; doc3: 0/2 = 0
+    assert rows == {1: 1.0, 2: 0.0, 3: 0.0}
+    geo = {r.docid: r.score
+           for r in normalize_fuse([a, b], combination="geometric_mean",
+                                   top_n=10).collect()}
+    # geometric skips zero scores: doc1 exp((ln1+ln1)/2)=1; doc2/3 dropped
+    assert geo == {1: 1.0}
+    l2 = {r.docid: r.score
+          for r in normalize_fuse([a, b], normalization="l2",
+                                  combination="harmonic_mean",
+                                  top_n=10).collect()}
+    n10 = 10 / (10**2 + 5**2) ** 0.5
+    n2 = 2 / (2**2 + 1**2) ** 0.5
+    assert abs(l2[1] - 2 / (1 / n10 + 1 / n2)) < 1e-6
+    with pytest.raises(ValueError, match="weights"):
+        normalize_fuse([a, b], weights=[1.0])
+    with pytest.raises(ValueError, match="combination"):
+        normalize_fuse([a, b], combination="max")
+
+
 def test_vector_body_errors(ex, emb001):
     qv = [0.0] * 64
     with pytest.raises(ValueError, match="emb"):
