@@ -100,6 +100,21 @@ def q_api_hybrid_minmax(spark, sf_dir):
     return search_df(ex, body, emb=emb).select("docid", "url", "score")
 
 
+def q_token_count_field(spark, sf_dir):
+    """token_count field type (mapper-extras TokenCountFieldMapper):
+    `text_tokens` is the index-time analyzer token count mapped as a
+    numeric doc value; sortable/filterable like any stored field. The
+    10 longest english docs, longest first."""
+    from sparksearch.api import search_df
+    from sparksearch.exec import Executor
+    _, ex = C.get_engine(spark, sf_dir)
+    ex2 = Executor(ex.ix.with_token_count(), fixed_now=ex.fixed_now)
+    body = {"query": {"term": {"lang": "en"}},
+            "sort": [{"text_tokens": "desc"}, {"docid": "asc"}],
+            "size": 10, "_source": {"includes": ["text_tokens"]}}
+    return search_df(ex2, body).select("docid", "url", "text_tokens")
+
+
 #: min-max normalize column s over the whole (bounded) CTE
 _MM = ("CASE WHEN max(s) OVER () = min(s) OVER () THEN 1.0 "
        "ELSE (s - min(s) OVER ()) / (max(s) OVER () - min(s) OVER ()) END")
@@ -173,6 +188,16 @@ ORDER BY round(f.s, 4) DESC, p.docid ASC
 LIMIT 10
 """.strip()
 
+    out["token_count_field"] = f"""
+WITH {P}, {TOK},
+dl AS ( SELECT docid, count(*) AS text_tokens FROM tok GROUP BY docid )
+SELECT p.docid, p.url, CAST(d.text_tokens AS INT) AS text_tokens
+FROM pages p JOIN dl d USING (docid)
+WHERE p.lang = 'en'
+ORDER BY d.text_tokens DESC, p.docid ASC
+LIMIT 10
+""".strip()
+
     out["api_hybrid_minmax"] = f"""
 WITH {P}, {TOK}, {DL},
 tf AS ( SELECT docid, count(*) AS tf FROM tok WHERE term = 'join'
@@ -210,4 +235,5 @@ def queries() -> dict:
         "api_knn_filtered": q_api_knn_filtered,
         "api_hybrid": q_api_hybrid,
         "api_hybrid_minmax": q_api_hybrid_minmax,
+        "token_count_field": q_token_count_field,
     }

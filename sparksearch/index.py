@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import copy
 import json
 
 from pyspark.sql import DataFrame, SparkSession
@@ -131,13 +132,29 @@ class IndexReader:
         the SAME docs scan as every doc-values column — term/range/exists
         filters, sorts, and aggs over a runtime field plan identically to
         a stored field, with zero materialization."""
-        import copy
-
         from sparksearch.painless import compile_script
         r = copy.copy(self)
         r._runtime = dict(self._runtime)
         for name, src in mappings.items():
             r._runtime[name] = compile_script(src).column()
+        return r
+
+    def with_token_count(self, field: str = "text",
+                         name: str | None = None) -> "IndexReader":
+        """`token_count` field type (mapper-extras
+        TokenCountFieldMapper): a numeric sub-field holding the number
+        of tokens the index analyzer produced for `field`. The count is
+        an INDEX-TIME doc value — here it is exactly the stored per-doc
+        `dl` statistic (computed by the same analyzer pass that built
+        the postings), so the mapping is a zero-cost column alias on the
+        docs scan; term/range/sort/agg over it plan like any stored
+        field."""
+        if field != "text":
+            raise ValueError("token_count: only the indexed text field "
+                             "has a stored analyzer token count")
+        r = copy.copy(self)
+        r._runtime = dict(self._runtime)
+        r._runtime[name or f"{field}_tokens"] = F.col("dl")
         return r
 
     def open_pit(self) -> dict:
