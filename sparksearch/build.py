@@ -259,7 +259,8 @@ def write_docs_postings(tok: DataFrame, out_dir: str, gen: int,
                         n_buckets: int, partitions: int | None,
                         skip_docs: bool = False,
                         skip_postings: bool = False,
-                        time_partition: str | None = None) -> None:
+                        time_partition: str | None = None,
+                        index_sort: tuple[str, bool] | None = None) -> None:
     """Write one generation's docs + postings from an analyzed batch.
 
     time_partition ('day'/'hour'/'minute') adds a `pday` directory
@@ -268,10 +269,27 @@ def write_docs_postings(tok: DataFrame, out_dir: str, gen: int,
     (sv/action/admin/indices/rollover). A time-bounded query then prunes
     whole directories before any IO, the Spark-native form of the
     can_match shard-skipping phase (sv/action/search/
-    TransportSearchAction pre-filter round; SearchService#canMatch)."""
+    TransportSearchAction pre-filter round; SearchService#canMatch).
+
+    index_sort (field, asc) range-sorts the DOCS layout by that field
+    instead of docid — Lucene index sorting (IndexWriterConfig.setIndexSort,
+    sv/index/IndexSortConfig.java): a query sorted the same way early-
+    terminates after k docs. Spark shape: repartitionByRange gives files
+    NON-OVERLAPPING value ranges, and `_sort_manifest.json` (per-file
+    rows/min/max, written once at build from the parquet footers) lets
+    `sortedscan.sorted_topk` answer a sorted top-k from a file PREFIX
+    instead of a full scan."""
     if not skip_docs:
         d = tok.select("docid", "url", "warc_ts", "lang", "dl", "dl_q")
-        if time_partition:
+        if index_sort:
+            fld, asc = index_sort
+            keys = [F.col(fld).asc() if asc else F.col(fld).desc(),
+                    F.col("docid").asc()]
+            (d.repartitionByRange(max(1, (partitions or 8) // 2), *keys)
+              .sortWithinPartitions(*keys)
+              .write.mode("overwrite").parquet(f"{out_dir}/docs/gen={gen}"))
+            write_sort_manifest(f"{out_dir}/docs/gen={gen}", fld)
+        elif time_partition:
             (d.withColumn("pday", _pday_col(time_partition))
               .repartitionByRange(max(1, (partitions or 8) // 2), "docid")
               .sortWithinPartitions("docid")
@@ -301,6 +319,48 @@ def write_docs_postings(tok: DataFrame, out_dir: str, gen: int,
          .sortWithinPartitions("term", "docid")
          .write.mode("overwrite").partitionBy(*parts)
          .parquet(f"{out_dir}/postings/gen={gen}"))
+
+
+def write_sort_manifest(gen_dir: str, field: str) -> None:
+    """Per-file (rows, min, max) for the index-sort field, from the
+    parquet footers the write just produced — the segment-level skip
+    metadata Lucene keeps per sorted segment. One footer read per file,
+    driver-side, at BUILD time only; queries read the json manifest
+    (at 10^12 docs this lives in the table format's metadata layer —
+    Iceberg keeps identical per-file column bounds natively)."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    def _ser(v):
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat(sep=" ")
+        return v
+
+    files = []
+    for name in sorted(os.listdir(gen_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(gen_dir, name)).metadata
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            col = next(md.row_group(rg).column(i)
+                       for i in range(md.num_columns)
+                       if md.row_group(rg).column(i).path_in_schema == field)
+            st = col.statistics
+            if st is None or not st.has_min_max:    # pragma: no cover
+                lo = hi = None
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo is None:
+            return    # a file without stats poisons pruning: no manifest
+        files.append({"file": name, "rows": md.num_rows,
+                      "min": _ser(lo), "max": _ser(hi)})
+    tmp = f"{gen_dir}/_sort_manifest.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump({"field": field, "files": files}, f, indent=1)
+    os.replace(tmp, f"{gen_dir}/_sort_manifest.json")
 
 
 def write_stats(spark: SparkSession, out_dir: str, stats_df: DataFrame,
@@ -335,15 +395,24 @@ def build_index(pages: DataFrame, out_dir: str, analyzer: str = "standard",
                 n_buckets: int = 8, partitions: int | None = None,
                 resume: bool = False, verify_extract: bool = False,
                 similarity: dict | None = None,
-                time_partition: str | None = None) -> dict:
+                time_partition: str | None = None,
+                index_sort: str | tuple[str, bool] | None = None) -> dict:
     """Build generation 0 of the index dataset under ``out_dir``.
 
     Returns the meta dict. Incremental batches: merge.add_generation.
+
+    index_sort: a docs column name (asc) or (field, asc) — Lucene index
+    sorting; see write_docs_postings.
     """
     if time_partition is not None and time_partition not in \
             TIME_PARTITION_FMT:
         raise ValueError(f"time_partition must be one of "
                          f"{sorted(TIME_PARTITION_FMT)}")
+    if isinstance(index_sort, str):
+        index_sort = (index_sort, True)
+    if index_sort and time_partition:
+        raise ValueError("index_sort and time_partition are mutually "
+                         "exclusive docs layouts")
     spark = pages.sparkSession
     t0 = time.time()
     _timing = os.environ.get("SPARKSEARCH_TIMING") == "1"
@@ -386,7 +455,8 @@ def build_index(pages: DataFrame, out_dir: str, analyzer: str = "standard",
         write_docs_postings(tok, out_dir, 0, n_buckets, partitions,
                             skip_docs=done("docs/gen=0"),
                             skip_postings=True,
-                            time_partition=time_partition)
+                            time_partition=time_partition,
+                            index_sort=index_sort)
 
     def _postings_job():
         write_docs_postings(tok, out_dir, 0, n_buckets, partitions,
@@ -439,6 +509,8 @@ def build_index(pages: DataFrame, out_dir: str, analyzer: str = "standard",
            if similarity is not None else {}),
         **({"time_partition": time_partition}
            if time_partition is not None else {}),
+        **({"index_sort": {"field": index_sort[0], "asc": index_sort[1]}}
+           if index_sort is not None else {}),
         "n_docs": int(n_docs),
         "total_tf": int(total_tf),
         "avgdl": float(avgdl),

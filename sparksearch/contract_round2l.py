@@ -115,6 +115,53 @@ def q_token_count_field(spark, sf_dir):
     return search_df(ex2, body).select("docid", "url", "text_tokens")
 
 
+_SORTED_IX: dict = {}
+
+
+def _get_sorted_ix(spark, sf_dir):
+    """Index with index_sort=(dl asc) — Lucene index sorting; cached per
+    sf_dir like contract.get_engine."""
+    import os
+    import tempfile
+
+    from sparksearch.build import INDEX_VERSION, build_index
+    from sparksearch.corpus import pages_from_documents
+    from sparksearch.index import IndexReader
+
+    key = os.path.realpath(sf_dir)
+    if key not in _SORTED_IX:
+        out = os.path.join(
+            tempfile.gettempdir(),
+            "sparksearch_ixsort_" + key.strip("/").replace("/", "_"))
+        meta_path = os.path.join(out, "meta.json")
+        stale = True
+        if os.path.exists(meta_path):
+            import json
+            with open(meta_path) as f:
+                stale = json.load(f).get("version") != INDEX_VERSION
+        if stale:
+            import shutil
+            shutil.rmtree(out, ignore_errors=True)
+            build_index(pages_from_documents(spark, sf_dir), out,
+                        n_buckets=8, partitions=8,
+                        index_sort=("dl", True))
+        _SORTED_IX[key] = IndexReader(spark, out)
+    return _SORTED_IX[key]
+
+
+def q_index_sorted_topk(spark, sf_dir):
+    """Index-sort early termination: shortest docs by analyzer token
+    count over an index_sort=(dl asc) layout — the sorted top-k scans a
+    manifest-pruned file PREFIX (boundary-exact, ties extend the
+    prefix), not the whole docs table; filter context (lang=en) drives
+    the iterative-doubling path."""
+    from sparksearch.sortedscan import sorted_topk
+    ix = _get_sorted_ix(spark, sf_dir)
+    return (sorted_topk(ix, 15, asc=True,
+                        filter_expr=F.col("lang") == "en")
+            .select("docid", "url", "dl"))
+
+
 #: min-max normalize column s over the whole (bounded) CTE
 _MM = ("CASE WHEN max(s) OVER () = min(s) OVER () THEN 1.0 "
        "ELSE (s - min(s) OVER ()) / (max(s) OVER () - min(s) OVER ()) END")
@@ -188,6 +235,16 @@ ORDER BY round(f.s, 4) DESC, p.docid ASC
 LIMIT 10
 """.strip()
 
+    out["index_sorted_topk"] = f"""
+WITH {P}, {TOK},
+dl AS ( SELECT docid, count(*) AS dl FROM tok GROUP BY docid )
+SELECT p.docid, p.url, CAST(d.dl AS INT) AS dl
+FROM pages p JOIN dl d USING (docid)
+WHERE p.lang = 'en'
+ORDER BY d.dl ASC, p.docid ASC
+LIMIT 15
+""".strip()
+
     out["token_count_field"] = f"""
 WITH {P}, {TOK},
 dl AS ( SELECT docid, count(*) AS text_tokens FROM tok GROUP BY docid )
@@ -236,4 +293,5 @@ def queries() -> dict:
         "api_hybrid": q_api_hybrid,
         "api_hybrid_minmax": q_api_hybrid_minmax,
         "token_count_field": q_token_count_field,
+        "index_sorted_topk": q_index_sorted_topk,
     }

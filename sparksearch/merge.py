@@ -125,13 +125,18 @@ def add_generation(spark: SparkSession, index_dir: str, new_pages: DataFrame,
             spark, index_dir, merged, stats_path, partitions)
 
     _tp = meta.get("time_partition")
+    # index sorting is an index-level layout setting: every generation
+    # gets its own sorted files + sort manifest (Lucene sorts each new
+    # segment the same way)
+    _isort = meta.get("index_sort")
+    _isort = (_isort["field"], _isort["asc"]) if _isort else None
     run_jobs([
         lambda: write_docs_postings(tok, index_dir, gen, n_buckets,
                                     partitions, skip_postings=True,
-                                    time_partition=_tp),
+                                    time_partition=_tp, index_sort=_isort),
         lambda: write_docs_postings(tok, index_dir, gen, n_buckets,
                                     partitions, skip_docs=True,
-                                    time_partition=_tp),
+                                    time_partition=_tp, index_sort=_isort),
         _stats_job,
     ])
     n_terms, max_df, total_tf = stats_result["v"]
