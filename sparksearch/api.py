@@ -48,6 +48,26 @@ __all__ = ["search_df", "run_search", "aggs_df", "count_api", "mget"]
 
 _SCORE_4 = lambda c: F.round(c, 4)
 
+#: every body key the API honors; anything else is REJECTED up front —
+#: the reference does the same (SearchSourceBuilder.fromXContent throws
+#: ParsingException on unknown fields), and silently ignoring a key the
+#: user meant (a typo'd `agg`, an unsupported `pit`) is a wrong-answer
+#: trap worse than an error
+_BODY_KEYS = frozenset({
+    "query", "size", "from", "sort", "search_after", "min_score",
+    "rescore", "post_filter", "track_total_hits", "track_scores",
+    "collapse", "highlight", "explain", "suggest", "profile", "_source",
+    "aggs", "aggregations", "script_fields", "runtime_mappings",
+    "docvalue_fields", "fields", "terminate_after",
+})
+
+
+def _check_body(body: dict) -> None:
+    unknown = set(body) - _BODY_KEYS
+    if unknown:
+        raise ValueError(f"unknown _search body keys: {sorted(unknown)} "
+                         f"(supported: {sorted(_BODY_KEYS)})")
+
 
 def _parse_sort(spec) -> list[tuple[str, bool]]:
     """body `sort` → [(field, asc)]; defaults to relevance order."""
@@ -180,6 +200,10 @@ def search_df(ex, body: dict, pages: DataFrame | None = None,
     `pages` (the raw corpus) is only needed when the body asks for
     `highlight` — the docs table deliberately doesn't carry source text.
     `emb` (the embeddings frame) is only needed for knn/hybrid queries."""
+    body = dict(body)
+    if "aggregations" in body:
+        body["aggs"] = body.pop("aggregations")
+    _check_body(body)
     if "runtime_mappings" in body:
         # script-derived columns inlined into the same docs scan — the
         # derived Executor plans them identically to stored fields
@@ -220,6 +244,12 @@ def search_df(ex, body: dict, pages: DataFrame | None = None,
 
     scored = (_plan_vector_body(ex, body["query"], emb) if is_vec
               else ex._plan(q, scored=needs_score))
+    if body.get("terminate_after"):
+        # collection stops after N docs IN DOC ORDER (Lucene collects per
+        # segment in docid order and throws EarlyTerminationException);
+        # top-k then ranks only the collected prefix
+        scored = (scored.orderBy(F.col("docid").asc())
+                  .limit(int(body["terminate_after"])))
     if "min_score" in body:
         scored = scored.filter(
             F.col("score") >= float(body["min_score"]))
@@ -384,6 +414,10 @@ def run_search(ex, body: dict, pages: DataFrame | None = None,
                emb: DataFrame | None = None) -> dict:
     """The response envelope (RestSearchAction shape). Collects ≤ size
     hit rows driver-side; total is a separate count on the filter plan."""
+    body = dict(body)
+    if "aggregations" in body:          # accepted alias, like the reference
+        body["aggs"] = body.pop("aggregations")
+    _check_body(body)
     is_vec = _is_vector_query(body.get("query"))
     clp = body.get("collapse")
     if is_vec and (clp and "inner_hits" in clp or "aggs" in body):
@@ -411,11 +445,20 @@ def run_search(ex, body: dict, pages: DataFrame | None = None,
         return r
 
     tth = body.get("track_total_hits", 10_000)
+    ta = int(body.get("terminate_after", 0))
     # vector plans are bounded (≤k / ≤pagination_depth) by construction,
     # so their "total" is just the candidate count
     matched = (_plan_vector_body(ex, body["query"], emb) if is_vec
                else ex._plan(q, scored=False))
-    if tth is True:
+    terminated_early = False
+    if ta:
+        # collection stops after `ta` docs: total is the collected count
+        # (relation eq), and the response flags the early exit
+        seen = _timed("total_hits_terminate_after",
+                      matched.limit(ta + 1).count)
+        terminated_early = seen > ta
+        total_rep = {"value": min(seen, ta), "relation": "eq"}
+    elif tth is True:
         total = _timed("total_hits_exact", matched.count)
         total_rep = {"value": total, "relation": "eq"}
     else:
@@ -492,6 +535,8 @@ def run_search(ex, body: dict, pages: DataFrame | None = None,
                      if h["_score"] is not None), default=None)
     resp = {"hits": {"total": total_rep,
                      "max_score": max_score, "hits": hits}}
+    if ta:
+        resp["terminated_early"] = terminated_early
     if "aggs" in body:
         resp["aggregations"] = {}
         for name, spec in body["aggs"].items():

@@ -115,6 +115,17 @@ def q_token_count_field(spark, sf_dir):
     return search_df(ex2, body).select("docid", "url", "text_tokens")
 
 
+def q_api_terminate_after(spark, sf_dir):
+    """terminate_after: collection stops after the first 40 matching
+    docs IN DOC ORDER (Lucene's per-segment early termination); top-10
+    by BM25 is then ranked over that prefix only."""
+    from sparksearch.api import search_df
+    _, ex = C.get_engine(spark, sf_dir)
+    body = {"query": {"match": {"text": "join"}}, "size": 10,
+            "terminate_after": 40, "_source": False}
+    return search_df(ex, body).select("docid", "url", "score")
+
+
 _SORTED_IX: dict = {}
 
 
@@ -235,6 +246,21 @@ ORDER BY round(f.s, 4) DESC, p.docid ASC
 LIMIT 10
 """.strip()
 
+    out["api_terminate_after"] = f"""
+WITH {P}, {TOK}, {DL},
+tf AS ( SELECT docid, count(*) AS tf FROM tok WHERE term = 'join'
+        GROUP BY docid ),
+dft AS ( SELECT count(*) AS df FROM tf ),
+sc AS ( SELECT tf.docid, {_idf('dft.df', 'g.n')} *
+               {_tfn('tf.tf', 'dlq.dl_q', 'g.avgdl')} AS s
+        FROM tf CROSS JOIN dft JOIN dlq USING (docid) CROSS JOIN g ),
+coll AS ( SELECT docid, s FROM sc ORDER BY docid ASC LIMIT 40 )
+SELECT p.docid, p.url, CAST(round(c.s, 4) AS DOUBLE) AS score
+FROM coll c JOIN pages p USING (docid)
+ORDER BY round(c.s, 4) DESC, p.docid ASC
+LIMIT 10
+""".strip()
+
     out["index_sorted_topk"] = f"""
 WITH {P}, {TOK},
 dl AS ( SELECT docid, count(*) AS dl FROM tok GROUP BY docid )
@@ -294,4 +320,5 @@ def queries() -> dict:
         "api_hybrid_minmax": q_api_hybrid_minmax,
         "token_count_field": q_token_count_field,
         "index_sorted_topk": q_index_sorted_topk,
+        "api_terminate_after": q_api_terminate_after,
     }

@@ -402,6 +402,42 @@ def test_highlight_fragments_in_body(spark, ex):
         list(rows[0].highlight)
 
 
+def test_unknown_body_key_rejected(ex):
+    with pytest.raises(ValueError, match="unknown _search body keys.*agg"):
+        search_df(ex, {"query": {"match_all": {}}, "agg": {}})
+    with pytest.raises(ValueError, match="pit"):
+        run_search(ex, {"pit": {"id": "x"}})
+
+
+def test_aggregations_alias(ex):
+    r1 = run_search(ex, {"size": 0, "aggregations":
+                         {"l": {"terms": {"field": "lang"}}}})
+    r2 = run_search(ex, {"size": 0, "aggs":
+                         {"l": {"terms": {"field": "lang"}}}})
+    assert r1["aggregations"] == r2["aggregations"]
+
+
+def test_terminate_after(ex):
+    full = run_search(ex, {"query": {"match_all": {}}, "size": 5,
+                           "track_total_hits": True})
+    n = full["hits"]["total"]["value"]
+    ta = n // 2
+    r = run_search(ex, {"query": {"match_all": {}}, "size": 5,
+                        "terminate_after": ta})
+    assert r["terminated_early"] is True
+    assert r["hits"]["total"] == {"value": ta, "relation": "eq"}
+    # collection in doc order: hits come from the first `ta` docids only
+    rows = search_df(ex, {"query": {"match_all": {}}, "size": ta + 10,
+                          "terminate_after": ta}).collect()
+    assert len(rows) == ta
+    assert max(r.docid for r in rows) < ta  # match_all ⇒ prefix of docids
+    # a cap above the match count: nothing terminates
+    r2 = run_search(ex, {"query": {"match_all": {}}, "size": 5,
+                         "terminate_after": n + 10})
+    assert r2["terminated_early"] is False
+    assert r2["hits"]["total"] == {"value": n, "relation": "eq"}
+
+
 @pytest.fixture(scope="module")
 def emb001(spark):
     return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
