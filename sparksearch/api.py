@@ -193,6 +193,30 @@ def _plan_vector_body(ex, qdsl: dict, emb: DataFrame) -> DataFrame:
     return rrf_fuse(legs, rrf_k=rrf_k, top_n=pool, key="docid")
 
 
+def _sorted_scan_cond(ex, body, q, sort, needs_score, script_sorts,
+                      is_vec):
+    """Index-sort early-termination gate (the reference's
+    TopDocsCollectorContext#canEarlyTerminate): when the body sorts by
+    the index_sort field (docid tie-break only), nothing needs a score,
+    and the query is pure filter context over doc values, return the
+    filter Column — the hits then come from `sortedscan.sorted_topk`'s
+    manifest-pruned file prefix instead of a full docs scan."""
+    isort = ex.ix.meta.get("index_sort")
+    if (not isort or is_vec or needs_score or script_sorts
+            or ex.ix._runtime or not body.get("sort")):
+        return None
+    if any(k in body for k in (
+            "search_after", "collapse", "rescore", "terminate_after",
+            "post_filter", "highlight", "min_score", "script_fields")):
+        return None
+    (pf, _), rest = sort[0], sort[1:]
+    if pf != isort["field"]:
+        return None
+    if any(f not in ("_doc", "docid") or not asc for f, asc in rest):
+        return None
+    return ex.docvalue_only_cond(q)
+
+
 def search_df(ex, body: dict, pages: DataFrame | None = None,
               emb: DataFrame | None = None) -> DataFrame:
     """Execute a `_search` body; returns (docid, url, score, <sort and
@@ -242,7 +266,10 @@ def search_df(ex, body: dict, pages: DataFrame | None = None,
         or "min_score" in body or not body.get("sort") \
         or bool(body.get("track_scores"))
 
-    scored = (_plan_vector_body(ex, body["query"], emb) if is_vec
+    sorted_cond = _sorted_scan_cond(ex, body, q, sort, needs_score,
+                                    script_sorts, is_vec)
+    scored = (None if sorted_cond is not None
+              else _plan_vector_body(ex, body["query"], emb) if is_vec
               else ex._plan(q, scored=needs_score))
     if body.get("terminate_after"):
         # collection stops after N docs IN DOC ORDER (Lucene collects per
@@ -283,7 +310,9 @@ def search_df(ex, body: dict, pages: DataFrame | None = None,
         pf = ex._plan(from_dsl(body["post_filter"]),
                       scored=False).select("docid")
         scored = scored.join(pf, "docid", "left_semi")
-    scored = scored.select("docid", _SCORE_4(F.col("score")).alias("score"))
+    if scored is not None:
+        scored = scored.select("docid",
+                               _SCORE_4(F.col("score")).alias("score"))
 
     doc_fields = {f for f, _ in sort
                   if f not in ("_score", "_doc") and f not in script_sorts}
@@ -326,8 +355,17 @@ def search_df(ex, body: dict, pages: DataFrame | None = None,
                 continue
             keep_src.append(c)
     fetch_cols = ["docid", "url"] + sorted(doc_fields | set(keep_src))
-    d = ex.ix.docs.select(*fetch_cols)
-    out = scored.join(d, "docid")
+    if sorted_cond is not None:
+        # early-terminating sorted scan: hits straight from the pruned
+        # file prefix; score 0.0 like every unscored filter-context plan
+        from sparksearch.sortedscan import sorted_topk
+        out = (sorted_topk(ex.ix, from_ + size, asc=sort[0][1],
+                           filter_expr=sorted_cond)
+               .select(*fetch_cols)
+               .withColumn("score", F.lit(0.0)))
+    else:
+        d = ex.ix.docs.select(*fetch_cols)
+        out = scored.join(d, "docid")
     for nm, comp in script_sorts.items():
         out = out.withColumn(nm, comp.col)
     for nm, comp in sf_compiled.items():

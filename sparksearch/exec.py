@@ -1284,6 +1284,32 @@ class Executor:
             raise ValueError(f"unknown boost_mode: {bm}")
         return df.select("docid", total.alias("score"))
 
+    def docvalue_only_cond(self, q: Query):
+        """The whole query as ONE doc-values predicate, or None if any
+        part needs postings/scoring. Powers the index-sort early-
+        termination fast path: a filter-context query over doc values
+        can run inside the pruned sorted scan instead of a full plan."""
+        if isinstance(q, MatchAll):
+            return F.lit(True)
+        if isinstance(q, (Term, Terms, Range, Exists, Prefix, Ids,
+                          Script)):
+            return self._docvalue_cond(q)
+        if isinstance(q, Bool) and not q.should and not q.must_not \
+                and not q.minimum_should_match:
+            conds = []
+            for c in list(q.must) + list(q.filter):
+                sub = self.docvalue_only_cond(c)
+                if sub is None:
+                    return None
+                conds.append(sub)
+            if not conds:
+                return None
+            out = conds[0]
+            for c in conds[1:]:
+                out = out & c
+            return out
+        return None
+
     def _plan_docvalue_filter(self, q: Query) -> DataFrame:
         """Metadata-field predicates answered from the docs table (the
         engine's doc-values columnar store) with full Catalyst pushdown."""

@@ -85,6 +85,41 @@ def test_sorted_topk_across_generations(spark, sorted_ix):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def test_search_body_uses_sorted_prefix(spark, sorted_ix):
+    """A body sorted by the index_sort field takes the early-termination
+    path and returns exactly what the full-scan plan returns."""
+    from sparksearch import api
+    from sparksearch.exec import Executor
+
+    ex = Executor(sorted_ix)
+    body = {"query": {"term": {"lang": "de"}},
+            "sort": [{"dl": "asc"}], "size": 8,
+            "_source": {"includes": ["dl", "lang"]}}
+    # gate engages
+    q = api.from_dsl(body["query"])
+    sort = api._parse_sort(body["sort"])
+    assert api._sorted_scan_cond(ex, body, q, sort, False, {},
+                                 False) is not None
+    fast = [(r.docid, r.dl, r.score) for r in
+            api.search_df(ex, body).collect()]
+    slow = [(r.docid, r.dl, r.score) for r in
+            api.search_df(ex, {**body, "track_scores": True}).collect()]
+    assert [(d, v) for d, v, _ in fast] == [(d, v) for d, v, _ in slow]
+    assert all(s == 0.0 for _, _, s in fast)
+    # gate stays OFF when anything needs scores or another sort order
+    assert api._sorted_scan_cond(
+        ex, body, q, sort, True, {}, False) is None
+    assert api._sorted_scan_cond(
+        ex, body, api.from_dsl({"match": {"text": "x"}}),
+        sort, False, {}, False) is None
+    assert api._sorted_scan_cond(
+        ex, {**body, "search_after": [1]}, q, sort, False, {},
+        False) is None
+    assert api._sorted_scan_cond(
+        ex, body, q, api._parse_sort([{"lang": "asc"}]), False, {},
+        False) is None
+
+
 def test_sorted_topk_errors(spark, sorted_ix):
     from sparksearch.contract import get_engine
     ix_plain, _ = get_engine(spark, SF)
