@@ -160,6 +160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from sparksearch import contract_round2j as CR2J
     from sparksearch import contract_round2k as CR2K
     from sparksearch import contract_round2l as CR2L
+    from sparksearch import contract_round2m as CR2M
+    out.update(CR2M.queries())
     out.update(CQ2.queries())
     out.update(CR2J.queries())
     out.update(CR2K.queries())
@@ -202,7 +204,9 @@ def oracle_sql() -> dict[str, str]:
     from sparksearch import contract_round2j as CR2J
     from sparksearch import contract_round2k as CR2K
     from sparksearch import contract_round2l as CR2L
+    from sparksearch import contract_round2m as CR2M
     out = dict(CD.oracle_sql())
+    out.update(CR2M.oracle_sql())
     out.update(CR2J.oracle_sql())
     out.update(CR2K.oracle_sql())
     out.update(CR2L.oracle_sql())

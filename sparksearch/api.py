@@ -641,6 +641,81 @@ def mget(ex, ids: list[str], source: bool = True) -> dict:
     return {"docs": docs}
 
 
+def scroll_open(ex, body: dict, scroll: str = "1m"):
+    """``POST /_search?scroll=1m`` — the classic scroll cursor
+    (sv/rest/action/search/RestSearchScrollAction.java,
+    sv/search/SearchService#createAndPutReaderContext).
+
+    Opens a point-in-time snapshot (the reference holds an IndexReader
+    over the segments_N commit for `scroll` keepalive; here the PIT pins
+    the committed generation list, so writes after open are invisible to
+    the scroll) and returns the first page plus an opaque scroll state.
+    The state IS the `_scroll_id`: the reference encodes reader-context
+    ids per shard; we carry the pinned commit + keyset cursor, which is
+    exactly the state those contexts hold for a sorted scroll.
+
+    Returns ``(rows, state)`` — rows is the collected page (bounded by
+    ``size``, like the reference's fetch phase), state feeds
+    :func:`scroll_next`. The sort gets a ``docid`` tie-break appended so
+    the cursor is total, mirroring how the reference scroll falls back
+    to ``_doc`` within equal sort values."""
+    body = dict(body)
+    if "from" in body or "search_after" in body:
+        # reference: scroll rejects from/search_after
+        # (SearchService validation)
+        raise ValueError("scroll cannot combine with from/search_after")
+    sort = body.get("sort") or [{"_score": "desc"}]
+    sort = sort if isinstance(sort, list) else [sort]
+    fields = [(s if isinstance(s, str) else next(iter(s)))
+              for s in sort]
+    if "docid" not in fields and "_doc" not in fields:
+        sort = sort + [{"docid": "asc"}]
+    body["sort"] = sort
+    state = {"pit": ex.ix.open_pit(), "body": body, "scroll": scroll,
+             "fixed_now": ex.fixed_now, "after": None, "done": False,
+             "analyzer": ex.ix.analyzer}
+    return scroll_next(ex.ix.spark, state)
+
+
+def scroll_next(spark, state: dict):
+    """``POST /_search/scroll {"scroll_id": ...}`` — next page of an open
+    scroll. Reconstructs the pinned PIT reader (so concurrent
+    add_generation commits never leak into an open scroll) and applies
+    the keyset cursor from the previous page. Returns ``(rows, state)``;
+    ``state["done"]`` flips when a short page ends the scroll."""
+    from sparksearch.exec import Executor
+    from sparksearch.index import pit_reader
+    if state.get("done"):
+        return [], state
+    ix = pit_reader(spark, state["pit"])
+    ix.analyzer = state.get("analyzer", ix.analyzer)
+    ex = Executor(ix, fixed_now=state.get("fixed_now"))
+    body = dict(state["body"])
+    if state["after"] is not None:
+        body["search_after"] = state["after"]
+    size = int(body.get("size", 10))
+    rows = search_df(ex, body).collect()
+    fields = [(s if isinstance(s, str) else next(iter(s)))
+              for s in body["sort"]]
+    new = dict(state)
+    if rows:
+        last = rows[-1]
+        new["after"] = [last["score"] if f == "_score" else last[f]
+                        for f in fields]
+    new["done"] = len(rows) < size
+    return rows, new
+
+
+def clear_scroll(state: dict) -> dict:
+    """``DELETE /_search/scroll`` — drop the cursor (the PIT pins no OS
+    resources here: generation dirs are immutable; the reference frees
+    its reader context)."""
+    state = dict(state)
+    state["done"] = True
+    state["after"] = None
+    return state
+
+
 _METRICS = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
             "value_count": F.count}
 

@@ -1,0 +1,103 @@
+"""Mapper layer (mappings.py) + classic scroll (api.scroll_*) tests."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from sparksearch.mappings import apply_mappings, infer_mappings
+
+
+def test_infer_mappings_dynamic_defaults(spark):
+    """Dynamic mapping: string → text + .keyword(ignore_above 256),
+    timestamp → date, long → long, binary → binary, double → float."""
+    df = spark.createDataFrame(
+        [("u", 1, 2.5, True)], "url string, n long, x double, b boolean"
+    ).withColumn("ts", F.current_timestamp()) \
+     .withColumn("blob", F.encode(F.col("url"), "UTF-8"))
+    props = infer_mappings(df)["properties"]
+    assert props["url"] == {
+        "type": "text",
+        "fields": {"keyword": {"type": "keyword", "ignore_above": 256}}}
+    assert props["n"] == {"type": "long"}
+    assert props["x"] == {"type": "float"}
+    assert props["b"] == {"type": "boolean"}
+    assert props["ts"] == {"type": "date"}
+    assert props["blob"] == {"type": "binary"}
+
+
+def test_ignore_above_and_normalizer(spark):
+    df = spark.createDataFrame(
+        [("A" * 10,), ("B" * 300,), (None,)], "t string")
+    out = apply_mappings(df, {"properties": {"t": {
+        "type": "text",
+        "fields": {"keyword": {"type": "keyword", "ignore_above": 256,
+                               "normalizer": "lowercase"}}}}})
+    vals = [r["t.keyword"] for r in out.orderBy(F.col("t").asc_nulls_first())
+            .collect()]
+    assert vals == [None, "a" * 10, None]  # null in, short kept+lowered, long dropped
+
+
+def test_null_value_fills_before_normalizer(spark):
+    df = spark.createDataFrame([("X",), (None,)], "k string")
+    out = apply_mappings(df, {"properties": {"k": {
+        "type": "keyword", "null_value": "MISSING",
+        "normalizer": "lowercase"}}})
+    assert sorted(r["k"] for r in out.collect()) == ["missing", "x"]
+
+
+def test_copy_to_appends_both_sources(spark):
+    df = spark.createDataFrame([("en", "s1"), (None, "s2")],
+                               "lang string, site string")
+    out = apply_mappings(df, {"properties": {
+        "lang": {"type": "keyword", "copy_to": "tags"},
+        "site": {"type": "keyword", "copy_to": ["tags"]}}})
+    rows = {r["site"]: r["tags"] for r in out.collect()}
+    assert rows["s1"] == ["en", "s1"]
+    assert rows["s2"] == ["s2"]  # NULL source contributes nothing
+
+
+def test_scaled_float_lattice(spark):
+    """Doc value is round(v*factor) long; queries see stored/factor."""
+    df = spark.createDataFrame([(0.126,), (0.124,), (1.0,)], "q double")
+    out = apply_mappings(df, {"properties": {"q": {
+        "type": "scaled_float", "scaling_factor": 10}}})
+    got = sorted((r["q.stored"], r["q.value"]) for r in out.collect())
+    assert got == [(1, 0.1), (1, 0.1), (10, 1.0)]  # 0.126 and 0.124 collapse
+
+
+def test_scroll_pit_isolation_and_drain(spark, index_sf0001, tmp_path):
+    """A scroll opened before a new generation commits never sees the new
+    docs; pages tile the result set without overlap; done flips on the
+    short page."""
+    from sparksearch.api import scroll_next, scroll_open
+    from sparksearch.exec import Executor
+
+    ex = Executor(index_sf0001)
+    n_de = index_sf0001.docs.filter(F.col("lang") == "de").count()
+    size = max(2, n_de // 3)
+    body = {"query": {"term": {"lang": "de"}},
+            "sort": [{"warc_ts": "asc"}], "size": size, "_source": False}
+    rows, st = scroll_open(ex, body)
+    seen = [r["docid"] for r in rows]
+    guard = 0
+    while not st["done"]:
+        rows, st = scroll_next(spark, st)
+        seen += [r["docid"] for r in rows]
+        guard += 1
+        assert guard < 20
+    assert len(seen) == n_de
+    assert len(set(seen)) == n_de  # no overlap between pages
+    # sorted by warc_ts asc == docid asc for this corpus ordering
+    expected = [r["docid"] for r in index_sf0001.docs
+                .filter(F.col("lang") == "de")
+                .orderBy("warc_ts", "docid").collect()]
+    assert seen == expected
+
+
+def test_scroll_rejects_from(spark, index_sf0001):
+    from sparksearch.api import scroll_open
+    from sparksearch.exec import Executor
+    with pytest.raises(ValueError):
+        scroll_open(Executor(index_sf0001),
+                    {"query": {"match_all": {}}, "from": 3})
