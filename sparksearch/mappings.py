@@ -83,16 +83,15 @@ def apply_mappings(df: DataFrame, mappings: dict) -> DataFrame:
     for name, spec in props.items():
         ftype = spec.get("type", "text")
         src = F.col(name) if name in df.columns else F.lit(None).cast("string")
-        if ftype == "keyword":
-            # a keyword-mapped field IS its doc value: replace in place
-            df = df.withColumn(name, _keyword_value(src, spec))
-        elif ftype == "scaled_float":
+        if ftype == "scaled_float":
             factor = float(spec["scaling_factor"])
             stored = scaled_float_stored(src.cast("double"), factor)
             df = (df.withColumn(name + ".stored", stored)
                     .withColumn(name + ".value",
                                 stored.cast("double") / F.lit(factor)))
-        # multi-fields
+        # multi-fields (computed BEFORE any in-place keyword rewrite —
+        # sub-fields and copy_to see the ORIGINAL source value, as the
+        # reference's DocumentParser hands each sub-mapper the raw token)
         for sub, sub_spec in (spec.get("fields") or {}).items():
             sub_name = f"{name}.{sub}"
             stype = sub_spec.get("type", "keyword")
@@ -115,6 +114,10 @@ def apply_mappings(df: DataFrame, mappings: dict) -> DataFrame:
                 F.when(src.isNotNull(),
                        F.array_append(existing, src.cast("string")))
                  .otherwise(existing))
+        if ftype == "keyword":
+            # a keyword-mapped field IS its doc value: replace in place
+            # (last, so sub-fields/copy_to above saw the raw value)
+            df = df.withColumn(name, _keyword_value(src, spec))
     return df
 
 

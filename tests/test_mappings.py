@@ -46,6 +46,17 @@ def test_null_value_fills_before_normalizer(spark):
     assert sorted(r["k"] for r in out.collect()) == ["missing", "x"]
 
 
+def test_subfield_sees_raw_value_not_normalized(spark):
+    """Multi-fields receive the ORIGINAL source value — a normalized
+    in-place keyword rewrite must not leak into its own sub-fields."""
+    df = spark.createDataFrame([("MiXeD",)], "k string")
+    out = apply_mappings(df, {"properties": {"k": {
+        "type": "keyword", "normalizer": "lowercase",
+        "fields": {"raw": {"type": "keyword"}}}}})
+    r = out.collect()[0]
+    assert r["k"] == "mixed" and r["k.raw"] == "MiXeD"
+
+
 def test_copy_to_appends_both_sources(spark):
     df = spark.createDataFrame([("en", "s1"), (None, "s2")],
                                "lang string, site string")
