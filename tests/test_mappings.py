@@ -77,6 +77,23 @@ def test_scaled_float_lattice(spark):
     assert got == [(1, 0.1), (1, 0.1), (10, 1.0)]  # 0.126 and 0.124 collapse
 
 
+def test_mapping_plan_single_scan_no_python_no_shuffle(spark):
+    """Every mapped doc value is a column expression on the ONE parquet
+    scan — no Python eval, no Exchange, no extra scan."""
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = apply_mappings(df, {"properties": {
+        "text": {"type": "text",
+                 "fields": {"keyword": {"type": "keyword",
+                                        "ignore_above": 256,
+                                        "normalizer": "lowercase"}}},
+        "lang": {"type": "keyword", "null_value": "unknown",
+                 "copy_to": "tags"}}})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
 def test_scroll_pit_isolation_and_drain(spark, index_sf0001, tmp_path):
     """A scroll opened before a new generation commits never sees the new
     docs; pages tile the result set without overlap; done flips on the
