@@ -120,6 +120,123 @@ def q_mapping_copy_to(spark, sf_dir):
             .orderBy("url"))
 
 
+# ---------------------------------------------------------------------------
+# distributed BPE tokenizer training (training-data pipeline)
+# ---------------------------------------------------------------------------
+
+_BPE_K = 4  # merges learned in the gated entry (oracle unrolls K levels)
+_BPE_CACHE: dict = {}
+
+
+def _get_merges(spark, sf_dir):
+    import os
+    key = os.path.realpath(sf_dir)
+    if key not in _BPE_CACHE:
+        from sparksearch.bpe import bpe_train
+        _BPE_CACHE[key] = bpe_train(C.pages_df(spark, sf_dir), _BPE_K)
+    return _BPE_CACHE[key]
+
+
+def q_bpe_merges(spark, sf_dir):
+    """Learn the first K BPE merges from the corpus word histogram —
+    (count desc, pair asc) deterministic selection, exact greedy
+    left-to-right application between steps. The oracle unrolls the
+    identical K iterations in SQL (a `list_reduce` fold over the
+    space-joined symbol form — the same greedy scan as the engine's
+    `aggregate` fold)."""
+    merges = _get_merges(spark, sf_dir)
+    return spark.createDataFrame(
+        [(m["step"], m["left"], m["right"], m["merged"], m["pair_count"])
+         for m in merges],
+        "step int, left string, right string, merged string, "
+        "pair_count long")
+
+
+def q_bpe_tokenize(spark, sf_dir):
+    """Apply the learned merge table back to the corpus: per-doc BPE
+    token count for the 20 lowest-docid pages — the end-to-end
+    learn-then-tokenize loop a training pipeline runs."""
+    from sparksearch.bpe import bpe_apply
+    merges = _get_merges(spark, sf_dir)
+    out = bpe_apply(C.pages_df(spark, sf_dir), merges)
+    return (out.select("url", "bpe_len").orderBy("url").limit(20))
+
+
+def _bpe_oracle_levels(k: int) -> str:
+    """CTE chain: s1..sk symbol tables, best1..bestk chosen pairs."""
+    chars = ("list_transform(range(1, length(word) + 1), "
+             "i -> substr(word, i, 1))")
+    parts = [f"""
+w0 AS ( SELECT word, CAST(count(*) AS BIGINT) AS cnt
+        FROM ( SELECT unnest(string_split(text, ' ')) AS word FROM pages )
+        WHERE word <> '' GROUP BY word ),
+s1 AS ( SELECT cnt, array_to_string({chars}, ' ') AS syms FROM w0 )
+""".strip()]
+    for n in range(1, k + 1):
+        parts.append(f"""
+p{n} AS ( SELECT arr[i] AS a, arr[i + 1] AS b, CAST(sum(cnt) AS BIGINT) AS c
+          FROM ( SELECT cnt, string_split(syms, ' ') AS arr FROM s{n} ),
+               unnest(range(1, len(arr))) AS t(i)
+          GROUP BY 1, 2 ),
+best{n} AS ( SELECT a, b, c FROM p{n}
+             ORDER BY c DESC, a ASC, b ASC LIMIT 1 )
+""".strip())
+        if n < k:
+            parts.append(f"""
+s{n + 1} AS ( SELECT cnt, {_merge_fold_sql('syms')} AS syms
+              FROM s{n}, best{n} )
+""".strip())
+    return ",\n".join(parts)
+
+
+def _merge_fold_sql(col: str) -> str:
+    """Exact greedy left-to-right merge of the in-scope (a, b) pair over
+    a space-joined symbol string — DuckDB list_reduce mirror of
+    bpe._merge_expr (single-symbol words pass through unchanged since
+    list_reduce of a 1-element list returns the element)."""
+    return (f"list_reduce(string_split({col}, ' '), (acc, x) -> "
+            f"CASE WHEN x = b AND string_split(acc, ' ')[-1] = a "
+            f"THEN substr(acc, 1, length(acc) - length(a)) || a || b "
+            f"ELSE acc || ' ' || x END)")
+
+
+def _bpe_merges_sql() -> str:
+    levels = _bpe_oracle_levels(_BPE_K)
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {n} AS step, a AS \"left\", b AS \"right\", "
+        f"a || b AS merged, c AS pair_count FROM best{n}"
+        for n in range(1, _BPE_K + 1))
+    return f"WITH {C._PAGES},\n{levels}\n{rows}\nORDER BY step"
+
+
+def _bpe_tokenize_sql() -> str:
+    # per-word char split, then one tok{n} CTE per learned merge, each
+    # cross-joined with its 1-row best{n} so the fold lambda sees (a, b)
+    # as plain columns — mirrors bpe.bpe_apply exactly
+    levels = _bpe_oracle_levels(_BPE_K)
+    chars_w = ("list_transform(range(1, length(w) + 1), "
+               "i -> substr(w, i, 1))")
+    toks = [f"""
+tok0 AS ( SELECT url, list_transform(
+            list_filter(string_split(text, ' '), w -> w <> ''),
+            w -> array_to_string({chars_w}, ' ')) AS ws FROM pages )
+""".strip()]
+    for n in range(1, _BPE_K + 1):
+        toks.append(f"""
+tok{n} AS ( SELECT url, list_transform(ws, w -> {_merge_fold_sql('w')}) AS ws
+            FROM tok{n - 1}, best{n} )
+""".strip())
+    chain = ",\n".join(toks)
+    return f"""
+WITH {C._PAGES},
+{levels},
+{chain}
+SELECT url, CAST(len(flatten(list_transform(ws, w -> string_split(w, ' '))))
+                 AS INT) AS bpe_len
+FROM tok{_BPE_K} ORDER BY url LIMIT 20
+""".strip()
+
+
 def queries() -> dict:
     return {
         "scroll_pages": q_scroll_pages,
@@ -127,6 +244,8 @@ def queries() -> dict:
         "mapping_null_value": q_mapping_null_value,
         "mapping_scaled_float": q_mapping_scaled_float,
         "mapping_copy_to": q_mapping_copy_to,
+        "bpe_merges": q_bpe_merges,
+        "bpe_tokenize": q_bpe_tokenize,
     }
 
 
@@ -172,4 +291,6 @@ FROM pages
 WHERE split_part(url, '/', 3) = 'site7.example' OR lang = 'site7.example'
 ORDER BY url
 """.strip()
+    out["bpe_merges"] = _bpe_merges_sql()
+    out["bpe_tokenize"] = _bpe_tokenize_sql()
     return out

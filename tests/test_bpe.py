@@ -1,0 +1,93 @@
+"""Distributed BPE trainer (bpe.py) vs a pure-Python reference trainer."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from sparksearch.bpe import bpe_apply, bpe_train
+
+
+def _py_bpe_train(texts: list[str], k: int) -> list[tuple[str, str, int]]:
+    """Reference trainer: Sennrich-style, greedy left-to-right merge,
+    ties broken (count desc, pair asc)."""
+    words = Counter(w for t in texts for w in t.split(" ") if w)
+    syms = {w: list(w) for w in words}
+    merges = []
+    for _ in range(k):
+        pairs: Counter = Counter()
+        for w, c in words.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += c
+        if not pairs:
+            break
+        (a, b), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, c))
+        for w in syms:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges
+
+
+def _py_bpe_apply(text: str, merges) -> list[str]:
+    toks = []
+    for w in text.split(" "):
+        if not w:
+            continue
+        s = list(w)
+        for a, b, _ in merges:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            s = out
+        toks += s
+    return toks
+
+
+def test_bpe_train_matches_python_reference(spark):
+    texts = [r[0] for r in spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+        .select("text").limit(120).collect()]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    k = 6
+    got = bpe_train(docs, k)
+    want = _py_bpe_train(texts, k)
+    assert [(m["left"], m["right"], m["pair_count"]) for m in got] == want
+    # apply parity on a sample of docs
+    out = {r["text"]: (r["bpe_tokens"], r["bpe_len"])
+           for r in bpe_apply(docs.limit(15), got).collect()}
+    for t, (toks, n) in out.items():
+        ref = _py_bpe_apply(t, want)
+        assert toks == ref and n == len(ref)
+        assert "".join(toks) == t.replace(" ", "")  # lossless
+
+
+def test_bpe_merge_never_spans_words(spark):
+    # 'a b' adjacent ACROSS words must not merge even if ('a','b') is learned
+    docs = spark.createDataFrame(
+        [("ab ab ab a b",)], "text string")
+    m = bpe_train(docs, 1)
+    assert (m[0]["left"], m[0]["right"]) == ("a", "b")
+    r = bpe_apply(docs, m).collect()[0]
+    # three intra-word merges happen; the trailing standalone 'a b' stays
+    assert r["bpe_tokens"] == ["ab", "ab", "ab", "a", "b"]
+
+
+def test_bpe_overlapping_run_is_greedy(spark):
+    docs = spark.createDataFrame([("aaaa aaa",)], "text string")
+    m = bpe_train(docs, 1)
+    assert (m[0]["left"], m[0]["right"], m[0]["pair_count"]) == ("a", "a", 5)
+    r = {tuple(x["bpe_tokens"]) for x in bpe_apply(docs, m).collect()}
+    assert r == {("aa", "aa", "aa", "a")}
