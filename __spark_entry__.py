@@ -161,6 +161,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from sparksearch import contract_round2k as CR2K
     from sparksearch import contract_round2l as CR2L
     from sparksearch import contract_round2m as CR2M
+    from sparksearch import contract_round2n as CR2N
+    out.update(CR2N.queries())
     out.update(CR2M.queries())
     out.update(CQ2.queries())
     out.update(CR2J.queries())
@@ -205,7 +207,9 @@ def oracle_sql() -> dict[str, str]:
     from sparksearch import contract_round2k as CR2K
     from sparksearch import contract_round2l as CR2L
     from sparksearch import contract_round2m as CR2M
+    from sparksearch import contract_round2n as CR2N
     out = dict(CD.oracle_sql())
+    out.update(CR2N.oracle_sql())
     out.update(CR2M.oracle_sql())
     out.update(CR2J.oracle_sql())
     out.update(CR2K.oracle_sql())

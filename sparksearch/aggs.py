@@ -745,3 +745,25 @@ def terms_agg_sharded(df: DataFrame, field: str, size: int = 10,
                     .alias("doc_count_error_upper_bound"))
             .orderBy(F.col("doc_count").desc(), F.col("key").asc())
             .limit(size))
+
+
+def nested_terms(docs: DataFrame, path: str, leaf: str,
+                 size: int = 10) -> DataFrame:
+    """nested + reverse_nested aggregation: bucket the ELEMENTS of an
+    array-of-structs nested field (the nested agg's doc_count counts
+    nested docs, not parents) and attach each bucket's parent-doc count
+    (the reverse_nested sub-agg). One explode + one grouped aggregation;
+    the parent count is an exact distinct over the doc key inside the
+    same shuffle. Reference: sv/search/aggregations/bucket/nested/
+    NestedAggregationBuilder.java + ReverseNestedAggregationBuilder.java
+    (SearchModule.java:142-144 registrations).
+    """
+    name = leaf[len(path) + 1:] if leaf.startswith(path + ".") else leaf
+    e = F.explode(F.col(path)).alias("_e")
+    return (docs.select(F.col("url").alias("_doc"), e)
+            .groupBy(F.col(f"_e.{name}").alias("key"))
+            .agg(F.count(F.lit(1)).cast("long").alias("doc_count"),
+                 F.countDistinct("_doc").cast("long")
+                  .alias("parent_doc_count"))
+            .orderBy(F.col("doc_count").desc(), F.col("key").asc())
+            .limit(size))

@@ -20,7 +20,7 @@ from typing import Any
 from sparksearch.queries import (
     Bool, Boosting, ConstantScore, DisMax, Exists, Fuzzy, Ids, Intervals,
     Match, MatchAll, MatchBoolPrefix, MatchNone, MatchPhrase,
-    MatchPhrasePrefix, MoreLikeThis, MultiMatch, Prefix, Query, Range,
+    MatchPhrasePrefix, MoreLikeThis, MultiMatch, Nested, Prefix, Query, Range,
     Regexp, Script, ScriptScore, SpanFirst, SpanNear, SpanNot, SpanOr,
     SpanWithin, Term, Terms, TermsSet, Wildcard,
     DecayFunction, FieldValueFactor, FunctionScore, WeightFunction,
@@ -352,6 +352,8 @@ _LEAF = {
     "regexp": _simple(Regexp, "value"),
     "fuzzy": _fuzzy,
     "bool": _bool,
+    "nested": lambda b: Nested(b["path"], from_dsl(b["query"]),
+                               score_mode=b.get("score_mode", "none")),
     "dis_max": _dis_max,
     "constant_score": _constant_score,
     "boosting": _boosting,

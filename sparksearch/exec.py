@@ -42,7 +42,8 @@ from sparksearch.queries import (
     FieldValueFactor, FunctionScore, Fuzzy, Ids, Intervals, Match,
     MatchAll, MatchBoolPrefix, MatchNone, MatchPhrase, MatchPhrasePrefix,
     MoreLikeThis,
-    MultiMatch, Named, Prefix, Query, Range, RankFeature, Regexp, Script,
+    MultiMatch, Named, Nested, Prefix, Query, Range, RankFeature, Regexp,
+    Script,
     ScriptScore,
     SpanFirst, SpanNear, SpanNot,
     SpanMulti, SpanOr, SpanWithin, Term, Terms, TermsSet,
@@ -255,7 +256,8 @@ class Executor:
             # _name is fetch-phase metadata (MatchedQueriesPhase) — the
             # plan is exactly the inner query's plan
             return self._plan(q.query, scored)
-        if isinstance(q, (Term, Terms, Range, Exists, Prefix, Ids, Script)):
+        if isinstance(q, (Term, Terms, Range, Exists, Prefix, Ids, Script,
+                          Nested)):
             return self._plan_docvalue_filter(q)
         if isinstance(q, Bool):
             return self._plan_bool(q, scored)
@@ -1292,7 +1294,7 @@ class Executor:
         if isinstance(q, MatchAll):
             return F.lit(True)
         if isinstance(q, (Term, Terms, Range, Exists, Prefix, Ids,
-                          Script)):
+                          Script, Nested)):
             return self._docvalue_cond(q)
         if isinstance(q, Bool) and not q.should and not q.must_not \
                 and not q.minimum_should_match:
@@ -1359,6 +1361,13 @@ class Executor:
             # filter (sv/index/query/ScriptQueryBuilder.java)
             from sparksearch.painless import compile_script
             cond = compile_script(q.source, q.params).col
+        elif isinstance(q, Nested):
+            # block-join semantics as one exists() lambda over the
+            # array-of-structs doc-values column — every inner clause
+            # binds to the SAME element (nested.py;
+            # sv/index/query/NestedQueryBuilder.java:96-180)
+            from sparksearch.nested import nested_cond
+            cond = nested_cond(q.path, q.query)
         else:
             raise TypeError(q)
         return cond
@@ -1543,7 +1552,7 @@ class Executor:
         # scans + f semi-joins)
         dv = [c for c in filt
               if isinstance(c, (Term, Terms, Range, Exists, Prefix, Ids,
-                                Script))]
+                                Script, Nested))]
         other_filt = [c for c in filt if c not in dv]
         if dv:
             cond = reduce(lambda a, b: a & b,

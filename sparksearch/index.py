@@ -58,6 +58,9 @@ class IndexReader:
         #: runtime fields (with_runtime): name → compiled Catalyst column,
         #: appended to the docs frame at plan time
         self._runtime: dict = {}
+        #: doc-values sidecars (with_docvalues): (frame, join key) pairs
+        #: left-joined into the docs scan
+        self._sidecars: list = []
 
     def reload(self) -> "IndexReader":
         """Re-read meta.json (after add_generation / merge commits)."""
@@ -120,9 +123,27 @@ class IndexReader:
     @property
     def docs(self) -> DataFrame:
         df = self.live(self._gen_union("docs"))
+        for sdf, key in self._sidecars:
+            df = df.join(sdf, key, "left")
         for name, col in self._runtime.items():
             df = df.withColumn(name, col)
         return df
+
+    def with_docvalues(self, frame: DataFrame,
+                       on: str = "url") -> "IndexReader":
+        """Attach extra doc-values columns (e.g. an array-of-structs
+        NESTED field) as a columnar sidecar left-joined into every docs
+        scan on the unique doc key. The reference stores nested objects
+        as hidden child docs inside the parent's Lucene block
+        (sv/index/mapper/ObjectMapper nested=true +
+        NestedQueryBuilder.java); the Spark-native analogue keeps them
+        as one array column in a sidecar table — filter lambdas
+        (nested.py) then run inside the joined scan with no child-doc
+        materialization. At cluster scale, write the sidecar bucketed by
+        the same key as docs so the join is co-located."""
+        r = copy.copy(self)
+        r._sidecars = list(self._sidecars) + [(frame, on)]
+        return r
 
     def with_runtime(self, mappings: dict) -> "IndexReader":
         """Runtime fields: search-time script-derived columns

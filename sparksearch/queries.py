@@ -479,6 +479,27 @@ class FunctionScore(Query):
     boost_mode: str = "multiply"
 
 
+@dataclass(frozen=True)
+class Nested(Query):
+    """nested query: matches docs where AT LEAST ONE element of the
+    array-of-structs doc-values column `path` satisfies the inner filter
+    query — every inner clause is evaluated against the SAME element,
+    the block-join semantics that distinguish a nested field from a
+    flattened object field (where `a=1 AND b=2` may match across two
+    different elements). Inner field names are `path.leaf` references.
+
+    Filter-context semantics (Lucene ScoreMode.None): the inner queries
+    are doc-values predicates (term/terms/range/exists/prefix/bool), not
+    BM25-scored text, so every score_mode collapses to a constant and
+    the query plans as ONE `exists()` lambda inside the docs scan — no
+    join, no shuffle, no child-doc materialization.
+    Reference: sv/index/query/NestedQueryBuilder.java:96-180 (path +
+    inner query + ScoreMode; doToQuery builds the block join)."""
+    path: str
+    query: Query = None
+    score_mode: str = "none"
+
+
 def calculate_min_should_match(n_optional: int, spec: str | int | None,
                                has_required: bool) -> int:
     """Queries.calculateMinShouldMatch semantics (Queries.java:138-192).

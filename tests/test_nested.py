@@ -1,0 +1,119 @@
+"""Nested (block-join) queries and parent/child join-field queries."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from sparksearch.exec import Executor
+from sparksearch.nested import nested_cond, nested_filter
+from sparksearch.queries import Bool, Nested, Range, Term
+from sparksearch.relations import has_child, has_parent, parent_id
+
+
+def _authors_df(spark):
+    # the classic nested example: docs with an authors array — doc 1 has
+    # (alice, 30) and (bob, 45); only a FLATTENED field would match
+    # "name=alice AND age=45" on it
+    return spark.createDataFrame([
+        Row(url="d1", authors=[Row(name="alice", age=30),
+                               Row(name="bob", age=45)]),
+        Row(url="d2", authors=[Row(name="alice", age=45)]),
+        Row(url="d3", authors=[Row(name="carol", age=45)]),
+        Row(url="d4", authors=[]),
+    ])
+
+
+def test_nested_binds_clauses_to_one_element(spark):
+    docs = _authors_df(spark)
+    q = Nested("authors", Bool(must=[Term("authors.name", "alice"),
+                                     Term("authors.age", 45)]))
+    got = sorted(r["url"] for r in nested_filter(docs, q).collect())
+    assert got == ["d2"]  # d1 matches flattened, NOT nested
+    # the flattened-object contrast: independent exists per clause
+    flat = docs.filter(
+        nested_cond("authors", Term("authors.name", "alice"))
+        & nested_cond("authors", Term("authors.age", 45)))
+    assert sorted(r["url"] for r in flat.collect()) == ["d1", "d2"]
+
+
+def test_nested_range_should_and_must_not(spark):
+    docs = _authors_df(spark)
+    q = Nested("authors", Bool(
+        must=[Range("authors.age", gte=40, lte=50)],
+        must_not=[Term("authors.name", "carol")],
+        should=[Term("authors.name", "alice"), Term("authors.name", "bob")],
+        minimum_should_match=1))
+    got = sorted(r["url"] for r in nested_filter(docs, q).collect())
+    assert got == ["d1", "d2"]
+
+
+def test_nested_through_executor_filter_path(spark, index_sf0001):
+    # attach a sections sidecar and run Nested through the real engine's
+    # docvalue filter path (standalone + fused inside a bool)
+    docs = index_sf0001.docs.select("docid", "url", "dl")
+    side = docs.select(
+        "url",
+        F.expr("array(struct('h' AS kind, dl AS weight), "
+               "struct('p' AS kind, CAST(2 * dl AS BIGINT) AS weight))")
+        .alias("blocks"))
+    ix = index_sf0001.with_docvalues(side, on="url")
+    ex = Executor(ix)
+    thr = int(docs.agg(F.expr("percentile(dl, 0.9)")).collect()[0][0])
+    q = Nested("blocks", Bool(must=[Term("blocks.kind", "h"),
+                                    Range("blocks.weight", gt=thr)]))
+    hits = ex.search(q, k=1000, fetch=False)
+    want = docs.filter(F.col("dl") > thr).count()
+    assert hits.count() == want > 0
+    # fused inside a bool filter alongside a plain docvalue clause
+    hits2 = ex.search(Bool(filter=[q, Range("dl", gt=thr)]), k=1000,
+                      fetch=False)
+    assert hits2.count() == want
+    # kind='p' elements carry 2*dl, so kind='h' must NOT see them
+    q_wrong_elem = Nested("blocks", Bool(must=[
+        Term("blocks.kind", "h"),
+        Term("blocks.weight", int(2 * thr))]))
+    only_h = ex.search(q_wrong_elem, k=1000, fetch=False).count()
+    q_flat_would = Nested("blocks", Term("blocks.weight", int(2 * thr)))
+    assert only_h <= nested_filter(ix.docs, q_flat_would).count()
+
+
+def _family_df(spark):
+    return spark.createDataFrame([
+        Row(url="s1", join_name="site", join_parent=None, lang=None, num=1),
+        Row(url="s2", join_name="site", join_parent=None, lang=None, num=2),
+        Row(url="s3", join_name="site", join_parent=None, lang=None, num=3),
+        Row(url="p1", join_name="page", join_parent="s1", lang="de", num=0),
+        Row(url="p2", join_name="page", join_parent="s1", lang="de", num=0),
+        Row(url="p3", join_name="page", join_parent="s1", lang="en", num=0),
+        Row(url="p4", join_name="page", join_parent="s2", lang="de", num=0),
+        Row(url="p5", join_name="page", join_parent="s3", lang="en", num=0),
+    ])
+
+
+def test_has_child_bounds_and_count(spark):
+    fam = _family_df(spark)
+    got = {r["url"]: r["child_count"] for r in has_child(
+        fam, "site", "page", F.col("lang") == "de").collect()}
+    assert got == {"s1": 2, "s2": 1}
+    only2 = has_child(fam, "site", "page", F.col("lang") == "de",
+                      min_children=2).collect()
+    assert [r["url"] for r in only2] == ["s1"]
+    capped = has_child(fam, "site", "page", F.col("lang") == "de",
+                       max_children=1).collect()
+    assert [r["url"] for r in capped] == ["s2"]
+
+
+def test_has_parent_and_parent_id(spark):
+    fam = _family_df(spark)
+    got = sorted(r["url"] for r in has_parent(
+        fam, "site", "page", F.col("num") >= 2).collect())
+    assert got == ["p4", "p5"]
+    kids = sorted(r["url"] for r in parent_id(fam, "page", "s1").collect())
+    assert kids == ["p1", "p2", "p3"]
+
+
+def test_nested_rejects_scored_inner(spark):
+    from sparksearch.queries import Match
+    import pytest
+    with pytest.raises(TypeError):
+        nested_cond("authors", Match("authors.name", "alice"))
