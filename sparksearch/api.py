@@ -256,6 +256,17 @@ def search_df(ex, body: dict, pages: DataFrame | None = None,
                 nm = f"_script_{i}"
                 script_sorts[nm] = comp
                 rewritten.append({nm: {"order": sc.get("order", "asc")}})
+            elif (isinstance(s, dict) and len(s) == 1
+                    and isinstance(next(iter(s.values())), dict)
+                    and "mode" in next(iter(s.values()))):
+                # sort_mode over a multi-valued (array) field: reduce to
+                # one key per MultiValueMode (sortmode.py) through the
+                # same placeholder mechanism as script sorts
+                from sparksearch.sortmode import mode_sort_key
+                (fld, opts), = s.items()
+                nm = f"_mode_{i}"
+                script_sorts[nm] = mode_sort_key(fld, opts["mode"])
+                rewritten.append({nm: {"order": opts.get("order", "asc")}})
             else:
                 rewritten.append(s)
         sort_spec = rewritten

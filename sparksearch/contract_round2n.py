@@ -123,9 +123,34 @@ def q_nested_terms_agg(spark, sf_dir):
                         "sections.first", size=10)
 
 
+def q_api_sort_mode(spark, sf_dir):
+    """sort_mode over a multi-valued field: English pages sorted by
+    (median word length desc, avg word length desc, _doc) through the
+    full _search body — the MultiValueMode reduction (median = middle of
+    the sorted values, even count averages the two middles) computed as
+    JVM array functions inside the fetch scan."""
+    from sparksearch.api import search_df
+    from sparksearch.exec import Executor
+    ix, _ = C.get_engine(spark, sf_dir)
+    side = (C.pages_df(spark, sf_dir).select(
+        "url",
+        F.expr("transform(filter(split(text, ' '), w -> w <> ''), "
+               "w -> length(w))").alias("lens")))
+    ex = Executor(ix.with_docvalues(side))
+    body = {"query": {"term": {"lang": "en"}},
+            "sort": [{"lens": {"order": "desc", "mode": "median"}},
+                     {"lens": {"order": "desc", "mode": "avg"}}],
+            "size": 15, "_source": False}
+    out = search_df(ex, body)
+    return out.select("docid", "url",
+                      F.round(F.col("_mode_0"), 4).alias("med_len"),
+                      F.round(F.col("_mode_1"), 4).alias("avg_len"))
+
+
 def queries() -> dict:
     return {
         "nested_sections": q_nested_sections,
+        "api_sort_mode": q_api_sort_mode,
         "agg_nested_terms": q_nested_terms_agg,
         "join_has_child": q_has_child,
         "join_has_parent": q_has_parent,
@@ -160,6 +185,28 @@ FROM secs
 WHERE len(list_filter(sections,
           s -> s.first = 'spark' AND s.n >= {_SEC})) > 0
 ORDER BY url
+""".strip()
+    out["api_sort_mode"] = f"""
+WITH {P},
+L AS ( SELECT docid, url, lang,
+              list_transform(list_filter(string_split(text, ' '),
+                                         w -> w <> ''),
+                             w -> length(w)) AS lens
+       FROM pages ),
+K AS ( SELECT docid, url, lang,
+              CASE WHEN len(lens) = 0 THEN NULL
+                   WHEN len(lens) % 2 = 1
+                     THEN CAST(list_sort(lens)[(len(lens) + 1) // 2]
+                               AS DOUBLE)
+                   ELSE (CAST(list_sort(lens)[len(lens) // 2] AS DOUBLE)
+                         + CAST(list_sort(lens)[len(lens) // 2 + 1]
+                                AS DOUBLE)) / 2 END AS med,
+              CAST(list_sum(lens) AS DOUBLE) / len(lens) AS avg
+       FROM L )
+SELECT docid, url, round(med, 4) AS med_len, round(avg, 4) AS avg_len
+FROM K WHERE lang = 'en'
+ORDER BY med DESC, avg DESC, docid ASC
+LIMIT 15
 """.strip()
     out["agg_nested_terms"] = f"""
 WITH {P},

@@ -169,3 +169,24 @@ def test_domain_cap_preprune_before_global_window(engine):
     # per-host global rank over <= cap*P survivors
     assert plan.count("RunningWindowFunction") >= 2 or \
         plan.count("Window") >= 2
+
+
+def test_nested_filter_is_single_scan_no_python(engine):
+    """A nested query plans as one exists() predicate inside the docs
+    scan — no shuffle, no Python, no per-element materialization."""
+    from pyspark.sql import functions as F
+    from sparksearch.nested import nested_cond
+    from sparksearch.queries import Bool, Range, Term
+    ix, _ = engine
+    side = ix.docs.select(
+        "url", F.expr("array(struct('h' AS kind, dl AS weight))")
+        .alias("blocks"))
+    docs = ix.with_docvalues(side).docs
+    q = Bool(must=[Term("blocks.kind", "h"), Range("blocks.weight", gt=50)])
+    df = docs.filter(nested_cond("blocks", q)).select("docid")
+    plan = _plan_str(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "exists" in plan.lower()
+    # predicate evaluates pre-join on the sidecar leg: no shuffle beyond
+    # the sidecar join itself (both legs scan the same docs parquet)
+    assert plan.count("Exchange") <= 2
