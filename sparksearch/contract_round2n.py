@@ -147,10 +147,100 @@ def q_api_sort_mode(spark, sf_dir):
                       F.round(F.col("_mode_1"), 4).alias("avg_len"))
 
 
+# ---------------------------------------------------------------------------
+# cross-index search (multisearch.py)
+# ---------------------------------------------------------------------------
+
+_MIDX_LANGS = ("en", "de")
+_MIDX_Q = "hash join table"
+_MIDX_K = 12
+_MIDX_CACHE: dict = {}
+
+
+def _lang_engines(spark, sf_dir):
+    """One small index per language — each with ITS OWN docids and BM25
+    statistics (per-shard stats, the default QUERY_THEN_FETCH posture)."""
+    import os
+    import tempfile
+
+    from sparksearch.build import build_index
+    from sparksearch.exec import Executor
+    from sparksearch.index import IndexReader
+    key = os.path.realpath(sf_dir)
+    if key not in _MIDX_CACHE:
+        pages = C.pages_df(spark, sf_dir)
+        exs = {}
+        for lang in _MIDX_LANGS:
+            out = tempfile.mkdtemp(prefix=f"sparksearch_midx_{lang}_")
+            build_index(pages.filter(F.col("lang") == lang), out,
+                        analyzer="standard", n_buckets=4, partitions=4)
+            exs[f"ix_{lang}"] = Executor(IndexReader(spark, out))
+        _MIDX_CACHE[key] = exs
+    return _MIDX_CACHE[key]
+
+
+def q_msearch_indices(spark, sf_dir):
+    """Cross-index search: `ix_*` wildcard over per-language indices,
+    each scored with its own n/avgdl/df (QUERY_THEN_FETCH per-shard
+    stats), per-index top-k merged by (score desc, _index, docid) —
+    the coordinating-node reduce."""
+    from sparksearch.multisearch import msearch_indices
+    from sparksearch.queries import Match
+    exs = _lang_engines(spark, sf_dir)
+    return msearch_indices(
+        exs, Match("text", _MIDX_Q), k=_MIDX_K, expression="ix_*",
+        search_fn=lambda ex, qq, kk: C.topk_rounded(ex, qq, k=kk))
+
+
+def _midx_leg_sql(lang: str) -> str:
+    """Per-index BM25 match pipeline: the index is the lang subset of
+    pages, with its own docids (url rank within the subset) and its own
+    dl/avgdl/df statistics."""
+    from collections import Counter
+
+    from sparksearch.norms import quantized_dl_sql
+    terms = C._terms_list(_MIDX_Q)
+    cnt = Counter(terms)
+    weights = " ".join(f"WHEN '{t}' THEN {c}" for t, c in sorted(cnt.items()))
+    inlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    s = lang
+    return f"""
+pages_{s} AS ( SELECT row_number() OVER (ORDER BY url) - 1 AS docid,
+                      url, text
+               FROM pages WHERE lang = '{s}' ),
+tok_{s} AS ( SELECT docid, term FROM (
+               SELECT docid, unnest(string_split(text, ' ')) AS term
+               FROM pages_{s}) WHERE term <> '' ),
+dl_{s} AS ( SELECT docid, count(*) AS dl FROM tok_{s} GROUP BY docid ),
+dlq_{s} AS ( SELECT docid, dl, {quantized_dl_sql('dl')} AS dl_q
+             FROM dl_{s} ),
+g_{s} AS ( SELECT count(*) AS n,
+                  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl_{s} ),
+tf_{s} AS ( SELECT docid, term, count(*) AS tf FROM tok_{s}
+            WHERE term IN ({inlist}) GROUP BY docid, term ),
+dft_{s} AS ( SELECT term, count(*) AS df FROM tf_{s} GROUP BY term ),
+sc_{s} AS (
+  SELECT tf.docid,
+         sum((CASE tf.term {weights} ELSE 0 END) *
+             {C._idf_sql(f'dft_{s}.df', f'g_{s}.n')} *
+             {C._tfn_sql('tf.tf', f'dlq_{s}.dl_q', f'g_{s}.avgdl')}) AS score
+  FROM tf_{s} tf JOIN dft_{s} USING (term) JOIN dlq_{s} USING (docid)
+       CROSS JOIN g_{s}
+  GROUP BY tf.docid ),
+top_{s} AS (
+  SELECT 'ix_{s}' AS _index, p.docid, p.url,
+         round(sc.score, 4) AS score
+  FROM sc_{s} sc JOIN pages_{s} p USING (docid)
+  ORDER BY round(sc.score, 4) DESC, p.docid ASC
+  LIMIT {_MIDX_K} )
+""".strip()
+
+
 def queries() -> dict:
     return {
         "nested_sections": q_nested_sections,
         "api_sort_mode": q_api_sort_mode,
+        "msearch_indices": q_msearch_indices,
         "agg_nested_terms": q_nested_terms_agg,
         "join_has_child": q_has_child,
         "join_has_parent": q_has_parent,
@@ -185,6 +275,16 @@ FROM secs
 WHERE len(list_filter(sections,
           s -> s.first = 'spark' AND s.n >= {_SEC})) > 0
 ORDER BY url
+""".strip()
+    legs = ",\n".join(_midx_leg_sql(s) for s in _MIDX_LANGS)
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM top_{s}" for s in _MIDX_LANGS)
+    out["msearch_indices"] = f"""
+WITH {P},
+{legs}
+SELECT _index, docid, url, score FROM ( {union} )
+ORDER BY score DESC, _index ASC, docid ASC
+LIMIT {_MIDX_K}
 """.strip()
     out["api_sort_mode"] = f"""
 WITH {P},

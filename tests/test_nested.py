@@ -117,3 +117,26 @@ def test_nested_rejects_scored_inner(spark):
     import pytest
     with pytest.raises(TypeError):
         nested_cond("authors", Match("authors.name", "alice"))
+
+
+def test_msearch_wildcard_resolution_and_merge(spark, index_sf0001):
+    from sparksearch.exec import Executor
+    from sparksearch.multisearch import msearch_indices, resolve_indices
+    from sparksearch.queries import Match
+    import pytest
+    exs = {"logs_a": Executor(index_sf0001),
+           "logs_b": Executor(index_sf0001),
+           "other": Executor(index_sf0001)}
+    assert set(resolve_indices(exs, "logs_*")) == {"logs_a", "logs_b"}
+    assert set(resolve_indices(exs, "other,logs_a")) == {"logs_a", "other"}
+    with pytest.raises(ValueError):
+        resolve_indices(exs, "nope_*")
+    out = msearch_indices(exs, Match("text", "spark"), k=6,
+                          expression="logs_*").collect()
+    assert len(out) == 6
+    # identical twin indices: merged list alternates by the (_index,
+    # docid) tie-break — each docid appears once per index, a-then-b
+    pairs = [(r["_index"], r["docid"]) for r in out]
+    for i in range(0, 6, 2):
+        assert pairs[i][1] == pairs[i + 1][1]
+        assert pairs[i][0] == "logs_a" and pairs[i + 1][0] == "logs_b"
