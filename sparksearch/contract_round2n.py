@@ -192,17 +192,34 @@ def q_msearch_indices(spark, sf_dir):
         search_fn=lambda ex, qq, kk: C.topk_rounded(ex, qq, k=kk))
 
 
-def _midx_leg_sql(lang: str) -> str:
-    """Per-index BM25 match pipeline: the index is the lang subset of
-    pages, with its own docids (url rank within the subset) and its own
-    dl/avgdl/df statistics."""
-    from collections import Counter
+def q_dfs_msearch(spark, sf_dir):
+    """DFS_QUERY_THEN_FETCH across the per-language indices: term
+    statistics collected per index, summed by the coordinator
+    (aggregateDfs), every index re-scored with the GLOBAL idf/avgdl —
+    scores comparable across indices, unlike the per-shard default."""
+    from sparksearch.multisearch import dfs_msearch_indices
+    from sparksearch.queries import Match
+    exs = _lang_engines(spark, sf_dir)
+    return dfs_msearch_indices(
+        exs, Match("text", _MIDX_Q), k=_MIDX_K, expression="ix_*",
+        search_fn=lambda gx, qq, kk: C.topk_rounded(gx, qq, k=kk))
 
-    from sparksearch.norms import quantized_dl_sql
+
+def _midx_weights_inlist():
+    from collections import Counter
     terms = C._terms_list(_MIDX_Q)
     cnt = Counter(terms)
     weights = " ".join(f"WHEN '{t}' THEN {c}" for t, c in sorted(cnt.items()))
     inlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return weights, inlist
+
+
+def _midx_base_sql(lang: str) -> str:
+    """Per-index corpus CTEs: the index is the lang subset of pages,
+    with its own docids (url rank within the subset), per-doc dl, and
+    per-doc query-term tf."""
+    from sparksearch.norms import quantized_dl_sql
+    _, inlist = _midx_weights_inlist()
     s = lang
     return f"""
 pages_{s} AS ( SELECT row_number() OVER (ORDER BY url) - 1 AS docid,
@@ -214,18 +231,31 @@ tok_{s} AS ( SELECT docid, term FROM (
 dl_{s} AS ( SELECT docid, count(*) AS dl FROM tok_{s} GROUP BY docid ),
 dlq_{s} AS ( SELECT docid, dl, {quantized_dl_sql('dl')} AS dl_q
              FROM dl_{s} ),
+tf_{s} AS ( SELECT docid, term, count(*) AS tf FROM tok_{s}
+            WHERE term IN ({inlist}) GROUP BY docid, term )
+""".strip()
+
+
+def _midx_score_sql(lang: str, gsfx: str | None = None) -> str:
+    """Per-index scoring CTEs. gsfx=None scores with the index's OWN
+    stats (QUERY_THEN_FETCH); gsfx='all' scores with the shared
+    aggregated g_all/dft_all (DFS_QUERY_THEN_FETCH)."""
+    weights, _ = _midx_weights_inlist()
+    s = lang
+    gs = gsfx or s
+    own = "" if gsfx else f"""
 g_{s} AS ( SELECT count(*) AS n,
                   CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl_{s} ),
-tf_{s} AS ( SELECT docid, term, count(*) AS tf FROM tok_{s}
-            WHERE term IN ({inlist}) GROUP BY docid, term ),
 dft_{s} AS ( SELECT term, count(*) AS df FROM tf_{s} GROUP BY term ),
+""".strip() + "\n"
+    return own + f"""
 sc_{s} AS (
   SELECT tf.docid,
          sum((CASE tf.term {weights} ELSE 0 END) *
-             {C._idf_sql(f'dft_{s}.df', f'g_{s}.n')} *
-             {C._tfn_sql('tf.tf', f'dlq_{s}.dl_q', f'g_{s}.avgdl')}) AS score
-  FROM tf_{s} tf JOIN dft_{s} USING (term) JOIN dlq_{s} USING (docid)
-       CROSS JOIN g_{s}
+             {C._idf_sql(f'dft_{gs}.df', f'g_{gs}.n')} *
+             {C._tfn_sql('tf.tf', f'dlq_{s}.dl_q', f'g_{gs}.avgdl')}) AS score
+  FROM tf_{s} tf JOIN dft_{gs} USING (term) JOIN dlq_{s} USING (docid)
+       CROSS JOIN g_{gs}
   GROUP BY tf.docid ),
 top_{s} AS (
   SELECT 'ix_{s}' AS _index, p.docid, p.url,
@@ -236,11 +266,26 @@ top_{s} AS (
 """.strip()
 
 
+def _midx_leg_sql(lang: str) -> str:
+    return _midx_base_sql(lang) + ",\n" + _midx_score_sql(lang)
+
+
+_MIDX_GLOBAL_SQL = """
+g_all AS ( SELECT count(*) AS n,
+                  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+           FROM ( SELECT dl FROM dl_en UNION ALL SELECT dl FROM dl_de ) ),
+dft_all AS ( SELECT term, count(*) AS df
+             FROM ( SELECT * FROM tf_en UNION ALL SELECT * FROM tf_de )
+             GROUP BY term )
+""".strip()
+
+
 def queries() -> dict:
     return {
         "nested_sections": q_nested_sections,
         "api_sort_mode": q_api_sort_mode,
         "msearch_indices": q_msearch_indices,
+        "dfs_msearch": q_dfs_msearch,
         "agg_nested_terms": q_nested_terms_agg,
         "join_has_child": q_has_child,
         "join_has_parent": q_has_parent,
@@ -282,6 +327,17 @@ ORDER BY url
     out["msearch_indices"] = f"""
 WITH {P},
 {legs}
+SELECT _index, docid, url, score FROM ( {union} )
+ORDER BY score DESC, _index ASC, docid ASC
+LIMIT {_MIDX_K}
+""".strip()
+    dfs_parts = [_midx_base_sql(s) for s in _MIDX_LANGS]
+    dfs_parts.append(_MIDX_GLOBAL_SQL)
+    dfs_parts += [_midx_score_sql(s, gsfx="all") for s in _MIDX_LANGS]
+    dfs_ctes = ",\n".join(dfs_parts)
+    out["dfs_msearch"] = f"""
+WITH {P},
+{dfs_ctes}
 SELECT _index, docid, url, score FROM ( {union} )
 ORDER BY score DESC, _index ASC, docid ASC
 LIMIT {_MIDX_K}

@@ -140,3 +140,43 @@ def test_msearch_wildcard_resolution_and_merge(spark, index_sf0001):
     for i in range(0, 6, 2):
         assert pairs[i][1] == pairs[i + 1][1]
         assert pairs[i][0] == "logs_a" and pairs[i + 1][0] == "logs_b"
+
+
+def test_dfs_msearch_equals_whole_index_scores(spark, index_sf0001,
+                                               tmp_path):
+    """Aggregated-stats scoring is the whole-corpus scoring: splitting
+    the corpus into two indices and searching with DFS must reproduce
+    the single-index top-k (same urls, same BM25 scores) — per-index
+    stats (default QUERY_THEN_FETCH) must NOT."""
+    from sparksearch.build import build_index
+    from sparksearch.corpus import pages_from_documents
+    from sparksearch.exec import Executor
+    from sparksearch.index import IndexReader
+    from sparksearch.multisearch import dfs_msearch_indices, msearch_indices
+    from sparksearch.queries import Match
+    from sparksearch import contract as C
+
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001")
+    exs = {}
+    for name, cond in (("half_a", "crc32(url) % 2 = 0"),
+                       ("half_b", "crc32(url) % 2 = 1")):
+        out = str(tmp_path / name)
+        build_index(pages.filter(F.expr(cond)), out, n_buckets=4,
+                    partitions=4)
+        exs[name] = Executor(IndexReader(spark, out))
+    q = Match("text", "hash join table")
+    rounded = lambda gx, qq, kk: C.topk_rounded(gx, qq, k=kk)  # noqa: E731
+    dfs = dfs_msearch_indices(exs, q, k=8, search_fn=rounded).collect()
+    whole = C.topk_rounded(Executor(index_sf0001), q, k=8).collect()
+    # identical score trajectory; equal-score ties may ORDER differently
+    # (whole index breaks ties by global docid, DFS by shard — exactly
+    # the reference's behavior), so membership is checked against the
+    # global tie-extended top list
+    assert [r["score"] for r in dfs] == [r["score"] for r in whole]
+    whole20 = {(r["url"], r["score"]) for r in
+               C.topk_rounded(Executor(index_sf0001), q, k=20).collect()}
+    assert all((r["url"], r["score"]) in whole20 for r in dfs)
+    # per-index stats give different (non-comparable) scores
+    plain = msearch_indices(exs, q, k=8, search_fn=rounded).collect()
+    assert [(r["url"], r["score"]) for r in plain] != \
+           [(r["url"], r["score"]) for r in whole]
