@@ -147,6 +147,39 @@ def q_api_sort_mode(spark, sf_dir):
                       F.round(F.col("_mode_1"), 4).alias("avg_len"))
 
 
+def q_nested_score_sum(spark, sf_dir):
+    """Scored nested query through the REAL executor: score_mode=sum
+    over constant-scoring children = the matching-element count (top-10
+    pages by number of full sections opening with a stopword-ish
+    token). Sections attach to the engine's docs scan as a doc-values
+    sidecar; the plan is one scan + TakeOrderedAndProject."""
+    from sparksearch.exec import Executor
+    from sparksearch.queries import Bool, Nested, Range, Terms
+    ix, _ = C.get_engine(spark, sf_dir)
+    side = (_sectioned(spark, sf_dir).select("url", "sections"))
+    ex = Executor(ix.with_docvalues(side))
+    q = Nested("sections",
+               Bool(must=[Terms("sections.first", ("the", "a", "data")),
+                          Range("sections.n", gte=_SEC)]),
+               score_mode="sum")
+    return C.topk_rounded(ex, q, k=10)
+
+
+def q_nested_inner_hits(spark, sf_dir):
+    """inner_hits on a nested query: each matching page with its first
+    matching section's idx and the total match count."""
+    from sparksearch.nested import inner_hits
+    from sparksearch.queries import Bool, Nested, Range, Term
+    q = Nested("sections", Bool(must=[Term("sections.first", "spark"),
+                                      Range("sections.n", gte=_SEC)]))
+    out = inner_hits(_sectioned(spark, sf_dir), q, size=2)
+    return (out.select(
+        "url",
+        F.expr("CAST(inner_hits[0].idx AS INT)").alias("first_idx"),
+        F.expr("CAST(size(inner_hits) AS INT)").alias("n_hits"))
+        .orderBy("url"))
+
+
 # ---------------------------------------------------------------------------
 # cross-index search (multisearch.py)
 # ---------------------------------------------------------------------------
@@ -283,6 +316,8 @@ dft_all AS ( SELECT term, count(*) AS df
 def queries() -> dict:
     return {
         "nested_sections": q_nested_sections,
+        "nested_score_sum": q_nested_score_sum,
+        "nested_inner_hits": q_nested_inner_hits,
         "api_sort_mode": q_api_sort_mode,
         "msearch_indices": q_msearch_indices,
         "dfs_msearch": q_dfs_msearch,
@@ -294,9 +329,10 @@ def queries() -> dict:
 
 
 _SEC_SQL = """
-sec AS ( SELECT url, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+sec AS ( SELECT docid, url,
+                list_filter(string_split(text, ' '), w -> w <> '') AS ws
          FROM pages ),
-secs AS ( SELECT url, len(ws) AS nw,
+secs AS ( SELECT docid, url, len(ws) AS nw,
                  list_transform(range(0, CAST(ceil(len(ws) / 16.0) AS BIGINT)),
                    i -> struct_pack(idx := i,
                                     n := least(16, len(ws) - i * 16),
@@ -363,6 +399,30 @@ SELECT docid, url, round(med, 4) AS med_len, round(avg, 4) AS avg_len
 FROM K WHERE lang = 'en'
 ORDER BY med DESC, avg DESC, docid ASC
 LIMIT 15
+""".strip()
+    out["nested_score_sum"] = f"""
+WITH {P},
+{_SEC_SQL},
+m AS ( SELECT docid, url,
+              len(list_filter(sections,
+                  s -> list_contains(['the', 'a', 'data'], s.first)
+                       AND s.n >= {_SEC})) AS cnt
+       FROM secs )
+SELECT docid, url, round(CAST(cnt AS DOUBLE), 4) AS score
+FROM m WHERE cnt > 0
+ORDER BY score DESC, docid ASC
+LIMIT 10
+""".strip()
+    out["nested_inner_hits"] = f"""
+WITH {P},
+{_SEC_SQL},
+m AS ( SELECT url, list_filter(sections,
+                  s -> s.first = 'spark' AND s.n >= {_SEC}) AS f
+       FROM secs )
+SELECT url, CAST(f[1].idx AS INT) AS first_idx,
+       CAST(least(2, len(f)) AS INT) AS n_hits
+FROM m WHERE len(f) > 0
+ORDER BY url
 """.strip()
     out["agg_nested_terms"] = f"""
 WITH {P},

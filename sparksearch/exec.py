@@ -256,8 +256,9 @@ class Executor:
             # _name is fetch-phase metadata (MatchedQueriesPhase) — the
             # plan is exactly the inner query's plan
             return self._plan(q.query, scored)
-        if isinstance(q, (Term, Terms, Range, Exists, Prefix, Ids, Script,
-                          Nested)):
+        if isinstance(q, Nested):
+            return self._plan_nested(q, scored)
+        if isinstance(q, (Term, Terms, Range, Exists, Prefix, Ids, Script)):
             return self._plan_docvalue_filter(q)
         if isinstance(q, Bool):
             return self._plan_bool(q, scored)
@@ -1311,6 +1312,27 @@ class Executor:
                 out = out & c
             return out
         return None
+
+    def _plan_nested(self, q: Nested, scored: bool) -> DataFrame:
+        """Nested as a top-level query. Inner queries are doc-values
+        predicates, so each matching element ('child doc') scores a
+        constant 1 and the reference's ScoreMode reduces to: sum = the
+        matching-element count, avg/max/min = 1, none = filter context
+        (Lucene ToParentBlockJoinQuery score modes over constant-scoring
+        child queries). Still ONE docs scan — the element filter is a
+        JVM lambda, no child-doc materialization."""
+        from sparksearch.nested import matching_elements, nested_cond
+        base = self.ix.docs.filter(nested_cond(q.path, q.query))
+        if not scored or q.score_mode == "none":
+            return base.select("docid", F.lit(0.0).alias("score"))
+        if q.score_mode == "sum":
+            score = (F.size(matching_elements(q.path, q.query))
+                     .cast("double"))
+        elif q.score_mode in ("avg", "max", "min"):
+            score = F.lit(1.0)
+        else:
+            raise ValueError(f"nested score_mode {q.score_mode!r}")
+        return base.select("docid", score.alias("score"))
 
     def _plan_docvalue_filter(self, q: Query) -> DataFrame:
         """Metadata-field predicates answered from the docs table (the

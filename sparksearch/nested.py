@@ -86,3 +86,21 @@ def nested_filter(docs: DataFrame, q: Nested) -> DataFrame:
     """Filter a docs table by a Nested query (standalone helper for
     pipelines that hold a DataFrame rather than an IndexReader)."""
     return docs.filter(nested_cond(q.path, q.query))
+
+
+def matching_elements(path: str, q: Query) -> Column:
+    """The array of elements that satisfy the inner query — the basis of
+    nested scoring (one 'child doc' per element) and inner_hits."""
+    return F.filter(F.col(path), lambda e: element_cond(e, path, q))
+
+
+def inner_hits(docs: DataFrame, q: Nested, size: int = 3,
+               name: str = "inner_hits") -> DataFrame:
+    """Nested inner_hits: each matching doc with its first `size`
+    matching elements attached (InnerHitBuilder on a nested query —
+    sv/index/query/InnerHitBuilder.java; NestedQueryBuilder
+    innerHitBuilder). Same single-scan shape: the element filter runs
+    once per doc inside the scan, no child-doc join."""
+    sel = matching_elements(q.path, q.query)
+    return (docs.filter(F.size(sel) > 0)
+            .withColumn(name, F.slice(sel, 1, size)))

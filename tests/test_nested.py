@@ -180,3 +180,19 @@ def test_dfs_msearch_equals_whole_index_scores(spark, index_sf0001,
     plain = msearch_indices(exs, q, k=8, search_fn=rounded).collect()
     assert [(r["url"], r["score"]) for r in plain] != \
            [(r["url"], r["score"]) for r in whole]
+
+
+def test_nested_score_mode_sum_counts_children(spark):
+    from sparksearch.nested import inner_hits, matching_elements
+    docs = _authors_df(spark)
+    q = Nested("authors", Range("authors.age", gte=40), score_mode="sum")
+    # matching-element count: d1 one (bob), d2 one, d3 one, d4 zero
+    got = {r["url"]: r["n"] for r in docs.select(
+        "url", F.size(matching_elements("authors", q.query)).alias("n"))
+        .collect()}
+    assert got == {"d1": 1, "d2": 1, "d3": 1, "d4": 0}
+    ih = inner_hits(docs, q, size=1).collect()
+    assert sorted(r["url"] for r in ih) == ["d1", "d2", "d3"]
+    assert all(len(r["inner_hits"]) == 1 for r in ih)
+    assert {r["url"]: r["inner_hits"][0]["name"] for r in ih} == {
+        "d1": "bob", "d2": "alice", "d3": "carol"}
