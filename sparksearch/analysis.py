@@ -59,7 +59,12 @@ MAX_TOKEN_LENGTH = 255  # StandardAnalyzer.DEFAULT_MAX_TOKEN_LENGTH
 POSITION_INCREMENT_GAP = 100  # TextFieldMapper.java:139-141
 
 # --- UAX#29-approximating token regex -------------------------------------
-_L = r"[^\W\d_]"                       # unicode letter (ALetter approx)
+_CJK_CLS = r"一-鿿㐀-䶿豈-﫿぀-ゟ"     # Han (unified+extA+compat) + hiragana
+# unicode letter (ALetter approx) MINUS Han/hiragana: UAX#29 assigns Han
+# and Hiragana no WordBreak class, so the standard tokenizer emits them
+# as single-character tokens (Lucene StandardTokenizer IDEOGRAPHIC /
+# HIRAGANA token types) while Katakana forms runs like ALetter
+_L = rf"(?:(?![{_CJK_CLS}゠-ヿㇰ-ㇿ])[^\W\d_])"
 _N = r"\d"                             # unicode decimal digit (Numeric)
 _ENL = r"[_‿⁀⁔]"        # ExtendNumLet
 _MID_L = r"[:·״‧︓﹕：]"          # MidLetter
@@ -68,10 +73,11 @@ _MID_NL = r"[.'‘’․﹒＇．]"        # MidNumLet + '
 
 _LCHUNK = rf"{_L}+(?:(?:{_MID_L}|{_MID_NL}){_L}+)*"
 _NCHUNK = rf"{_N}+(?:(?:{_MID_N}|{_MID_NL}){_N}+)*"
-_CJK = r"[一-鿿㐀-䶿豈-﫿぀-ゟ]"
+_CJK = rf"[{_CJK_CLS}]"
 
+_KATA = r"[゠-ヿㇰ-ㇿ]"   # Katakana (+ phonetic extensions): runs, WB Katakana class
 _TOKEN_RE = re.compile(
-    rf"(?:{_LCHUNK}|{_NCHUNK}|{_ENL}+)+|{_CJK}",
+    rf"(?:{_LCHUNK}|{_NCHUNK}|{_ENL}+)+|{_KATA}+|{_CJK}",
     re.UNICODE,
 )
 

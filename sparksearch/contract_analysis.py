@@ -98,6 +98,66 @@ _PROBES = [
     ("keyword", "The QUICK brown"),
 ]
 
+# adversarial probes whose oracle rows are HAND-WRITTEN from the UAX#29 /
+# Lucene StandardTokenizer rules (NOT computed by analyze()) — this gate
+# is independent of the engine's analyzer implementation, closing the
+# analyze_api oracle's circularity on exactly the inputs where a regex
+# approximation could silently drift: apostrophes (MidNumLet), domain
+# dots, MidNum-glued numerics, ExtendNumLet underscores, diacritics,
+# per-char Han/hiragana vs run-forming Katakana, and the english chain
+_GOLDEN_PROBES = [
+    (0, "standard", "it's O'Neill's café №5"),
+    (1, "standard", "visit example.com or 3.14 now"),
+    (2, "standard", "The QUICK brown-foxes, jumped… 42 times!"),
+    (3, "standard", "foo_bar a.5 1,000.5"),
+    (4, "standard", "日本語 テスト 中文"),
+    (5, "standard", "カタカナrun über"),
+    (6, "english", "The quick foxes jumped"),
+]
+
+#: (probe_id, term, pos) — written by hand against the word-break spec
+_GOLDEN_ROWS = [
+    (0, "it's", 0), (0, "o'neill's", 1), (0, "café", 2), (0, "5", 3),
+    (1, "visit", 0), (1, "example.com", 1), (1, "or", 2), (1, "3.14", 3),
+    (1, "now", 4),
+    (2, "the", 0), (2, "quick", 1), (2, "brown", 2), (2, "foxes", 3),
+    (2, "jumped", 4), (2, "42", 5), (2, "times", 6),
+    (3, "foo_bar", 0), (3, "a", 1), (3, "5", 2), (3, "1,000.5", 3),
+    (4, "日", 0), (4, "本", 1), (4, "語", 2), (4, "テスト", 3),
+    (4, "中", 4), (4, "文", 5),
+    (5, "カタカナ", 0), (5, "run", 1), (5, "über", 2),
+    (6, "quick", 1), (6, "fox", 2), (6, "jump", 3),
+]
+
+
+def q_analyze_goldens(spark, sf_dir):
+    """Adversarial analysis probes through the REAL executor UDF path,
+    gated against hand-written UAX#29 goldens (see _GOLDEN_ROWS)."""
+    from functools import reduce
+
+    from sparksearch.build import tokenize_udf
+    outs = []
+    for pid, an, text in _GOLDEN_PROBES:
+        df = spark.createDataFrame([(text,)], "text string")
+        tok = df.withColumn("_t", tokenize_udf(an)(F.col("text")))
+        outs.append(tok.select(
+            F.lit(pid).alias("probe"),
+            F.explode(F.arrays_zip("_t.terms", "_t.poss")).alias("tp"))
+            .select("probe", F.col("tp.terms").alias("term"),
+                    F.col("tp.poss").cast("int").alias("pos")))
+    return (reduce(lambda a, b: a.unionAll(b), outs)
+            .orderBy("probe", "pos", "term"))
+
+
+def sql_analyze_goldens() -> str:
+    vals = ", ".join(f"({pid}, '{t.replace(chr(39), chr(39) * 2)}', {p})"
+                     for pid, t, p in _GOLDEN_ROWS)
+    return f"""
+SELECT probe, term, CAST(pos AS INT) AS pos
+FROM (VALUES {vals}) AS v(probe, term, pos)
+ORDER BY probe, pos, term
+""".strip()
+
 
 def q_analyze_api(spark, sf_dir):
     """_analyze API through the REAL distributed path: the Arrow-batched
@@ -197,6 +257,7 @@ def queries() -> dict:
         "english_match_default": q_english_match_default,
         "english_docs": q_english_docs,
         "analyze_api": q_analyze_api,
+        "analyze_goldens": q_analyze_goldens,
     }
 
 
@@ -206,4 +267,5 @@ def oracle_sql_for(sf_dir: str) -> dict:
         "english_match_default": sql_english_match(sf_dir),
         "english_docs": sql_english_docs(sf_dir),
         "analyze_api": sql_analyze_api(),
+        "analyze_goldens": sql_analyze_goldens(),
     }

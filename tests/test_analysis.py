@@ -148,3 +148,14 @@ def test_analyze_batch_random_equivalence():
             want = [(term, len(ps), ps) for term, ps in sorted(by.items())]
             got = [(t_, tf, list(ps)) for t_, tf, ps in entries[i]]
             assert dls[i] == len(toks) and got == want, (an, i)
+
+
+def test_cjk_ideographs_emit_per_char():
+    # Lucene StandardTokenizer: Han and Hiragana have no UAX#29 WordBreak
+    # chaining class — one token per character (IDEOGRAPHIC/HIRAGANA
+    # types); Katakana forms runs and breaks against Latin
+    assert terms("日本語 テスト 中文") == ["日", "本", "語", "テスト", "中", "文"]
+    assert terms("日本語テスト") == ["日", "本", "語", "テスト"]
+    assert terms("ひらがな") == ["ひ", "ら", "が", "な"]
+    assert terms("カタカナrun") == ["カタカナ", "run"]
+    assert terms("mixed中latin") == ["mixed", "中", "latin"]
