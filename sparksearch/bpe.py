@@ -35,9 +35,10 @@ encoding is unambiguous.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["word_histogram", "bpe_train", "bpe_apply"]
+__all__ = ["word_histogram", "bpe_train", "bpe_apply", "bpe_vocab",
+           "bpe_encode"]
 
 
 def word_histogram(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -133,3 +134,47 @@ def bpe_apply(docs: DataFrame, merges: list[dict],
     return (docs
             .withColumn("bpe_tokens", F.expr(toks))
             .withColumn("bpe_len", F.expr(f"size({toks})")))
+
+
+def bpe_vocab(docs: DataFrame, merges: list[dict],
+              text_col: str = "text") -> DataFrame:
+    """The tokenizer's vocab table: (id, symbol, kind). Base symbols are
+    the corpus's distinct characters (id by codepoint order — the
+    byte-alphabet analogue), then one symbol per merge in learned order.
+    One distinct-aggregation over the corpus; the merge rows are a
+    driver-side constant."""
+    spark = docs.sparkSession
+    chars = (docs
+             .select(F.explode(F.split(F.col(text_col), "")).alias("symbol"))
+             .filter((F.col("symbol") != "") & (F.col("symbol") != " "))
+             .distinct())
+    # single-partition window is fine here: the distinct-character
+    # alphabet is bounded (~charset size), nothing corpus-proportional
+    base = (chars
+            .withColumn("id",
+                        F.row_number().over(Window.orderBy("symbol")) - 1)
+            .select("id", "symbol", F.lit("char").alias("kind")))
+    n_base = base.count()
+    merged = spark.createDataFrame(
+        [(n_base + i, m["merged"], "merge") for i, m in enumerate(merges)],
+        "id int, symbol string, kind string")
+    return base.unionByName(merged)
+
+
+def bpe_encode(docs: DataFrame, merges: list[dict], vocab: DataFrame,
+               text_col: str = "text", key_col: str = "url") -> DataFrame:
+    """Tokenize and map to vocab ids: (key, bpe_ids array<int>). The
+    vocab is broadcast-joined against the posexploded tokens and
+    re-grouped in position order — the shape of an id-encoding pass
+    feeding a training-data writer. Unknown symbols (never occurs when
+    the vocab came from the same corpus) drop out like an UNK filter."""
+    toks = bpe_apply(docs, merges, text_col)
+    exploded = toks.select(
+        key_col, F.posexplode("bpe_tokens").alias("_p", "_t"))
+    joined = exploded.join(
+        F.broadcast(vocab.select(F.col("symbol").alias("_t"),
+                                 F.col("id").alias("_id"))), "_t")
+    return (joined.groupBy(key_col)
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("_p", "_id"))),
+                lambda s: s["_id"].cast("int")).alias("bpe_ids")))

@@ -162,6 +162,34 @@ def q_bpe_tokenize(spark, sf_dir):
     return (out.select("url", "bpe_len").orderBy("url").limit(20))
 
 
+def q_bpe_vocab(spark, sf_dir):
+    """The learned tokenizer's vocab table: corpus character alphabet
+    (id by symbol order) followed by the K merge symbols in learned
+    order."""
+    from sparksearch.bpe import bpe_vocab
+    merges = _get_merges(spark, sf_dir)
+    return (bpe_vocab(C.pages_df(spark, sf_dir), merges)
+            .orderBy("id"))
+
+
+def q_bpe_encode(spark, sf_dir):
+    """Id-encoding checksum: tokenize with the learned merges, map every
+    token to its vocab id via a broadcast join, and per-doc report the
+    id count and id sum for the 15 lowest urls — gates the end-to-end
+    text -> tokens -> ids pipeline."""
+    from sparksearch.bpe import bpe_encode, bpe_vocab
+    merges = _get_merges(spark, sf_dir)
+    pages = C.pages_df(spark, sf_dir)
+    vocab = bpe_vocab(pages, merges)
+    out = bpe_encode(pages, merges, vocab)
+    return (out.select(
+        "url",
+        F.expr("CAST(size(bpe_ids) AS INT)").alias("n_ids"),
+        F.expr("CAST(aggregate(bpe_ids, 0L, (a, x) -> a + x) AS BIGINT)")
+        .alias("id_sum"))
+        .orderBy("url").limit(15))
+
+
 def _bpe_oracle_levels(k: int) -> str:
     """CTE chain: s1..sk symbol tables, best1..bestk chosen pairs."""
     chars = ("list_transform(range(1, length(word) + 1), "
@@ -237,9 +265,76 @@ FROM tok{_BPE_K} ORDER BY url LIMIT 20
 """.strip()
 
 
+_VOCAB_SQL = """
+chars AS ( SELECT DISTINCT unnest(list_transform(
+             range(1, length(t) + 1), i -> substr(t, i, 1))) AS symbol
+           FROM ( SELECT replace(text, ' ', '') AS t FROM pages ) ),
+base AS ( SELECT CAST(row_number() OVER (ORDER BY symbol) - 1 AS INT) AS id,
+                 symbol, 'char' AS kind
+          FROM chars ),
+nb AS ( SELECT CAST(count(*) AS INT) AS n FROM chars )
+""".strip()
+
+
+def _bpe_vocab_sql() -> str:
+    levels = _bpe_oracle_levels(_BPE_K)
+    merge_rows = "\nUNION ALL\n".join(
+        f"SELECT CAST((SELECT n FROM nb) + {i} AS INT) AS id, "
+        f"(SELECT a || b FROM best{i + 1}) AS symbol, 'merge' AS kind"
+        for i in range(_BPE_K))
+    return f"""
+WITH {C._PAGES},
+{levels},
+{_VOCAB_SQL}
+SELECT id, symbol, kind FROM base
+UNION ALL
+{merge_rows}
+ORDER BY id
+""".strip()
+
+
+def _bpe_encode_sql() -> str:
+    levels = _bpe_oracle_levels(_BPE_K)
+    chars_w = ("list_transform(range(1, length(w) + 1), "
+               "i -> substr(w, i, 1))")
+    toks = [f"""
+tok0 AS ( SELECT url, list_transform(
+            list_filter(string_split(text, ' '), w -> w <> ''),
+            w -> array_to_string({chars_w}, ' ')) AS ws FROM pages )
+""".strip()]
+    for n in range(1, _BPE_K + 1):
+        toks.append(f"""
+tok{n} AS ( SELECT url, list_transform(ws, w -> {_merge_fold_sql('w')}) AS ws
+            FROM tok{n - 1}, best{n} )
+""".strip())
+    chain = ",\n".join(toks)
+    merge_rows = "\nUNION ALL\n".join(
+        f"SELECT CAST((SELECT n FROM nb) + {i} AS INT) AS id, "
+        f"(SELECT a || b FROM best{i + 1}) AS symbol"
+        for i in range(_BPE_K))
+    return f"""
+WITH {C._PAGES},
+{levels},
+{chain},
+{_VOCAB_SQL},
+v AS ( SELECT id, symbol FROM base
+       UNION ALL
+       {merge_rows} ),
+toks AS ( SELECT url, unnest(flatten(list_transform(
+            ws, w -> string_split(w, ' ')))) AS t
+          FROM tok{_BPE_K} )
+SELECT url, CAST(count(*) AS INT) AS n_ids,
+       CAST(sum(v.id) AS BIGINT) AS id_sum
+FROM toks JOIN v ON v.symbol = toks.t
+GROUP BY url ORDER BY url LIMIT 15
+""".strip()
+
+
 def queries() -> dict:
     return {
         "scroll_pages": q_scroll_pages,
+        "bpe_vocab": q_bpe_vocab,
+        "bpe_encode": q_bpe_encode,
         "mapping_multifield": q_mapping_multifield,
         "mapping_null_value": q_mapping_null_value,
         "mapping_scaled_float": q_mapping_scaled_float,
@@ -293,4 +388,6 @@ ORDER BY url
 """.strip()
     out["bpe_merges"] = _bpe_merges_sql()
     out["bpe_tokenize"] = _bpe_tokenize_sql()
+    out["bpe_vocab"] = _bpe_vocab_sql()
+    out["bpe_encode"] = _bpe_encode_sql()
     return out

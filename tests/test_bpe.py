@@ -91,3 +91,21 @@ def test_bpe_overlapping_run_is_greedy(spark):
     assert (m[0]["left"], m[0]["right"], m[0]["pair_count"]) == ("a", "a", 5)
     r = {tuple(x["bpe_tokens"]) for x in bpe_apply(docs, m).collect()}
     assert r == {("aa", "aa", "aa", "a")}
+
+
+def test_bpe_vocab_and_encode_roundtrip(spark):
+    from sparksearch.bpe import bpe_encode, bpe_vocab
+    docs = spark.createDataFrame(
+        [("u1", "ab ab cd"), ("u2", "ba dc")], "url string, text string")
+    m = bpe_train(docs.select("text"), 1)
+    assert m[0]["merged"] == "ab"
+    v = bpe_vocab(docs, m, "text").collect()
+    by_sym = {r["symbol"]: (r["id"], r["kind"]) for r in v}
+    assert set(by_sym) == {"a", "b", "c", "d", "ab"}
+    assert [s for s, (i, k) in sorted(by_sym.items(), key=lambda x: x[1][0])
+            ] == ["a", "b", "c", "d", "ab"]  # chars by order, then merges
+    assert by_sym["ab"] == (4, "merge")
+    enc = {r["url"]: r["bpe_ids"] for r in
+           bpe_encode(docs, m, bpe_vocab(docs, m, "text")).collect()}
+    assert enc["u1"] == [4, 4, 2, 3]   # ab ab c d
+    assert enc["u2"] == [1, 0, 3, 2]   # b a d c
