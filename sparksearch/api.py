@@ -16,7 +16,8 @@ Two shapes:
 - ``aggs_df(ex, body)`` → one top-level agg as a bucket DataFrame.
 
 Supported body keys: query, size, from, sort (field / ``_score`` /
-``_doc`` / ``_script``, asc/desc), search_after, min_score, rescore
+``_doc`` / ``_script``, asc/desc, ``mode`` over multi-valued array
+fields — sortmode.py MultiValueMode), search_after, min_score, rescore
 (windowed QueryRescorer re-rank), script_fields + runtime_mappings
 (Painless-subset → Catalyst columns), docvalue_fields, post_filter
 (hits only —
