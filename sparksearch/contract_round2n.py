@@ -181,6 +181,84 @@ def q_nested_inner_hits(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# embedding k-means (clustering.py)
+# ---------------------------------------------------------------------------
+
+_KM_K, _KM_T = 4, 2
+
+
+def q_kmeans_embeddings(spark, sf_dir):
+    """Deterministic Lloyd's k-means over the embeddings table (init =
+    k lowest-id vectors, T update iterations, means rounded to 6
+    decimals so float summation order can't flip an assignment): final
+    per-cluster member count + centroid L2 norm."""
+    import math
+
+    from sparksearch.clustering import kmeans
+    embs = spark.read.parquet(sf_dir + "/embeddings.parquet")
+    assigned, cents = kmeans(embs, k=_KM_K, iters=_KM_T)
+    norms = {i: round(math.sqrt(sum(x * x for x in c)), 4)
+             for i, c in enumerate(cents)}
+    nmap = F.create_map(*[x for i, nv in norms.items()
+                          for x in (F.lit(i), F.lit(nv))])
+    return (assigned.groupBy("cl")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .select(F.col("cl").alias("cluster"), "n",
+                    F.element_at(nmap, F.col("cl")).alias("cnorm"))
+            .orderBy("cluster"))
+
+
+def _kmeans_sql() -> str:
+    k, t = _KM_K, _KM_T
+    parts = [f"""
+e AS ( SELECT vec_id AS vid,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       FROM embeddings ),
+c0 AS ( SELECT row_number() OVER (ORDER BY vid) - 1 AS cid, v
+        FROM ( SELECT vid, v FROM e ORDER BY vid LIMIT {k} ) )
+""".strip()]
+    for n in range(1, t + 1):
+        prev = f"c{n - 1}"
+        parts.append(f"""
+d{n} AS ( SELECT e.vid, e.v, c.cid,
+          list_sum(list_transform(range(1, len(e.v) + 1),
+                   i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))) AS d
+          FROM e, {prev} c ),
+a{n} AS ( SELECT vid, v, cid AS cl FROM (
+            SELECT *, row_number() OVER (PARTITION BY vid
+                       ORDER BY d ASC, cid ASC) AS rn FROM d{n} )
+          WHERE rn = 1 ),
+cm{n} AS ( SELECT cl AS cid, list(m ORDER BY pos) AS v FROM (
+             SELECT cl, pos, round(avg(val), 6) AS m
+             FROM ( SELECT cl, unnest(v) AS val,
+                           generate_subscripts(v, 1) AS pos FROM a{n} )
+             GROUP BY cl, pos ) GROUP BY cl ),
+c{n} AS ( SELECT cid, v FROM cm{n}
+          UNION ALL
+          SELECT cid, v FROM {prev}
+          WHERE cid NOT IN ( SELECT cid FROM cm{n} ) )
+""".strip())
+    parts.append(f"""
+df AS ( SELECT e.vid, c.cid,
+        list_sum(list_transform(range(1, len(e.v) + 1),
+                 i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))) AS d
+        FROM e, c{t} c ),
+af AS ( SELECT vid, cid AS cl FROM (
+          SELECT *, row_number() OVER (PARTITION BY vid
+                     ORDER BY d ASC, cid ASC) AS rn FROM df )
+        WHERE rn = 1 )
+""".strip())
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT af.cl AS cluster, CAST(count(*) AS BIGINT) AS n,
+       ( SELECT round(sqrt(list_sum(list_transform(c.v, x -> x * x))), 4)
+         FROM c{t} c WHERE c.cid = af.cl ) AS cnorm
+FROM af GROUP BY af.cl ORDER BY cluster
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # cross-index search (multisearch.py)
 # ---------------------------------------------------------------------------
 
@@ -321,6 +399,7 @@ def queries() -> dict:
         "api_sort_mode": q_api_sort_mode,
         "msearch_indices": q_msearch_indices,
         "dfs_msearch": q_dfs_msearch,
+        "kmeans_embeddings": q_kmeans_embeddings,
         "agg_nested_terms": q_nested_terms_agg,
         "join_has_child": q_has_child,
         "join_has_parent": q_has_parent,
@@ -367,6 +446,7 @@ SELECT _index, docid, url, score FROM ( {union} )
 ORDER BY score DESC, _index ASC, docid ASC
 LIMIT {_MIDX_K}
 """.strip()
+    out["kmeans_embeddings"] = _kmeans_sql()
     dfs_parts = [_midx_base_sql(s) for s in _MIDX_LANGS]
     dfs_parts.append(_MIDX_GLOBAL_SQL)
     dfs_parts += [_midx_score_sql(s, gsfx="all") for s in _MIDX_LANGS]
