@@ -208,6 +208,48 @@ def q_kmeans_embeddings(spark, sf_dir):
             .orderBy("cluster"))
 
 
+_KM_CAP = 60
+
+
+def q_cluster_sample(spark, sf_dir):
+    """Cluster-balanced sampling: cap every k-means cluster at N members
+    (deterministic: lowest vec_ids win) — the topic-balancing pass a
+    training-mixture builder runs after clustering. Two-stage shape: the
+    per-cluster rank is a window INSIDE each cluster partition, so no
+    single reducer sees more than one cluster's rows."""
+    from pyspark.sql import Window
+
+    from sparksearch.clustering import kmeans
+    embs = spark.read.parquet(sf_dir + "/embeddings.parquet")
+    assigned, _ = kmeans(embs, k=_KM_K, iters=_KM_T)
+    w = Window.partitionBy("cl").orderBy(F.col("vid").asc())
+    kept = (assigned.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= _KM_CAP))
+    return (kept.groupBy("cl")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_sampled"),
+                 F.min("vid").cast("long").alias("min_id"),
+                 F.max("vid").cast("long").alias("max_id"))
+            .select(F.col("cl").alias("cluster"), "n_sampled",
+                    "min_id", "max_id")
+            .orderBy("cluster"))
+
+
+def _cluster_sample_sql() -> str:
+    # reuse the unrolled kmeans pipeline up to the final assignment `af`
+    base = _kmeans_sql()
+    head = base[:base.rindex("SELECT af.cl")]
+    return f"""
+{head}
+SELECT cl AS cluster, CAST(count(*) AS BIGINT) AS n_sampled,
+       CAST(min(vid) AS BIGINT) AS min_id,
+       CAST(max(vid) AS BIGINT) AS max_id
+FROM ( SELECT *, row_number() OVER (PARTITION BY cl ORDER BY vid ASC) AS r
+       FROM af )
+WHERE r <= {_KM_CAP}
+GROUP BY cl ORDER BY cluster
+""".strip()
+
+
 def _kmeans_sql() -> str:
     k, t = _KM_K, _KM_T
     parts = [f"""
@@ -400,6 +442,7 @@ def queries() -> dict:
         "msearch_indices": q_msearch_indices,
         "dfs_msearch": q_dfs_msearch,
         "kmeans_embeddings": q_kmeans_embeddings,
+        "cluster_sample": q_cluster_sample,
         "agg_nested_terms": q_nested_terms_agg,
         "join_has_child": q_has_child,
         "join_has_parent": q_has_parent,
@@ -447,6 +490,7 @@ ORDER BY score DESC, _index ASC, docid ASC
 LIMIT {_MIDX_K}
 """.strip()
     out["kmeans_embeddings"] = _kmeans_sql()
+    out["cluster_sample"] = _cluster_sample_sql()
     dfs_parts = [_midx_base_sql(s) for s in _MIDX_LANGS]
     dfs_parts.append(_MIDX_GLOBAL_SQL)
     dfs_parts += [_midx_score_sql(s, gsfx="all") for s in _MIDX_LANGS]
