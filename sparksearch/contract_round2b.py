@@ -146,7 +146,12 @@ def q_msearch(spark, sf_dir):
 def q_term_vectors(spark, sf_dir):
     from sparksearch.fetchops import term_vectors
     ix, _ = C.get_engine(spark, sf_dir)
-    return term_vectors(ix, C.pages_df(spark, sf_dir), docid=7)
+    tv = term_vectors(ix, C.pages_df(spark, sf_dir), docid=7)
+    # gate output stringifies the positions array — the driver's
+    # canonicalizer can only sort/hash scalar columns
+    return tv.withColumn(
+        "positions",
+        F.concat_ws(",", F.col("positions").cast("array<string>")))
 
 
 def q_explain(spark, sf_dir):
@@ -425,7 +430,7 @@ FROM tok
     out["term_vectors"] = f"""
 WITH {C._PAGES}, {C._TOKPOS}
 SELECT term, CAST(count(*) AS BIGINT) AS tf,
-       list(pos ORDER BY pos) AS positions
+       array_to_string(list(pos ORDER BY pos), ',') AS positions
 FROM tokpos WHERE docid = 7 GROUP BY term ORDER BY term
 """
 

@@ -48,7 +48,9 @@ def q_matched_queries(spark, sf_dir):
                      Named(Range("dl", gte=40), "long_doc"),
                      Named(Match("text", "hash"), "has_hash")])
     hits = C.topk_rounded(ex, q, k=10)
-    return matched_queries(ex, hits, q)
+    # stringified for the driver gate's scalar-only canonicalizer
+    return matched_queries(ex, hits, q).withColumn(
+        "matched_queries", F.concat_ws(",", "matched_queries"))
 
 
 # ---------------------------------------------------------------------------
@@ -158,11 +160,11 @@ topk AS (
   ORDER BY round(scj.score + coalesce(sch.score, 0), 4) DESC,
            scj.docid ASC LIMIT 10 )
 SELECT t.docid, p.url, t.score,
-       list_sort(list_filter([
+       array_to_string(list_sort(list_filter([
            CASE WHEN p.lang = 'en' THEN 'en_docs' END,
            CASE WHEN d.dl >= 40 THEN 'long_doc' END,
            CASE WHEN sch.docid IS NOT NULL THEN 'has_hash' END
-       ], x -> x IS NOT NULL)) AS matched_queries
+       ], x -> x IS NOT NULL)), ',') AS matched_queries
 FROM topk t JOIN pages p USING (docid) JOIN dl d USING (docid)
 LEFT JOIN sch ON sch.docid = t.docid
 ORDER BY t.score DESC, t.docid ASC

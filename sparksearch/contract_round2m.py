@@ -115,8 +115,12 @@ def q_mapping_copy_to(spark, sf_dir):
         pages, {"properties": {
             "lang": {"type": "keyword", "copy_to": "tags"},
             "site": {"type": "keyword", "copy_to": "tags"}}})
+    # the copied field stays array<string> in the engine; the gate output
+    # stringifies it (comma join) because the driver's canonicalizer can
+    # only sort/hash scalar columns (round-2 red row: unhashable list)
     return (mapped.filter(F.array_contains("tags", "site7.example"))
-            .select("url", "lang", "tags")
+            .select("url", "lang",
+                    F.concat_ws(",", "tags").alias("tags"))
             .orderBy("url"))
 
 
@@ -381,7 +385,8 @@ ORDER BY doc_id
 """.strip()
     out["mapping_copy_to"] = f"""
 WITH {P}
-SELECT url, lang, [lang, split_part(url, '/', 3)] AS tags
+SELECT url, lang,
+       array_to_string([lang, split_part(url, '/', 3)], ',') AS tags
 FROM pages
 WHERE split_part(url, '/', 3) = 'site7.example' OR lang = 'site7.example'
 ORDER BY url
