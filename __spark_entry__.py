@@ -223,6 +223,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from sparksearch import contract_round2l as CR2L
     from sparksearch import contract_round2m as CR2M
     from sparksearch import contract_round2n as CR2N
+    from sparksearch import contract_round3 as CR3
+    out.update(CR3.queries())
     out.update(CR2N.queries())
     out.update(CR2M.queries())
     out.update(CQ2.queries())
@@ -269,7 +271,9 @@ def oracle_sql() -> dict[str, str]:
     from sparksearch import contract_round2l as CR2L
     from sparksearch import contract_round2m as CR2M
     from sparksearch import contract_round2n as CR2N
+    from sparksearch import contract_round3 as CR3
     out = dict(CD.oracle_sql())
+    out.update(CR3.oracle_sql())
     out.update(CR2N.oracle_sql())
     out.update(CR2M.oracle_sql())
     out.update(CR2J.oracle_sql())

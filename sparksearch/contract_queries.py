@@ -139,7 +139,11 @@ def sqls() -> dict[str, str]:
         "query_wildcard": _const_score_sql("term LIKE 'jo%'", 15),
         "query_regexp": _const_score_sql(
             "regexp_full_match(term, 's[cl]..')", 15),
-        "query_fuzzy": _const_score_sql("levenshtein(term, 'joib') <= 1", 15),
+        # engine default transpositions=true: DL via DuckDB's independent
+        # damerau_levenshtein (the df-ranked max_expansions=50 cap cannot
+        # bind on this corpus's expansion set)
+        "query_fuzzy": _const_score_sql(
+            "damerau_levenshtein(term, 'joib') <= 1", 15),
         "query_text_prefix": _const_score_sql("term LIKE 's%'", 15),
     }
 

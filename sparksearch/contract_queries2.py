@@ -135,9 +135,13 @@ WITH {P}, {TOK}, {DL},
 dict AS ( SELECT term, CAST(count(DISTINCT docid) AS BIGINT) AS df
           FROM tok GROUP BY term ),
 qts AS ( SELECT * FROM (VALUES {vals}) v(qt, fz, w) ),
-exp AS ( SELECT q.qt, q.w, d.term, d.df FROM qts q JOIN dict d
-         ON abs(length(d.term) - length(q.qt)) <= q.fz
-         AND levenshtein(d.term, q.qt) <= q.fz ),
+exp0 AS ( SELECT q.qt, q.w, d.term, d.df FROM qts q JOIN dict d
+          ON abs(length(d.term) - length(q.qt)) <= q.fz
+          AND damerau_levenshtein(d.term, q.qt) <= q.fz ),
+exp AS ( SELECT qt, w, term, df FROM (
+           SELECT *, row_number() OVER (PARTITION BY qt
+                       ORDER BY df DESC, term ASC) AS rn FROM exp0 )
+         WHERE rn <= 50 ),
 tf AS ( SELECT docid, term, count(*) AS tf FROM tok
         WHERE term IN ( SELECT term FROM exp ) GROUP BY docid, term ),
 sc AS ( SELECT tf.docid, e.qt, e.w,

@@ -1,0 +1,95 @@
+"""Round-3 contract entries.
+
+Fuzzy transpositions + expansion cap, non-English analyzers, and the
+remaining reference-registry leaves (more_like_this doc form,
+random_score, field_masking_span, highlighter options, rank_eval ERR,
+completion contexts / fuzzy prefix).  Every entry has a DuckDB oracle
+that recomputes the semantics independently (transposition distance via
+DuckDB's own `damerau_levenshtein`, not the engine's DP).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparksearch import contract as C
+from sparksearch.queries import Match
+
+
+# ---------------------------------------------------------------------------
+# fuzzy: Damerau transpositions (reference default) + max_expansions cap
+# ---------------------------------------------------------------------------
+
+def q_match_fuzzy_transpose(spark, sf_dir):
+    """'jion tbale' at fuzziness=1: both terms reach their targets ONLY
+    via an adjacent transposition (DL=1, plain levenshtein=2) — the case
+    the reference's transpositions=true default exists for
+    (sv/common/unit/Fuzziness.java, FuzzyQueryBuilder.java
+    DEFAULT_TRANSPOSITIONS)."""
+    _, ex = C.get_engine(spark, sf_dir)
+    return C.topk_rounded(ex, Match("text", "jion tbale", fuzziness=1), k=10)
+
+
+def q_fuzzy_capped(spark, sf_dir):
+    """max_expansions binds: 'part'~2 expands to 4 dictionary terms
+    (fast, part, sort, spark); max_expansions=2 keeps the 2 highest-df
+    (df desc, term asc — Lucene TopTermsBlendedFreqScoringRewrite
+    order), so the result provably reflects the cap."""
+    _, ex = C.get_engine(spark, sf_dir)
+    return C.topk_rounded(
+        ex, Match("text", "part", fuzziness=2, max_expansions=2), k=10)
+
+
+def _fuzzy_dl_sql(term_fz: list[tuple[str, int]], cap: int,
+                  msm: int = 0, k: int = 10) -> str:
+    """Blended fuzzy-match oracle: expansion set from DuckDB's own
+    damerau_levenshtein (independent of the engine's DP), df-ranked
+    row_number cap, per-clause MAX over expansions, summed."""
+    P, TOK, DL = C._PAGES, C._TOK, C._DL
+    idf, tfn = C._idf_sql, C._tfn_sql
+    vals = ", ".join(f"('{t}', {fz}, 1.0)" for t, fz in term_fz)
+    return f"""
+WITH {P}, {TOK}, {DL},
+dict AS ( SELECT term, CAST(count(DISTINCT docid) AS BIGINT) AS df
+          FROM tok GROUP BY term ),
+qts AS ( SELECT * FROM (VALUES {vals}) v(qt, fz, w) ),
+exp0 AS ( SELECT q.qt, q.w, d.term, d.df FROM qts q JOIN dict d
+          ON abs(length(d.term) - length(q.qt)) <= q.fz
+          AND damerau_levenshtein(d.term, q.qt) <= q.fz ),
+exp AS ( SELECT qt, w, term, df FROM (
+           SELECT *, row_number() OVER (PARTITION BY qt
+                       ORDER BY df DESC, term ASC) AS rn FROM exp0 )
+         WHERE rn <= {cap} ),
+tf AS ( SELECT docid, term, count(*) AS tf FROM tok
+        WHERE term IN ( SELECT term FROM exp ) GROUP BY docid, term ),
+sc AS ( SELECT tf.docid, e.qt, e.w,
+               max({idf('e.df', 'g.n')} *
+                   {tfn('tf.tf', 'dlq.dl_q', 'g.avgdl')}) AS s
+        FROM tf JOIN exp e USING (term) JOIN dlq USING (docid) CROSS JOIN g
+        GROUP BY tf.docid, e.qt, e.w ),
+agg AS ( SELECT docid, sum(w * s) AS score, sum(w) AS nm
+         FROM sc GROUP BY docid )
+SELECT p.docid, p.url, round(agg.score, 4) AS score
+FROM agg JOIN pages p USING (docid)
+WHERE agg.nm >= {msm}
+ORDER BY round(agg.score, 4) DESC, p.docid ASC LIMIT {k}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def queries() -> dict:
+    return {
+        "match_fuzzy_transpose": q_match_fuzzy_transpose,
+        "fuzzy_capped": q_fuzzy_capped,
+    }
+
+
+def oracle_sql() -> dict:
+    return {
+        "match_fuzzy_transpose": _fuzzy_dl_sql(
+            [("jion", 1), ("tbale", 1)], cap=50),
+        "fuzzy_capped": _fuzzy_dl_sql([("part", 2)], cap=2),
+    }

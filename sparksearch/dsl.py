@@ -47,7 +47,10 @@ def _match(body: dict) -> Match:
     return Match(field, s["query"], operator=s.get("operator", "or"),
                  minimum_should_match=s.get("minimum_should_match"),
                  analyzer=s.get("analyzer"),
-                 fuzziness=s.get("fuzziness"))
+                 fuzziness=s.get("fuzziness"),
+                 fuzzy_transpositions=bool(
+                     s.get("fuzzy_transpositions", True)),
+                 max_expansions=int(s.get("max_expansions", 50)))
 
 
 def _match_phrase(body: dict) -> MatchPhrase:
@@ -102,7 +105,9 @@ def _fuzzy(body: dict) -> Fuzzy:
     field, spec = _field_body(body)
     s = _text_spec(spec) if isinstance(spec, dict) else {"value": spec}
     return Fuzzy(field, s.get("value", s.get("query")),
-                 fuzziness=s.get("fuzziness", "AUTO"))
+                 fuzziness=s.get("fuzziness", "AUTO"),
+                 transpositions=bool(s.get("transpositions", True)),
+                 max_expansions=int(s.get("max_expansions", 50)))
 
 
 def _dis_max(body: dict) -> DisMax:

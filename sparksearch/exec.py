@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from sparksearch import bm25
@@ -385,8 +385,15 @@ class Executor:
         small), emit constant score 1.0 per matching doc — Lucene's
         CONSTANT_SCORE multi-term rewrite. Fully distributed: no driver-side
         term collection."""
-        matched = self.ix.stats.select("term") \
+        matched = self.ix.stats.select("term", "df") \
             .filter(self._multiterm_cond(q))
+        if isinstance(q, Fuzzy):
+            # FuzzyQuery caps its rewrite at max_expansions terms (highest
+            # df first) — bounds the broadcast at dictionary scale
+            matched = (matched
+                       .orderBy(F.col("df").desc(), F.col("term").asc())
+                       .limit(int(getattr(q, "max_expansions", 50) or 50)))
+        matched = matched.select("term")
         docids = (self.ix.postings.join(F.broadcast(matched), "term")
                   .select("docid").distinct())
         return docids.select(
@@ -413,11 +420,17 @@ class Executor:
             if lit:
                 cond = F.col("term").startswith(lit) & cond
         elif isinstance(q, Fuzzy):
-            n = int(q.fuzziness)
+            n = self._fuzz_of(q.value, q.fuzziness)  # resolves "AUTO"
             band = ((F.length("term") >= len(q.value) - n)
                     & (F.length("term") <= len(q.value) + n))
-            cond = band & (F.levenshtein(F.col("term"), F.lit(q.value))
-                           <= n)
+            lev = F.levenshtein(F.col("term"), F.lit(q.value))
+            if getattr(q, "transpositions", True):
+                # Damerau: JVM lev<=2n prefilter, exact DL on survivors
+                from sparksearch.fuzzydist import dl_dist_col
+                cond = band & (lev <= 2 * n) & (
+                    (lev <= n) | (dl_dist_col("term", F.lit(q.value)) <= n))
+            else:
+                cond = band & (lev <= n)
         else:  # TextPrefix
             cond = F.col("term").startswith(q.value)
         return cond
@@ -862,13 +875,22 @@ class Executor:
 
     def _plan_match_fuzzy(self, q: Match, scored: bool) -> DataFrame:
         """match with fuzziness: each query term expands over the term
-        dictionary (length-band pruned levenshtein — the Spark analogue of
-        FuzzyTermsEnum's automaton walk, MatchQuery.java:291-342); per doc,
-        a clause scores the MAX over its matched expansions' BM25 scores
-        (top_terms_blended rewrite approximated with per-expansion idf);
-        minimum_should_match counts clauses as usual. The expansion pair
-        list is collected driver-side — bounded the same way Lucene bounds
-        per-segment term expansion."""
+        dictionary (length-band pruned edit distance — the Spark analogue
+        of FuzzyTermsEnum's automaton walk, MatchQuery.java:291-342); per
+        doc, a clause scores the MAX over its matched expansions' BM25
+        scores (top_terms_blended rewrite approximated with per-expansion
+        idf); minimum_should_match counts clauses as usual.
+
+        fuzzy_transpositions=True (reference default) uses unrestricted
+        Damerau-Levenshtein: JVM prefilter levenshtein<=2f + length band
+        (never drops a true match: DL<=f => lev<=2f), then exact DL via an
+        Arrow-batched UDF on the pruned candidates (sparksearch.fuzzydist).
+
+        The per-term expansion set is capped at the `max_expansions`
+        highest-df candidates (df desc, term asc — Lucene's FuzzyQuery
+        defaultMaxExpansions=50 via TopTermsBlendedFreqScoringRewrite), so
+        the driver-side pair collect is bounded by |query terms| * cap even
+        against a 10^9-term dictionary."""
         terms = [t for t, _ in
                  analyze(q.text, q.analyzer or self.ix.analyzer)]
         if not terms:
@@ -885,13 +907,26 @@ class Executor:
         qdf = spark.createDataFrame(
             [(t, self._fuzz_of(t, q.fuzziness)) for t in uniq],
             "qt string, fz int")
-        d = self.ix.stats.select("term")
-        cond = ((F.length("term") >= F.length("qt") - F.col("fz"))
-                & (F.length("term") <= F.length("qt") + F.col("fz"))
-                & (F.levenshtein(F.col("term"), F.col("qt"))
-                   <= F.col("fz")))
-        pair_rows = d.join(F.broadcast(qdf), cond) \
-            .select("qt", "term").collect()
+        transpose = bool(getattr(q, "fuzzy_transpositions", True))
+        max_exp = int(getattr(q, "max_expansions", 50) or 50)
+        d = self.ix.stats.select("term", "df")
+        band = ((F.length("term") >= F.length("qt") - F.col("fz"))
+                & (F.length("term") <= F.length("qt") + F.col("fz")))
+        lev = F.levenshtein(F.col("term"), F.col("qt"))
+        cond = band & (lev <= (F.col("fz") * 2 if transpose else F.col("fz")))
+        cand = d.join(F.broadcast(qdf), cond)
+        if transpose:
+            from sparksearch.fuzzydist import dl_dist_col
+            # exact-match fast path stays JVM-side; the UDF only sees
+            # candidates that need the transposition-aware distance
+            cand = cand.filter(
+                (lev <= F.col("fz"))
+                | (dl_dist_col("term", "qt") <= F.col("fz")))
+        w = Window.partitionBy("qt").orderBy(F.col("df").desc(),
+                                             F.col("term").asc())
+        pair_rows = (cand.withColumn("_rn", F.row_number().over(w))
+                     .filter(F.col("_rn") <= max_exp)
+                     .select("qt", "term").collect())
         if not pair_rows:
             return self._empty()
         exp_terms = sorted({r["term"] for r in pair_rows})

@@ -55,6 +55,13 @@ class Match(Query):
     minimum_should_match: str | int | None = None
     analyzer: str | None = None
     fuzziness: int | str | None = None
+    #: adjacent transposition counts as ONE edit (Damerau-Levenshtein) —
+    #: the reference default (FuzzyQueryBuilder.java DEFAULT_TRANSPOSITIONS,
+    #: Fuzziness is passed transpositions=true by MatchQuery.java:291-342)
+    fuzzy_transpositions: bool = True
+    #: per-query-term dictionary expansion cap, highest-df terms kept
+    #: (Lucene FuzzyQuery.defaultMaxExpansions = 50)
+    max_expansions: int = 50
 
 
 @dataclass(frozen=True)
@@ -137,11 +144,15 @@ class Regexp(Query):
 
 @dataclass(frozen=True)
 class Fuzzy(Query):
-    """`fuzzy` — Levenshtein expansion over the term dictionary, constant
-    score (sv/index/query/FuzzyQueryBuilder.java; prefix_length 0)."""
+    """`fuzzy` — edit-distance expansion over the term dictionary, constant
+    score (sv/index/query/FuzzyQueryBuilder.java; prefix_length 0).
+    transpositions=True (the reference default) uses Damerau-Levenshtein;
+    max_expansions keeps the highest-df expansions (default 50)."""
     field_name: str
     value: str
     fuzziness: int = 2
+    transpositions: bool = True
+    max_expansions: int = 50
 
 
 @dataclass(frozen=True)
