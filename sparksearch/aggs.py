@@ -748,7 +748,7 @@ def terms_agg_sharded(df: DataFrame, field: str, size: int = 10,
 
 
 def nested_terms(docs: DataFrame, path: str, leaf: str,
-                 size: int = 10) -> DataFrame:
+                 size: int = 10, key_col: str = "url") -> DataFrame:
     """nested + reverse_nested aggregation: bucket the ELEMENTS of an
     array-of-structs nested field (the nested agg's doc_count counts
     nested docs, not parents) and attach each bucket's parent-doc count
@@ -760,7 +760,7 @@ def nested_terms(docs: DataFrame, path: str, leaf: str,
     """
     name = leaf[len(path) + 1:] if leaf.startswith(path + ".") else leaf
     e = F.explode(F.col(path)).alias("_e")
-    return (docs.select(F.col("url").alias("_doc"), e)
+    return (docs.select(F.col(key_col).alias("_doc"), e)
             .groupBy(F.col(f"_e.{name}").alias("key"))
             .agg(F.count(F.lit(1)).cast("long").alias("doc_count"),
                  F.countDistinct("_doc").cast("long")

@@ -266,7 +266,16 @@ def search_df(ex, body: dict, pages: DataFrame | None = None,
                 from sparksearch.sortmode import mode_sort_key
                 (fld, opts), = s.items()
                 nm = f"_mode_{i}"
-                script_sorts[nm] = mode_sort_key(fld, opts["mode"])
+                # integer array fields follow the reference's long pick
+                # path (median rounds the even-count mid-pair average)
+                integral = False
+                if fld in ex.ix.docs.columns:
+                    dt = ex.ix.docs.schema[fld].dataType
+                    et = getattr(dt, "elementType", None)
+                    integral = et is not None and et.typeName() in (
+                        "byte", "short", "integer", "long")
+                script_sorts[nm] = mode_sort_key(fld, opts["mode"],
+                                                 integral=integral)
                 rewritten.append({nm: {"order": opts.get("order", "asc")}})
             else:
                 rewritten.append(s)

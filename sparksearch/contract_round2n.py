@@ -127,8 +127,10 @@ def q_api_sort_mode(spark, sf_dir):
     """sort_mode over a multi-valued field: English pages sorted by
     (median word length desc, avg word length desc, _doc) through the
     full _search body — the MultiValueMode reduction (median = middle of
-    the sorted values, even count averages the two middles) computed as
-    JVM array functions inside the fetch scan."""
+    the sorted values; even count averages the two middles and, for
+    INTEGER doc values, rounds like the reference's long pick path,
+    MultiValueMode.java:241-246) computed as JVM array functions inside
+    the fetch scan."""
     from sparksearch.api import search_df
     from sparksearch.exec import Executor
     ix, _ = C.get_engine(spark, sf_dir)
@@ -514,9 +516,11 @@ K AS ( SELECT docid, url, lang,
                    WHEN len(lens) % 2 = 1
                      THEN CAST(list_sort(lens)[(len(lens) + 1) // 2]
                                AS DOUBLE)
-                   ELSE (CAST(list_sort(lens)[len(lens) // 2] AS DOUBLE)
-                         + CAST(list_sort(lens)[len(lens) // 2 + 1]
-                                AS DOUBLE)) / 2 END AS med,
+                   ELSE CAST(floor(
+                          (CAST(list_sort(lens)[len(lens) // 2] AS DOUBLE)
+                           + CAST(list_sort(lens)[len(lens) // 2 + 1]
+                                  AS DOUBLE)) / 2 + 0.5) AS DOUBLE)
+                   END AS med,
               CAST(list_sum(lens) AS DOUBLE) / len(lens) AS avg
        FROM L )
 SELECT docid, url, round(med, 4) AS med_len, round(avg, 4) AS avg_len

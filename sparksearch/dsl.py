@@ -357,8 +357,12 @@ _LEAF = {
     "regexp": _simple(Regexp, "value"),
     "fuzzy": _fuzzy,
     "bool": _bool,
+    # default score_mode is AVG, not none: NestedQueryBuilder.fromXContent
+    # defaults ScoreMode.Avg (NestedQueryBuilder.java:209) — in this
+    # engine's constant-scoring nested model that is 1.0 per matching
+    # parent, vs 0.0 (filter context) for an explicit "none"
     "nested": lambda b: Nested(b["path"], from_dsl(b["query"]),
-                               score_mode=b.get("score_mode", "none")),
+                               score_mode=b.get("score_mode", "avg")),
     "dis_max": _dis_max,
     "constant_score": _constant_score,
     "boosting": _boosting,

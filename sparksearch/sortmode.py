@@ -25,8 +25,15 @@ __all__ = ["multivalue_key", "ModeKey", "mode_sort_key"]
 _MODES = ("min", "max", "sum", "avg", "median")
 
 
-def multivalue_key(field_name: str, mode: str) -> Column:
-    """One sort key per doc from an array column, per MultiValueMode."""
+def multivalue_key(field_name: str, mode: str,
+                   integral: bool = False) -> Column:
+    """One sort key per doc from an array column, per MultiValueMode.
+
+    `integral=True` mirrors the reference's separate long pick path:
+    MEDIAN over integer doc values rounds the even-count mid-pair average
+    to a long via Math.round == floor(x + 0.5)
+    (MultiValueMode.java:241-246), while the double path keeps the
+    unrounded average."""
     c = F.col(field_name)
     if mode == "min":
         return F.array_min(c)
@@ -42,9 +49,12 @@ def multivalue_key(field_name: str, mode: str) -> Column:
         i = ((n - 1) / F.lit(2)).cast("int") + F.lit(1)  # 1-based low mid
         lo = F.element_at(s, i).cast("double")
         hi = F.try_element_at(s, i + F.lit(1)).cast("double")
+        mid = (lo + hi) / 2
+        if integral:
+            mid = F.floor(mid + F.lit(0.5)).cast("double")  # Math.round
         return (F.when(n == 0, F.lit(None).cast("double"))
                  .when(n % 2 == 1, lo)
-                 .otherwise((lo + hi) / 2))
+                 .otherwise(mid))
     raise ValueError(f"sort mode must be one of {_MODES}, got {mode!r}")
 
 
@@ -56,5 +66,7 @@ class ModeKey:
     doc_fields: set = field(default_factory=set)
 
 
-def mode_sort_key(field_name: str, mode: str) -> ModeKey:
-    return ModeKey(multivalue_key(field_name, mode), {field_name})
+def mode_sort_key(field_name: str, mode: str,
+                  integral: bool = False) -> ModeKey:
+    return ModeKey(multivalue_key(field_name, mode, integral=integral),
+                   {field_name})

@@ -234,3 +234,17 @@ def test_validate_query():
     assert not bad and "unsupported query type" in msg
     bad2, msg2 = validate_query({"match": {}})
     assert not bad2 and "parse error" in msg2
+
+
+def test_nested_default_score_mode_is_avg():
+    """NestedQueryBuilder.fromXContent defaults ScoreMode.Avg
+    (NestedQueryBuilder.java:209): a bodied nested query without an
+    explicit score_mode scores 1.0 per matching parent in this engine's
+    constant-scoring model, not filter-context 0.0."""
+    from sparksearch.dsl import from_dsl
+    q = from_dsl({"nested": {"path": "sections",
+                             "query": {"term": {"sections.first": "a"}}}})
+    assert q.score_mode == "avg"
+    q2 = from_dsl({"nested": {"path": "sections", "score_mode": "none",
+                              "query": {"term": {"sections.first": "a"}}}})
+    assert q2.score_mode == "none"
