@@ -77,6 +77,22 @@ ORDER BY round(agg.score, 4) DESC, p.docid ASC LIMIT {k}
 
 
 # ---------------------------------------------------------------------------
+# batch ANN join with auto-sized planes
+# ---------------------------------------------------------------------------
+
+def q_knn_join_lsh_sized(spark, sf_dir):
+    """lsh_knn_join with planes=None: the plane count derives from the
+    corpus size (ceil(log2(n / target_bucket))) instead of a fixed
+    constant — 500 vectors at target_bucket=64 auto-sizes to 3 planes /
+    8 cells. The oracle mirrors the same 3-plane projection in SQL."""
+    from sparksearch.contract_dataops import _emb
+    from sparksearch.dataops import lsh_knn_join
+    return lsh_knn_join(_emb(spark, sf_dir), k=5, planes=None,
+                        target_bucket=64, multiprobe=1,
+                        query_ids=list(range(10)))
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -84,12 +100,19 @@ def queries() -> dict:
     return {
         "match_fuzzy_transpose": q_match_fuzzy_transpose,
         "fuzzy_capped": q_fuzzy_capped,
+        "knn_join_lsh_sized": q_knn_join_lsh_sized,
     }
 
 
 def oracle_sql() -> dict:
+    from sparksearch.contract_dataops import sql_knn_join_lsh
+    from sparksearch.dataops import lsh_planes_for
     return {
         "match_fuzzy_transpose": _fuzzy_dl_sql(
             [("jion", 1), ("tbale", 1)], cap=50),
         "fuzzy_capped": _fuzzy_dl_sql([("part", 2)], cap=2),
+        # the gate corpus (sf0.01 embeddings) has 500 vectors; the oracle
+        # derives the plane count through the same public formula
+        "knn_join_lsh_sized": sql_knn_join_lsh(
+            planes=lsh_planes_for(500, target_bucket=64)),
     }

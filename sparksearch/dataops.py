@@ -369,10 +369,38 @@ def _cell_expr(vc: Column, planes_vals: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
-def lsh_knn_join(emb: DataFrame, k: int = 5, planes: int = 4,
+def lsh_planes_for(n: int, target_bucket: int = 1024,
+                   lo: int = 1, hi: int = 24) -> int:
+    """Auto-size the hyperplane count from the corpus size: 2^planes
+    cells with ~n/2^planes vectors each, so planes = ceil(log2(n /
+    target_bucket)) keeps the EXPECTED bucket at `target_bucket` and the
+    per-cell candidate join ~O(n * target_bucket) instead of the
+    near-quadratic blowup a fixed small plane count hits at 100 TB."""
+    import math
+    if n <= target_bucket:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(n / target_bucket))))
+
+
+def lsh_bucket_stats(emb: DataFrame, planes: int,
+                     vec_col: str = "embedding") -> DataFrame:
+    """Bucket-size histogram for a plane count — the skew check a 100 TB
+    run logs before committing to an LSH join: (bucket_size, n_cells)."""
+    dim = len(emb.select(vec_col).first()[0])
+    v = F.col(vec_col).cast("array<double>")
+    return (emb.select(_cell_expr(v, _plane_vals(planes, dim))
+                       .alias("_cell"))
+            .groupBy("_cell").agg(F.count(F.lit(1)).alias("bucket_size"))
+            .groupBy("bucket_size").agg(F.count(F.lit(1)).alias("n_cells"))
+            .orderBy(F.col("bucket_size").desc()))
+
+
+def lsh_knn_join(emb: DataFrame, k: int = 5, planes: int | None = 4,
                  multiprobe: int = 1, query_ids: list | None = None,
-                 id_col: str = "vec_id",
-                 vec_col: str = "embedding") -> DataFrame:
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 target_bucket: int = 1024,
+                 max_bucket: int | None = None,
+                 n_total: int | None = None) -> DataFrame:
     """Batch ANN join: top-k cosine neighbors for EVERY vector at once —
     the 100 TB training-pipeline shape (all-queries ANN, not per-query).
 
@@ -383,9 +411,25 @@ def lsh_knn_join(emb: DataFrame, k: int = 5, planes: int = 4,
     re-rank and a per-query window top-k. `query_ids` optionally restricts
     the query side (the candidate index stays full).
 
+    Scale controls:
+    - `planes=None` auto-sizes from the corpus count via
+      `lsh_planes_for(n, target_bucket)` (pass `n_total` to skip the
+      count job when the caller already knows it);
+    - `max_bucket` is the skew guard: cells larger than it are split
+      into ceil(size/max_bucket) sub-cells by a second hash of the id,
+      and each query probes only its own sub-cell inside an oversized
+      bucket — bounding every joined bucket at ~max_bucket candidates
+      (a documented recall trade inside pathological hash cells, which
+      at web scale are near-duplicate clusters anyway). The split is one
+      tiny cells-aggregation + a broadcast join; bucket counts are
+      |cells|-sized, never corpus-sized.
+
     Returns (query_id, vec_id, rank, cosine) ordered by query then rank.
     """
     dim = len(emb.select(vec_col).first()[0])
+    if planes is None:
+        n = n_total if n_total is not None else emb.count()
+        planes = lsh_planes_for(n, target_bucket)
     pv = _plane_vals(planes, dim)
     v = F.col(vec_col).cast("array<double>")
     with_cell = emb.select(F.col(id_col), v.alias("_v"),
@@ -404,6 +448,20 @@ def lsh_knn_join(emb: DataFrame, k: int = 5, planes: int = 4,
     probes = qside.select(
         F.col(id_col).alias("query_id"), F.col("_v").alias("_qv"),
         F.explode(F.array(*probe_cols)).alias("_cell"))
+    if max_bucket:
+        sizes = (with_cell.groupBy("_cell")
+                 .agg(F.count(F.lit(1)).alias("_bn")))
+        nsub = F.greatest(F.lit(1),
+                          F.ceil(F.col("_bn") / F.lit(max_bucket)))
+        sub_of = lambda idc: F.concat(  # noqa: E731
+            F.col("_cell"), F.lit("#"),
+            F.pmod(F.xxhash64(idc), nsub).cast("string"))
+        with_cell = (with_cell.join(F.broadcast(sizes), "_cell")
+                     .withColumn("_cell", sub_of(F.col(id_col)))
+                     .drop("_bn"))
+        probes = (probes.join(F.broadcast(sizes), "_cell")
+                  .withColumn("_cell", sub_of(F.col("query_id")))
+                  .drop("_bn"))
     cand = (probes.join(with_cell, "_cell")
             .where(F.col("query_id") != F.col(id_col))
             .dropDuplicates(["query_id", id_col]))

@@ -229,3 +229,54 @@ def test_hashed_bow_score(spark):
     assert out[1] == out[2]            # deterministic per content
     assert -1.0 <= out[3] <= 1.0
     assert out[1] != out[3]
+
+
+def test_lsh_planes_autosize_formula(spark):
+    """planes = ceil(log2(n / target_bucket)), clamped to [1, 24] — the
+    100 TB sizing rule: expected bucket stays ~target_bucket as n grows."""
+    from sparksearch.dataops import lsh_planes_for
+    assert lsh_planes_for(500, target_bucket=64) == 3
+    assert lsh_planes_for(64, target_bucket=64) == 1       # n <= target
+    assert lsh_planes_for(10, target_bucket=64) == 1
+    assert lsh_planes_for(1 << 30, target_bucket=1024) == 20
+    assert lsh_planes_for(1 << 60, target_bucket=1) == 24  # hi clamp
+
+
+def test_lsh_knn_join_autosized_matches_explicit(spark, emb):
+    """planes=None must produce exactly the explicit-planes result for the
+    derived count (500 vectors, target 64 -> 3 planes)."""
+    from sparksearch.dataops import lsh_knn_join
+    auto = lsh_knn_join(emb, k=3, planes=None, target_bucket=64,
+                        query_ids=[0, 1, 2]).collect()
+    explicit = lsh_knn_join(emb, k=3, planes=3,
+                            query_ids=[0, 1, 2]).collect()
+    assert auto == explicit
+
+
+def test_lsh_bucket_stats_histogram(spark, emb):
+    from sparksearch.dataops import lsh_bucket_stats
+    hist = lsh_bucket_stats(emb, planes=3).collect()
+    assert sum(r.bucket_size * r.n_cells for r in hist) == emb.count()
+    assert all(r.bucket_size >= 1 for r in hist)
+
+
+def test_lsh_max_bucket_skew_guard(spark):
+    """Pathological fixture: every vector identical -> one LSH cell of n.
+    With max_bucket=8 the guard splits the cell so no joined bucket
+    exceeds ~max_bucket, and each query still gets k neighbors (recall
+    trade is within the oversized cell only)."""
+    from sparksearch.dataops import lsh_knn_join
+    n = 64
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = lsh_knn_join(df, k=3, planes=2, max_bucket=8,
+                       query_ids=[0, 1, 2, 3]).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    # every query matched inside its own sub-cell: <= max_bucket
+    # candidates, so k=3 neighbors exist (sub-cells hold ~n/8 = 8 ids)
+    for q in (0, 1, 2, 3):
+        assert 1 <= len(by_q[q]) <= 3
+        for r in by_q[q]:
+            assert r.cosine == pytest.approx(1.0, abs=1e-6)
