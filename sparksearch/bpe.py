@@ -84,56 +84,199 @@ def _merge_expr(inner: str, a: str, b: str) -> str:
         f"ELSE concat(acc, ' ', x) END)")
 
 
-def bpe_train(docs: DataFrame, n_merges: int,
-              text_col: str = "text") -> list[dict]:
+def _greedy_merge(syms: list, a: str, b: str, ab: str) -> list:
+    """Python twin of `_merge_expr`: greedy left-to-right, the merged
+    symbol is never reconsidered within the same step."""
+    out: list = []
+    for x in syms:
+        if out and x == b and out[-1] == a:
+            out[-1] = ab
+        else:
+            out.append(x)
+    return out
+
+
+def _train_local(hist: list, n_merges: int) -> list[dict]:
+    """Driver-local merge loop over a collected (word, cnt) histogram —
+    the shape every reference BPE trainer uses (Sennrich subword-nmt,
+    HF trainers): incremental pair-count maintenance so each step only
+    touches words that contain the picked pair, not the whole table.
+    Selection order is identical to the distributed loop: pair_count
+    desc, then (left asc, right asc) — and Python's str ordering equals
+    Spark's UTF8 binary ordering because UTF-8 is code-point-order
+    preserving."""
+    words = [list(w) for w, _ in hist]
+    cnts = [int(c) for _, c in hist]
+    pair_counts: dict = {}
+    pair_words: dict = {}
+    for i, syms in enumerate(words):
+        c = cnts[i]
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + c
+            pair_words.setdefault(p, set()).add(i)
+    merges: list[dict] = []
+    for step in range(1, n_merges + 1):
+        best = None
+        for p, c in pair_counts.items():
+            if c <= 0:
+                continue
+            k = (-c, p[0], p[1])
+            if best is None or k < best[0]:
+                best = (k, p, c)
+        if best is None:
+            break
+        (_, (a, b), c) = best
+        ab = a + b
+        merges.append({"step": step, "left": a, "right": b,
+                       "merged": ab, "pair_count": int(c)})
+        for i in list(pair_words.get((a, b), ())):
+            syms, wc = words[i], cnts[i]
+            nxt = _greedy_merge(syms, a, b, ab)
+            if nxt == syms:  # stale index: pair no longer in this word
+                continue
+            for p in zip(syms, syms[1:]):
+                r = pair_counts[p] - wc
+                if r:
+                    pair_counts[p] = r
+                else:
+                    del pair_counts[p]
+            for p in zip(nxt, nxt[1:]):
+                pair_counts[p] = pair_counts.get(p, 0) + wc
+                pair_words.setdefault(p, set()).add(i)
+            words[i] = nxt
+        pair_counts.pop((a, b), None)
+        pair_words.pop((a, b), None)
+    return merges
+
+
+def bpe_train(docs: DataFrame, n_merges: int, text_col: str = "text",
+              driver_max_words: int | None = 2_000_000) -> list[dict]:
     """Learn `n_merges` BPE merges; returns [{step, left, right, merged,
     pair_count}, ...] in learned order. Deterministic: ties broken by
-    (left asc, right asc)."""
-    words = (word_histogram(docs, text_col)
-             .select("cnt",
-                     F.concat_ws(" ", F.split(F.col("word"), "")).alias("syms")))
-    words = words.persist()
-    try:
-        merges: list[dict] = []
-        for step in range(1, n_merges + 1):
-            top = (_pair_counts(words)
-                   .orderBy(F.col("pair_count").desc(),
-                            F.col("a").asc(), F.col("b").asc())
-                   .limit(1).collect())
-            if not top:
-                break
-            a, b, c = top[0]["a"], top[0]["b"], top[0]["pair_count"]
-            merges.append({"step": step, "left": a, "right": b,
-                           "merged": a + b, "pair_count": int(c)})
-            # map-only greedy merge, re-persisted so each step's plan
-            # stays O(1) deep instead of stacking K folds
-            nxt = words.select(
-                "cnt", F.expr(_merge_expr("syms", a, b)).alias("syms")
-            ).persist()
-            nxt.count()  # materialize before unpersisting the parent
-            words.unpersist()
-            words = nxt
-        return merges
-    finally:
-        words.unpersist()
+    (left asc, right asc).
+
+    Scale shape: the word histogram is Zipf-bounded, so when it fits the
+    driver (≤ `driver_max_words` distinct words, the common case even at
+    100 TB after a min-frequency cut) the merge loop runs driver-local —
+    one corpus-sized groupBy, then zero further cluster jobs, vs one
+    shuffle job per merge (32k sequential jobs at a real vocab). The
+    distributed loop remains for histograms too large to collect
+    (`driver_max_words=0`/None forces it) and both paths are
+    pinned identical by `test_bpe_local_equals_distributed`."""
+    hist_df = word_histogram(docs, text_col)
+    if driver_max_words:
+        # cheap upper bound first: number of histogram rows
+        n_distinct = hist_df.count()
+        if n_distinct <= driver_max_words:
+            hist = [(r["word"], r["cnt"]) for r in hist_df.collect()]
+            return _train_local(hist, n_merges)
+    # localCheckpoint (not persist): truncates each step's lineage to a
+    # flat LogicalRDD so the plan stays O(1)-deep across hundreds of
+    # steps — chained InMemoryRelations nest the whole history into
+    # every subsequent plan tree and blow up plan handling ~30 steps in
+    words = hist_df.select(
+        "cnt", F.concat_ws(" ", F.split(F.col("word"), "")).alias("syms")
+    ).localCheckpoint()
+    merges: list[dict] = []
+    for step in range(1, n_merges + 1):
+        top = (_pair_counts(words)
+               .orderBy(F.col("pair_count").desc(),
+                        F.col("a").asc(), F.col("b").asc())
+               .limit(1).collect())
+        if not top:
+            break
+        a, b, c = top[0]["a"], top[0]["b"], top[0]["pair_count"]
+        merges.append({"step": step, "left": a, "right": b,
+                       "merged": a + b, "pair_count": int(c)})
+        # map-only greedy merge; old checkpoint blocks are freed by the
+        # ContextCleaner once the previous frame is unreferenced
+        words = words.select(
+            "cnt", F.expr(_merge_expr("syms", a, b)).alias("syms")
+        ).localCheckpoint()
+    return merges
 
 
-def bpe_apply(docs: DataFrame, merges: list[dict],
-              text_col: str = "text") -> DataFrame:
-    """Tokenize `text_col` with a learned merge table: char-split each
-    word, then apply each merge in learned order — adds `bpe_tokens
-    array<string>` and `bpe_len`. Pure JVM expressions; merges are a
-    driver-side constant folded into the plan (the tokenizer users ship
-    to the cluster). Per-word processing (BPE merges are strictly
-    intra-word), so fold cost is bounded by word length, not doc length."""
-    word = "concat_ws(' ', split(w, ''))"
-    for m in merges:
-        word = _merge_expr(word, m["left"], m["right"])
-    toks = (f"flatten(transform(filter(split({text_col}, ' '), "
-            f"w -> w <> ''), w -> split({word}, ' ')))")
-    return (docs
-            .withColumn("bpe_tokens", F.expr(toks))
-            .withColumn("bpe_len", F.expr(f"size({toks})")))
+def _tokenize_word_ranked(w: str, ranks: dict, cache: dict) -> list:
+    """Rank-based BPE tokenize of one word (the subword-nmt / GPT-2
+    apply algorithm): repeatedly find the lowest-rank adjacent pair and
+    merge all its occurrences greedily left-to-right. O(len² · lookups)
+    per DISTINCT word — `cache` makes the Zipf tail free."""
+    hit = cache.get(w)
+    if hit is not None:
+        return hit
+    syms = list(w)
+    while len(syms) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        a, b = syms[best_i], syms[best_i + 1]
+        syms = _greedy_merge(syms, a, b, a + b)
+    cache[w] = syms
+    return syms
+
+
+def bpe_apply(docs: DataFrame, merges: list[dict], text_col: str = "text",
+              expr_max_merges: int = 64) -> DataFrame:
+    """Tokenize `text_col` with a learned merge table — adds `bpe_tokens
+    array<string>` and `bpe_len`.
+
+    Two physical plans for the same tokenizer:
+
+    - K ≤ `expr_max_merges`: char-split each word, fold each merge in
+      learned order as pure JVM expressions — merges are a driver-side
+      constant folded into the plan (zero Python, zero shuffle). Bounded
+      at `expr_max_merges` because the fold nests one `aggregate` per
+      merge: at a real 32k-merge vocab the expression tree would blow up
+      Catalyst analysis long before execution.
+    - K > `expr_max_merges`: rank-based tokenizer (the subword-nmt /
+      GPT-2 apply algorithm — O(len²) per distinct word instead of K
+      passes) inside one Arrow-batched mapInPandas with a per-task word
+      cache: Zipf repetition makes almost every word a dict hit. Still
+      map-only — no shuffle, no join-back; the ranks dict rides the
+      closure (~MBs at 32k merges). The two paths agree on any corpus
+      where a merge's output string isn't re-created by a later
+      different merge pair (`test_bpe_apply_ranked_equals_expr`).
+
+    Per-word processing (BPE merges are strictly intra-word), so cost is
+    bounded by word length, not doc length."""
+    if len(merges) <= expr_max_merges:
+        word = "concat_ws(' ', split(w, ''))"
+        for m in merges:
+            word = _merge_expr(word, m["left"], m["right"])
+        toks = (f"flatten(transform(filter(split({text_col}, ' '), "
+                f"w -> w <> ''), w -> split({word}, ' ')))")
+        return (docs
+                .withColumn("bpe_tokens", F.expr(toks))
+                .withColumn("bpe_len", F.expr(f"size({toks})")))
+    from pyspark.sql.types import (ArrayType, IntegerType, StringType,
+                                   StructField, StructType)
+    ranks = {(m["left"], m["right"]): i for i, m in enumerate(merges)}
+    out_schema = StructType(
+        [f for f in docs.schema.fields]
+        + [StructField("bpe_tokens", ArrayType(StringType())),
+           StructField("bpe_len", IntegerType())])
+
+    def _tok(batches):
+        cache: dict = {}
+        for pdf in batches:
+            toks_col, len_col = [], []
+            for text in pdf[text_col]:
+                toks: list = []
+                for w in (text or "").split(" "):
+                    if w:
+                        toks.extend(_tokenize_word_ranked(w, ranks, cache))
+                toks_col.append(toks)
+                len_col.append(len(toks))
+            pdf = pdf.copy()
+            pdf["bpe_tokens"] = toks_col
+            pdf["bpe_len"] = len_col
+            yield pdf
+
+    return docs.mapInPandas(_tok, out_schema)
 
 
 def bpe_vocab(docs: DataFrame, merges: list[dict],

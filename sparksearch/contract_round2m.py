@@ -137,7 +137,11 @@ def _get_merges(spark, sf_dir):
     key = os.path.realpath(sf_dir)
     if key not in _BPE_CACHE:
         from sparksearch.bpe import bpe_train
-        _BPE_CACHE[key] = bpe_train(C.pages_df(spark, sf_dir), _BPE_K)
+        # driver_max_words=0 pins the DISTRIBUTED merge loop under the
+        # oracle; the driver-local fast path is gated separately by
+        # contract_round3.q_bpe_merges_local (same oracle SQL)
+        _BPE_CACHE[key] = bpe_train(C.pages_df(spark, sf_dir), _BPE_K,
+                                    driver_max_words=0)
     return _BPE_CACHE[key]
 
 

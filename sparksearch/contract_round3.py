@@ -93,6 +93,27 @@ def q_knn_join_lsh_sized(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# driver-local BPE trainer (the 100 TB merge-loop shape)
+# ---------------------------------------------------------------------------
+
+def q_bpe_merges_local(spark, sf_dir):
+    """bpe_train's driver-local merge loop: the Zipf-bounded word
+    histogram is collected once and the K merge steps run on the driver
+    with incremental pair-count maintenance — zero cluster jobs per
+    merge, vs one shuffle per step in the distributed loop. Must produce
+    byte-identical merges (same oracle SQL as `bpe_merges`)."""
+    from sparksearch.bpe import bpe_train
+    from sparksearch import contract_round2m as M
+    merges = bpe_train(M.C.pages_df(spark, sf_dir), M._BPE_K,
+                       driver_max_words=2_000_000)
+    return spark.createDataFrame(
+        [(m["step"], m["left"], m["right"], m["merged"], m["pair_count"])
+         for m in merges],
+        "step int, left string, right string, merged string, "
+        "pair_count long")
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -101,6 +122,7 @@ def queries() -> dict:
         "match_fuzzy_transpose": q_match_fuzzy_transpose,
         "fuzzy_capped": q_fuzzy_capped,
         "knn_join_lsh_sized": q_knn_join_lsh_sized,
+        "bpe_merges_local": q_bpe_merges_local,
     }
 
 
@@ -115,4 +137,7 @@ def oracle_sql() -> dict:
         # derives the plane count through the same public formula
         "knn_join_lsh_sized": sql_knn_join_lsh(
             planes=lsh_planes_for(500, target_bucket=64)),
+        "bpe_merges_local": __import__(
+            "sparksearch.contract_round2m",
+            fromlist=["_bpe_merges_sql"])._bpe_merges_sql(),
     }

@@ -109,3 +109,43 @@ def test_bpe_vocab_and_encode_roundtrip(spark):
            bpe_encode(docs, m, bpe_vocab(docs, m, "text")).collect()}
     assert enc["u1"] == [4, 4, 2, 3]   # ab ab c d
     assert enc["u2"] == [1, 0, 3, 2]   # b a d c
+
+
+def test_bpe_local_equals_distributed(spark):
+    """The driver-local incremental merge loop and the distributed
+    one-shuffle-per-step loop must learn byte-identical merge tables —
+    same selection order (count desc, pair asc) and greedy semantics."""
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("text"))
+    local = bpe_train(docs, 30, driver_max_words=2_000_000)
+    dist = bpe_train(docs, 30, driver_max_words=0)
+    assert local == dist
+
+
+def test_bpe_apply_ranked_equals_expr(spark):
+    """The rank-based Arrow tokenizer (K > expr_max_merges) must produce
+    the same tokens as the K-deep JVM expression fold on the real
+    corpus (70 merges > the 64 default threshold)."""
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text").orderBy("doc_id").limit(40))
+    merges = bpe_train(docs, 70)
+    assert len(merges) == 70
+    ranked = {r["doc_id"]: (list(r["bpe_tokens"]), r["bpe_len"])
+              for r in bpe_apply(docs, merges).collect()}        # UDF path
+    expr = {r["doc_id"]: (list(r["bpe_tokens"]), r["bpe_len"])
+            for r in bpe_apply(docs, merges,
+                               expr_max_merges=1000).collect()}  # JVM fold
+    assert ranked == expr
+
+
+def test_bpe_apply_path_selection(spark):
+    """<=64 merges stays on the zero-Python expression plan (no
+    mapInPandas in the physical plan); >64 switches to the Arrow path."""
+    docs = spark.createDataFrame([("a", "low lower lowest")],
+                                 "url string, text string")
+    m = [{"step": 1, "left": "l", "right": "o", "merged": "lo",
+          "pair_count": 3}]
+    small = bpe_apply(docs, m)._jdf.queryExecution().executedPlan().toString()
+    assert "mapInPandas" not in small.lower()
+    big = bpe_apply(docs, m * 65)._jdf.queryExecution().executedPlan().toString()
+    assert "mapinpandas" in big.lower()
