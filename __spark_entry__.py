@@ -137,7 +137,7 @@ _RECORD_FIRST = [
     "stem_french", "stem_german", "stem_spanish", "cjk_bigram_match",
     "mlt_like_docs", "random_score", "field_masking_span",
     "highlight_opts", "rank_eval_err", "completion_contexts",
-    "completion_fuzzy", "knn_join_lsh_sized",
+    "completion_fuzzy", "knn_join_lsh_sized", "bpe_merges_local",
     # never-driver-recorded round-1/2 entries (verified locally)
     "knn_join_lsh", "dedup_clusters", "dedup_embedding", "knn_cosine_ivf",
     "knn_sq8", "pii_redact", "domain_cap", "repeated_spans", "hashed_bow",
@@ -224,7 +224,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from sparksearch import contract_round2m as CR2M
     from sparksearch import contract_round2n as CR2N
     from sparksearch import contract_round3 as CR3
+    from sparksearch import contract_round3b as CR3B
     out.update(CR3.queries())
+    out.update(CR3B.queries())
     out.update(CR2N.queries())
     out.update(CR2M.queries())
     out.update(CQ2.queries())
@@ -272,8 +274,10 @@ def oracle_sql() -> dict[str, str]:
     from sparksearch import contract_round2m as CR2M
     from sparksearch import contract_round2n as CR2N
     from sparksearch import contract_round3 as CR3
+    from sparksearch import contract_round3b as CR3B
     out = dict(CD.oracle_sql())
     out.update(CR3.oracle_sql())
+    out.update(CR3B.oracle_sql())
     out.update(CR2N.oracle_sql())
     out.update(CR2M.oracle_sql())
     out.update(CR2J.oracle_sql())

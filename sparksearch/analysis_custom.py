@@ -188,9 +188,89 @@ def _tf_stop(cfg: dict):
 
 
 def _tf_stemmer(cfg: dict):
-    # StemmerTokenFilterFactory — english/porter/porter2/snowball all route
-    # to the same Porter implementation here (porter.py)
-    return lambda toks: [(porter_stem(t), p) for t, p in toks]
+    """StemmerTokenFilterFactory — ``language`` selects the variant:
+    english/porter/porter2/snowball route to the Porter implementation
+    (porter.py); the light/minimal family (minimal_english,
+    minimal_french, light_german, light_spanish) routes to the Savoy
+    suffix-strip stemmers (stemmers.py). Reference registry:
+    StemmerTokenFilterFactory.java:143-260."""
+    lang = cfg.get("language", "english")
+    from sparksearch.stemmers import LANGUAGE_STEMMERS
+    fn = LANGUAGE_STEMMERS.get(lang)
+    if fn is None:
+        if lang.lower() not in ("english", "porter", "porter2", "snowball",
+                                "light_english", "lightenglish", "lovins",
+                                "kstem"):
+            raise ValueError(f"unsupported stemmer language: {lang}")
+        fn = porter_stem
+    return lambda toks: [(fn(t), p) for t, p in toks]
+
+
+_CJK_RANGES = (
+    (0x4E00, 0x9FFF), (0x3400, 0x4DBF),          # Han
+    (0x3040, 0x309F),                            # Hiragana
+    (0x30A0, 0x30FF), (0x31F0, 0x31FF),          # Katakana
+    (0xAC00, 0xD7AF), (0x1100, 0x11FF),          # Hangul
+)
+
+
+def _is_cjk(ch: str) -> bool:
+    cp = ord(ch)
+    return any(lo <= cp <= hi for lo, hi in _CJK_RANGES)
+
+
+def _tf_cjk_bigram(cfg: dict):
+    """``cjk_bigram`` filter (CJKBigramFilterFactory / Lucene
+    CJKBigramFilter): adjacent CJK tokens are buffered into a character
+    run and re-emitted as overlapping character bigrams — the standard
+    CJK search strategy (per-char Han tokens '日','本','語' become
+    '日本','本語'; a whole-run Katakana token 'テスト' becomes
+    'テス','スト'). A lone CJK char is emitted as a unigram only when
+    ``output_unigrams`` (default false — then it passes through as
+    itself, Lucene emits the single char either way). Non-CJK tokens
+    pass through. Positions are renumbered sequentially (posInc=1 per
+    emitted token), matching the filter's position-increment stream.
+    Runs split at offset gaps ('日本語 テスト' does NOT pair 語テ) — the
+    analyzer passes per-token contiguity via `glue` (offset attribute
+    analogue); direct calls without glue fall back to position
+    adjacency."""
+    out_uni = bool(cfg.get("output_unigrams", False))
+
+    def apply(toks, glue=None):
+        out = []
+
+        def flush(run):
+            chars = "".join(t for t, _ in run)
+            if len(chars) == 1:
+                out.append(chars)
+            else:
+                if out_uni:
+                    out.extend(chars)
+                out.extend(chars[i:i + 2]
+                           for i in range(len(chars) - 1))
+
+        run: list = []
+        last_pos = None
+        for t, p in toks:
+            if t and all(_is_cjk(c) for c in t):
+                if run and last_pos is not None and (
+                        p != last_pos + 1
+                        or (glue is not None and not glue.get(p, False))):
+                    flush(run)
+                    run = []
+                run.append((t, p))
+                last_pos = p
+            else:
+                if run:
+                    flush(run)
+                    run = []
+                    last_pos = None
+                out.append(t)
+        if run:
+            flush(run)
+        return [(t, i) for i, t in enumerate(out)]
+    apply.wants_glue = True
+    return apply
 
 
 def _tf_synonym(cfg: dict):
@@ -351,6 +431,7 @@ _TOKEN_FILTERS = {
     "truncate": _tf_truncate,
     "unique": _tf_unique,
     "reverse": _tf_reverse,
+    "cjk_bigram": _tf_cjk_bigram,
 }
 
 # ---------------------------------------------------------------------------
@@ -407,9 +488,33 @@ class CustomAnalyzer:
         s = text or ""
         for cf in self.char_filters:
             s = cf(s)
-        toks = [(t, i) for i, t in enumerate(self.tokenizer(s))]
+        raw = self.tokenizer(s)
+        toks = [(t, i) for i, t in enumerate(raw)]
+        glue = None
+        if any(getattr(f, "wants_glue", False) for f in self.filters):
+            # offset contiguity per original token index: glue[i] is True
+            # iff token i starts exactly where token i-1 ended in the
+            # char-filtered text (Lucene's offset attribute — needed by
+            # cjk_bigram to avoid pairing across whitespace). Cursor-find
+            # recovers offsets because tokenizers emit in-order substrings;
+            # a non-substring token (pattern groups) yields glue=False.
+            glue = {}
+            low = s.lower()
+            cur = 0
+            prev_end = None
+            for i, t in enumerate(raw):
+                j = low.find(t.lower(), cur)
+                if j < 0:
+                    prev_end = None
+                    continue
+                glue[i] = prev_end == j
+                prev_end = j + len(t)
+                cur = j + len(t)
         for f in self.filters:
-            toks = f(toks)
+            if getattr(f, "wants_glue", False):
+                toks = f(toks, glue)
+            else:
+                toks = f(toks)
         return [Token(t[:MAX_TOKEN_LENGTH], p) for t, p in toks if t]
 
 
