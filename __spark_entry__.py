@@ -225,8 +225,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from sparksearch import contract_round2n as CR2N
     from sparksearch import contract_round3 as CR3
     from sparksearch import contract_round3b as CR3B
+    from sparksearch import contract_round3c as CR3C
     out.update(CR3.queries())
     out.update(CR3B.queries())
+    out.update(CR3C.queries())
     out.update(CR2N.queries())
     out.update(CR2M.queries())
     out.update(CQ2.queries())
@@ -275,9 +277,11 @@ def oracle_sql() -> dict[str, str]:
     from sparksearch import contract_round2n as CR2N
     from sparksearch import contract_round3 as CR3
     from sparksearch import contract_round3b as CR3B
+    from sparksearch import contract_round3c as CR3C
     out = dict(CD.oracle_sql())
     out.update(CR3.oracle_sql())
     out.update(CR3B.oracle_sql())
+    out.update(CR3C.oracle_sql())
     out.update(CR2N.oracle_sql())
     out.update(CR2M.oracle_sql())
     out.update(CR2J.oracle_sql())

@@ -231,6 +231,11 @@ def _one_function(f: dict):
     if "script_score" in f:
         src, params = _script_spec(f["script_score"]["script"])
         return ScriptScore(src, params)
+    if "random_score" in f:
+        from sparksearch.queries import RandomScore
+        s = f["random_score"] or {}
+        return RandomScore(seed=int(s.get("seed", 0)),
+                           field=s.get("field", "docid"))
     for kind in ("gauss", "exp", "linear"):
         if kind in f:
             field, s = _field_body(f[kind])
@@ -246,7 +251,7 @@ def _function_score(body: dict) -> FunctionScore:
     if fns is None:
         fns = [{k: v} for k, v in body.items()
                if k in ("weight", "field_value_factor", "script_score",
-                        "gauss", "exp", "linear")]
+                        "random_score", "gauss", "exp", "linear")]
     return FunctionScore(
         query=from_dsl(body.get("query", {"match_all": {}})),
         functions=[_one_function(f) for f in fns],
@@ -272,6 +277,20 @@ def _span_terms(clauses: list) -> tuple[str, list]:
             f, width = _field_body(c["span_gap"])
             field = field or f
             terms.append(SpanGap(f, int(width)))
+            continue
+        if "field_masking_span" in c:
+            # {"field_masking_span": {"query": {"span_term": {...}},
+            #   "field": <masked field>, "filters": [...]}} — the filters
+            # chain defines the sub-field (FieldMaskingSpanQueryBuilder;
+            # the reference reads it from the mapping, this engine takes
+            # it inline)
+            from sparksearch.queries import FieldMaskingSpan
+            fm = c["field_masking_span"]
+            mf, spec = _field_body(fm["query"]["span_term"])
+            term = spec["value"] if isinstance(spec, dict) else spec
+            terms.append(FieldMaskingSpan(
+                fm.get("field", mf), term,
+                filters=tuple(fm.get("filters", ()))))
             continue
         f, spec = _field_body(c["span_term"])
         field = field or f

@@ -42,7 +42,9 @@ from sparksearch.queries import (
     FieldValueFactor, FunctionScore, Fuzzy, Ids, Intervals, Match,
     MatchAll, MatchBoolPrefix, MatchNone, MatchPhrase, MatchPhrasePrefix,
     MoreLikeThis,
-    MultiMatch, Named, Nested, Prefix, Query, Range, RankFeature, Regexp,
+    FieldMaskingSpan,
+    MultiMatch, Named, Nested, Prefix, Query, RandomScore, Range,
+    RankFeature, Regexp,
     Script,
     ScriptScore,
     SpanFirst, SpanNear, SpanNot,
@@ -290,6 +292,8 @@ class Executor:
                                         scored, first_end=q.end)
         if isinstance(q, SpanOr):
             return self._plan_span_or(q, scored)
+        if isinstance(q, FieldMaskingSpan):
+            return self._plan_span_near([q], 0, True, scored)
         if isinstance(q, SpanNot):
             return self._plan_span_not(q, scored)
         if isinstance(q, SpanWithin):
@@ -1038,7 +1042,7 @@ class Executor:
         """Collapse SpanGap pseudo-clauses into per-term leading offsets:
         gaps[i] = total gap width between real term i-1 and term i."""
         from sparksearch.queries import SpanGap
-        terms: list[str] = []
+        terms: list = []
         gaps: list[int] = []
         pending = 0
         for c in clauses:
@@ -1068,34 +1072,56 @@ class Executor:
         sv/index/query/IntervalQueryBuilder.java). tf = distinct anchors
         (first clause's position if ordered, window min otherwise), scored
         as a pseudo-term like phrase."""
+        from sparksearch.queries import FieldMaskingSpan
         terms = [t for t in terms if t]
         if not terms:
             return self._empty()
-        if len(terms) == 1:
+        # resolve each clause slot to its admissible term set: a plain
+        # term is a singleton; a field_masking_span clause expands to the
+        # base-dictionary terms whose sub-field normalization equals its
+        # term (one vectorized dictionary scan, collects only survivors)
+        slots: list[list[str]] = []
+        for t in terms:
+            if isinstance(t, FieldMaskingSpan):
+                exp = self._expand_masked(t)
+                if not exp:
+                    return self._empty()
+                slots.append(exp)
+            else:
+                slots.append([t])
+        flat = [m for s2 in slots for m in s2]
+        if len(slots) == 1:
+            if len(slots[0]) > 1 and first_end is None:
+                return self._plan_span_or(
+                    SpanOr("text", tuple(slots[0])), scored)
+            members = slots[0]
             if first_end is not None:
-                # span_first over a single term: positions within the
+                # span_first over a single slot: positions within the
                 # first `end` slots, pf = their count
-                pos = (self.ix.postings_for(terms)
+                pos = (self.ix.postings_for(members)
+                       .filter(F.col("term").isin(members))
                        .select("docid", "dl_q",
                                F.explode("positions").alias("_p"))
                        .filter(F.col("_p") < first_end))
                 joined = (pos.groupBy("docid", "dl_q")
                           .agg(F.countDistinct("_p").cast("double")
                                .alias("pf")))
-                return self._phrase_score(joined, terms, scored)
-            per = self._term_scores(terms, scored)
+                return self._phrase_score(joined, members, scored)
+            per = self._term_scores(members, scored)
             return per.select("docid", "score")
-        uniq = sorted(set(terms))
+        uniq = sorted(set(flat))
         p = self.ix.postings_for(uniq).select("term", "docid", "positions",
                                               "dl_q")
         legs = []
-        for i, t in enumerate(terms):
+        for i, members in enumerate(slots):
+            lp = (p.filter(F.col("term") == members[0])
+                  if len(members) == 1
+                  else p.filter(F.col("term").isin(members)))
             legs.append(
-                p.filter(F.col("term") == t)
-                 .select("docid", F.explode("positions").alias(f"_p{i}"),
-                         *(["dl_q"] if i == 0 else [])))
+                lp.select("docid", F.explode("positions").alias(f"_p{i}"),
+                          *(["dl_q"] if i == 0 else [])))
         cur = legs[0]
-        for i in range(1, len(terms)):
+        for i in range(1, len(slots)):
             cur = cur.join(legs[i], "docid")
             if in_order:
                 # a span_gap between adjacent clauses consumes `gaps[i]`
@@ -1108,11 +1134,11 @@ class Executor:
                 cur = cur.filter(reduce(
                     lambda a, b: a & b,
                     [F.col(f"_p{i}") != F.col(f"_p{j}") for j in range(i)]))
-        pcols = [F.col(f"_p{i}") for i in range(len(terms))]
+        pcols = [F.col(f"_p{i}") for i in range(len(slots))]
         # gap tokens count as matched span length, not slop
         total_gap = sum(gaps) if gaps else 0
         width = (F.greatest(*pcols) - F.least(*pcols)
-                 - F.lit(len(terms) - 1 + total_gap))
+                 - F.lit(len(slots) - 1 + total_gap))
         cur = cur.filter(width <= slop)
         if first_end is not None:
             # span_first: the span's END (max member position + 1) must be
@@ -1121,7 +1147,34 @@ class Executor:
         anchor = F.col("_p0") if in_order else F.least(*pcols)
         joined = (cur.groupBy("docid", "dl_q")
                   .agg(F.countDistinct(anchor).cast("double").alias("pf")))
-        return self._phrase_score(joined, terms, scored)
+        return self._phrase_score(joined, flat, scored)
+
+    def _expand_masked(self, m) -> list[str]:
+        """field_masking_span expansion: base-dictionary terms whose
+        sub-field filter chain output equals m.term. One Arrow-batched
+        scan over the term-stats DIMENSION table (never the postings
+        fact table); only the surviving surface forms — bounded by the
+        conflation class size — reach the driver."""
+        from sparksearch.analysis_custom import _TOKEN_FILTERS, _resolve
+        fns = [_resolve(f, _TOKEN_FILTERS, {}, "filter")
+               for f in m.filters]
+
+        def norm(t):
+            toks = [(t, 0)]
+            for f in fns:
+                toks = f(toks)
+            return toks[0][0] if toks else None
+
+        target = m.term
+
+        def _flt(batches):
+            for pdf in batches:
+                yield pdf[pdf["term"].map(norm) == target]
+
+        rows = (self.ix.stats.select("term")
+                .mapInPandas(_flt, "term string")
+                .collect())
+        return sorted(r["term"] for r in rows)
 
     def _plan_span_or(self, q: SpanOr, scored: bool) -> DataFrame:
         """span_or: pf = distinct positions occupied by ANY member term;
@@ -1218,6 +1271,15 @@ class Executor:
     def _function_col(self, fn) -> Column:
         if isinstance(fn, WeightFunction):
             return F.lit(float(fn.weight))
+        if isinstance(fn, RandomScore):
+            # md5-derived uniform [0,1): first 8 hex chars as uint32/2^32
+            # over "<field>:<seed>" — reproducible by any SQL engine
+            # (RandomScoreFunctionBuilder semantics; hash fn differs,
+            # see queries.RandomScore)
+            h = F.md5(F.concat(F.col(fn.field).cast("string"),
+                               F.lit(f":{int(fn.seed)}")))
+            return (F.conv(F.substring(h, 1, 8), 16, 10).cast("double")
+                    / F.lit(4294967296.0))
         if isinstance(fn, ScriptScore):
             # script_score: the compiled Painless expression IS the function
             # value; `_score` resolves to the base query's score column

@@ -292,6 +292,28 @@ class SpanGap:
 
 
 @dataclass(frozen=True)
+class FieldMaskingSpan:
+    """`field_masking_span` (FieldMaskingSpanQueryBuilder, registered with
+    the span family in sv/search/SearchModule.java:1140-1156): lets a
+    span over a differently-analyzed SUB-FIELD participate in a span_near
+    on the base field — Lucene's canonical use is combining a stemmed
+    sub-field term with exact base-field terms positionally (the two
+    fields share token positions because they share a tokenizer).
+
+    This engine stores one postings set (the base field), so the masked
+    clause is planned by EXPANSION: the sub-field term matches every
+    base-dictionary term whose sub-field normalization (the `filters`
+    chain, e.g. a stemmer) equals `term` — exact whenever the sub-field
+    differs from the base only by per-token 1:1 filters, which is the
+    masking precondition in Lucene too (positions must align).
+    Scored like span_or over the expansion (pseudo-term idf = Σ member
+    idfs)."""
+    field_name: str                 # masked (sub-)field name, e.g. "text.es"
+    term: str                       # sub-field term to match
+    filters: tuple = ()             # sub-field token-filter chain specs
+
+
+@dataclass(frozen=True)
 class SpanFirst(Query):
     """`span_first` — the inner span (ordered `clauses` chain within
     `slop`) must end within the first `end` positions of the field
@@ -475,6 +497,20 @@ class DecayFunction:
     scale: float
     offset: float = 0.0
     decay: float = 0.5
+
+
+@dataclass(frozen=True)
+class RandomScore:
+    """function_score ``random_score`` (RandomScoreFunctionBuilder,
+    registered in FunctionScoreQueryBuilder.java's function family): a
+    deterministic per-document pseudo-random value in [0,1) derived from
+    (seed, field). The reference hashes seed + the doc's field value
+    (default _seq_no) with murmur; here the hash is md5-derived (first 8
+    hex chars as uint32 / 2^32) so an independent SQL engine reproduces
+    it bit-for-bit — same contract (seeded, uniform, stable per doc),
+    different hash function (documented deviation)."""
+    seed: int = 0
+    field: str = "docid"
 
 
 @dataclass
