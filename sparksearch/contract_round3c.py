@@ -108,10 +108,64 @@ ORDER BY round(sc.score, 4) DESC, p.docid ASC LIMIT 10
 """.strip()
 
 
+_MLT_IDS = (0,)
+_MLT_MIN_TF = 2
+
+
+def q_mlt_like_docs(spark, sf_dir):
+    """more_like_this doc-reference form: like=[{"_id": 0}] — doc 0's
+    source text is re-analyzed, terms with tf >= 2 ranked by tf·idf, the
+    top 25 run as an OR match with msm '30%', and doc 0 itself excluded
+    (include=false, the reference default —
+    MoreLikeThisQueryBuilder.java)."""
+    from sparksearch.corpus import pages_from_documents
+    from sparksearch.exec import Executor
+    from sparksearch.queries import MoreLikeThis
+    ix, _ = C.get_engine(spark, sf_dir)
+    ex = Executor(ix, source_pages=pages_from_documents(spark, sf_dir))
+    q = MoreLikeThis("text", like_ids=_MLT_IDS, min_term_freq=_MLT_MIN_TF)
+    return C.topk_rounded(ex, q, k=10)
+
+
+def _sql_mlt_like_docs() -> str:
+    idf, tfn = C._idf_sql, C._tfn_sql
+    ids_in = ", ".join(str(i) for i in _MLT_IDS)
+    return f"""
+WITH {C._PAGES},
+{C._TOK},
+{C._DL},
+ltf AS ( SELECT term, count(*) AS tf FROM tok WHERE docid IN ({ids_in})
+         GROUP BY term HAVING count(*) >= {_MLT_MIN_TF} ),
+gdf AS ( SELECT term, count(DISTINCT docid) AS df FROM tok GROUP BY term ),
+ranked AS ( SELECT l.term,
+                   row_number() OVER (
+                     ORDER BY l.tf * {idf('gd.df', 'g.n')} DESC,
+                              l.term ASC) AS rn
+            FROM ltf l JOIN gdf gd USING (term) CROSS JOIN g ),
+sel AS ( SELECT term FROM ranked WHERE rn <= 25 ),
+msm AS ( SELECT CAST(floor(count(*) * 30.0 / 100.0) AS BIGINT) AS v
+         FROM sel ),
+tf AS ( SELECT docid, term, count(*) AS tf FROM tok
+        WHERE term IN ( SELECT term FROM sel ) GROUP BY docid, term ),
+dft AS ( SELECT term, count(*) AS df FROM tf GROUP BY term ),
+sc AS ( SELECT tf.docid,
+               sum({idf('dft.df', 'g.n')} *
+                   {tfn('tf.tf', 'dlq.dl_q', 'g.avgdl')}) AS score,
+               count(*) AS nm
+        FROM tf JOIN dft USING (term) JOIN dlq USING (docid) CROSS JOIN g
+        GROUP BY tf.docid )
+SELECT p.docid, p.url, round(sc.score, 4) AS score
+FROM sc JOIN pages p USING (docid)
+WHERE sc.nm >= (SELECT v FROM msm) AND sc.docid NOT IN ({ids_in})
+ORDER BY round(sc.score, 4) DESC, p.docid ASC LIMIT 10
+""".strip()
+
+
 def queries() -> dict:
     return {
         "random_score": q_random_score,
         "field_masking_span": q_field_masking_span,
+        "mlt_like_docs": q_mlt_like_docs,
     }
 
 
@@ -119,4 +173,5 @@ def oracle_sql() -> dict:
     return {
         "random_score": _sql_random_score(),
         "field_masking_span": _sql_field_masking_span(),
+        "mlt_like_docs": _sql_mlt_like_docs(),
     }

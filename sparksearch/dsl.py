@@ -260,12 +260,23 @@ def _function_score(body: dict) -> FunctionScore:
 
 
 def _mlt(body: dict) -> MoreLikeThis:
+    """`like` accepts free text, {"_id": ...} doc references, or a mixed
+    list of both (MoreLikeThisQueryBuilder.fromXContent Item parsing)."""
     fields = body.get("fields", ["text"])
-    return MoreLikeThis(fields[0], body["like"],
+    like = body["like"]
+    texts, ids = [], []
+    for item in (like if isinstance(like, list) else [like]):
+        if isinstance(item, dict):
+            ids.append(int(item["_id"]))
+        else:
+            texts.append(str(item))
+    return MoreLikeThis(fields[0], " ".join(texts), like_ids=tuple(ids),
                         max_query_terms=int(body.get("max_query_terms", 25)),
                         minimum_should_match=body.get(
                             "minimum_should_match", "30%"),
-                        min_doc_freq=int(body.get("min_doc_freq", 1)))
+                        min_doc_freq=int(body.get("min_doc_freq", 1)),
+                        min_term_freq=int(body.get("min_term_freq", 1)),
+                        include=bool(body.get("include", False)))
 
 
 def _span_terms(clauses: list) -> tuple[str, list]:

@@ -98,8 +98,12 @@ class Executor:
     """Executes Query ASTs against an IndexReader."""
 
     def __init__(self, index: IndexReader, fixed_now=None,
-                 similarity=None):
+                 similarity=None, source_pages=None):
         self.ix = index
+        #: source corpus frame (url, text) for fetch-phase re-analysis —
+        #: needed only by more_like_this's doc-reference form (the
+        #: reference reads _source via TermVectorsService)
+        self.source_pages = source_pages
         #: injectable `now` for date-math ranges (the reference freezes now
         #: per request context — sv/index/query/QueryShardContext nowInMillis)
         self.fixed_now = fixed_now
@@ -557,14 +561,41 @@ class Executor:
         return agg.select("docid", score.alias("score"))
 
     def _plan_mlt(self, q: MoreLikeThis, scored: bool) -> DataFrame:
-        """more_like_this (like_text form): rank the example's terms by
-        tf·idf (driver-side — stats for a handful of terms), keep the top
-        max_query_terms, then an ordinary OR match with msm."""
+        """more_like_this: rank the example's terms by tf·idf
+        (driver-side — stats for a handful of terms), keep the top
+        max_query_terms, then an ordinary OR match with msm.
+
+        Doc-reference form (like_ids): the liked docs' SOURCE text is
+        fetched from source_pages (a broadcast join against the handful
+        of liked docids — never a corpus scan) and re-analyzed, the
+        reference's path when term vectors aren't stored
+        (sv/index/query/MoreLikeThisQueryBuilder.java; TermVectorsService
+        generates from _source); with include=false (the default) the
+        liked docs are excluded from the hits."""
         from collections import Counter
-        terms = [t for t, _ in analyze(q.like_text, self.ix.analyzer)]
+        like_ids = [int(i) for i in getattr(q, "like_ids", ()) or ()]
+        if like_ids:
+            if self.source_pages is None:
+                raise ValueError(
+                    "more_like_this doc form needs "
+                    "Executor(source_pages=<(url, text) frame>)")
+            liked = (self.ix.docs
+                     .filter(F.col("docid").isin(like_ids))
+                     .select("url"))
+            rows = (self.source_pages.select("url", "text")
+                    .join(F.broadcast(liked), "url")
+                    .select("text").collect())
+            text = " ".join(r["text"] or "" for r in rows)
+        else:
+            text = q.like_text
+        terms = [t for t, _ in analyze(text, self.ix.analyzer)]
         if not terms:
             return self._empty()
         cnt = Counter(terms)
+        min_tf = int(getattr(q, "min_term_freq", 1) or 1)
+        cnt = Counter({t: c for t, c in cnt.items() if c >= min_tf})
+        if not cnt:
+            return self._empty()
         srows = self.ix.stats_for(sorted(cnt)).collect()
         dfm = {r["term"]: r["df"] for r in srows}
         ranked = sorted(
@@ -575,9 +606,12 @@ class Executor:
         selected = [t for t, _ in ranked[:q.max_query_terms]]
         if not selected:
             return self._empty()
-        return self._plan(
+        out = self._plan(
             Match(q.field_name, " ".join(selected),
                   minimum_should_match=q.minimum_should_match), scored)
+        if like_ids and not getattr(q, "include", False):
+            out = out.filter(~F.col("docid").isin(like_ids))
+        return out
 
     def _empty(self) -> DataFrame:
         return (self.ix.docs.select("docid", F.lit(0.0).alias("score"))

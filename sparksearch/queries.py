@@ -212,15 +212,30 @@ class MultiMatch(Query):
 
 @dataclass(frozen=True)
 class MoreLikeThis(Query):
-    """`more_like_this` (like_text form) — rank the example text's terms by
-    tf·idf against the index stats, keep max_query_terms, run an OR match
-    with minimum_should_match (sv/index/query/MoreLikeThisQueryBuilder.java;
-    defaults max_query_terms=25, minimum_should_match='30%')."""
+    """`more_like_this` — rank the example's terms by tf·idf against the
+    index stats, keep max_query_terms, run an OR match with
+    minimum_should_match (sv/index/query/MoreLikeThisQueryBuilder.java;
+    defaults max_query_terms=25, minimum_should_match='30%').
+
+    Two `like` forms, as in the reference:
+    - text form: `like_text` is analyzed directly.
+    - doc form: `like_ids` references indexed docs; their SOURCE text is
+      fetched (Executor(source_pages=...)) and re-analyzed — the
+      reference's behavior when term vectors aren't stored
+      (TermVectorsService generates from _source) — and, like the
+      reference's default include=false, the liked docs themselves are
+      excluded from the results.
+    min_term_freq prunes example terms below the frequency floor
+    (reference default 2 for the doc form; kept at 1 here for the text
+    form's backward compatibility — pass 2 explicitly to match)."""
     field_name: str
-    like_text: str
+    like_text: str = ""
     max_query_terms: int = 25
     minimum_should_match: str | int | None = "30%"
     min_doc_freq: int = 1
+    like_ids: tuple = ()
+    min_term_freq: int = 1
+    include: bool = False
 
 
 @dataclass(frozen=True)
