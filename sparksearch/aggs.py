@@ -767,3 +767,33 @@ def nested_terms(docs: DataFrame, path: str, leaf: str,
                   .alias("parent_doc_count"))
             .orderBy(F.col("doc_count").desc(), F.col("key").asc())
             .limit(size))
+
+
+def expected_reciprocal_rank(ranked: DataFrame, rated: DataFrame,
+                             k: int = 10,
+                             max_grade: int = 3) -> DataFrame:
+    """rank_eval ERR@k — Expected Reciprocal Rank over graded relevance
+    (modules/rank-eval/.../ExpectedReciprocalRank.java; Chapelle et al.
+    2009): ERR = Σ_i (1/i) · R_i · Π_{j<i} (1 − R_j) with
+    R = (2^grade − 1) / 2^max_grade, unrated docs grade 0.
+
+    `ranked` carries (docid, score); `rated` carries (docid, grade).
+    The cascade product is exp(Σ ln(1−R)) over the preceding window —
+    safe because R < 1 for every finite grade — so the whole metric is
+    one window pass over k rows (rated is broadcast; nothing here scales
+    with the corpus, only with k)."""
+    w_rank = Window.orderBy(F.col("score").desc(), F.col("docid").asc())
+    j = (ranked.withColumn("rank", F.row_number().over(w_rank))
+         .filter(F.col("rank") <= int(k))
+         .join(F.broadcast(rated.select("docid", "grade")), "docid", "left")
+         .withColumn("g", F.coalesce(F.col("grade"), F.lit(0))
+                     .cast("double")))
+    r = (F.pow(F.lit(2.0), F.col("g")) - 1.0) / float(2 ** max_grade)
+    j = j.withColumn("_r", r)
+    w_prev = (Window.orderBy("rank")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    stopped = F.exp(F.coalesce(F.sum(F.log(1.0 - F.col("_r"))).over(w_prev),
+                               F.lit(0.0)))
+    contrib = F.col("_r") / F.col("rank") * stopped
+    return (j.withColumn("_c", contrib)
+            .agg(F.round(F.sum("_c"), 6).alias(f"err_at_{int(k)}")))

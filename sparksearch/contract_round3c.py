@@ -14,6 +14,8 @@ this corpus — function_score random_score and field_masking_span.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from sparksearch import contract as C
 
 _SEED = 7
@@ -161,11 +163,136 @@ ORDER BY round(sc.score, 4) DESC, p.docid ASC LIMIT 10
 """.strip()
 
 
+_HL_TERMS = ["join", "table"]
+_HL_SZ, _HL_N, _HL_NMS = 60, 2, 30
+
+
+def q_highlight_opts(spark, sf_dir):
+    """Unified-highlighter options on the fragmenter: fragment_size=60,
+    number_of_fragments=2, order=score, no_match_size=30 — hits of a
+    'scan' match highlighted for join/table; scan-docs without either
+    term return the untagged leading 30 chars
+    (AbstractHighlighterBuilder option set)."""
+    from sparksearch.corpus import pages_from_documents
+    from sparksearch.fetchops import highlight_fragments
+    from sparksearch.queries import Match
+    _, ex = C.get_engine(spark, sf_dir)
+    topk = C.topk_rounded(ex, Match("text", "scan"), k=8)
+    pages = pages_from_documents(spark, sf_dir)
+    return highlight_fragments(topk, pages, _HL_TERMS,
+                               fragment_size=_HL_SZ,
+                               number_of_fragments=_HL_N,
+                               no_match_size=_HL_NMS, order="score")
+
+
+def _sql_highlight_opts() -> str:
+    idf, tfn = C._idf_sql, C._tfn_sql
+    pat = r"\b(" + "|".join(sorted(set(_HL_TERMS))) + r")\b"
+    return f"""
+WITH {C._PAGES},
+{C._TOK},
+{C._DL},
+tf AS ( SELECT docid, count(*) AS tf FROM tok WHERE term = 'scan'
+        GROUP BY docid ),
+dft AS ( SELECT count(*) AS df FROM tf ),
+sc AS ( SELECT tf.docid,
+               {idf('dft.df', 'g.n')} *
+               {tfn('tf.tf', 'dlq.dl_q', 'g.avgdl')} AS score
+        FROM tf CROSS JOIN dft JOIN dlq USING (docid) CROSS JOIN g ),
+topk AS ( SELECT p.docid, p.url, round(sc.score, 4) AS score
+          FROM sc JOIN pages p USING (docid)
+          ORDER BY round(sc.score, 4) DESC, p.docid ASC LIMIT 8 ),
+hl AS ( SELECT t.docid, t.url, t.score, p.text,
+               regexp_replace(p.text, '{pat}', '<em>\\1</em>', 'g') AS h
+        FROM topk t JOIN pages p USING (docid) ),
+frags AS ( SELECT docid, url, score,
+                  unnest(generate_series(0,
+                    CAST(greatest(1, ceil(length(h) / {_HL_SZ}.0)) AS INT)
+                    - 1)) AS frag_idx, h
+           FROM hl ),
+fr2 AS ( SELECT docid, url, score, CAST(frag_idx AS INT) AS frag_idx,
+                substr(h, frag_idx * {_HL_SZ} + 1, {_HL_SZ}) AS fragment
+         FROM frags ),
+fr3 AS ( SELECT *, CAST((length(fragment)
+                  - length(replace(fragment, '<em>', ''))) / 4 AS INT)
+                AS n_matches FROM fr2 ),
+top_fr AS ( SELECT docid, url, score, frag_idx, fragment, n_matches
+            FROM ( SELECT *, row_number() OVER (PARTITION BY docid
+                     ORDER BY n_matches DESC, frag_idx ASC) AS rn
+                   FROM fr3 WHERE n_matches > 0 )
+            WHERE rn <= {_HL_N} ),
+no_match AS ( SELECT h.docid, h.url, h.score, CAST(0 AS INT) AS frag_idx,
+                     substr(h.text, 1, {_HL_NMS}) AS fragment,
+                     CAST(0 AS INT) AS n_matches
+              FROM hl h WHERE h.docid NOT IN
+                   ( SELECT DISTINCT docid FROM top_fr ) )
+SELECT * FROM top_fr UNION ALL SELECT * FROM no_match
+""".strip()
+
+
+_ERR_MAXG = 3
+#: rated-list grades by rated rank (1-based): top AND-hit most relevant
+_ERR_GRADES = {1: 3, 2: 2, 3: 2, 4: 1, 5: 1}
+
+
+def q_rank_eval_err(spark, sf_dir):
+    """rank_eval ERR@10 with graded relevance (ExpectedReciprocalRank.java):
+    rated set = top-5 of the stricter AND query, graded 3/2/2/1/1 by its
+    rank; the OR ranking is evaluated against it."""
+    from pyspark.sql import Window as W
+
+    from sparksearch.aggs import expected_reciprocal_rank
+    from sparksearch.queries import Match
+    _, ex = C.get_engine(spark, sf_dir)
+    rated = (C.topk_rounded(ex, Match("text", "hash join", operator="and"),
+                            k=5)
+             .withColumn("_rk", F.row_number().over(
+                 W.orderBy(F.col("score").desc(), F.col("docid").asc())))
+             .select("docid",
+                     F.element_at(
+                         F.create_map(*[F.lit(x) for kv in
+                                        _ERR_GRADES.items() for x in kv]),
+                         F.col("_rk")).alias("grade")))
+    ranked = C.topk_rounded(ex, Match("text", "hash join"), k=10) \
+        .select("docid", "score")
+    return expected_reciprocal_rank(ranked, rated, k=10,
+                                    max_grade=_ERR_MAXG)
+
+
+def _sql_rank_eval_err() -> str:
+    grade_case = " ".join(f"WHEN {rk} THEN {g}"
+                          for rk, g in sorted(_ERR_GRADES.items()))
+    return f"""
+WITH rated0 AS ( {C.match_sql('hash join', operator='and', k=5)} ),
+rated AS ( SELECT docid,
+                  CASE row_number() OVER (ORDER BY score DESC, docid ASC)
+                       {grade_case} ELSE 0 END AS grade
+           FROM rated0 ),
+ranked AS ( {C.match_sql('hash join', k=10)} ),
+rr AS ( SELECT docid,
+               row_number() OVER (ORDER BY score DESC, docid ASC) AS rank
+        FROM ranked ),
+j AS ( SELECT rr.rank,
+              (pow(2.0, coalesce(rated.grade, 0)) - 1.0)
+                / {2 ** _ERR_MAXG}.0 AS r
+       FROM rr LEFT JOIN rated USING (docid) WHERE rr.rank <= 10 ),
+casc AS ( SELECT rank, r,
+                 exp(coalesce(sum(ln(1.0 - r)) OVER (ORDER BY rank
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0.0)) AS stopped
+          FROM j )
+SELECT CAST(round(sum(r / rank * stopped), 6) AS DOUBLE) AS err_at_10
+FROM casc
+""".strip()
+
+
 def queries() -> dict:
     return {
         "random_score": q_random_score,
         "field_masking_span": q_field_masking_span,
         "mlt_like_docs": q_mlt_like_docs,
+        "highlight_opts": q_highlight_opts,
+        "rank_eval_err": q_rank_eval_err,
     }
 
 
@@ -174,4 +301,6 @@ def oracle_sql() -> dict:
         "random_score": _sql_random_score(),
         "field_masking_span": _sql_field_masking_span(),
         "mlt_like_docs": _sql_mlt_like_docs(),
+        "highlight_opts": _sql_highlight_opts(),
+        "rank_eval_err": _sql_rank_eval_err(),
     }

@@ -304,12 +304,22 @@ def highlight_fragments(topk: DataFrame, pages: DataFrame,
                         terms: list[str], fragment_size: int = 100,
                         number_of_fragments: int = 2,
                         pre: str = "<em>",
-                        post: str = "</em>") -> DataFrame:
+                        post: str = "</em>",
+                        no_match_size: int = 0,
+                        order: str = "none") -> DataFrame:
     """Fragmenting highlighter: fixed-size char windows of the highlighted
     text ranked by match count, top N per hit — the snippet form users
     actually see (sv/search/fetch/subphase/highlight — the unified
     highlighter's passage scoring, with a simple fixed-window fragmenter
     instead of Lucene's sentence boundary scanner).
+
+    Options mirroring AbstractHighlighterBuilder:
+    - ``fragment_size`` / ``number_of_fragments``: window width / top-N.
+    - ``no_match_size``: a hit whose text contains NO query term still
+      gets one untagged leading snippet of that many chars (frag_idx 0,
+      n_matches 0) — the reference returns the field's leading text.
+    - ``order``: 'none' keeps document order within a hit; 'score' sorts
+      a hit's fragments by match count desc (HighlightBuilder order=score).
 
     All Catalyst exprs: one regexp pass, a transform over window offsets,
     explode + per-doc top-N window. Returns (docid, url, score, frag_idx,
@@ -338,7 +348,17 @@ def highlight_fragments(topk: DataFrame, pages: DataFrame,
                   .filter(F.col("n_matches") > 0)
     w = Window.partitionBy("docid").orderBy(
         F.col("n_matches").desc(), F.col("frag_idx").asc())
-    return (scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= number_of_fragments).drop("_rn")
-            .orderBy(F.col("score").desc(), F.col("docid").asc(),
-                     F.col("frag_idx").asc()))
+    out = (scored.withColumn("_rn", F.row_number().over(w))
+           .filter(F.col("_rn") <= number_of_fragments).drop("_rn"))
+    if no_match_size > 0:
+        # hits with zero matching fragments: one untagged leading snippet
+        nm = (hl.join(out.select("docid").distinct(), "docid", "left_anti")
+              .select("docid", "url", "score",
+                      F.lit(0).alias("frag_idx"),
+                      F.substring(F.col("text"), 1,
+                                  int(no_match_size)).alias("fragment"),
+                      F.lit(0).cast("int").alias("n_matches")))
+        out = out.unionByName(nm)
+    within = ([F.col("n_matches").desc(), F.col("frag_idx").asc()]
+              if order == "score" else [F.col("frag_idx").asc()])
+    return out.orderBy(F.col("score").desc(), F.col("docid").asc(), *within)
