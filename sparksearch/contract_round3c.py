@@ -286,6 +286,61 @@ FROM casc
 """.strip()
 
 
+def q_completion_contexts(spark, sf_dir):
+    """Completion suggester with category contexts: 's'-prefixed
+    suggestions restricted to docs whose lang context is es/de
+    (CategoryContextMapping.java); df and the reported context set are
+    both computed within the context filter."""
+    from sparksearch.fetchops import suggest_completion_contexts
+    ix, _ = C.get_engine(spark, sf_dir)
+    return suggest_completion_contexts(ix, "s", field="lang",
+                                       values=["es", "de"], size=5)
+
+
+def _sql_completion_contexts() -> str:
+    return f"""
+WITH {C._PAGES},
+{C._TOK},
+ctx AS ( SELECT t.term, t.docid, p.lang
+         FROM tok t JOIN pages p USING (docid)
+         WHERE t.term LIKE 's%' AND p.lang IN ('es', 'de') )
+SELECT term, CAST(count(DISTINCT docid) AS BIGINT) AS df,
+       string_agg(DISTINCT lang, ',' ORDER BY lang) AS contexts
+FROM ctx GROUP BY term
+ORDER BY df DESC, term ASC LIMIT 5
+""".strip()
+
+
+_FZ_PREFIX, _FZ_EDITS, _FZ_PLEN = "scam", 1, 1
+
+
+def q_completion_fuzzy(spark, sf_dir):
+    """Fuzzy completion (FuzzyOptions / Lucene FuzzyCompletionQuery):
+    'scam' with fuzziness 1 and nonFuzzyPrefix 1 reaches 'scan...'
+    completions the exact walk misses."""
+    from sparksearch.fetchops import suggest_completion_fuzzy
+    ix, _ = C.get_engine(spark, sf_dir)
+    return suggest_completion_fuzzy(ix, _FZ_PREFIX, fuzziness=_FZ_EDITS,
+                                    prefix_length=_FZ_PLEN, size=5)
+
+
+def _sql_completion_fuzzy() -> str:
+    n = len(_FZ_PREFIX)
+    return f"""
+WITH {C._PAGES},
+{C._TOK},
+d AS ( SELECT term, CAST(count(DISTINCT docid) AS BIGINT) AS df
+       FROM tok GROUP BY term ),
+cand AS ( SELECT term, df,
+                 CAST(levenshtein(substr(term, 1, {n}), '{_FZ_PREFIX}')
+                      AS INT) AS dist
+          FROM d WHERE substr(term, 1, {_FZ_PLEN})
+                       = '{_FZ_PREFIX[:_FZ_PLEN]}' )
+SELECT term, df, dist FROM cand WHERE dist <= {_FZ_EDITS}
+ORDER BY dist ASC, df DESC, term ASC LIMIT 5
+""".strip()
+
+
 def queries() -> dict:
     return {
         "random_score": q_random_score,
@@ -293,6 +348,8 @@ def queries() -> dict:
         "mlt_like_docs": q_mlt_like_docs,
         "highlight_opts": q_highlight_opts,
         "rank_eval_err": q_rank_eval_err,
+        "completion_contexts": q_completion_contexts,
+        "completion_fuzzy": q_completion_fuzzy,
     }
 
 
@@ -303,4 +360,6 @@ def oracle_sql() -> dict:
         "mlt_like_docs": _sql_mlt_like_docs(),
         "highlight_opts": _sql_highlight_opts(),
         "rank_eval_err": _sql_rank_eval_err(),
+        "completion_contexts": _sql_completion_contexts(),
+        "completion_fuzzy": _sql_completion_fuzzy(),
     }

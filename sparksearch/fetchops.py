@@ -243,6 +243,61 @@ def suggest_completion(ix, prefix: str, size: int = 5) -> DataFrame:
             .limit(size))
 
 
+def suggest_completion_contexts(ix, prefix: str, field: str,
+                                values: list, size: int = 5) -> DataFrame:
+    """Completion suggester with CATEGORY CONTEXTS
+    (sv/search/suggest/completion/context/CategoryContextMapping.java):
+    only suggestions indexed under one of the requested context values
+    are returned. Contexts here derive from a doc-values field — a term's
+    contexts are the `field` values of the docs containing it, the
+    natural mapping for a corpus-derived dictionary. Ranked by in-context
+    df desc, term asc.
+
+    Plan shape: prefix-pruned postings (sargable startswith on the sorted
+    term dictionary) joined to the column-pruned docs scan on docid, THEN
+    the context filter — never an unpruned postings scan."""
+    terms = (ix.stats.select("term")
+             .where(F.col("term").startswith(prefix)))
+    p = (ix.postings.select("term", "docid")
+         .where(F.col("term").startswith(prefix))
+         .join(F.broadcast(terms), "term"))
+    d = ix.docs.select("docid", F.col(field).alias("_ctx"))         .where(F.col(field).isin(list(values)))
+    return (p.join(d, "docid")
+            .groupBy("term")
+            .agg(F.countDistinct("docid").cast("long").alias("df"),
+                 F.concat_ws(",", F.sort_array(
+                     F.collect_set("_ctx"))).alias("contexts"))
+            .orderBy(F.col("df").desc(), F.col("term").asc())
+            .limit(size))
+
+
+def suggest_completion_fuzzy(ix, prefix: str, fuzziness: int = 1,
+                             prefix_length: int = 1,
+                             size: int = 5) -> DataFrame:
+    """FUZZY completion (sv/search/suggest/completion/FuzzyOptions.java /
+    Lucene FuzzyCompletionQuery): a term matches when its leading
+    |prefix| chars are within `fuzziness` edits of the prefix, with the
+    first `prefix_length` chars required exact (Lucene's nonFuzzyPrefix).
+    Exact-prefix completions rank ahead of fuzzy ones (the reference
+    boosts exact matches), then df desc, term asc.
+
+    The exact-prefix-length guard makes the dictionary scan sargable on
+    the first `prefix_length` chars (startswith on the sorted term
+    column) before the levenshtein runs."""
+    n = len(prefix)
+    exact_head = prefix[:prefix_length]
+    cand = (ix.stats.select("term", F.col("df").cast("long").alias("df"))
+            .where(F.col("term").startswith(exact_head))
+            .withColumn("dist",
+                        F.levenshtein(F.substring(F.col("term"), 1, n),
+                                      F.lit(prefix)))
+            .where(F.col("dist") <= int(fuzziness)))
+    return (cand.select("term", "df", F.col("dist").cast("int").alias("dist"))
+            .orderBy(F.col("dist").asc(), F.col("df").desc(),
+                     F.col("term").asc())
+            .limit(size))
+
+
 def term_vectors(ix, pages: DataFrame, docid: int) -> DataFrame:
     """`_termvectors` API: (term, tf, positions) for one doc, generated on
     the fly by re-analyzing the stored source text — the reference's
