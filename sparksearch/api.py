@@ -527,6 +527,21 @@ def run_search(ex, body: dict, pages: DataFrame | None = None,
                      else {"value": cap, "relation": "gte"})
     hits_df = search_df(ex, body, pages=pages, emb=emb)
     rows = _timed("query_fetch", hits_df.collect)
+    explanations: dict = {}
+    if body.get("explain") and rows:
+        # batched Explanation trees: ONE job over the whole hit set
+        # (explain_many plans docid isin over the term-pruned postings),
+        # not a driver round-trip per hit
+        from sparksearch.fetchops import explain_many
+        from sparksearch.queries import Match as _Match
+        if not isinstance(q, _Match):
+            raise ValueError("body explain supports match queries")
+        erows = _timed(
+            "explain_batch",
+            explain_many(ex, q, [r["docid"] for r in rows]).collect)
+        for e in erows:
+            d2 = e.asDict()
+            explanations.setdefault(d2.pop("docid"), []).append(d2)
     hits = []
     for r in rows:
         d = r.asDict()
@@ -536,15 +551,7 @@ def run_search(ex, body: dict, pages: DataFrame | None = None,
             hit["highlight"] = {"text": list(v) if isinstance(v, list)
                                 else [v]}
         if body.get("explain"):
-            # per-hit Explanation tree — one bounded job per hit, the same
-            # per-doc cost shape as the reference's _explain endpoint
-            from sparksearch.fetchops import explain as _explain
-            from sparksearch.queries import Match as _Match
-            if not isinstance(q, _Match):
-                raise ValueError("body explain supports match queries")
-            hit["_explanation"] = [e.asDict()
-                                   for e in _explain(ex, q, d["docid"])
-                                   .collect()]
+            hit["_explanation"] = explanations.get(d["docid"], [])
         if body.get("sort"):
             # every explicitly-sorted hit carries its sort values — the
             # reference's SearchSortValues, and the search_after cursor

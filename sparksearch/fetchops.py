@@ -319,11 +319,14 @@ def term_vectors(ix, pages: DataFrame, docid: int) -> DataFrame:
             .orderBy("term"))
 
 
-def explain(ex, q, docid: int) -> DataFrame:
-    """`_explain` API: per-term BM25 score breakdown for one doc —
-    (term, tf, df, idf, tfn, contribution) rows plus the clause weight,
-    mirroring Lucene's Explanation tree for the flagship match query
-    (sv/action/explain/TransportExplainAction.java)."""
+def explain_many(ex, q, docids: list) -> DataFrame:
+    """Batched `_explain`: per-term BM25 breakdown rows for EVERY doc in
+    `docids` from ONE plan (docid isin over the query-term-pruned
+    postings scan) — the whole explain section of a `size`-hit response
+    is a single Spark job instead of one per hit
+    (sv/action/explain/TransportExplainAction.java is per-doc; a search
+    response's explain:true annotates every hit, so the batch is the
+    natural unit)."""
     from collections import Counter
 
     from sparksearch import bm25
@@ -332,9 +335,10 @@ def explain(ex, q, docid: int) -> DataFrame:
     terms = [t for t, _ in analyze(q.text, q.analyzer or ix.analyzer)]
     cnt = Counter(terms)
     uniq = sorted(cnt)
+    ids = [int(d) for d in docids]
     p = (ix.postings_for(uniq, with_positions=False)
-         .filter(F.col("docid") == int(docid))
-         .select("term", "tf", "dl_q"))
+         .filter(F.col("docid").isin(ids))
+         .select("docid", "term", "tf", "dl_q"))
     s = ix.stats_for(uniq).select("term", "df")
     w = F.create_map(*[x for t, c in cnt.items()
                        for x in (F.lit(t), F.lit(float(c)))])
@@ -344,7 +348,7 @@ def explain(ex, q, docid: int) -> DataFrame:
            / (F.col("tf") + F.lit(bm25.K1)
               * (1.0 - bm25.B + bm25.B * F.col("dl_q") / F.lit(ix.avgdl))))
     return (p.join(F.broadcast(s), "term")
-            .select("term",
+            .select("docid", "term",
                     F.col("tf").cast("long").alias("tf"),
                     F.col("df").cast("long").alias("df"),
                     F.round(idf, 6).alias("idf"),
@@ -352,7 +356,16 @@ def explain(ex, q, docid: int) -> DataFrame:
                     F.element_at(w, F.col("term")).alias("weight"),
                     F.round(F.element_at(w, F.col("term")) * idf * tfn, 6)
                     .alias("contribution"))
-            .orderBy("term"))
+            .orderBy("docid", "term"))
+
+
+def explain(ex, q, docid: int) -> DataFrame:
+    """`_explain` API: per-term BM25 score breakdown for one doc —
+    (term, tf, df, idf, tfn, contribution) rows plus the clause weight,
+    mirroring Lucene's Explanation tree for the flagship match query
+    (sv/action/explain/TransportExplainAction.java). One-doc wrapper of
+    explain_many."""
+    return explain_many(ex, q, [docid]).drop("docid")
 
 
 def highlight_fragments(topk: DataFrame, pages: DataFrame,

@@ -186,6 +186,26 @@ def test_explain_in_body(ex):
                         "size": 1, "explain": True})
 
 
+def test_explain_in_body_is_one_batched_call(ex, monkeypatch):
+    """explain:true over a multi-hit response runs ONE explain_many plan
+    (docid isin), not a Spark job per hit."""
+    import sparksearch.fetchops as FO
+    calls = []
+    orig = FO.explain_many
+
+    def counting(ex2, q, docids):
+        calls.append(list(docids))
+        return orig(ex2, q, docids)
+
+    monkeypatch.setattr(FO, "explain_many", counting)
+    resp = run_search(ex, {
+        "query": {"match": {"text": "hash join"}}, "size": 5,
+        "_source": False, "explain": True})
+    n_hits = len(resp["hits"]["hits"])
+    assert n_hits > 1
+    assert len(calls) == 1 and len(calls[0]) == n_hits
+
+
 def test_rescore_in_body(ex):
     base = {"query": {"match": {"text": "hash"}}, "size": 5,
             "_source": False}
