@@ -306,7 +306,11 @@ def main() -> None:
                 "efficiency": round(eff, 3),
             }
 
-    value = round(sum(results.values()), 3)
+    # build_sf_cold is informational (rep-1 figure, comparable to
+    # BENCH_r01's single-shot methodology) — NOT part of the headline sum,
+    # which already counts the build once via build_sf
+    value = round(sum(v for k, v in results.items()
+                      if k != "build_sf_cold"), 3)
     out = {
         "metric": "fulltext_index_build_plus_topk_p50",
         "value": value,

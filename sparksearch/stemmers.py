@@ -30,7 +30,8 @@ from __future__ import annotations
 
 __all__ = [
     "minimal_english_stem", "minimal_french_stem",
-    "light_german_stem", "light_spanish_stem", "LANGUAGE_STEMMERS",
+    "light_german_stem", "light_spanish_stem",
+    "possessive_english_stem", "LANGUAGE_STEMMERS",
 ]
 
 
@@ -130,6 +131,15 @@ def light_spanish_stem(s: str) -> str:
     return s
 
 
+def possessive_english_stem(s: str) -> str:
+    """EnglishPossessiveFilter (`possessive_english`): strip a trailing
+    's / 's (straight or typographic apostrophe)."""
+    if len(s) >= 2 and s[-1] in ("s", "S") and s[-2] in ("'", "’",
+                                                         "＇"):
+        return s[:-2]
+    return s
+
+
 #: language -> stemmer, the subset of StemmerTokenFilterFactory's registry
 #: this engine implements (english/porter route to porter.porter_stem in
 #: analysis_custom._tf_stemmer)
@@ -142,4 +152,6 @@ LANGUAGE_STEMMERS = {
     "lightGerman": light_german_stem,
     "light_spanish": light_spanish_stem,
     "lightSpanish": light_spanish_stem,
+    "possessive_english": possessive_english_stem,
+    "possessiveEnglish": possessive_english_stem,
 }

@@ -112,3 +112,10 @@ def test_cjk_bigram_custom_analyzer_end_to_end():
     toks = analyze("日本語 SPARK テスト", "cjk_test")
     assert [(t, p) for t, p in toks] == [
         ("日本", 0), ("本語", 1), ("spark", 2), ("テス", 3), ("スト", 4)]
+
+
+def test_possessive_english_goldens():
+    from sparksearch.stemmers import possessive_english_stem
+    for w, s in [("john's", "john"), ("spark’s", "spark"),
+                 ("its", "its"), ("class'", "class'"), ("'s", "")]:
+        assert possessive_english_stem(w) == s, w
