@@ -137,7 +137,8 @@ _RECORD_FIRST = [
     "stem_french", "stem_german", "stem_spanish", "cjk_bigram_match",
     "mlt_like_docs", "random_score", "field_masking_span",
     "highlight_opts", "rank_eval_err", "completion_contexts",
-    "completion_fuzzy", "knn_join_lsh_sized", "bpe_merges_local",
+    "completion_fuzzy", "intervals_allof", "knn_join_lsh_sized",
+    "bpe_merges_local",
     # never-driver-recorded round-1/2 entries (verified locally)
     "knn_join_lsh", "dedup_clusters", "dedup_embedding", "knn_cosine_ivf",
     "knn_sq8", "pii_redact", "domain_cap", "repeated_spans", "hashed_bow",

@@ -341,6 +341,50 @@ ORDER BY dist ASC, df DESC, term ASC LIMIT 5
 """.strip()
 
 
+def q_intervals_allof(spark, sf_dir):
+    """intervals with a composed source tree
+    (IntervalsSourceProvider): all_of(ordered, max_gaps=2,
+    [match 'table', any_of(match 'scan', match 'merge')]) — 'table'
+    followed within 2 gaps by either 'scan' or 'merge'."""
+    from sparksearch.queries import (Intervals, IntervalsAllOf,
+                                     IntervalsAnyOf, IntervalsMatch)
+    _, ex = C.get_engine(spark, sf_dir)
+    src = IntervalsAllOf(
+        (IntervalsMatch("table"),
+         IntervalsAnyOf((IntervalsMatch("scan"),
+                         IntervalsMatch("merge")))),
+        max_gaps=2, ordered=True)
+    return C.topk_rounded(ex, Intervals("text", source=src), k=10)
+
+
+def _sql_intervals_allof() -> str:
+    idf, tfn = C._idf_sql, C._tfn_sql
+    one_idf = (lambda cond: f"(SELECT {idf('count(*)', '(SELECT n FROM g)')}"
+               f" FROM (SELECT DISTINCT docid FROM tokpos WHERE {cond}))")
+    pseudo = " + ".join(one_idf(f"term = '{t}'")
+                        for t in ("table", "scan", "merge"))
+    return f"""
+WITH {C._PAGES},
+{C._TOKPOS},
+tok AS ( SELECT docid, term FROM tokpos ),
+{C._DL},
+p0 AS ( SELECT docid, pos FROM tokpos WHERE term = 'table' ),
+p1 AS ( SELECT docid, pos FROM tokpos
+        WHERE term IN ('scan', 'merge') ),
+mm AS ( SELECT p0.docid, p0.pos AS s FROM p0
+        JOIN p1 ON p1.docid = p0.docid AND p1.pos > p0.pos
+        AND (p1.pos - p0.pos + 1) - 2 <= 2 ),
+ph AS ( SELECT docid, CAST(count(DISTINCT s) AS DOUBLE) AS pf
+        FROM mm GROUP BY docid ),
+sc AS ( SELECT ph.docid,
+               ({pseudo}) * {tfn('ph.pf', 'dlq.dl_q', 'g.avgdl')} AS score
+        FROM ph JOIN dlq USING (docid) CROSS JOIN g )
+SELECT p.docid, p.url, round(sc.score, 4) AS score
+FROM sc JOIN pages p USING (docid)
+ORDER BY round(sc.score, 4) DESC, p.docid ASC LIMIT 10
+""".strip()
+
+
 def queries() -> dict:
     return {
         "random_score": q_random_score,
@@ -350,6 +394,7 @@ def queries() -> dict:
         "rank_eval_err": q_rank_eval_err,
         "completion_contexts": q_completion_contexts,
         "completion_fuzzy": q_completion_fuzzy,
+        "intervals_allof": q_intervals_allof,
     }
 
 
@@ -362,4 +407,5 @@ def oracle_sql() -> dict:
         "rank_eval_err": _sql_rank_eval_err(),
         "completion_contexts": _sql_completion_contexts(),
         "completion_fuzzy": _sql_completion_fuzzy(),
+        "intervals_allof": _sql_intervals_allof(),
     }

@@ -309,6 +309,17 @@ def _span_terms(clauses: list) -> tuple[str, list]:
     return field, terms
 
 
+def _field_masking_top(body: dict):
+    """Top-level field_masking_span (outside a span_near): planned as a
+    one-clause span — matches wherever any expansion member occurs
+    (FieldMaskingSpanQueryBuilder used standalone)."""
+    from sparksearch.queries import FieldMaskingSpan
+    mf, spec = _field_body(body["query"]["span_term"])
+    term = spec["value"] if isinstance(spec, dict) else spec
+    return FieldMaskingSpan(body.get("field", mf), term,
+                            filters=tuple(body.get("filters", ())))
+
+
 def _span_near(body: dict) -> SpanNear:
     field, terms = _span_terms(body["clauses"])
     return SpanNear(field, tuple(terms), slop=int(body.get("slop", 0)),
@@ -355,11 +366,45 @@ def _terms_set(body: dict) -> TermsSet:
                     required=int(spec.get("required", 1)))
 
 
+def _intervals_source(spec: dict):
+    """One IntervalsSourceProvider node (match / prefix / any_of /
+    all_of), recursively (IntervalQueryBuilder.fromXContent)."""
+    from sparksearch.queries import (IntervalsAllOf, IntervalsAnyOf,
+                                     IntervalsMatch, IntervalsPrefix)
+    if "match" in spec:
+        m = spec["match"]
+        return IntervalsMatch(m["query"],
+                              max_gaps=int(m.get("max_gaps", -1)),
+                              ordered=bool(m.get("ordered", False)),
+                              analyzer=m.get("analyzer"))
+    if "prefix" in spec:
+        pr = spec["prefix"]
+        if isinstance(pr, dict):
+            return IntervalsPrefix(pr["prefix"])
+        return IntervalsPrefix(pr)
+    if "any_of" in spec:
+        return IntervalsAnyOf(tuple(
+            _intervals_source(x) for x in spec["any_of"]["intervals"]))
+    if "all_of" in spec:
+        a = spec["all_of"]
+        return IntervalsAllOf(
+            tuple(_intervals_source(x) for x in a["intervals"]),
+            max_gaps=int(a.get("max_gaps", -1)),
+            ordered=bool(a.get("ordered", False)))
+    raise ValueError(f"unsupported intervals source: {sorted(spec)}")
+
+
 def _intervals(body: dict) -> Intervals:
     field, spec = _field_body(body)
-    m = spec["match"]
-    return Intervals(field, m["query"], max_gaps=int(m.get("max_gaps", 0)),
-                     ordered=bool(m.get("ordered", True)))
+    if set(spec) == {"match"}:
+        # plain match source: the fast span_near text path (legacy form,
+        # reference defaults ordered=false/max_gaps=-1 differ — this form
+        # keeps the engine's documented text-form defaults)
+        m = spec["match"]
+        return Intervals(field, m["query"],
+                         max_gaps=int(m.get("max_gaps", 0)),
+                         ordered=bool(m.get("ordered", True)))
+    return Intervals(field, source=_intervals_source(spec))
 
 
 _LEAF = {
@@ -398,6 +443,7 @@ _LEAF = {
     "boosting": _boosting,
     "more_like_this": _mlt,
     "span_near": _span_near,
+    "field_masking_span": _field_masking_top,
     "span_first": _span_first,
     "span_or": _span_or,
     "span_not": _span_not,

@@ -307,6 +307,8 @@ class Executor:
         if isinstance(q, TermsSet):
             return self._plan_terms_set(q, scored)
         if isinstance(q, Intervals):
+            if q.source is not None:
+                return self._plan_intervals_source(q, scored)
             terms = [t for t, _ in
                      analyze(q.text, q.analyzer or self.ix.analyzer)]
             return self._plan_span_near(terms, q.max_gaps, q.ordered, scored)
@@ -1182,6 +1184,128 @@ class Executor:
         joined = (cur.groupBy("docid", "dl_q")
                   .agg(F.countDistinct(anchor).cast("double").alias("pf")))
         return self._phrase_score(joined, flat, scored)
+
+    def _plan_intervals_source(self, q, scored: bool) -> DataFrame:
+        """intervals with a full IntervalsSourceProvider tree (any_of /
+        all_of / match / prefix — IntervalQueryBuilder.java). Each source
+        evaluates to an interval frame (docid, s, e, dl_q); any_of unions
+        frames, all_of joins them per doc with the ordering/gap rule.
+        Assignment semantics (see queries.Intervals). Scored as a
+        pseudo-term: pf = distinct combined-interval starts, idf = Σ leaf
+        term idfs (prefix leaves contribute their expansion members)."""
+        fr, leaf_terms = self._intervals_frame(q.source)
+        if fr is None or not leaf_terms:
+            return self._empty()
+        joined = (fr.groupBy("docid", "dl_q")
+                  .agg(F.countDistinct("s").cast("double").alias("pf")))
+        return self._phrase_score(joined, leaf_terms, scored)
+
+    def _intervals_frame(self, src):
+        """Recursively evaluate an interval source to
+        (frame[docid, s, e, dl_q], leaf_terms). None frame = match-none."""
+        from sparksearch.queries import (IntervalsAllOf, IntervalsAnyOf,
+                                         IntervalsMatch, IntervalsPrefix)
+        if isinstance(src, IntervalsMatch):
+            terms = [t for t, _ in
+                     analyze(src.text, src.analyzer or self.ix.analyzer)]
+            return self._ivl_match_frame(terms, src.max_gaps,
+                                         src.ordered), terms
+        if isinstance(src, IntervalsPrefix):
+            exp = [r["term"] for r in
+                   (self.ix.stats.select("term")
+                    .where(F.col("term").startswith(src.prefix))
+                    .orderBy("term").limit(int(src.max_expansions))
+                    .collect())]
+            if not exp:
+                return None, []
+            pos = (self.ix.postings_for(exp)
+                   .select("docid", "dl_q",
+                           F.explode("positions").alias("_p")))
+            return (pos.select("docid", F.col("_p").alias("s"),
+                               F.col("_p").alias("e"), "dl_q")
+                    .distinct()), exp
+        if isinstance(src, IntervalsAnyOf):
+            frames, terms = [], []
+            for sub in src.sources:
+                f2, t2 = self._intervals_frame(sub)
+                if f2 is not None:
+                    frames.append(f2)
+                    terms.extend(t2)
+            if not frames:
+                return None, []
+            return reduce(lambda a, b: a.unionByName(b),
+                          frames).distinct(), terms
+        if isinstance(src, IntervalsAllOf):
+            parts, terms = [], []
+            for sub in src.sources:
+                f2, t2 = self._intervals_frame(sub)
+                if f2 is None:
+                    return None, []
+                parts.append(f2)
+                terms.extend(t2)
+            cur = parts[0].select(
+                "docid", "dl_q", F.col("s").alias("_s0"),
+                F.col("e").alias("_e0"))
+            for i in range(1, len(parts)):
+                ri = parts[i].select(
+                    "docid", F.col("s").alias(f"_s{i}"),
+                    F.col("e").alias(f"_e{i}"))
+                cur = cur.join(ri, "docid")
+                if src.ordered:
+                    cur = cur.filter(F.col(f"_s{i}") > F.col(f"_e{i-1}"))
+            n = len(parts)
+            scols = [F.col(f"_s{i}") for i in range(n)]
+            ecols = [F.col(f"_e{i}") for i in range(n)]
+            lo = scols[0] if n == 1 else F.least(*scols)
+            hi = ecols[0] if n == 1 else F.greatest(*ecols)
+            if int(src.max_gaps) >= 0:
+                covered = reduce(
+                    lambda a, b: a + b,
+                    [ecols[i] - scols[i] + 1 for i in range(n)])
+                cur = cur.filter((hi - lo + 1) - covered
+                                 <= int(src.max_gaps))
+            return (cur.select("docid", lo.alias("s"), hi.alias("e"),
+                               "dl_q").distinct()), terms
+        raise TypeError(f"unknown interval source: {src!r}")
+
+    def _ivl_match_frame(self, terms: list, max_gaps: int, ordered: bool):
+        """Interval frame of a `match` source: every admissible
+        assignment's (min pos, max pos)."""
+        terms = [t for t in terms if t]
+        if not terms:
+            return None
+        uniq = sorted(set(terms))
+        p = self.ix.postings_for(uniq).select("term", "docid", "positions",
+                                              "dl_q")
+        if len(terms) == 1:
+            pos = (p.filter(F.col("term") == terms[0])
+                   .select("docid", "dl_q",
+                           F.explode("positions").alias("_p")))
+            return (pos.select("docid", F.col("_p").alias("s"),
+                               F.col("_p").alias("e"), "dl_q").distinct())
+        legs = []
+        for i, t in enumerate(terms):
+            legs.append(
+                p.filter(F.col("term") == t)
+                 .select("docid", F.explode("positions").alias(f"_p{i}"),
+                         *(["dl_q"] if i == 0 else [])))
+        cur = legs[0]
+        for i in range(1, len(terms)):
+            cur = cur.join(legs[i], "docid")
+            if ordered:
+                cur = cur.filter(F.col(f"_p{i}") > F.col(f"_p{i-1}"))
+            else:
+                cur = cur.filter(reduce(
+                    lambda a, b: a & b,
+                    [F.col(f"_p{i}") != F.col(f"_p{j}")
+                     for j in range(i)]))
+        pcols = [F.col(f"_p{i}") for i in range(len(terms))]
+        lo, hi = F.least(*pcols), F.greatest(*pcols)
+        if int(max_gaps) >= 0:
+            cur = cur.filter(hi - lo - F.lit(len(terms) - 1)
+                             <= int(max_gaps))
+        return cur.select("docid", lo.alias("s"), hi.alias("e"),
+                          "dl_q").distinct()
 
     def _expand_masked(self, m) -> list[str]:
         """field_masking_span expansion: base-dictionary terms whose

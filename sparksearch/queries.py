@@ -283,15 +283,63 @@ class SpanNear(Query):
 
 @dataclass(frozen=True)
 class Intervals(Query):
-    """`intervals` (match source) — analyzed terms of `text` all within
-    `max_gaps` ([max−min]−(n−1) ≤ max_gaps), `ordered` optionally
-    (sv/index/query/IntervalQueryBuilder.java). Same positional engine as
-    SpanNear after analysis."""
+    """`intervals` (sv/index/query/IntervalQueryBuilder.java).
+
+    Text form (`text`): analyzed terms all within `max_gaps`
+    ([max−min]−(n−1) ≤ max_gaps), `ordered` optionally — the `match`
+    source; same positional engine as SpanNear.
+
+    Source form (`source`): a full IntervalsSourceProvider tree —
+    IntervalsMatch / IntervalsPrefix leaves composed by IntervalsAnyOf /
+    IntervalsAllOf. Executed over (start, end) interval frames with
+    assignment semantics: a doc matches iff SOME choice of one interval
+    per sub-source satisfies the ordering/gap rule (an over-approximation
+    of Lucene's minimal-interval algebra that agrees on match/no-match;
+    interval frequency counts distinct combined-interval starts)."""
     field_name: str
-    text: str
+    text: str = ""
     max_gaps: int = 0
     ordered: bool = True
     analyzer: str | None = None
+    source: object = None
+
+
+@dataclass(frozen=True)
+class IntervalsMatch:
+    """`match` interval source (IntervalsSourceProvider.Match): analyzed
+    terms within max_gaps, ordered optionally."""
+    text: str
+    max_gaps: int = -1              # -1 = unbounded (the reference default)
+    ordered: bool = False
+    analyzer: str | None = None
+
+
+@dataclass(frozen=True)
+class IntervalsPrefix:
+    """`prefix` interval source (IntervalsSourceProvider.Prefix): single-
+    position intervals of any dictionary term with the prefix (first
+    `max_expansions` in term order — Lucene caps prefix interval
+    expansion at 128)."""
+    prefix: str
+    max_expansions: int = 128
+
+
+@dataclass(frozen=True)
+class IntervalsAnyOf:
+    """`any_of` (IntervalsSourceProvider.Disjunction): union of the
+    sub-sources' intervals."""
+    sources: tuple
+
+
+@dataclass(frozen=True)
+class IntervalsAllOf:
+    """`all_of` (IntervalsSourceProvider.Combine): one interval from
+    EVERY sub-source; `ordered` forces each to start after the previous
+    ends; `max_gaps` bounds total uncovered positions inside the combined
+    span: (max_end − min_start + 1) − Σ(len_i) ≤ max_gaps."""
+    sources: tuple
+    max_gaps: int = -1
+    ordered: bool = False
 
 
 

@@ -98,3 +98,52 @@ def test_random_score_dsl(tiny_ix):
         "boost_mode": "multiply"}})
     assert isinstance(q.functions[0], RandomScore)
     assert q.functions[0].seed == 7
+
+
+def test_intervals_source_algebra(tiny_ix):
+    """all_of(ordered, max_gaps) over any_of/prefix leaves, hand-checked
+    against the fixture corpus."""
+    from sparksearch.queries import (Intervals, IntervalsAllOf,
+                                     IntervalsAnyOf, IntervalsMatch,
+                                     IntervalsPrefix)
+    _, ex = tiny_ix
+    docs = {r["url"]: r["docid"] for r in ex.ix.docs.collect()}
+
+    # u1 "libros grandes scan fast": libros ... scan, one word between ->
+    # (e-s+1) - 2 = 2 gaps... (pos0, pos2): span 3, covered 2, gap 1 <= 1
+    src = IntervalsAllOf(
+        (IntervalsMatch("libros"), IntervalsMatch("scan")),
+        max_gaps=1, ordered=True)
+    hits = {r["docid"] for r in
+            ex._plan(Intervals("text", source=src), True).collect()}
+    assert hits == {docs["u1"]}
+
+    # any_of unions: libro OR libros before scan, 1 gap allowed ->
+    # u1 (libros _ scan) and u2 (libro _ scan); NOT u3 (scan first)
+    src2 = IntervalsAllOf(
+        (IntervalsAnyOf((IntervalsMatch("libro"),
+                         IntervalsMatch("libros"))),
+         IntervalsMatch("scan")),
+        max_gaps=1, ordered=True)
+    hits2 = {r["docid"] for r in
+             ex._plan(Intervals("text", source=src2), True).collect()}
+    assert hits2 == {docs["u1"], docs["u2"]}
+
+    # unordered: u3 "scan libros libro luces" now matches (adjacent,
+    # reversed order)
+    src3 = IntervalsAllOf(
+        (IntervalsAnyOf((IntervalsMatch("libro"),
+                         IntervalsMatch("libros"))),
+         IntervalsMatch("scan")),
+        max_gaps=1, ordered=False)
+    hits3 = {r["docid"] for r in
+             ex._plan(Intervals("text", source=src3), True).collect()}
+    assert hits3 == {docs["u1"], docs["u2"], docs["u3"]}
+
+    # prefix leaf: lib* adjacent-after scan -> u3 only
+    src4 = IntervalsAllOf(
+        (IntervalsMatch("scan"), IntervalsPrefix("lib")),
+        max_gaps=0, ordered=True)
+    hits4 = {r["docid"] for r in
+             ex._plan(Intervals("text", source=src4), True).collect()}
+    assert hits4 == {docs["u3"]}
