@@ -134,7 +134,8 @@ _RECORD_FIRST = [
     "mapping_copy_to", "term_vectors", "matched_queries",
     # new in round 3
     "match_fuzzy_transpose", "fuzzy_capped",
-    "stem_french", "stem_german", "stem_spanish", "cjk_bigram_match",
+    "stem_french", "stem_german", "stem_spanish", "stem_portuguese",
+    "stem_italian", "stem_russian", "stem_arabic", "cjk_bigram_match",
     "mlt_like_docs", "random_score", "field_masking_span",
     "highlight_opts", "rank_eval_err", "completion_contexts",
     "completion_fuzzy", "intervals_allof", "knn_join_lsh_sized",

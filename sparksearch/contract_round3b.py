@@ -35,6 +35,11 @@ _LANGS = {
     "french": ("an_fr_min", "minimal_french", "customers querys"),
     "german": ("an_de_light", "light_german", "tablen joinen"),
     "spanish": ("an_es_light", "light_spanish", "columnas tablas"),
+    # round-3 additions: query terms reach corpus terms only via the
+    # stemmer (columnas -> column, tablo -> tabl = stem of 'table';
+    # columna/filtero -> column/filter under the italian vowel strip)
+    "portuguese": ("an_pt_light", "light_portuguese", "columnas tablo"),
+    "italian": ("an_it_light", "light_italian", "columna filtero"),
 }
 
 
@@ -171,8 +176,60 @@ stemmap AS ( SELECT term,
 """.strip()
 
 
+def _pt_stem_ctes() -> str:
+    """light_portuguese as stepwise CTEs: Orengo plural reduction
+    (diphthong table, then generic final-s drop), accent/cedilla
+    folding, final gender vowel strip — hand-written from the rule spec
+    in stemmers.py's docstrings (Orengo & Huyck SPIRE 2001 / Savoy)."""
+    return """
+pt0 AS ( SELECT term,
+    CASE WHEN length(term) < 4 OR term NOT LIKE '%s' THEN term
+         WHEN length(term) >= 6 AND term LIKE '%ões'
+              THEN substr(term, 1, length(term)-3) || 'ão'
+         WHEN length(term) >= 4 AND term LIKE '%ães'
+              THEN substr(term, 1, length(term)-3) || 'ão'
+         WHEN length(term) >= 5 AND term LIKE '%ais'
+              THEN substr(term, 1, length(term)-3) || 'al'
+         WHEN length(term) >= 5 AND term LIKE '%éis'
+              THEN substr(term, 1, length(term)-3) || 'el'
+         WHEN length(term) >= 5 AND term LIKE '%eis'
+              THEN substr(term, 1, length(term)-3) || 'el'
+         WHEN length(term) >= 5 AND term LIKE '%óis'
+              THEN substr(term, 1, length(term)-3) || 'ol'
+         WHEN length(term) >= 4 AND term LIKE '%is'
+              THEN substr(term, 1, length(term)-2) || 'il'
+         WHEN length(term) >= 4 AND term LIKE '%ns'
+              THEN substr(term, 1, length(term)-2) || 'm'
+         WHEN substr(term, length(term)-1, 1) IN ('s', 'u') THEN term
+         ELSE substr(term, 1, length(term)-1) END AS s FROM dict0 ),
+pt1 AS ( SELECT term, translate(s, 'áâãàéêíóôõúç', 'aaaaeeiooouc') AS f
+         FROM pt0 ),
+stemmap AS ( SELECT term,
+    CASE WHEN length(f) >= 4 AND substr(f, length(f), 1) IN ('a','e','o')
+         THEN substr(f, 1, length(f)-1) ELSE f END AS stem FROM pt1 )
+""".strip()
+
+
+def _it_stem_ctes() -> str:
+    """light_italian as CTEs: accent folding, then for 6+-char words one
+    final gender/number vowel strip (two chars when the vowel follows an
+    'i': -io/-ia/-ie/-ii)."""
+    return """
+it0 AS ( SELECT term, translate(term, 'àáèéìíòóùú', 'aaeeiioouu') AS f
+         FROM dict0 ),
+stemmap AS ( SELECT term,
+    CASE WHEN length(f) >= 6 AND substr(f, length(f), 1)
+              IN ('a','e','i','o')
+         THEN CASE WHEN substr(f, length(f)-1, 1) = 'i'
+                   THEN substr(f, 1, length(f)-2)
+                   ELSE substr(f, 1, length(f)-1) END
+         ELSE f END AS stem FROM it0 )
+""".strip()
+
+
 _STEM_CTES = {"french": _fr_stem_ctes, "german": _de_stem_ctes,
-              "spanish": _es_stem_ctes}
+              "spanish": _es_stem_ctes, "portuguese": _pt_stem_ctes,
+              "italian": _it_stem_ctes}
 
 
 def _sql_stem_match(lang: str) -> str:
@@ -270,6 +327,86 @@ ORDER BY probe, pos, term
 
 
 # ---------------------------------------------------------------------------
+# russian / arabic stemmer goldens (corpus has no Cyrillic/Arabic text —
+# same strategy as cjk_bigram: hand-derived expected token streams)
+# ---------------------------------------------------------------------------
+
+_RU_PROBES = [
+    (0, "красивый дом"),
+    (1, "новые книги здесь"),
+    (2, "я читаю книгами table"),
+]
+
+#: (probe, stem, pos) — derived BY HAND from the light_russian rule spec
+#: (one longest adjectival else nominal ending removed for 4+-char words
+#: when 3+ chars remain): красивый -ый -> красив; дом <4 chars; новые
+#: -ые -> нов; книги -и -> книг; здесь -ь -> здес; я <4; читаю (no table
+#: ending) unchanged; книгами -ами -> книг; table non-Cyrillic unchanged.
+_RU_GOLDENS = [
+    (0, "красив", 0), (0, "дом", 1),
+    (1, "нов", 0), (1, "книг", 1), (1, "здес", 2),
+    (2, "я", 0), (2, "читаю", 1), (2, "книг", 2), (2, "table", 3),
+]
+
+_AR_PROBES = [
+    (0, "الكتاب مفيد"),
+    (1, "والمكتبة للطلاب"),
+    (2, "مدرسون يعملون هنا"),
+]
+
+#: (probe, stem, pos) — derived BY HAND from the light10 spec (strip one
+#: article prefix, then one suffix): الكتاب: ال- -> كتاب; مفيد
+#: unchanged; والمكتبة: وال- then ة- -> مكتب; للطلاب: لل- -> طلاب;
+#: مدرسون / يعملون: ون- -> مدرس / يعمل; هنا unchanged (no listed affix).
+_AR_GOLDENS = [
+    (0, "كتاب", 0), (0, "مفيد", 1),
+    (1, "مكتب", 0), (1, "طلاب", 1),
+    (2, "مدرس", 0), (2, "يعمل", 1), (2, "هنا", 2),
+]
+
+
+def _q_stem_goldens(an_name: str, variant: str, probes):
+    def run(spark, sf_dir):
+        from functools import reduce
+
+        from sparksearch.analysis_custom import (get_custom,
+                                                 register_analyzer)
+        from sparksearch.build import tokenize_udf
+        if get_custom(an_name) is None:
+            register_analyzer(an_name, {
+                "tokenizer": "standard",
+                "filter": ["lowercase",
+                           {"type": "stemmer", "language": variant}],
+            })
+        outs = []
+        for pid, text in probes:
+            df = spark.createDataFrame([(text,)], "text string")
+            tok = df.withColumn("_t",
+                                tokenize_udf(an_name)(F.col("text")))
+            outs.append(tok.select(
+                F.lit(pid).alias("probe"),
+                F.explode(F.arrays_zip("_t.terms", "_t.poss")).alias("tp"))
+                .select("probe", F.col("tp.terms").alias("term"),
+                        F.col("tp.poss").cast("int").alias("pos")))
+        return (reduce(lambda a, b: a.unionAll(b), outs)
+                .orderBy("probe", "pos", "term"))
+    run.__name__ = f"q_stem_goldens_{variant}"
+    run.__doc__ = (f"{variant} stemmer through the executor Arrow-UDF "
+                   f"path, gated against hand-derived goldens "
+                   f"(StemmerTokenFilterFactory.java:143-260).")
+    return run
+
+
+def _sql_goldens(goldens) -> str:
+    vals = ", ".join(f"({p}, '{t}', {pos})" for p, t, pos in goldens)
+    return f"""
+SELECT probe, term, CAST(pos AS INT) AS pos
+FROM (VALUES {vals}) AS v(probe, term, pos)
+ORDER BY probe, pos, term
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -278,6 +415,12 @@ def queries() -> dict:
         "stem_french": _q_stem("french"),
         "stem_german": _q_stem("german"),
         "stem_spanish": _q_stem("spanish"),
+        "stem_portuguese": _q_stem("portuguese"),
+        "stem_italian": _q_stem("italian"),
+        "stem_russian": _q_stem_goldens("an_ru_light", "light_russian",
+                                        _RU_PROBES),
+        "stem_arabic": _q_stem_goldens("an_ar_light10", "arabic",
+                                       _AR_PROBES),
         "cjk_bigram_match": q_cjk_bigram_match,
     }
 
@@ -287,5 +430,9 @@ def oracle_sql() -> dict:
         "stem_french": _sql_stem_match("french"),
         "stem_german": _sql_stem_match("german"),
         "stem_spanish": _sql_stem_match("spanish"),
+        "stem_portuguese": _sql_stem_match("portuguese"),
+        "stem_italian": _sql_stem_match("italian"),
+        "stem_russian": _sql_goldens(_RU_GOLDENS),
+        "stem_arabic": _sql_goldens(_AR_GOLDENS),
         "cjk_bigram_match": _sql_cjk_goldens(),
     }

@@ -24,6 +24,25 @@ token.  Byte-parity with Lucene is asserted for the english and french
 rules (goldens in tests/test_stemmers.py); german/spanish follow the
 published Savoy rules, which Lucene's light stemmers implement with the
 same suffix tables.
+
+Round-3 additions, each a re-derivation from the published description
+(rule spec stated in the docstring; conflation behavior verified by
+tests, not byte-parity with Lucene, whose sources are not in the
+reference repo):
+
+- ``minimal_portuguese`` (PortugueseMinimalStemFilter): the plural-
+  reduction step of Orengo & Huyck, "A Stemming Algorithm for the
+  Portuguese Language" (SPIRE 2001).
+- ``light_portuguese``   (PortugueseLightStemFilter): plural reduction
+  plus accent folding and a final gender-vowel strip (UniNE light shape,
+  Savoy SAC 2006).
+- ``light_italian``      (ItalianLightStemFilter): accent folding plus a
+  final gender/number vowel strip (UniNE, Savoy CLEF 2001).
+- ``light_russian``      (RussianLightStemFilter): longest-match removal
+  of adjectival then nominal case endings (UniNE russian light).
+- ``arabic``             (ArabicStemFilter): Larkey/Ballesteros/Connell
+  "light10" — orthographic normalization, definite-article / waw prefix
+  strip, one suffix strip.
 """
 
 from __future__ import annotations
@@ -31,7 +50,9 @@ from __future__ import annotations
 __all__ = [
     "minimal_english_stem", "minimal_french_stem",
     "light_german_stem", "light_spanish_stem",
-    "possessive_english_stem", "LANGUAGE_STEMMERS",
+    "possessive_english_stem", "minimal_portuguese_stem",
+    "light_portuguese_stem", "light_italian_stem", "light_russian_stem",
+    "arabic_light_stem", "LANGUAGE_STEMMERS",
 ]
 
 
@@ -140,6 +161,149 @@ def possessive_english_stem(s: str) -> str:
     return s
 
 
+# ---------------------------------------------------------------------------
+# round-3 additions
+# ---------------------------------------------------------------------------
+
+#: Orengo & Huyck plural-reduction suffix table, longest-match first:
+#: (suffix, replacement, min word length to apply)
+_PT_PLURAL = (
+    ("ões", "ão", 6), ("ães", "ão", 4), ("ais", "al", 5),
+    ("éis", "el", 5), ("eis", "el", 5), ("óis", "ol", 5),
+    ("is", "il", 4), ("ns", "m", 4),
+)
+
+
+def minimal_portuguese_stem(s: str) -> str:
+    """PortugueseMinimalStemmer — the plural-reduction step of Orengo &
+    Huyck (SPIRE 2001): diphthong plurals mapped back to their singular
+    (balões -> balão, normais -> normal, papéis -> papel, barris ->
+    barril, bons -> bom), then a generic final 's' drop for words of 4+
+    chars not already ending in a double 's' (keeps 'ônibus'-style
+    invariants ending 'us')."""
+    if len(s) < 4 or s[-1] != "s":
+        return s
+    for suf, rep, mn in _PT_PLURAL:
+        if len(s) >= mn and s.endswith(suf):
+            return s[: -len(suf)] + rep
+    if s[-2] in ("s", "u"):
+        return s
+    return s[:-1]
+
+
+_PT_FOLD = str.maketrans({
+    "á": "a", "â": "a", "ã": "a", "à": "a",
+    "é": "e", "ê": "e", "í": "i",
+    "ó": "o", "ô": "o", "õ": "o", "ú": "u", "ç": "c",
+})
+
+
+def light_portuguese_stem(s: str) -> str:
+    """PortugueseLightStemmer (UniNE light shape, Savoy SAC 2006):
+    Orengo plural reduction, then accent/cedilla folding, then one final
+    gender vowel ('a'/'e'/'o') strip for words of 4+ chars
+    (gato/gata/gatos/gatas -> gat)."""
+    s = minimal_portuguese_stem(s)
+    s = s.translate(_PT_FOLD)
+    if len(s) >= 4 and s[-1] in ("a", "e", "o"):
+        s = s[:-1]
+    return s
+
+
+_IT_FOLD = str.maketrans({
+    "à": "a", "á": "a", "è": "e", "é": "e",
+    "ì": "i", "í": "i", "ò": "o", "ó": "o", "ù": "u", "ú": "u",
+})
+
+
+def light_italian_stem(s: str) -> str:
+    """ItalianLightStemmer (UniNE, Savoy CLEF 2001): fold accented
+    vowels, then for words of 6+ chars strip one final gender/number
+    vowel in {a, e, i, o} (ragazzo/ragazzi/ragazza -> ragazz; 5-char
+    words like 'amico' are below the guard, as in the published rule); a
+    second trailing 'i' left by a plural/gender '-io'/'-ia'/'-ie' is
+    also stripped (negozio/negozi -> negoz, storie/storia -> stor)."""
+    s = s.translate(_IT_FOLD)
+    if len(s) >= 6 and s[-1] in ("a", "e", "i", "o"):
+        if s[-2] == "i":
+            return s[:-2]
+        return s[:-1]
+    return s
+
+
+#: adjectival endings (longest first), then nominal case endings —
+#: UniNE russian light tables
+_RU_ADJ = (
+    "ими", "ыми", "его", "ого", "ему", "ому",
+    "ее", "ие", "ые", "ое", "ей", "ий", "ый", "ой", "ем", "им",
+    "ым", "ом", "их", "ых", "ую", "юю", "ая", "яя", "ою", "ею",
+)
+_RU_NOUN = (
+    "иями", "ями", "ами", "иях", "иям", "ием",
+    "ях", "ам", "ем", "ям", "ом", "ах",
+    "ии", "ию", "ья", "ье", "ью", "ия",
+    "й", "и", "ы", "ь", "е", "о", "а", "у", "я",
+)
+
+
+def light_russian_stem(s: str) -> str:
+    """RussianLightStemmer (UniNE russian light): for Cyrillic words of
+    4+ chars, remove ONE ending — the longest matching adjectival ending
+    first, else the longest matching nominal case ending — provided at
+    least 3 chars remain. Latin-script tokens pass through unchanged
+    (the tables are Cyrillic-only)."""
+    if len(s) < 4:
+        return s
+    for table in (_RU_ADJ, _RU_NOUN):
+        for suf in table:
+            if s.endswith(suf) and len(s) - len(suf) >= 3:
+                return s[: -len(suf)]
+    return s
+
+
+#: light10 orthographic normalization (Larkey et al. 2002)
+_AR_NORM = str.maketrans({
+    "آ": "ا", "أ": "ا", "إ": "ا",  # آأإ -> ا
+    "ـ": "",                                                # tatweel
+})
+_AR_DIACRITICS = frozenset("ًٌٍَُِ"
+                           "ّْ")
+_AR_PREFIXES = ("ال",                    # ال
+                "وال",              # وال
+                "بال",              # بال
+                "كال",              # كال
+                "فال",              # فال
+                "لل")                    # لل
+_AR_SUFFIXES = ("ها", "ان", "ات",
+                "ون", "ين", "يه",
+                "ية", "ه", "ة", "ي")
+
+
+def arabic_light_stem(s: str) -> str:
+    """Light10 Arabic stemmer (Larkey, Ballesteros & Connell, "Improving
+    Stemming for Arabic Information Retrieval", SIGIR 2002): drop
+    diacritics/tatweel, normalize alef variants to bare alef and final
+    alef-maqsura to yeh, strip ONE definite-article prefix (ال وال بال
+    كال فال لل; leading و if 4+ chars remain), then ONE suffix from
+    {ها ان ات ون ين يه ية ه ة ي} if 2+ chars remain."""
+    s = "".join(ch for ch in s if ch not in _AR_DIACRITICS)
+    s = s.translate(_AR_NORM)
+    if s.endswith("ى"):                       # ى -> ي
+        s = s[:-1] + "ي"
+    for pre in _AR_PREFIXES:
+        if s.startswith(pre) and len(s) - len(pre) >= 2:
+            s = s[len(pre):]
+            break
+    else:
+        if s.startswith("و") and len(s) >= 4:  # و
+            s = s[1:]
+    for suf in _AR_SUFFIXES:
+        if s.endswith(suf) and len(s) - len(suf) >= 2:
+            s = s[: -len(suf)]
+            break
+    return s
+
+
 #: language -> stemmer, the subset of StemmerTokenFilterFactory's registry
 #: this engine implements (english/porter route to porter.porter_stem in
 #: analysis_custom._tf_stemmer)
@@ -154,4 +318,15 @@ LANGUAGE_STEMMERS = {
     "lightSpanish": light_spanish_stem,
     "possessive_english": possessive_english_stem,
     "possessiveEnglish": possessive_english_stem,
+    "minimal_portuguese": minimal_portuguese_stem,
+    "minimalPortuguese": minimal_portuguese_stem,
+    "light_portuguese": light_portuguese_stem,
+    "lightPortuguese": light_portuguese_stem,
+    "portugueseLight": light_portuguese_stem,
+    "light_italian": light_italian_stem,
+    "lightItalian": light_italian_stem,
+    "light_russian": light_russian_stem,
+    "lightRussian": light_russian_stem,
+    "russianLight": light_russian_stem,
+    "arabic": arabic_light_stem,
 }

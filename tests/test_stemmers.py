@@ -119,3 +119,60 @@ def test_possessive_english_goldens():
     for w, s in [("john's", "john"), ("spark’s", "spark"),
                  ("its", "its"), ("class'", "class'"), ("'s", "")]:
         assert possessive_english_stem(w) == s, w
+
+
+def test_minimal_portuguese_goldens():
+    """Orengo & Huyck plural-reduction step (SPIRE 2001)."""
+    from sparksearch.stemmers import minimal_portuguese_stem as st
+    for w, s in [("balões", "balão"), ("normais", "normal"),
+                 ("papéis", "papel"), ("barris", "barril"),
+                 ("bons", "bom"), ("casas", "casa"),
+                 ("ônibus", "ônibus"), ("atrás", "atrá"),
+                 ("mar", "mar"), ("dois", "doil")]:
+        assert st(w) == s, w
+
+
+def test_light_portuguese_goldens():
+    from sparksearch.stemmers import light_portuguese_stem as st
+    for w, s in [("gatos", "gat"), ("gata", "gat"), ("gato", "gat"),
+                 ("ações", "aco"), ("colunas", "colun"),
+                 ("tablo", "tabl")]:
+        assert st(w) == s, w
+
+
+def test_light_italian_goldens():
+    from sparksearch.stemmers import light_italian_stem as st
+    for w, s in [("ragazzo", "ragazz"), ("ragazzi", "ragazz"),
+                 ("ragazza", "ragazz"), ("negozio", "negoz"),
+                 ("negozi", "negoz"), ("storie", "stor"),
+                 ("storia", "stor"), ("perché", "perch"),
+                 ("città", "citta"), ("amico", "amico")]:
+        assert st(w) == s, w
+
+
+def test_light_russian_goldens():
+    from sparksearch.stemmers import light_russian_stem as st
+    for w, s in [("красивый", "красив"), ("красивая", "красив"),
+                 ("новые", "нов"), ("книгами", "книг"),
+                 ("книги", "книг"), ("книга", "книг"),
+                 ("дом", "дом"), ("table", "table")]:
+        assert st(w) == s, w
+
+
+def test_arabic_light10_goldens():
+    from sparksearch.stemmers import arabic_light_stem as st
+    for w, s in [("الكتاب", "كتاب"), ("والمكتبة", "مكتب"),
+                 ("للطلاب", "طلاب"), ("مدرسون", "مدرس"),
+                 ("يعملون", "يعمل"), ("هنا", "هنا")]:
+        assert st(w) == s, w
+
+
+def test_new_stemmers_registered_in_filter_factory():
+    from sparksearch.analysis_custom import _tf_stemmer
+    for lang, w, s in [("light_portuguese", "gatos", "gat"),
+                       ("light_italian", "ragazzi", "ragazz"),
+                       ("light_russian", "книгами", "книг"),
+                       ("arabic", "الكتاب", "كتاب"),
+                       ("minimal_portuguese", "balões", "balão")]:
+        f = _tf_stemmer({"language": lang})
+        assert f([(w, 0)]) == [(s, 0)], lang
