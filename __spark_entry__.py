@@ -228,6 +228,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from sparksearch import contract_round3 as CR3
     from sparksearch import contract_round3b as CR3B
     from sparksearch import contract_round3c as CR3C
+    from sparksearch import contract_round3d as CR3D
+    out.update(CR3D.queries())
     out.update(CR3.queries())
     out.update(CR3B.queries())
     out.update(CR3C.queries())
@@ -280,7 +282,9 @@ def oracle_sql() -> dict[str, str]:
     from sparksearch import contract_round3 as CR3
     from sparksearch import contract_round3b as CR3B
     from sparksearch import contract_round3c as CR3C
+    from sparksearch import contract_round3d as CR3D
     out = dict(CD.oracle_sql())
+    out.update(CR3D.oracle_sql())
     out.update(CR3.oracle_sql())
     out.update(CR3B.oracle_sql())
     out.update(CR3C.oracle_sql())

@@ -187,13 +187,20 @@ def _tf_stop(cfg: dict):
     return apply
 
 
-def _tf_stemmer(cfg: dict):
+def _tf_stemmer(cfg: dict, state: dict | None = None):
     """StemmerTokenFilterFactory — ``language`` selects the variant:
     english/porter/porter2/snowball route to the Porter implementation
     (porter.py); the light/minimal family (minimal_english,
     minimal_french, light_german, light_spanish) routes to the Savoy
     suffix-strip stemmers (stemmers.py). Reference registry:
-    StemmerTokenFilterFactory.java:143-260."""
+    StemmerTokenFilterFactory.java:143-260.
+
+    Keyword semantics: tokens protected by an earlier ``keyword_marker``
+    or rewritten by an earlier ``stemmer_override`` are skipped
+    (KeywordAttribute). When an earlier ``keyword_repeat`` is active the
+    filter emits the unstemmed token alongside the stem at the same
+    position (the classic index-both pattern; pair with
+    ``remove_duplicates``)."""
     lang = cfg.get("language", "english")
     from sparksearch.stemmers import LANGUAGE_STEMMERS
     fn = LANGUAGE_STEMMERS.get(lang)
@@ -203,7 +210,114 @@ def _tf_stemmer(cfg: dict):
                                 "kstem"):
             raise ValueError(f"unsupported stemmer language: {lang}")
         fn = porter_stem
-    return lambda toks: [(fn(t), p) for t, p in toks]
+    return _keyword_aware_stem(fn, state)
+
+
+def _keyword_aware_stem(fn, state: dict | None):
+    """Wrap a term->stem function honoring the chain's keyword state
+    captured at construction time (markers placed AFTER this filter in
+    the chain do not protect it, matching attribute flow order)."""
+    preds = tuple((state or {}).get("protected_preds", ()))
+    repeat = bool((state or {}).get("repeat"))
+
+    def stem1(t: str) -> str:
+        for pred in preds:
+            if pred(t):
+                return t
+        return fn(t)
+
+    if not repeat:
+        return lambda toks: [(stem1(t), p) for t, p in toks]
+
+    def apply(toks):
+        out = []
+        for t, p in toks:
+            s = stem1(t)
+            out.append((t, p))
+            if s != t:
+                out.append((s, p))
+        return out
+    return apply
+
+
+def _tf_keyword_marker(cfg: dict, state: dict | None = None):
+    """keyword_marker (KeywordMarkerTokenFilterFactory): terms matching
+    ``keywords`` / ``keywords_pattern`` are protected from downstream
+    stemming. Identity on the token stream itself — the mark lives in
+    the chain state consulted by stemmer construction."""
+    kws = cfg.get("keywords") or ()
+    pattern = cfg.get("keywords_pattern")
+    ignore_case = bool(cfg.get("ignore_case", False))
+    if state is not None:
+        preds = state.setdefault("protected_preds", [])
+        if kws:
+            kwset = frozenset(k.lower() for k in kws) if ignore_case \
+                else frozenset(kws)
+            preds.append(
+                (lambda t: t.lower() in kwset) if ignore_case
+                else (lambda t: t in kwset))
+        if pattern:
+            rex = re.compile(pattern, re.IGNORECASE if ignore_case else 0)
+            preds.append(lambda t: rex.fullmatch(t) is not None)
+    return lambda toks: toks
+
+
+def _tf_stemmer_override(cfg: dict, state: dict | None = None):
+    """stemmer_override (StemmerOverrideTokenFilterFactory): ``rules``
+    of the form ``token => stem`` applied verbatim; rewritten outputs
+    are protected from downstream stemmers (the factory marks them as
+    keywords). Protection is term-based: a surface form equal to an
+    override output is also protected — acceptable for deterministic
+    chains, documented here."""
+    rules = cfg.get("rules") or ()
+    mapping: dict[str, str] = {}
+    for rule in rules:
+        if "=>" not in rule:
+            raise ValueError(f"invalid stemmer_override rule: {rule!r}")
+        src, dst = rule.split("=>", 1)
+        for s in src.split(","):
+            mapping[s.strip()] = dst.strip()
+    if state is not None:
+        outs = frozenset(mapping.values()) | frozenset(mapping)
+        state.setdefault("protected_preds", []).append(
+            lambda t: t in outs)
+
+    def apply(toks):
+        return [(mapping.get(t, t), p) for t, p in toks]
+    return apply
+
+
+def _tf_keyword_repeat(cfg: dict, state: dict | None = None):
+    """keyword_repeat (KeywordRepeatFilter): downstream stemmers emit
+    the original term next to the stem at the same position; combine
+    with ``remove_duplicates`` to drop the copy when the stem equals
+    the original. Implemented as a chain-state flag (the duplicate is
+    materialized by the stemmer itself, so non-stemmer filters in
+    between see a single stream — faithful for the canonical
+    keyword_repeat → stemmer → remove_duplicates chain)."""
+    if state is not None:
+        state["repeat"] = True
+    return lambda toks: toks
+
+
+def _tf_remove_duplicates(cfg: dict):
+    """remove_duplicates (RemoveDuplicatesTokenFilterFactory): drop
+    tokens identical in term AND position to an already-emitted one."""
+    def apply(toks):
+        seen = set()
+        out = []
+        for t, p in toks:
+            if (t, p) not in seen:
+                seen.add((t, p))
+                out.append((t, p))
+        return out
+    return apply
+
+
+_tf_stemmer.wants_state = True
+_tf_keyword_marker.wants_state = True
+_tf_stemmer_override.wants_state = True
+_tf_keyword_repeat.wants_state = True
 
 
 _CJK_RANGES = (
@@ -413,6 +527,25 @@ def _tf_reverse(cfg: dict):
     return lambda toks: [(t[::-1], p) for t, p in toks]
 
 
+def _lazy_word_delimiter(cfg: dict):
+    from sparksearch.worddelim import word_delimiter_filter
+    return word_delimiter_filter(cfg)
+
+
+def _lazy_norm(name: str):
+    def factory(cfg: dict):
+        from sparksearch import normfilters
+        return getattr(normfilters, f"{name}_filter")(cfg)
+    return factory
+
+
+def _lazy_mgmt(name: str):
+    def factory(cfg: dict):
+        from sparksearch import tokenmgmt
+        return getattr(tokenmgmt, f"{name}_filter")(cfg)
+    return factory
+
+
 _TOKEN_FILTERS = {
     "lowercase": _tf_lowercase,
     "uppercase": _tf_uppercase,
@@ -432,6 +565,30 @@ _TOKEN_FILTERS = {
     "unique": _tf_unique,
     "reverse": _tf_reverse,
     "cjk_bigram": _tf_cjk_bigram,
+    "word_delimiter": _lazy_word_delimiter,
+    "word_delimiter_graph": _lazy_word_delimiter,
+    "elision": _lazy_norm("elision"),
+    "cjk_width": _lazy_norm("cjk_width"),
+    "decimal_digit": _lazy_norm("decimal_digit"),
+    "arabic_normalization": _lazy_norm("arabic_normalization"),
+    "german_normalization": _lazy_norm("german_normalization"),
+    "persian_normalization": _lazy_norm("persian_normalization"),
+    "scandinavian_normalization": _lazy_norm("scandinavian_normalization"),
+    "scandinavian_folding": _lazy_norm("scandinavian_folding"),
+    "apostrophe": _lazy_norm("apostrophe"),
+    "classic": _lazy_norm("classic"),
+    "keyword_marker": _tf_keyword_marker,
+    "stemmer_override": _tf_stemmer_override,
+    "keyword_repeat": _tf_keyword_repeat,
+    "remove_duplicates": _tf_remove_duplicates,
+    "limit": _lazy_mgmt("limit"),
+    "keep": _lazy_mgmt("keep"),
+    "keep_types": _lazy_mgmt("keep_types"),
+    "common_grams": _lazy_mgmt("common_grams"),
+    "fingerprint": _lazy_mgmt("fingerprint"),
+    "pattern_capture": _lazy_mgmt("pattern_capture"),
+    "multiplexer": _lazy_mgmt("multiplexer"),
+    "min_hash": _lazy_mgmt("min_hash"),
 }
 
 # ---------------------------------------------------------------------------
@@ -439,20 +596,30 @@ _TOKEN_FILTERS = {
 # ---------------------------------------------------------------------------
 
 
-def _resolve(spec, table: dict, named: dict, kind: str):
+def _resolve(spec, table: dict, named: dict, kind: str,
+             state: dict | None = None):
     """A component spec is a built-in name, a reference to a named
-    definition in the settings block, or an inline definition dict."""
+    definition in the settings block, or an inline definition dict.
+    ``state`` is the per-analyzer chain state threaded into factories
+    that declare ``wants_state`` (keyword_marker / stemmer_override /
+    keyword_repeat coordination with stemmers, in chain order)."""
     if isinstance(spec, str):
         if spec in named:
             spec = named[spec]
         else:
             if spec not in table:
                 raise ValueError(f"unknown {kind}: {spec!r}")
-            return table[spec]({})
+            fac = table[spec]
+            if getattr(fac, "wants_state", False):
+                return fac({}, state)
+            return fac({})
     typ = spec.get("type")
     if typ not in table:
         raise ValueError(f"unknown {kind} type: {typ!r}")
-    return table[typ](spec)
+    fac = table[typ]
+    if getattr(fac, "wants_state", False):
+        return fac(spec, state)
+    return fac(spec)
 
 
 class CustomAnalyzer:
@@ -480,7 +647,9 @@ class CustomAnalyzer:
             for cf in settings.get("char_filter", [])]
         self.tokenizer = _resolve(settings.get("tokenizer", "standard"),
                                   _TOKENIZERS, ntk, "tokenizer")
-        self.filters = [_resolve(f, _TOKEN_FILTERS, nf, "filter")
+        chain_state: dict = {}
+        self.filters = [_resolve(f, _TOKEN_FILTERS, nf, "filter",
+                                 chain_state)
                         for f in settings.get("filter", [])]
 
     def analyze(self, text: str):

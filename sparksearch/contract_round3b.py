@@ -398,7 +398,9 @@ def _q_stem_goldens(an_name: str, variant: str, probes):
 
 
 def _sql_goldens(goldens) -> str:
-    vals = ", ".join(f"({p}, '{t}', {pos})" for p, t, pos in goldens)
+    vals = ", ".join(
+        "({}, '{}', {})".format(p, t.replace("'", "''"), pos)
+        for p, t, pos in goldens)
     return f"""
 SELECT probe, term, CAST(pos AS INT) AS pos
 FROM (VALUES {vals}) AS v(probe, term, pos)

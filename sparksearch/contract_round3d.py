@@ -1,0 +1,235 @@
+"""Round-3 contract entries: analysis-common filter batch
+(word_delimiter_graph, normalization family, stemming control, token
+management — reference registry ``CommonAnalysisModulePlugin.java:249-330``).
+
+Each entry runs probe strings through the REAL executor Arrow-UDF
+analyze path (``tokenize_udf``) with a custom analyzer chain and is
+gated against hand-derived golden token streams embedded in the oracle
+as a VALUES table — the goldens were written from the documented Lucene
+filter semantics, not computed by this engine, so the gate is
+independent of the implementation.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import functions as F
+
+from sparksearch.contract_round3b import _sql_goldens
+
+
+def _q_filter_goldens(an_name: str, settings: dict, probes, doc: str):
+    def run(spark, sf_dir):
+        from sparksearch.analysis_custom import (get_custom,
+                                                 register_analyzer)
+        from sparksearch.build import tokenize_udf
+        if get_custom(an_name) is None:
+            register_analyzer(an_name, settings)
+        outs = []
+        for pid, text in probes:
+            df = spark.createDataFrame([(text,)], "text string")
+            tok = df.withColumn("_t", tokenize_udf(an_name)(F.col("text")))
+            outs.append(tok.select(
+                F.lit(pid).alias("probe"),
+                F.explode(F.arrays_zip("_t.terms", "_t.poss")).alias("tp"))
+                .select("probe", F.col("tp.terms").alias("term"),
+                        F.col("tp.poss").cast("int").alias("pos")))
+        return (reduce(lambda a, b: a.unionAll(b), outs)
+                .orderBy("probe", "pos", "term"))
+    run.__name__ = f"q_{an_name}"
+    run.__doc__ = doc
+    return run
+
+
+# ---------------------------------------------------------------------------
+# probes + hand-derived goldens
+# ---------------------------------------------------------------------------
+
+_WD_SETTINGS = {"tokenizer": "whitespace",
+                "filter": [{"type": "word_delimiter_graph"}, "lowercase"]}
+_WD_PROBES = [(0, "Wi-Fi PowerShot500"),
+              (1, "XMLHttpRequest O'Neil's"),
+              (2, "j2se SD500-II")]
+#: WordDelimiterGraphFilter defaults: split on delimiters / case change
+#: (with SD|Card acronym handling) / numerics, strip possessive.
+_WD_GOLDENS = [
+    (0, "wi", 0), (0, "fi", 1), (0, "power", 2), (0, "shot", 3),
+    (0, "500", 4),
+    (1, "xml", 0), (1, "http", 1), (1, "request", 2), (1, "o", 3),
+    (1, "neil", 4),
+    (2, "j", 0), (2, "2", 1), (2, "se", 2), (2, "sd", 3), (2, "500", 4),
+    (2, "ii", 5),
+]
+
+_WDC_SETTINGS = {"tokenizer": "whitespace",
+                 "filter": [{"type": "word_delimiter_graph",
+                             "catenate_words": True,
+                             "catenate_numbers": True,
+                             "preserve_original": True}, "lowercase"]}
+_WDC_PROBES = [(0, "wi-fi 500-42")]
+#: original + catenation stack at the first part's position
+_WDC_GOLDENS = [
+    (0, "wi-fi", 0), (0, "wi", 0), (0, "wifi", 0), (0, "fi", 1),
+    (0, "500-42", 2), (0, "500", 2), (0, "50042", 2), (0, "42", 3),
+]
+
+_EL_SETTINGS = {"tokenizer": "whitespace",
+                "filter": [{"type": "elision",
+                            "articles": ["l", "d", "qu", "j"]},
+                           "lowercase"]}
+_EL_PROBES = [(0, "L'avion d'été qu'il j'adore tel'x")]
+#: only listed articles elide; "tel" is not an article
+_EL_GOLDENS = [(0, "avion", 0), (0, "été", 1), (0, "il", 2),
+               (0, "adore", 3), (0, "tel'x", 4)]
+
+_CW_SETTINGS = {"tokenizer": "whitespace",
+                "filter": ["cjk_width", "decimal_digit", "lowercase"]}
+_CW_PROBES = [(0, "Ｔｅｓｔ１２３"), (1, "ｶﾀｶﾅ ﾊﾟﾝ"), (2, "١٢٣ ４２")]
+#: fullwidth ASCII folds to halfwidth, halfwidth katakana to fullwidth
+#: (with handakuten composition), Arabic-Indic digits to 0-9
+_CW_GOLDENS = [(0, "test123", 0),
+               (1, "カタカナ", 0), (1, "パン", 1),
+               (2, "123", 0), (2, "42", 1)]
+
+_DE_SETTINGS = {"tokenizer": "whitespace",
+                "filter": ["lowercase", "german_normalization"]}
+_DE_PROBES = [(0, "Häuser über Quelle ueber Fußball schön")]
+#: umlauts fold; the 'e' of a ue digraph after u drops (ueber->uber) but
+#: not after q (quelle)
+_DE_GOLDENS = [(0, "hauser", 0), (0, "uber", 1), (0, "quelle", 2),
+               (0, "uber", 3), (0, "fussball", 4), (0, "schon", 5)]
+
+_SC_SETTINGS = {"tokenizer": "whitespace",
+                "filter": ["lowercase", "scandinavian_folding"]}
+_SC_PROBES = [(0, "Räksmörgås blåbær aeble")]
+_SC_GOLDENS = [(0, "raksmorgas", 0), (0, "blabar", 1), (0, "able", 2)]
+
+_CA_SETTINGS = {"tokenizer": "whitespace",
+                "filter": ["classic", "apostrophe", "lowercase"]}
+_CA_PROBES = [(0, "i.b.m. John's Türkiye'nin U.S.A.")]
+#: classic strips acronym dots + possessive 's; apostrophe truncates the
+#: Turkish suffix
+_CA_GOLDENS = [(0, "ibm", 0), (0, "john", 1), (0, "türkiye", 2),
+               (0, "usa", 3)]
+
+_KC_SETTINGS = {"tokenizer": "whitespace",
+                "filter": ["lowercase",
+                           {"type": "stemmer_override",
+                            "rules": ["mice => mouse"]},
+                           {"type": "keyword_marker",
+                            "keywords": ["running"]},
+                           {"type": "stemmer", "language": "english"}]}
+_KC_PROBES = [(0, "Running mice jumping tables")]
+#: marker and override outputs are protected from the stemmer
+_KC_GOLDENS = [(0, "running", 0), (0, "mouse", 1), (0, "jump", 2),
+               (0, "tabl", 3)]
+
+_KR_SETTINGS = {"tokenizer": "whitespace",
+                "filter": ["lowercase", "keyword_repeat",
+                           {"type": "stemmer", "language": "english"},
+                           "remove_duplicates"]}
+_KR_PROBES = [(0, "running dogs fix")]
+#: original + stem stacked; identical pairs deduplicated
+_KR_GOLDENS = [(0, "running", 0), (0, "run", 0),
+               (0, "dogs", 1), (0, "dog", 1), (0, "fix", 2)]
+
+_KL_SETTINGS = {"tokenizer": "whitespace",
+                "filter": [{"type": "keep_types", "types": ["<NUM>"],
+                            "mode": "exclude"},
+                           {"type": "limit", "max_token_count": 3}]}
+_KL_PROBES = [(0, "alpha 42 beta gamma delta 7")]
+#: numbers dropped by type, then the first three positions kept
+_KL_GOLDENS = [(0, "alpha", 0), (0, "beta", 2), (0, "gamma", 3)]
+
+_CG_SETTINGS = {"tokenizer": "whitespace",
+                "filter": ["lowercase",
+                           {"type": "common_grams",
+                            "common_words": ["the", "of"]}]}
+_CG_PROBES = [(0, "The history of the world")]
+#: a bigram is emitted for every adjacent pair touching a common word,
+#: stacked at the first member's position (CommonGramsFilter)
+_CG_GOLDENS = [
+    (0, "the", 0), (0, "the_history", 0),
+    (0, "history", 1), (0, "history_of", 1),
+    (0, "of", 2), (0, "of_the", 2),
+    (0, "the", 3), (0, "the_world", 3),
+    (0, "world", 4),
+]
+
+_MX_SETTINGS = {"tokenizer": "whitespace",
+                "filter": [{"type": "multiplexer",
+                            "filters": ["lowercase", "porter_stem"]}]}
+_MX_PROBES = [(0, "jumped tables")]
+#: original preserved, each branch's distinct output stacked
+_MX_GOLDENS = [(0, "jumped", 0), (0, "jump", 0),
+               (0, "tables", 1), (0, "tabl", 1)]
+
+_FP_SETTINGS = {"tokenizer": "whitespace",
+                "filter": ["lowercase",
+                           {"type": "pattern_capture",
+                            "patterns": [r"([a-z]+)(\d+)"]},
+                           "fingerprint"]}
+_FP_PROBES = [(0, "abc123 zebra abc123")]
+#: captures stack, then fingerprint sorts + dedupes + joins into one
+#: token at position 0
+_FP_GOLDENS = [(0, "123 abc abc123 zebra", 0)]
+
+
+_CASES = {
+    "tf_word_delimiter": (_WD_SETTINGS, _WD_PROBES, _WD_GOLDENS,
+                          "word_delimiter_graph defaults through the "
+                          "Arrow-UDF path vs hand-derived goldens "
+                          "(WordDelimiterGraphTokenFilterFactory.java:"
+                          "68-110)."),
+    "tf_word_delimiter_cat": (_WDC_SETTINGS, _WDC_PROBES, _WDC_GOLDENS,
+                              "word_delimiter_graph catenate_words/"
+                              "numbers + preserve_original stacking."),
+    "tf_elision": (_EL_SETTINGS, _EL_PROBES, _EL_GOLDENS,
+                   "elision filter (ElisionTokenFilterFactory.java)."),
+    "tf_cjk_width": (_CW_SETTINGS, _CW_PROBES, _CW_GOLDENS,
+                     "cjk_width + decimal_digit normalization "
+                     "(CJKWidthFilterFactory, DecimalDigitFilterFactory)."),
+    "tf_norm_german": (_DE_SETTINGS, _DE_PROBES, _DE_GOLDENS,
+                       "german_normalization state machine "
+                       "(GermanNormalizationFilterFactory)."),
+    "tf_scandinavian": (_SC_SETTINGS, _SC_PROBES, _SC_GOLDENS,
+                        "scandinavian_folding "
+                        "(ScandinavianFoldingFilterFactory)."),
+    "tf_classic_apostrophe": (_CA_SETTINGS, _CA_PROBES, _CA_GOLDENS,
+                              "classic + apostrophe filters "
+                              "(ClassicFilterFactory, "
+                              "ApostropheFilterFactory)."),
+    "tf_keyword_control": (_KC_SETTINGS, _KC_PROBES, _KC_GOLDENS,
+                           "stemmer_override + keyword_marker protecting "
+                           "the english stemmer (KeywordMarkerToken"
+                           "FilterFactory, StemmerOverrideTokenFilter"
+                           "Factory)."),
+    "tf_keyword_repeat": (_KR_SETTINGS, _KR_PROBES, _KR_GOLDENS,
+                          "keyword_repeat + stemmer + remove_duplicates "
+                          "index-both pattern (KeywordRepeatFilter, "
+                          "RemoveDuplicatesTokenFilterFactory)."),
+    "tf_keep_limit": (_KL_SETTINGS, _KL_PROBES, _KL_GOLDENS,
+                      "keep_types exclude <NUM> + limit max_token_count "
+                      "(KeepTypesFilterFactory, LimitTokenCount"
+                      "FilterFactory)."),
+    "tf_common_grams": (_CG_SETTINGS, _CG_PROBES, _CG_GOLDENS,
+                        "common_grams bigrams stacked at the first "
+                        "member (CommonGramsTokenFilterFactory)."),
+    "tf_multiplexer": (_MX_SETTINGS, _MX_PROBES, _MX_GOLDENS,
+                       "multiplexer branch stacking "
+                       "(MultiplexerTokenFilterFactory)."),
+    "tf_fingerprint": (_FP_SETTINGS, _FP_PROBES, _FP_GOLDENS,
+                       "pattern_capture + fingerprint collapse "
+                       "(PatternCaptureGroupTokenFilterFactory, "
+                       "FingerprintTokenFilterFactory)."),
+}
+
+
+def queries() -> dict:
+    return {name: _q_filter_goldens(name, s, p, doc)
+            for name, (s, p, _, doc) in _CASES.items()}
+
+
+def oracle_sql() -> dict:
+    return {name: _sql_goldens(g) for name, (_, _, g, _) in _CASES.items()}
