@@ -137,6 +137,13 @@ def _tk_pattern(cfg: dict) -> Callable[[str], list[str]]:
                       if m.group(group)]
 
 
+def _lazy_tokenizer(name: str):
+    def factory(cfg: dict):
+        from sparksearch.tokenizers_ext import TOKENIZERS_EXT
+        return TOKENIZERS_EXT[name](cfg)
+    return factory
+
+
 _TOKENIZERS = {
     "standard": _tk_standard,
     "whitespace": _tk_whitespace,
@@ -144,6 +151,14 @@ _TOKENIZERS = {
     "letter": _tk_letter,
     "lowercase": _tk_lowercase,
     "pattern": _tk_pattern,
+    "ngram": _lazy_tokenizer("ngram"),
+    "edge_ngram": _lazy_tokenizer("edge_ngram"),
+    "char_group": _lazy_tokenizer("char_group"),
+    "path_hierarchy": _lazy_tokenizer("path_hierarchy"),
+    "simple_pattern": _lazy_tokenizer("simple_pattern"),
+    "simple_pattern_split": _lazy_tokenizer("simple_pattern_split"),
+    "uax_url_email": _lazy_tokenizer("uax_url_email"),
+    "classic": _lazy_tokenizer("classic"),
 }
 
 # ---------------------------------------------------------------------------
@@ -658,7 +673,13 @@ class CustomAnalyzer:
         for cf in self.char_filters:
             s = cf(s)
         raw = self.tokenizer(s)
-        toks = [(t, i) for i, t in enumerate(raw)]
+        if getattr(self.tokenizer, "emits_positions", False):
+            # tokenizer returned (term, pos) pairs directly
+            # (path_hierarchy stacks every prefix at position 0)
+            toks = list(raw)
+            raw = [t for t, _ in toks]
+        else:
+            toks = [(t, i) for i, t in enumerate(raw)]
         glue = None
         if any(getattr(f, "wants_glue", False) for f in self.filters):
             # offset contiguity per original token index: glue[i] is True

@@ -176,7 +176,90 @@ _FP_PROBES = [(0, "abc123 zebra abc123")]
 _FP_GOLDENS = [(0, "123 abc abc123 zebra", 0)]
 
 
+# ---------------------------------------------------------------------------
+# extended tokenizer registry (tokenizers_ext.py)
+# ---------------------------------------------------------------------------
+
+_NG_SETTINGS = {"tokenizer": {"type": "ngram", "min_gram": 2,
+                              "max_gram": 3,
+                              "token_chars": ["letter", "digit"]}}
+_NG_PROBES = [(0, "ab cd3!x"), (1, "abc")]
+#: offset-major then gram-length order per run (NGramTokenizer)
+_NG_GOLDENS = [(0, "ab", 0), (0, "cd", 1), (0, "cd3", 2), (0, "d3", 3),
+               (1, "ab", 0), (1, "abc", 1), (1, "bc", 2)]
+
+_EG_SETTINGS = {"tokenizer": {"type": "edge_ngram", "min_gram": 1,
+                              "max_gram": 3, "token_chars": ["letter"]},
+                "filter": ["lowercase"]}
+_EG_PROBES = [(0, "Quick Fox")]
+_EG_GOLDENS = [(0, "q", 0), (0, "qu", 1), (0, "qui", 2),
+               (0, "f", 3), (0, "fo", 4), (0, "fox", 5)]
+
+_PH_SETTINGS = {"tokenizer": "path_hierarchy"}
+_PH_PROBES = [(0, "/usr/local/bin"), (1, "a/b")]
+#: every prefix stacked at position 0 (PathHierarchyTokenizer posInc)
+_PH_GOLDENS = [(0, "/usr", 0), (0, "/usr/local", 0),
+               (0, "/usr/local/bin", 0),
+               (1, "a", 0), (1, "a/b", 0)]
+
+_CGT_SETTINGS = {"tokenizer": {"type": "char_group",
+                               "tokenize_on_chars": ["whitespace", "-",
+                                                     "digit"]},
+                 "filter": ["lowercase"]}
+_CGT_PROBES = [(0, "The QUICK-brown 42fox")]
+_CGT_GOLDENS = [(0, "the", 0), (0, "quick", 1), (0, "brown", 2),
+                (0, "fox", 3)]
+
+_UX_SETTINGS = {"tokenizer": "uax_url_email", "filter": ["lowercase"]}
+_UX_PROBES = [(0, "Visit https://Example.com/a?b=1 or mail Bob@ex.co.uk")]
+#: URL/email spans survive as single tokens (UAX29URLEmailTokenizer)
+_UX_GOLDENS = [(0, "visit", 0), (0, "https://example.com/a?b=1", 1),
+               (0, "or", 2), (0, "mail", 3), (0, "bob@ex.co.uk", 4)]
+
+_CLT_SETTINGS = {"tokenizer": "classic",
+                 "filter": ["classic", "lowercase"]}
+_CLT_PROBES = [(0, "I.B.M. AT&T O'Neil's www.foo.bar 12.3")]
+#: classic tokenizer grammar + classic filter acronym/possessive strip
+_CLT_GOLDENS = [(0, "ibm", 0), (0, "at&t", 1), (0, "o'neil", 2),
+                (0, "www.foo.bar", 3), (0, "12.3", 4)]
+
+_SP_SETTINGS = {"tokenizer": {"type": "simple_pattern",
+                              "pattern": "[0-9]{3}"}}
+_SP_PROBES = [(0, "fd-786-335-514-x")]
+_SP_GOLDENS = [(0, "786", 0), (0, "335", 1), (0, "514", 2)]
+
+_SPS_SETTINGS = {"tokenizer": {"type": "simple_pattern_split",
+                               "pattern": "_+"}}
+_SPS_PROBES = [(0, "an_underscored__phrase")]
+_SPS_GOLDENS = [(0, "an", 0), (0, "underscored", 1), (0, "phrase", 2)]
+
+
 _CASES = {
+    "tk_ngram": (_NG_SETTINGS, _NG_PROBES, _NG_GOLDENS,
+                 "ngram tokenizer offset-major gram order + token_chars "
+                 "runs (NGramTokenizerFactory.java)."),
+    "tk_edge_ngram": (_EG_SETTINGS, _EG_PROBES, _EG_GOLDENS,
+                      "edge_ngram tokenizer per-run prefixes "
+                      "(EdgeNGramTokenizerFactory.java)."),
+    "tk_path_hierarchy": (_PH_SETTINGS, _PH_PROBES, _PH_GOLDENS,
+                          "path_hierarchy prefix stack at position 0 "
+                          "(PathHierarchyTokenizerFactory.java)."),
+    "tk_char_group": (_CGT_SETTINGS, _CGT_PROBES, _CGT_GOLDENS,
+                      "char_group split on chars + classes "
+                      "(CharGroupTokenizerFactory.java)."),
+    "tk_uax_url_email": (_UX_SETTINGS, _UX_PROBES, _UX_GOLDENS,
+                         "uax_url_email keeps URL/email spans whole "
+                         "(UAX29URLEmailTokenizer)."),
+    "tk_classic": (_CLT_SETTINGS, _CLT_PROBES, _CLT_GOLDENS,
+                   "classic tokenizer grammar + classic filter "
+                   "(ClassicTokenizer, ClassicFilterFactory)."),
+    "tk_simple_pattern": (_SP_SETTINGS, _SP_PROBES, _SP_GOLDENS,
+                          "simple_pattern emits matches "
+                          "(SimplePatternTokenizerFactory.java)."),
+    "tk_simple_pattern_split": (_SPS_SETTINGS, _SPS_PROBES, _SPS_GOLDENS,
+                                "simple_pattern_split splits on matches "
+                                "(SimplePatternSplitTokenizerFactory"
+                                ".java)."),
     "tf_word_delimiter": (_WD_SETTINGS, _WD_PROBES, _WD_GOLDENS,
                           "word_delimiter_graph defaults through the "
                           "Arrow-UDF path vs hand-derived goldens "
