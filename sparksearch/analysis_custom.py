@@ -606,6 +606,19 @@ _TOKEN_FILTERS = {
     "min_hash": _lazy_mgmt("min_hash"),
 }
 
+
+def _lazy_ext(name: str):
+    def factory(cfg: dict):
+        from sparksearch.filters_ext import FILTERS_EXT
+        return FILTERS_EXT[name](cfg)
+    return factory
+
+
+for _n in ("dictionary_decompounder", "hyphenation_decompounder",
+           "condition", "predicate_token_filter", "delimited_payload",
+           "delimited_payload_filter", "flatten_graph", "phonetic"):
+    _TOKEN_FILTERS[_n] = _lazy_ext(_n)
+
 # ---------------------------------------------------------------------------
 # analyzer assembly
 # ---------------------------------------------------------------------------

@@ -177,6 +177,60 @@ _FP_GOLDENS = [(0, "123 abc abc123 zebra", 0)]
 
 
 # ---------------------------------------------------------------------------
+# filters_ext: decompounders, scripted filters, phonetic
+# ---------------------------------------------------------------------------
+
+_DD_SETTINGS = {"tokenizer": "whitespace",
+                "filter": ["lowercase",
+                           {"type": "dictionary_decompounder",
+                            "word_list": ["dampf", "schiff", "fahrt"]}]}
+_DD_PROBES = [(0, "Dampfschifffahrt ahoi")]
+#: subwords stack at the compound's position, original first
+_DD_GOLDENS = [(0, "dampfschifffahrt", 0), (0, "dampf", 0),
+               (0, "schiff", 0), (0, "fahrt", 0), (0, "ahoi", 1)]
+
+_HD_SETTINGS = {"tokenizer": "whitespace",
+                "filter": ["lowercase",
+                           {"type": "hyphenation_decompounder",
+                            "word_list": ["wirtschaft", "wunder"]}]}
+#: full-partition compounds split; non-partitioning tokens untouched
+#: (wunderx has no clean dictionary cover)
+_HD_PROBES = [(0, "wirtschaftwunder wunderx")]
+_HD_GOLDENS = [(0, "wirtschaftwunder", 0), (0, "wirtschaft", 0),
+               (0, "wunder", 0), (0, "wunderx", 1)]
+
+_COND_SETTINGS = {"tokenizer": "whitespace",
+                  "filter": [{"type": "condition",
+                              "filter": ["lowercase"],
+                              "script": {"source":
+                                         "token.term.length() < 5"}}]}
+_COND_PROBES = [(0, "Hello BIG World AB")]
+_COND_GOLDENS = [(0, "Hello", 0), (0, "big", 1), (0, "World", 2),
+                 (0, "ab", 3)]
+
+_PRED_SETTINGS = {"tokenizer": "whitespace",
+                  "filter": ["lowercase",
+                             {"type": "predicate_token_filter",
+                              "script": {"source":
+                                         "token.term.length() >= 4"}}]}
+_PRED_PROBES = [(0, "ab abcd the quick fox jumps")]
+_PRED_GOLDENS = [(0, "abcd", 1), (0, "quick", 3), (0, "jumps", 5)]
+
+_SDX_SETTINGS = {"tokenizer": "whitespace",
+                 "filter": [{"type": "phonetic", "encoder": "soundex"}]}
+_SDX_PROBES = [(0, "Robert Rupert Ashcraft Tymczak Pfister")]
+#: commons-codec Soundex vectors (H/W transparency, vowel run breaks)
+_SDX_GOLDENS = [(0, "R163", 0), (0, "R163", 1), (0, "A261", 2),
+                (0, "T522", 3), (0, "P236", 4)]
+
+_DP_SETTINGS = {"tokenizer": "whitespace",
+                "filter": [{"type": "delimited_payload",
+                            "delimiter": "|"}, "flatten_graph"]}
+_DP_PROBES = [(0, "the|0 quick|5 fox")]
+_DP_GOLDENS = [(0, "the", 0), (0, "quick", 1), (0, "fox", 2)]
+
+
+# ---------------------------------------------------------------------------
 # extended tokenizer registry (tokenizers_ext.py)
 # ---------------------------------------------------------------------------
 
@@ -235,6 +289,26 @@ _SPS_GOLDENS = [(0, "an", 0), (0, "underscored", 1), (0, "phrase", 2)]
 
 
 _CASES = {
+    "tf_dict_decompound": (_DD_SETTINGS, _DD_PROBES, _DD_GOLDENS,
+                           "dictionary_decompounder subword stacking "
+                           "(DictionaryCompoundWordTokenFilter)."),
+    "tf_hyph_decompound": (_HD_SETTINGS, _HD_PROBES, _HD_GOLDENS,
+                           "hyphenation_decompounder full-partition "
+                           "split (HyphenationCompoundWordTokenFilter; "
+                           "greedy dictionary cover, documented)."),
+    "tf_condition": (_COND_SETTINGS, _COND_PROBES, _COND_GOLDENS,
+                     "condition scripted filter wrapping lowercase "
+                     "(ScriptedConditionTokenFilter)."),
+    "tf_predicate": (_PRED_SETTINGS, _PRED_PROBES, _PRED_GOLDENS,
+                     "predicate_token_filter keep-matching "
+                     "(PredicateTokenFilterScriptFactory)."),
+    "tf_soundex": (_SDX_SETTINGS, _SDX_PROBES, _SDX_GOLDENS,
+                   "phonetic soundex encoder vectors "
+                   "(analysis-phonetic PhoneticTokenFilterFactory)."),
+    "tf_delimited_payload": (_DP_SETTINGS, _DP_PROBES, _DP_GOLDENS,
+                             "delimited_payload term extraction + "
+                             "flatten_graph identity "
+                             "(DelimitedPayloadTokenFilterFactory)."),
     "tk_ngram": (_NG_SETTINGS, _NG_PROBES, _NG_GOLDENS,
                  "ngram tokenizer offset-major gram order + token_chars "
                  "runs (NGramTokenizerFactory.java)."),
