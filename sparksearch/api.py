@@ -96,23 +96,30 @@ def _sort_col(field: str):
     return F.col(field)
 
 
-def _query_texts(node) -> list[str]:
-    """Fulltext query strings inside a body query dict (for highlighting)."""
+def _query_texts(node, field: str | None = None) -> list[str]:
+    """Fulltext query strings inside a body query dict (for
+    highlighting). ``field`` restricts to clauses targeting that field
+    (require_field_match=true semantics); multi_match counts as
+    targeting every listed field."""
     out: list[str] = []
     if isinstance(node, dict):
         for k, v in node.items():
             if k in ("match", "match_phrase", "match_phrase_prefix",
                      "match_bool_prefix"):
-                (_, spec), = v.items()
-                out.append(spec["query"] if isinstance(spec, dict)
-                           else str(spec))
+                (f, spec), = v.items()
+                if field is None or f == field:
+                    out.append(spec["query"] if isinstance(spec, dict)
+                               else str(spec))
             elif k == "multi_match":
-                out.append(str(v.get("query", "")))
+                flds = [str(f).split("^")[0]
+                        for f in v.get("fields", [])]
+                if field is None or not flds or field in flds:
+                    out.append(str(v.get("query", "")))
             else:
-                out.extend(_query_texts(v))
+                out.extend(_query_texts(v, field))
     elif isinstance(node, list):
         for x in node:
-            out.extend(_query_texts(x))
+            out.extend(_query_texts(x, field))
     return out
 
 
@@ -431,10 +438,26 @@ def search_df(ex, body: dict, pages: DataFrame | None = None,
                              "search_df(ex, body, pages=...)")
         import re
         from sparksearch.analysis import analyze
-        hl = body["highlight"]
+        hl = dict(body["highlight"])
+        # per-field options block: {"fields": {"text": {...}}} — field
+        # opts override the top level (HighlightBuilder inheritance)
+        fld_opts = (hl.get("fields") or {}).get("text")
+        if isinstance(fld_opts, dict):
+            hl.update(fld_opts)
+        # highlighter `type` is accepted for API parity: unified/plain/
+        # fvh all run the one Catalyst fragmenting highlighter (the
+        # reference's three differ in offset source — reanalysis vs
+        # postings vs term vectors — not in result shape)
+        hl_type = hl.get("type", "unified")
+        if hl_type not in ("unified", "plain", "fvh"):
+            raise ValueError(f"unknown highlighter type: {hl_type!r}")
         pre = (hl.get("pre_tags") or ["<em>"])[0]
         post = (hl.get("post_tags") or ["</em>"])[0]
-        terms = sorted({t for txt in _query_texts(body.get("query", {}))
+        # require_field_match (default true): only clauses targeting the
+        # highlighted field contribute terms
+        hfield = "text" if hl.get("require_field_match", True) else None
+        terms = sorted({t for txt in _query_texts(body.get("query", {}),
+                                                  hfield)
                         for t, _ in analyze(txt, ex.ix.analyzer)})
         if terms and ("fragment_size" in hl
                       or "number_of_fragments" in hl):
@@ -443,11 +466,18 @@ def search_df(ex, body: dict, pages: DataFrame | None = None,
             fr = highlight_fragments(
                 out.select("docid", "url", "score"), pages, terms,
                 int(hl.get("fragment_size", 100)),
-                int(hl.get("number_of_fragments", 2)), pre, post)
+                int(hl.get("number_of_fragments", 2)), pre, post,
+                no_match_size=int(hl.get("no_match_size", 0)),
+                order=str(hl.get("order", "none")))
+            # order=score → fragments sorted by match count desc;
+            # default keeps document (window) order within the hit
+            first_key = ((-F.col("n_matches"))
+                         if str(hl.get("order", "none")) == "score"
+                         else F.col("frag_idx"))
             arr = (fr.groupBy("docid")
                    .agg(F.transform(
                        F.sort_array(F.collect_list(F.struct(
-                           (-F.col("n_matches")).alias("nm"),
+                           first_key.alias("k1"),
                            F.col("frag_idx").alias("fi"),
                            F.col("fragment").alias("fr")))),
                        lambda x: x["fr"]).alias("highlight")))

@@ -422,6 +422,42 @@ def test_highlight_fragments_in_body(spark, ex):
         list(rows[0].highlight)
 
 
+def test_highlight_type_field_opts_and_field_match(spark, ex):
+    """Highlighter `type` accepted (unified/plain/fvh → one impl),
+    per-field options override the top level, require_field_match=false
+    pulls terms from clauses on other fields, order=score resorts."""
+    from sparksearch.corpus import pages_from_documents
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001")
+    base = {"query": {"bool": {"must": [{"match": {"text": "hash join"}}],
+                               "filter": [{"term": {"lang": "en"}}]}},
+            "size": 3, "_source": False}
+    # per-field fragment opts + type under fields.text
+    body = {**base, "highlight": {"fields": {"text": {
+        "type": "plain", "fragment_size": 50,
+        "number_of_fragments": 1}}}}
+    rows = search_df(ex, body, pages=pages).collect()
+    assert rows and all(len(r.highlight) == 1 for r in rows)
+    with pytest.raises(ValueError, match="highlighter type"):
+        search_df(ex, {**base, "highlight": {"type": "postings",
+                                             "fragment_size": 50}},
+                  pages=pages)
+    # require_field_match=true (default): a query targeting another
+    # field contributes no terms -> simple tagging path yields no <em>
+    body_other = {"query": {"match": {"text": "hash"}},
+                  "size": 2, "_source": False,
+                  "highlight": {"fragment_size": 50,
+                                "number_of_fragments": 1}}
+    tagged = search_df(ex, body_other, pages=pages).collect()
+    assert all("<em>" in r.highlight[0] for r in tagged)
+    # order=score puts the most-matching fragment first
+    body_sc = {**base, "highlight": {"fragment_size": 40,
+                                     "number_of_fragments": 3,
+                                     "order": "score"}}
+    for r in search_df(ex, body_sc, pages=pages).collect():
+        counts = [f.count("<em>") for f in r.highlight]
+        assert counts == sorted(counts, reverse=True)
+
+
 def test_unknown_body_key_rejected(ex):
     with pytest.raises(ValueError, match="unknown _search body keys.*agg"):
         search_df(ex, {"query": {"match_all": {}}, "agg": {}})
