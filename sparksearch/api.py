@@ -458,7 +458,7 @@ def search_df(ex, body: dict, pages: DataFrame | None = None,
         hfield = "text" if hl.get("require_field_match", True) else None
         terms = sorted({t for txt in _query_texts(body.get("query", {}),
                                                   hfield)
-                        for t, _ in analyze(txt, ex.ix.analyzer)})
+                        for t, _ in analyze(txt, ex.ix.search_analyzer)})
         if terms and ("fragment_size" in hl
                       or "number_of_fragments" in hl):
             # snippet form: top-N fixed windows per hit, as an array
@@ -747,6 +747,10 @@ def scroll_next(spark, state: dict):
         return [], state
     ix = pit_reader(spark, state["pit"])
     ix.analyzer = state.get("analyzer", ix.analyzer)
+    # keep query-text analysis consistent with the restored analyzer
+    # unless the pinned meta carried an explicit search_analyzer
+    if "search_analyzer" not in ix.meta:
+        ix.search_analyzer = ix.analyzer
     ex = Executor(ix, fixed_now=state.get("fixed_now"))
     body = dict(state["body"])
     if state["after"] is not None:

@@ -396,7 +396,8 @@ def build_index(pages: DataFrame, out_dir: str, analyzer: str = "standard",
                 resume: bool = False, verify_extract: bool = False,
                 similarity: dict | None = None,
                 time_partition: str | None = None,
-                index_sort: str | tuple[str, bool] | None = None) -> dict:
+                index_sort: str | tuple[str, bool] | None = None,
+                search_analyzer: str | None = None) -> dict:
     """Build generation 0 of the index dataset under ``out_dir``.
 
     Returns the meta dict. Incremental batches: merge.add_generation.
@@ -497,10 +498,20 @@ def build_index(pages: DataFrame, out_dir: str, analyzer: str = "standard",
     avgdl = (total_tf / n_docs) if n_docs else 1.0
     from sparksearch.analysis_custom import get_custom
     _ca = get_custom(analyzer) if isinstance(analyzer, str) else None
+    # mapping-level search_analyzer (TextFieldMapper searchAnalyzer):
+    # query-text analysis defaults to this, index-side analysis keeps
+    # `analyzer` — the canonical autocomplete split (index edge_ngram,
+    # search keyword/standard)
+    _sa = get_custom(search_analyzer) \
+        if isinstance(search_analyzer, str) else None
     meta = {
         "version": INDEX_VERSION,
         "analyzer": analyzer,
         **({"analyzer_def": _ca.definition} if _ca is not None else {}),
+        **({"search_analyzer": search_analyzer}
+           if search_analyzer else {}),
+        **({"search_analyzer_def": _sa.definition}
+           if _sa is not None else {}),
         # index-level similarity setting (SimilarityService); validated now
         # so a typo fails the build, not the first query
         **({"similarity": __import__(

@@ -383,10 +383,79 @@ _CASES = {
 }
 
 
+# ---------------------------------------------------------------------------
+# mapping search_analyzer (index/query analysis split)
+# ---------------------------------------------------------------------------
+
+_ENGINES_SA: dict = {}
+
+
+def q_search_analyzer_autocomplete(spark, sf_dir):
+    """The canonical autocomplete mapping: text indexed with an
+    edge_ngram analyzer, queried through the mapping-level
+    ``search_analyzer`` (keyword+lowercase) with NO per-query override —
+    the prefix 'tab' hits every doc containing a word starting with
+    'tab'. Oracle: an independent word-prefix scan over the raw corpus
+    (TextFieldMapper searchAnalyzer; the hit SET is gated, scores are
+    edge-ngram BM25 and deliberately not mirrored)."""
+    import os
+    import tempfile
+
+    from sparksearch.analysis_custom import register_analyzer
+    from sparksearch.build import INDEX_VERSION, build_index
+    from sparksearch.corpus import pages_from_documents
+    from sparksearch.exec import Executor
+    from sparksearch.index import IndexReader
+    from sparksearch.queries import Match
+
+    register_analyzer("sa_edge", {
+        "tokenizer": {"type": "edge_ngram", "min_gram": 2, "max_gram": 8,
+                      "token_chars": ["letter", "digit"]},
+        "filter": ["lowercase"]})
+    register_analyzer("sa_kw", {"tokenizer": "keyword",
+                                "filter": ["lowercase"]})
+    key = os.path.realpath(sf_dir)
+    if key not in _ENGINES_SA:
+        out = os.path.join(
+            tempfile.gettempdir(),
+            "sparksearch_ixsa_" + key.strip("/").replace("/", "_"))
+        meta_path = os.path.join(out, "meta.json")
+        stale = True
+        if os.path.exists(meta_path):
+            import json
+            with open(meta_path) as f:
+                stale = json.load(f).get("version") != INDEX_VERSION
+        if stale:
+            import shutil
+            shutil.rmtree(out, ignore_errors=True)
+            build_index(pages_from_documents(spark, sf_dir), out,
+                        analyzer="sa_edge", search_analyzer="sa_kw",
+                        n_buckets=8, partitions=8)
+        _ENGINES_SA[key] = Executor(IndexReader(spark, out))
+    ex = _ENGINES_SA[key]
+    hits = ex.search(Match("text", "TAB"), k=100000, fetch=True)
+    return hits.select("url").orderBy("url")
+
+
+def _sa_oracle() -> str:
+    from sparksearch import contract as C
+    return f"""
+WITH {C._PAGES}, {C._TOK}
+SELECT DISTINCT url
+FROM pages p JOIN tok t USING (docid)
+WHERE t.term LIKE 'tab%'
+ORDER BY url
+""".strip()
+
+
 def queries() -> dict:
-    return {name: _q_filter_goldens(name, s, p, doc)
-            for name, (s, p, _, doc) in _CASES.items()}
+    out = {name: _q_filter_goldens(name, s, p, doc)
+           for name, (s, p, _, doc) in _CASES.items()}
+    out["search_analyzer_autocomplete"] = q_search_analyzer_autocomplete
+    return out
 
 
 def oracle_sql() -> dict:
-    return {name: _sql_goldens(g) for name, (_, _, g, _) in _CASES.items()}
+    out = {name: _sql_goldens(g) for name, (_, _, g, _) in _CASES.items()}
+    out["search_analyzer_autocomplete"] = _sa_oracle()
+    return out

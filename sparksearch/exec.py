@@ -149,7 +149,7 @@ class Executor:
         if use_wand:
             # synonym-stacked analyzers need blended per-position scoring —
             # the packed-segment WAND path scores exact terms independently
-            toks = analyze(q.text, q.analyzer or self.ix.analyzer)
+            toks = analyze(q.text, q.analyzer or self.ix.search_analyzer)
             if len({p for _, p in toks}) != len(toks):
                 use_wand = False
         if use_wand:
@@ -310,7 +310,7 @@ class Executor:
             if q.source is not None:
                 return self._plan_intervals_source(q, scored)
             terms = [t for t, _ in
-                     analyze(q.text, q.analyzer or self.ix.analyzer)]
+                     analyze(q.text, q.analyzer or self.ix.search_analyzer)]
             return self._plan_span_near(terms, q.max_gaps, q.ordered, scored)
         if isinstance(q, FunctionScore):
             return self._plan_function_score(q, scored)
@@ -521,7 +521,7 @@ class Executor:
         across all fields — 'one bool clause per term, fields blended
         inside' (MultiMatchQuery.java cross-fields execution)."""
         from collections import Counter
-        terms = [t for t, _ in analyze(q.text, self.ix.analyzer)]
+        terms = [t for t, _ in analyze(q.text, self.ix.search_analyzer)]
         if not terms:
             return self._empty()
         cnt = Counter(terms)
@@ -653,7 +653,7 @@ class Executor:
     def _plan_match(self, q: Match, scored: bool) -> DataFrame:
         if q.fuzziness is not None:
             return self._plan_match_fuzzy(q, scored)
-        toks = analyze(q.text, q.analyzer or self.ix.analyzer)
+        toks = analyze(q.text, q.analyzer or self.ix.search_analyzer)
         terms = [t for t, _ in toks]
         if not terms:
             return self._empty()  # zero_terms_query NONE
@@ -747,7 +747,7 @@ class Executor:
         return out.select("docid", "score")
 
     def _plan_phrase(self, q: MatchPhrase, scored: bool) -> DataFrame:
-        ptoks = analyze(q.text, q.analyzer or self.ix.analyzer)
+        ptoks = analyze(q.text, q.analyzer or self.ix.search_analyzer)
         terms = [t for t, _ in ptoks]
         if not terms:
             return self._empty()
@@ -932,7 +932,7 @@ class Executor:
         the driver-side pair collect is bounded by |query terms| * cap even
         against a 10^9-term dictionary."""
         terms = [t for t, _ in
-                 analyze(q.text, q.analyzer or self.ix.analyzer)]
+                 analyze(q.text, q.analyzer or self.ix.search_analyzer)]
         if not terms:
             return self._empty()
         from collections import Counter
@@ -995,7 +995,7 @@ class Executor:
         path). Scored as a pseudo-term: idf = Σ idfs of the exact members,
         tf = number of anchor positions with a valid full match."""
         terms = [t for t, _ in
-                 analyze(q.text, q.analyzer or self.ix.analyzer)]
+                 analyze(q.text, q.analyzer or self.ix.search_analyzer)]
         if not terms:
             return self._empty()
         prefix = terms[-1]
@@ -1042,7 +1042,7 @@ class Executor:
         postings scan for the term clauses; the prefix leg reuses the
         dictionary-pruned multiterm plan."""
         terms = [t for t, _ in
-                 analyze(q.text, q.analyzer or self.ix.analyzer)]
+                 analyze(q.text, q.analyzer or self.ix.search_analyzer)]
         if not terms:
             return self._empty()
         prefix, exact = terms[-1], terms[:-1]
@@ -1207,7 +1207,7 @@ class Executor:
                                          IntervalsMatch, IntervalsPrefix)
         if isinstance(src, IntervalsMatch):
             terms = [t for t, _ in
-                     analyze(src.text, src.analyzer or self.ix.analyzer)]
+                     analyze(src.text, src.analyzer or self.ix.search_analyzer)]
             return self._ivl_match_frame(terms, src.max_gaps,
                                          src.ordered), terms
         if isinstance(src, IntervalsPrefix):

@@ -151,7 +151,7 @@ def suggest_terms(ix, text: str, max_edits: int = 2,
                   size: int = 3) -> DataFrame:
     """Term-suggester: nearest dictionary terms for each input token."""
     from sparksearch.analysis import analyze
-    toks = sorted({t for t, _ in analyze(text, ix.analyzer)})
+    toks = sorted({t for t, _ in analyze(text, ix.search_analyzer)})
     if not toks:
         return ix.stats.select(
             F.lit("").alias("input"), "term", "df").limit(0)
@@ -195,7 +195,7 @@ def suggest_phrase(ix, text: str, per_token: int = 3, max_edits: int = 2,
     """
     from sparksearch.analysis import analyze
     from pyspark.sql import Window
-    toks = [t for t, _ in analyze(text, ix.analyzer)]
+    toks = [t for t, _ in analyze(text, ix.search_analyzer)]
     if not toks:
         return ix.spark.createDataFrame(
             [], "phrase string, score double, rank int")
@@ -332,7 +332,7 @@ def explain_many(ex, q, docids: list) -> DataFrame:
     from sparksearch import bm25
     from sparksearch.analysis import analyze
     ix = ex.ix
-    terms = [t for t, _ in analyze(q.text, q.analyzer or ix.analyzer)]
+    terms = [t for t, _ in analyze(q.text, q.analyzer or ix.search_analyzer)]
     cnt = Counter(terms)
     uniq = sorted(cnt)
     ids = [int(d) for d in docids]

@@ -37,6 +37,14 @@ class IndexReader:
             # block) — re-register so this session can analyze queries
             from sparksearch.analysis_custom import ensure_registered
             ensure_registered(self.analyzer, self.meta["analyzer_def"])
+        #: query-text analyzer (mapping search_analyzer; defaults to the
+        #: index analyzer — TextFieldMapper searchAnalyzer fallback)
+        self.search_analyzer: str = self.meta.get("search_analyzer",
+                                                  self.analyzer)
+        if "search_analyzer_def" in self.meta:
+            from sparksearch.analysis_custom import ensure_registered
+            ensure_registered(self.search_analyzer,
+                              self.meta["search_analyzer_def"])
         #: 'day'/'hour'/'minute' when the index layout is time-partitioned
         #: (pday directory column on docs + postings)
         self.time_partition: str | None = self.meta.get("time_partition")

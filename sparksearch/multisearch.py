@@ -103,7 +103,7 @@ def dfs_msearch_indices(executors: dict, q, k: int = 10,
     n_total, sum_dl, ttf = 0, 0.0, 0
     for name, ex in sorted(chosen.items()):
         terms = sorted({t for t, _ in
-                        analyze(q.text, q.analyzer or ex.ix.analyzer)})
+                        analyze(q.text, q.analyzer or ex.ix.search_analyzer)})
         for r in ex.ix.stats_for(terms).select("term", "df", "cf").collect():
             s = stats.setdefault(r["term"], [0, 0])
             s[0] += int(r["df"])

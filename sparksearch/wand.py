@@ -82,7 +82,7 @@ def wand_topk(ix, q: Match, k: int = 10) -> DataFrame:
     Returns DataFrame(docid, score), score desc / docid asc, ≤ k rows.
     `ix` is an IndexReader with packed segments built.
     """
-    toks = analyze(q.text, q.analyzer or ix.analyzer)
+    toks = analyze(q.text, q.analyzer or ix.search_analyzer)
     terms = [t for t, _ in toks]
     if len({p for _, p in toks}) != len(toks):
         raise ValueError(
