@@ -67,3 +67,38 @@ def kmeans(embs: DataFrame, k: int = 4, iters: int = 2,
         cents = [[upd[c][p] for p in range(len(cents[c]))] if c in upd
                  else cents[c] for c in range(k)]
     return kmeans_assign(e, cents), cents
+
+
+def semantic_dedup(embs: DataFrame, k: int = 4, iters: int = 2,
+                   tau: float = 0.35, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means the embedding space, then inside every
+    cluster mark as duplicate any item whose cosine similarity to a
+    LOWER-id cluster member exceeds ``tau`` (deterministic keep-lowest
+    rule standing in for the paper's keep-farthest-from-centroid).
+
+    Returns (vid, cl, is_dup). Scale shape: the quadratic pair work is
+    confined to clusters — the self-join key is the cluster id, so
+    shuffle and compute are ∝ Σ|cluster|², never n²; k is the knob that
+    bounds cluster size (SemDeDup runs k≈10⁵ at web scale). Cosines are
+    rounded to 6 decimals before the threshold so the oracle comparison
+    can't flip on summation noise."""
+    assigned, _ = kmeans(embs, k, iters, id_col, vec_col)
+    nrm = assigned.select(
+        "vid", "cl",
+        F.expr("transform(v, x -> x / sqrt(aggregate(v, 0D, "
+               "(s, y) -> s + y * y)))").alias("nv"))
+    a, b = nrm.alias("a"), nrm.alias("b")
+    cos = F.round(F.aggregate(
+        F.zip_with(F.col("a.nv"), F.col("b.nv"), lambda x, y: x * y),
+        F.lit(0.0), lambda s, x: s + x), 6)
+    dups = (a.join(b, (F.col("a.cl") == F.col("b.cl"))
+                   & (F.col("a.vid") < F.col("b.vid")))
+            .filter(cos > tau)
+            .select(F.col("b.vid").alias("vid")).distinct()
+            .withColumn("is_dup", F.lit(True)))
+    return (assigned.select("vid", "cl")
+            .join(dups, "vid", "left")
+            .select("vid", "cl",
+                    F.coalesce("is_dup", F.lit(False)).alias("is_dup")))

@@ -437,6 +437,42 @@ def q_search_analyzer_autocomplete(spark, sf_dir):
     return hits.select("url").orderBy("url")
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (arXiv:2303.09540): k-means the
+    embeddings, then inside each cluster mark items whose cosine to a
+    lower-id member exceeds tau. tau=0.35 sits at the synthetic
+    corpus's 99.9th pairwise-cosine percentile so the gate exercises
+    real positives; production tau≈0.95+. Oracle: the unrolled Lloyd's
+    SQL (contract_round2n) extended with the within-cluster pair scan."""
+    from sparksearch.clustering import semantic_dedup
+    embs = spark.read.parquet(sf_dir + "/embeddings.parquet")
+    out = semantic_dedup(embs, k=4, iters=2, tau=0.35)
+    return (out.select(F.col("vid").cast("long").alias("vid"),
+                       F.col("cl").cast("int").alias("cl"), "is_dup")
+            .orderBy("vid"))
+
+
+def _semantic_dedup_sql() -> str:
+    from sparksearch.contract_round2n import _kmeans_sql
+    base = _kmeans_sql()
+    head = base[:base.rindex("SELECT af.cl")]
+    return f"""
+{head},
+nrm AS ( SELECT af.vid, af.cl,
+                list_transform(e.v, x -> x / sqrt(list_sum(
+                    list_transform(e.v, y -> y * y)))) AS nv
+         FROM af JOIN e ON af.vid = e.vid ),
+dups AS ( SELECT DISTINCT b.vid
+          FROM nrm a JOIN nrm b ON a.cl = b.cl AND a.vid < b.vid
+          WHERE round(list_sum(list_transform(
+                    range(1, len(a.nv) + 1),
+                    i -> a.nv[i] * b.nv[i])), 6) > 0.35 )
+SELECT CAST(af.vid AS BIGINT) AS vid, CAST(af.cl AS INT) AS cl,
+       (af.vid IN ( SELECT vid FROM dups )) AS is_dup
+FROM af ORDER BY vid
+""".strip()
+
+
 def _sa_oracle() -> str:
     from sparksearch import contract as C
     return f"""
@@ -452,10 +488,12 @@ def queries() -> dict:
     out = {name: _q_filter_goldens(name, s, p, doc)
            for name, (s, p, _, doc) in _CASES.items()}
     out["search_analyzer_autocomplete"] = q_search_analyzer_autocomplete
+    out["semantic_dedup"] = q_semantic_dedup
     return out
 
 
 def oracle_sql() -> dict:
     out = {name: _sql_goldens(g) for name, (_, _, g, _) in _CASES.items()}
     out["search_analyzer_autocomplete"] = _sa_oracle()
+    out["semantic_dedup"] = _semantic_dedup_sql()
     return out

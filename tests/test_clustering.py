@@ -30,3 +30,32 @@ def test_kmeans_is_deterministic_across_runs(spark):
     r1 = sorted((r["vid"], r["cl"]) for r in a1.collect())
     r2 = sorted((r["vid"], r["cl"]) for r in a2.collect())
     assert r1 == r2
+
+
+def test_semantic_dedup_marks_within_cluster_neighbors(spark):
+    """Two near-identical vectors in the same cluster: the higher id is
+    marked dup; the distant vector is kept."""
+    from sparksearch.clustering import semantic_dedup
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 0
+            (2, [0.0, 1.0, 0.0, 0.0]),
+            (3, [0.0, 0.0, 1.0, 0.0])]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vid: r.is_dup
+           for r in semantic_dedup(embs, k=2, iters=2, tau=0.9).collect()}
+    assert out[1] is True          # loses to lower-id near-twin
+    assert out[0] is False and out[2] is False and out[3] is False
+
+
+def test_semantic_dedup_cross_cluster_pairs_ignored(spark):
+    """Identical vectors land in the same cluster by construction, but a
+    pair above tau split across clusters is NOT compared (SemDeDup's
+    within-cluster scope)."""
+    from sparksearch.clustering import semantic_dedup
+    # k=4 with 4 points: init centroids are the 4 points themselves, so
+    # every point is its own cluster -> no pairs at all
+    rows = [(i, v) for i, v in enumerate(
+        ([1.0, 0.0], [0.999, 0.02], [0.0, 1.0], [0.02, 0.999]))]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup(embs, k=4, iters=1, tau=0.9)
+    assert all(not r.is_dup for r in out.collect())
