@@ -71,11 +71,46 @@ _MID_L = r"[:·״‧︓﹕：]"          # MidLetter
 _MID_N = r"[,;٬︐︔，；]"               # MidNum
 _MID_NL = r"[.'‘’․﹒＇．]"        # MidNumLet + '
 
-_LCHUNK = rf"{_L}+(?:(?:{_MID_L}|{_MID_NL}){_L}+)*"
-_NCHUNK = rf"{_N}+(?:(?:{_MID_N}|{_MID_NL}){_N}+)*"
-_CJK = rf"[{_CJK_CLS}]"
 
-_KATA = r"[゠-ヿㇰ-ㇿ]"   # Katakana (+ phonetic extensions): runs, WB Katakana class
+def _extend_class() -> str:
+    """Regex class body for UAX#29 Extend: combining marks (Mn/Mc/Me, BMP).
+
+    WB4 says Extend characters never break — they attach to the preceding
+    character.  Python's ``\\w`` excludes Mn/Mc (Devanagari matras, the
+    nukta, Arabic harakat, Hebrew points, Thai/Tamil/Bengali vowel
+    signs...), so without this class every Indic-script word shatters at
+    each vowel sign ("लड़के" -> ल+ड+क instead of one token).  Built from
+    unicodedata at import, same approach as Lucene's generated UAX#29 DFA
+    (jflex spec StandardTokenizerImpl; [:WordBreak=Extend:])."""
+    import unicodedata
+    ranges: list[tuple[int, int]] = []
+    start = prev = None
+    for cp in range(0x10000):
+        if unicodedata.category(chr(cp)) in ("Mn", "Mc", "Me"):
+            if start is None:
+                start = cp
+            prev = cp
+        elif start is not None:
+            ranges.append((start, prev))
+            start = None
+    if start is not None:
+        ranges.append((start, prev))
+    return "".join(
+        re.escape(chr(a)) if a == b
+        else f"{re.escape(chr(a))}-{re.escape(chr(b))}"
+        for a, b in ranges)
+
+
+_EXT = f"(?:[{_extend_class()}])"
+_LE = rf"(?:{_L}{_EXT}*)"   # letter + attached Extend run (WB4)
+_NE = rf"(?:{_N}{_EXT}*)"
+
+_LCHUNK = rf"{_LE}+(?:(?:{_MID_L}|{_MID_NL}){_LE}+)*"
+_NCHUNK = rf"{_NE}+(?:(?:{_MID_N}|{_MID_NL}){_NE}+)*"
+_CJK = rf"[{_CJK_CLS}]{_EXT}*"
+
+#: Katakana (+ phonetic extensions): runs, WB Katakana class
+_KATA = rf"(?:[゠-ヿㇰ-ㇿ]{_EXT}*)"
 _TOKEN_RE = re.compile(
     rf"(?:{_LCHUNK}|{_NCHUNK}|{_ENL}+)+|{_KATA}+|{_CJK}",
     re.UNICODE,

@@ -60,7 +60,7 @@ __all__ = [
     "INDEX_VERSION",
 ]
 
-INDEX_VERSION = 3  # v3: CJK per-char tokenization (analysis.py word-break fix)
+INDEX_VERSION = 4  # v4: UAX#29 WB4 Extend absorption (combining marks attach)
 
 _TOKENS_SCHEMA = T.StructType([
     T.StructField("terms", T.ArrayType(T.StringType()), False),

@@ -159,3 +159,17 @@ def test_cjk_ideographs_emit_per_char():
     assert terms("ひらがな") == ["ひ", "ら", "が", "な"]
     assert terms("カタカナrun") == ["カタカナ", "run"]
     assert terms("mixed中latin") == ["mixed", "中", "latin"]
+
+
+def test_extend_marks_attach_wb4():
+    # UAX#29 WB4: Extend (Mn/Mc/Me) never breaks — Devanagari matras and
+    # the nukta stay inside the word token (Lucene StandardTokenizerImpl
+    # [:WordBreak=Extend:]); same for Arabic harakat and Thai vowel signs
+    assert terms("लड़के लड़का") == ["लड़के", "लड़का"]
+    assert terms("किताबों") == ["किताबों"]
+    assert terms("الأَمْرُ") == ["الأَمْرُ"]
+    assert terms("ภาษาไทย") == ["ภาษาไทย"]
+    # combining acute on an ASCII base glues, digits unaffected
+    assert terms("café 42") == ["café", "42"]
+    # a standalone mark with no base is dropped, not a token
+    assert terms("ा x") == ["x"]
