@@ -40,6 +40,11 @@ _LANGS = {
     # columna/filtero -> column/filter under the italian vowel strip)
     "portuguese": ("an_pt_light", "light_portuguese", "columnas tablo"),
     "italian": ("an_it_light", "light_italian", "columna filtero"),
+    # merger/sorat -> merg/sor = swedish light stems of corpus
+    # merge/sort; tabler/scanene -> tabl/scan = norwegian stems of
+    # table/scan
+    "swedish": ("an_sv_light", "light_swedish", "merger sorat"),
+    "norwegian": ("an_no_light", "light_norwegian", "tabler scanene"),
 }
 
 
@@ -227,9 +232,61 @@ stemmap AS ( SELECT term,
 """.strip()
 
 
+def _sv_stem_ctes() -> str:
+    """light_swedish as CTEs: genitive/plural 's' strip, then ONE ending
+    by descending length — mirrors the ladder spec in stemmers.py."""
+    return """
+sv0 AS ( SELECT term,
+    CASE WHEN length(term) > 4 AND term LIKE '%s'
+         THEN substr(term, 1, length(term)-1) ELSE term END AS s
+    FROM dict0 ),
+stemmap AS ( SELECT term,
+    CASE WHEN length(s) > 7 AND (s LIKE '%elser' OR s LIKE '%heten')
+              THEN substr(s, 1, length(s)-5)
+         WHEN length(s) > 6 AND substr(s, length(s)-3, 4) IN
+              ('arna','arne','erna','ande','else','aste','orna','aren')
+              THEN substr(s, 1, length(s)-4)
+         WHEN length(s) > 5 AND substr(s, length(s)-2, 3) IN
+              ('are','ast','het')
+              THEN substr(s, 1, length(s)-3)
+         WHEN length(s) > 4 AND substr(s, length(s)-1, 2) IN
+              ('ar','er','or','en','at','te','et')
+              THEN substr(s, 1, length(s)-2)
+         WHEN length(s) > 3 AND substr(s, length(s), 1) IN
+              ('t','a','e','n')
+              THEN substr(s, 1, length(s)-1)
+         ELSE s END AS stem FROM sv0 )
+""".strip()
+
+
+def _no_stem_ctes() -> str:
+    """light_norwegian as one CASE ladder: -het(en/er)/-else
+    nominalizers first, then the minimal plural/definite endings."""
+    return """
+stemmap AS ( SELECT term,
+    CASE WHEN length(term) >= 7 AND (term LIKE '%heten'
+              OR term LIKE '%heter')
+              THEN substr(term, 1, length(term)-5)
+         WHEN length(term) >= 6 AND term LIKE '%else'
+              THEN substr(term, 1, length(term)-4)
+         WHEN length(term) >= 5 AND term LIKE '%het'
+              THEN substr(term, 1, length(term)-3)
+         WHEN length(term) >= 6 AND (term LIKE '%ene' OR term LIKE '%ane')
+              THEN substr(term, 1, length(term)-3)
+         WHEN length(term) >= 5 AND substr(term, length(term)-1, 2) IN
+              ('er','en','et','ar')
+              THEN substr(term, 1, length(term)-2)
+         WHEN length(term) >= 4 AND substr(term, length(term), 1) IN
+              ('a','e')
+              THEN substr(term, 1, length(term)-1)
+         ELSE term END AS stem FROM dict0 )
+""".strip()
+
+
 _STEM_CTES = {"french": _fr_stem_ctes, "german": _de_stem_ctes,
               "spanish": _es_stem_ctes, "portuguese": _pt_stem_ctes,
-              "italian": _it_stem_ctes}
+              "italian": _it_stem_ctes, "swedish": _sv_stem_ctes,
+              "norwegian": _no_stem_ctes}
 
 
 def _sql_stem_match(lang: str) -> str:
@@ -364,6 +421,24 @@ _AR_GOLDENS = [
     (2, "مدرس", 0), (2, "يعمل", 1), (2, "هنا", 2),
 ]
 
+_HI_PROBES = [
+    (0, "लड़के लड़का लड़की"),
+    (1, "करने करता करती"),
+    (2, "भेजेगा किताबों table"),
+]
+
+#: (probe, stem, pos) — derived BY HAND from the Ramanathan & Rao table
+#: in stemmers.py (longest suffix stripped, 2+ chars must remain):
+#: लड़के/लड़का/लड़की drop the final matra -> लड़क; करने -ने / करता -ता /
+#: करती -ती -> कर; भेजेगा -ेगा -> भेज; किताबों -ों -> किताब; latin
+#: 'table' untouched.  The probes also lock the WB4 tokenizer rule:
+#: matras and the nukta are Extend marks that must NOT split the token.
+_HI_GOLDENS = [
+    (0, "लड़क", 0), (0, "लड़क", 1), (0, "लड़क", 2),
+    (1, "कर", 0), (1, "कर", 1), (1, "कर", 2),
+    (2, "भेज", 0), (2, "किताब", 1), (2, "table", 2),
+]
+
 
 def _q_stem_goldens(an_name: str, variant: str, probes):
     def run(spark, sf_dir):
@@ -423,6 +498,9 @@ def queries() -> dict:
                                         _RU_PROBES),
         "stem_arabic": _q_stem_goldens("an_ar_light10", "arabic",
                                        _AR_PROBES),
+        "stem_swedish": _q_stem("swedish"),
+        "stem_norwegian": _q_stem("norwegian"),
+        "stem_hindi": _q_stem_goldens("an_hi", "hindi", _HI_PROBES),
         "cjk_bigram_match": q_cjk_bigram_match,
     }
 
@@ -436,5 +514,8 @@ def oracle_sql() -> dict:
         "stem_italian": _sql_stem_match("italian"),
         "stem_russian": _sql_goldens(_RU_GOLDENS),
         "stem_arabic": _sql_goldens(_AR_GOLDENS),
+        "stem_swedish": _sql_stem_match("swedish"),
+        "stem_norwegian": _sql_stem_match("norwegian"),
+        "stem_hindi": _sql_goldens(_HI_GOLDENS),
         "cjk_bigram_match": _sql_cjk_goldens(),
     }

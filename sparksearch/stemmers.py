@@ -52,7 +52,8 @@ __all__ = [
     "light_german_stem", "light_spanish_stem",
     "possessive_english_stem", "minimal_portuguese_stem",
     "light_portuguese_stem", "light_italian_stem", "light_russian_stem",
-    "arabic_light_stem", "LANGUAGE_STEMMERS",
+    "arabic_light_stem", "light_swedish_stem", "minimal_norwegian_stem",
+    "light_norwegian_stem", "hindi_stem", "LANGUAGE_STEMMERS",
 ]
 
 
@@ -304,6 +305,83 @@ def arabic_light_stem(s: str) -> str:
     return s
 
 
+def light_swedish_stem(s: str) -> str:
+    """SwedishLightStemmer (UniNE, Savoy CLEF-2002 rule family),
+    re-derived from the published suffix ladder: strip a genitive/plural
+    final 's' first, then ONE ending by descending length —
+    -elser/-heten (7+ before strip), -arne/-erna/-ande/-else/-aste/
+    -orna/-aren, -are/-ast/-het, -ar/-er/-or/-en/-at/-te/-et, finally a
+    single -t/-a/-e/-n.  Ladder returns at the first match (bilarna ->
+    bil, starkaste -> stark)."""
+    n = len(s)
+    if n > 4 and s[-1] == "s":
+        s = s[:-1]
+        n -= 1
+    if n > 7 and (s.endswith("elser") or s.endswith("heten")):
+        return s[:-5]
+    if n > 6 and s[-4:] in ("arna", "arne", "erna", "ande", "else",
+                            "aste", "orna", "aren"):
+        return s[:-4]
+    if n > 5 and s[-3:] in ("are", "ast", "het"):
+        return s[:-3]
+    if n > 4 and s[-2:] in ("ar", "er", "or", "en", "at", "te", "et"):
+        return s[:-2]
+    if n > 3 and s[-1] in ("t", "a", "e", "n"):
+        return s[:-1]
+    return s
+
+
+def minimal_norwegian_stem(s: str) -> str:
+    """Norwegian (Bokmål) minimal stemmer — plural/definite noun endings
+    only (NorwegianMinimalStemFilterFactory's default NORWEGIAN_BOKMAAL):
+    strip -ene/-ane (definite plural) from 6+ char words, else
+    -er/-en/-et/-ar from 5+, else a final -a/-e from 4+."""
+    if len(s) >= 6 and s[-3:] in ("ene", "ane"):
+        return s[:-3]
+    if len(s) >= 5 and s[-2:] in ("er", "en", "et", "ar"):
+        return s[:-2]
+    if len(s) >= 4 and s[-1] in ("a", "e"):
+        return s[:-1]
+    return s
+
+
+def light_norwegian_stem(s: str) -> str:
+    """Norwegian light (UniNE family): the minimal plural/definite rules
+    plus the -het(en/er) nominalizer and -else derivational ending
+    (kjærligheten -> kjærlig, bevegelse -> beveg)."""
+    if len(s) >= 7 and s[-5:] in ("heten", "heter"):
+        return s[:-5]
+    if len(s) >= 6 and s[-4:] == "else":
+        return s[:-4]
+    if len(s) >= 5 and s[-3:] == "het":
+        return s[:-3]
+    return minimal_norwegian_stem(s)
+
+
+#: Ramanathan & Rao suffix table, tiers 1-3 (longest-match first).  The
+#: published list's rarer 4-5 char tiers (-ाएगी, -ाऊंगा...) are omitted —
+#: documented narrowing, they are conjugations of the tier-3 forms.
+_HI_SUF3 = ("ाकर", "ाइए", "ाईं", "ाया", "ेगी", "ेगा",
+            "ोगी", "ोगे", "ाने", "ाना", "ाते", "ाती",
+            "ाता", "तीं", "ाओं", "ाएं", "ुओं", "ुएं", "ुआं")
+_HI_SUF2 = ("कर", "ाओ", "िए", "ाई", "ाए", "ने", "नी", "ना",
+            "ते", "ीं", "ती", "ता", "ाँ", "ां", "ों", "ें")
+_HI_SUF1 = ("ा", "ि", "ी", "ु", "ू", "े", "ै", "ो", "ौ", "ं", "ँ")
+
+
+def hindi_stem(s: str) -> str:
+    """Lightweight Hindi stemmer (Ramanathan & Rao, "A Lightweight
+    Stemmer for Hindi", EACL 2003 workshop; Lucene HindiStemmer): strip
+    the longest matching suffix from the published table (matras,
+    nasalization, verbal/plural endings), leaving a stem of 2+ chars
+    (लड़के/लड़का/लड़की -> लड़क, करने/करता -> कर, किताबों -> किताब)."""
+    for table in (_HI_SUF3, _HI_SUF2, _HI_SUF1):
+        for suf in table:
+            if s.endswith(suf) and len(s) - len(suf) >= 2:
+                return s[: -len(suf)]
+    return s
+
+
 #: language -> stemmer, the subset of StemmerTokenFilterFactory's registry
 #: this engine implements (english/porter route to porter.porter_stem in
 #: analysis_custom._tf_stemmer)
@@ -329,4 +407,14 @@ LANGUAGE_STEMMERS = {
     "lightRussian": light_russian_stem,
     "russianLight": light_russian_stem,
     "arabic": arabic_light_stem,
+    "light_swedish": light_swedish_stem,
+    "lightSwedish": light_swedish_stem,
+    "swedishLight": light_swedish_stem,
+    "minimal_norwegian": minimal_norwegian_stem,
+    "minimalNorwegian": minimal_norwegian_stem,
+    "light_norwegian": light_norwegian_stem,
+    "lightNorwegian": light_norwegian_stem,
+    "norwegianLight": light_norwegian_stem,
+    "norwegianMinimal": minimal_norwegian_stem,
+    "hindi": hindi_stem,
 }

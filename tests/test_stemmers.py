@@ -176,3 +176,43 @@ def test_new_stemmers_registered_in_filter_factory():
                        ("minimal_portuguese", "balões", "balão")]:
         f = _tf_stemmer({"language": lang})
         assert f([(w, 0)]) == [(s, 0)], lang
+
+
+def test_light_swedish_goldens():
+    from sparksearch.stemmers import light_swedish_stem as st
+    for w, s in [("bilarna", "bil"), ("flickorna", "flick"),
+                 ("starkaste", "stark"), ("flickors", "flick"),
+                 ("handelser", "hand"), ("merger", "merg"),
+                 ("sorat", "sor"), ("hus", "hus"), ("table", "tabl")]:
+        assert st(w) == s, w
+
+
+def test_norwegian_goldens():
+    from sparksearch.stemmers import (light_norwegian_stem as lt,
+                                      minimal_norwegian_stem as mn)
+    for w, s in [("tabler", "tabl"), ("scanene", "scan"),
+                 ("huset", "hus"), ("jenta", "jent"), ("scan", "scan")]:
+        assert mn(w) == s and lt(w) == s, w
+    assert lt("kjærligheten") == "kjærlig"
+    assert lt("bevegelse") == "beveg"
+    # minimal lacks the nominalizer rules
+    assert mn("bevegelse") == "bevegels"
+
+
+def test_hindi_goldens():
+    from sparksearch.stemmers import hindi_stem as st
+    for w, s in [("लड़के", "लड़क"), ("लड़का", "लड़क"), ("लड़की", "लड़क"),
+                 ("करने", "कर"), ("करता", "कर"), ("करती", "कर"),
+                 ("भेजेगा", "भेज"), ("किताबों", "किताब"),
+                 ("table", "table"), ("कर", "कर")]:
+        assert st(w) == s, w
+
+
+def test_scandinavian_hindi_registered_in_filter_factory():
+    from sparksearch.analysis_custom import _tf_stemmer
+    for lang, w, s in [("light_swedish", "bilarna", "bil"),
+                       ("light_norwegian", "scanene", "scan"),
+                       ("minimal_norwegian", "tabler", "tabl"),
+                       ("hindi", "किताबों", "किताब")]:
+        f = _tf_stemmer({"language": lang})
+        assert f([(w, 0)]) == [(s, 0)], lang
