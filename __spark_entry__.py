@@ -140,6 +140,8 @@ _RECORD_FIRST = [
     "highlight_opts", "rank_eval_err", "completion_contexts",
     "completion_fuzzy", "intervals_allof", "knn_join_lsh_sized",
     "bpe_merges_local",
+    "stem_swedish", "stem_norwegian", "stem_hindi",
+    "ip_field_cidr", "ip_field_sort", "range_field_rel", "agg_doc_count",
     # never-driver-recorded round-1/2 entries (verified locally)
     "knn_join_lsh", "dedup_clusters", "dedup_embedding", "knn_cosine_ivf",
     "knn_sq8", "pii_redact", "domain_cap", "repeated_spans", "hashed_bow",
@@ -229,6 +231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from sparksearch import contract_round3b as CR3B
     from sparksearch import contract_round3c as CR3C
     from sparksearch import contract_round3d as CR3D
+    from sparksearch import contract_round3e as CR3E
+    out.update(CR3E.queries())
     out.update(CR3D.queries())
     out.update(CR3.queries())
     out.update(CR3B.queries())
@@ -283,7 +287,9 @@ def oracle_sql() -> dict[str, str]:
     from sparksearch import contract_round3b as CR3B
     from sparksearch import contract_round3c as CR3C
     from sparksearch import contract_round3d as CR3D
+    from sparksearch import contract_round3e as CR3E
     out = dict(CD.oracle_sql())
+    out.update(CR3E.oracle_sql())
     out.update(CR3D.oracle_sql())
     out.update(CR3.oracle_sql())
     out.update(CR3B.oracle_sql())

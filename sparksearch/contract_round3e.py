@@ -1,0 +1,147 @@
+"""Round-3 contract entries: structured field types.
+
+`ip` term-CIDR / numeric range+sort, `range` field ShapeRelations, and
+`_doc_count` pre-aggregated bucket counts (fieldtypes.py; reference
+IpFieldMapper.java, RangeType.java, DocCountFieldMapper.java).
+
+Events carry no IP / interval columns, so each entry synthesizes them
+deterministically from user_id/event_id with arithmetic both sides
+recompute independently (the agg_ip_range pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _ips(ev):
+    ip = F.concat_ws(".", F.lit(10), (F.col("user_id") % 200).cast("int"),
+                     F.lit(0), (F.col("user_id") % 250).cast("int"))
+    return ev.withColumn("ip", ip)
+
+
+_IPN_SQL = "(10 * 16777216 + (user_id % 200) * 65536 + (user_id % 250))"
+_IPS_SQL = ("('10.' || CAST(user_id % 200 AS VARCHAR) || '.0.' || "
+            "CAST(user_id % 250 AS VARCHAR))")
+
+
+def q_ip_field_cidr(spark, sf_dir):
+    """term on an ip field with CIDR notation: 10.32.0.0/11 covers
+    second octet 32..63 (IpFieldMapper.termQuery -> parseCidr)."""
+    from sparksearch.fieldtypes import ip_term_cond
+    ev = _ips(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    return (ev.where(ip_term_cond(F.col("ip"), "10.32.0.0/11"))
+            .select("event_id", "ip")
+            .orderBy("event_id").limit(25))
+
+
+def sql_ip_field_cidr() -> str:
+    # /11 network 10.32.0.0 -> [10*2^24 + 32*2^16, + 2^21 - 1]
+    lo = 10 * 16777216 + 32 * 65536
+    hi = lo + 2097152 - 1
+    return f"""
+SELECT event_id, {_IPS_SQL} AS ip FROM events
+WHERE {_IPN_SQL} BETWEEN {lo} AND {hi}
+ORDER BY event_id LIMIT 25
+""".strip()
+
+
+def q_ip_field_sort(spark, sf_dir):
+    """ip range + sort compare numerically: 10.9.x < 10.10.x < 10.100.x,
+    the opposite of string order (IpFieldMapper.rangeQuery)."""
+    from sparksearch.fieldtypes import ip_num, ip_range_cond
+    ev = _ips(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    return (ev.where(ip_range_cond(F.col("ip"), gte="10.9.0.0",
+                                   lt="10.100.0.0"))
+            .select("event_id", "ip")
+            .orderBy(ip_num(F.col("ip")), F.col("event_id"))
+            .limit(30))
+
+
+def sql_ip_field_sort() -> str:
+    lo = 10 * 16777216 + 9 * 65536
+    hi = 10 * 16777216 + 100 * 65536
+    return f"""
+SELECT event_id, {_IPS_SQL} AS ip FROM events
+WHERE {_IPN_SQL} >= {lo} AND {_IPN_SQL} < {hi}
+ORDER BY {_IPN_SQL}, event_id LIMIT 30
+""".strip()
+
+
+def q_range_field_rel(spark, sf_dir):
+    """range-typed field {gte, lte} vs window [5, 12] under all three
+    ShapeRelations (RangeType.createRangeQuery)."""
+    from sparksearch.fieldtypes import range_relation_cond
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lo = (F.col("user_id") % 20).cast("int")
+    r = ev.withColumn("rng", F.struct(
+        lo.alias("gte"),
+        (lo + (F.col("event_id") % 5).cast("int")).alias("lte")))
+    aggs = [F.sum(range_relation_cond(F.col("rng"), 5, 12, rel)
+                  .cast("long")).alias(rel)
+            for rel in ("intersects", "within", "contains")]
+    agg = r.agg(*aggs)
+    parts = [F.struct(F.lit(i).alias("o"), F.lit(rel).alias("relation"),
+                      F.col(rel).alias("doc_count"))
+             for i, rel in enumerate(("intersects", "within", "contains"))]
+    return (agg.select(F.explode(F.array(*parts)).alias("b"))
+            .select("b.relation", F.col("b.doc_count").cast("long")
+                    .alias("doc_count"), F.col("b.o").alias("_o"))
+            .orderBy("_o").drop("_o"))
+
+
+def sql_range_field_rel() -> str:
+    return """
+WITH r AS ( SELECT (user_id % 20) AS lo,
+                   (user_id % 20) + (event_id % 5) AS hi FROM events )
+SELECT relation, doc_count FROM (
+  SELECT 'intersects' AS relation,
+         CAST(sum(CASE WHEN lo <= 12 AND hi >= 5 THEN 1 ELSE 0 END)
+              AS BIGINT) AS doc_count, 0 AS o FROM r
+  UNION ALL
+  SELECT 'within',
+         CAST(sum(CASE WHEN lo >= 5 AND hi <= 12 THEN 1 ELSE 0 END)
+              AS BIGINT), 1 FROM r
+  UNION ALL
+  SELECT 'contains',
+         CAST(sum(CASE WHEN lo <= 5 AND hi >= 12 THEN 1 ELSE 0 END)
+              AS BIGINT), 2 FROM r )
+ORDER BY o
+""".strip()
+
+
+def q_agg_doc_count(spark, sf_dir):
+    """terms agg over pre-aggregated rows: bucket counts =
+    sum(_doc_count), not row counts (DocCountFieldMapper)."""
+    from sparksearch.fieldtypes import terms_agg_doc_count
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("_doc_count",
+                      ((F.col("user_id") % 7) + 1).cast("int")))
+    return terms_agg_doc_count(ev, "event_type", size=10)
+
+
+def sql_agg_doc_count() -> str:
+    return """
+SELECT event_type AS key,
+       CAST(sum((user_id % 7) + 1) AS BIGINT) AS doc_count
+FROM events GROUP BY event_type
+ORDER BY doc_count DESC, key ASC LIMIT 10
+""".strip()
+
+
+def queries() -> dict:
+    return {
+        "ip_field_cidr": q_ip_field_cidr,
+        "ip_field_sort": q_ip_field_sort,
+        "range_field_rel": q_range_field_rel,
+        "agg_doc_count": q_agg_doc_count,
+    }
+
+
+def oracle_sql() -> dict:
+    return {
+        "ip_field_cidr": sql_ip_field_cidr(),
+        "ip_field_sort": sql_ip_field_sort(),
+        "range_field_rel": sql_range_field_rel(),
+        "agg_doc_count": sql_agg_doc_count(),
+    }

@@ -1,0 +1,66 @@
+"""ip / range / _doc_count field types (fieldtypes.py)."""
+
+import pytest
+
+
+def test_cidr_bounds():
+    from sparksearch.fieldtypes import cidr_bounds
+    lo, hi = cidr_bounds("10.32.0.0/11")
+    assert lo == 10 * 2**24 + 32 * 2**16
+    assert hi == lo + 2**21 - 1
+    # non-aligned host bits are masked off (strict=False)
+    assert cidr_bounds("10.33.7.9/11") == (lo, hi)
+    assert cidr_bounds("192.168.1.5/32") == (3232235781, 3232235781)
+    with pytest.raises(NotImplementedError):
+        cidr_bounds("2001:db8::/32")
+
+
+def test_ip_term_and_range(spark):
+    from pyspark.sql import functions as F
+
+    from sparksearch.fieldtypes import (ip_num, ip_range_cond,
+                                        ip_term_cond)
+    df = spark.createDataFrame(
+        [(1, "10.9.0.1"), (2, "10.10.0.1"), (3, "10.100.0.1"),
+         (4, "10.40.0.9"), (5, "9.255.0.1")], "id int, ip string")
+    got = {r.id for r in
+           df.where(ip_term_cond(F.col("ip"), "10.32.0.0/11")).collect()}
+    assert got == {4}  # only 10.40.x inside 10.32.0.0/11 (octet 32..63)
+    assert [r.id for r in
+            df.where(ip_term_cond(F.col("ip"), "10.10.0.1")).collect()] == [2]
+    # numeric, not lexical: 9.255 < 10.9 < 10.10 < 10.40 < 10.100
+    rows = (df.where(ip_range_cond(F.col("ip"), gte="10.0.0.0",
+                                   lt="10.100.0.0"))
+            .orderBy(ip_num(F.col("ip"))).collect())
+    assert [r.id for r in rows] == [1, 2, 4]
+
+
+def test_range_relations(spark):
+    from pyspark.sql import functions as F
+
+    from sparksearch.fieldtypes import range_relation_cond
+    df = spark.createDataFrame(
+        [(1, 0, 3), (2, 6, 10), (3, 4, 20), (4, 13, 15)],
+        "id int, gte int, lte int").withColumn(
+            "rng", F.struct("gte", "lte"))
+    def ids(rel):
+        return {r.id for r in
+                df.where(range_relation_cond(F.col("rng"), 5, 12,
+                                             rel)).collect()}
+    assert ids("intersects") == {2, 3}
+    assert ids("within") == {2}
+    assert ids("contains") == {3}
+    with pytest.raises(ValueError):
+        range_relation_cond(F.col("rng"), 5, 12, "overlaps")
+
+
+def test_terms_agg_doc_count(spark):
+    from sparksearch.fieldtypes import terms_agg_doc_count
+    df = spark.createDataFrame(
+        [("a", 5), ("a", None), ("b", 2)],
+        "k string, _doc_count int")
+    rows = terms_agg_doc_count(df, "k").collect()
+    assert [(r.key, r.doc_count) for r in rows] == [("a", 6), ("b", 2)]
+    # column absent -> plain row counts
+    rows = terms_agg_doc_count(df.drop("_doc_count"), "k").collect()
+    assert [(r.key, r.doc_count) for r in rows] == [("a", 2), ("b", 1)]
