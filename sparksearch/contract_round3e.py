@@ -129,12 +129,45 @@ ORDER BY doc_count DESC, key ASC LIMIT 10
 """.strip()
 
 
+def q_sessionize(spark, sf_dir):
+    """Gaps-and-islands sessionization of the event log (30-min gap),
+    summarized per user — the batch analogue of session_window and the
+    first step of most event-training pipelines (dataops.sessionize)."""
+    from sparksearch.dataops import session_stats
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_stats(ev, gap_minutes=30)
+
+
+def sql_sessionize() -> str:
+    # floor(epoch()) mirrors Spark's timestamp->long truncation so a
+    # fractional-second gap straddling 1800 s can't split the two sides
+    return """
+WITH s AS ( SELECT user_id, ts,
+        CASE WHEN lag(ts) OVER w IS NULL
+             OR CAST(floor(epoch(ts)) AS BIGINT)
+                - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+             THEN 1 ELSE 0 END AS brk
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts) ),
+sid AS ( SELECT user_id,
+                sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+         FROM s ),
+per AS ( SELECT user_id, session_id, count(*) AS n
+         FROM sid GROUP BY user_id, session_id )
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(max(n) AS BIGINT) AS max_session_events
+FROM per GROUP BY user_id ORDER BY user_id
+""".strip()
+
+
 def queries() -> dict:
     return {
         "ip_field_cidr": q_ip_field_cidr,
         "ip_field_sort": q_ip_field_sort,
         "range_field_rel": q_range_field_rel,
         "agg_doc_count": q_agg_doc_count,
+        "sessionize_events": q_sessionize,
     }
 
 
@@ -144,4 +177,5 @@ def oracle_sql() -> dict:
         "ip_field_sort": sql_ip_field_sort(),
         "range_field_rel": sql_range_field_rel(),
         "agg_doc_count": sql_agg_doc_count(),
+        "sessionize_events": sql_sessionize(),
     }

@@ -1178,3 +1178,37 @@ def hashed_bow_score(docs: DataFrame, dim: int = 1024,
     return (scored.groupBy(id_col)
             .agg(F.round(F.avg("w"), 6).alias("score"))
             .orderBy(id_col))
+
+
+def sessionize(ev: DataFrame, key_col: str = "user_id",
+               ts_col: str = "ts", gap_minutes: int = 30) -> DataFrame:
+    """Gaps-and-islands sessionization: a new session starts when the
+    per-key gap exceeds ``gap_minutes`` (the batch analogue of Spark's
+    streaming ``session_window`` and the usual first step of event-log
+    training pipelines).  One shuffle on ``key_col``; both window passes
+    run inside that partitioning, so there is no global window and skew
+    is bounded by the busiest single key."""
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    # TIMESTAMP_NTZ has no direct long cast; epoch seconds via ltz (UTC)
+    secs = F.col(ts_col).cast("timestamp_ltz").cast("long")
+    prev = F.lag(secs).over(w)
+    is_new = F.when(
+        prev.isNull() | (secs - prev > gap_minutes * 60), 1).otherwise(0)
+    return ev.withColumn("session_id",
+                         F.sum(is_new).over(w).cast("long"))
+
+
+def session_stats(ev: DataFrame, key_col: str = "user_id",
+                  ts_col: str = "ts",
+                  gap_minutes: int = 30) -> DataFrame:
+    """Per-key session summary over `sessionize` output: session count,
+    event count, and the longest session's event count."""
+    s = sessionize(ev, key_col, ts_col, gap_minutes)
+    per = (s.groupBy(key_col, "session_id")
+           .agg(F.count(F.lit(1)).alias("n")))
+    return (per.groupBy(key_col)
+            .agg(F.countDistinct("session_id").cast("long")
+                 .alias("n_sessions"),
+                 F.sum("n").cast("long").alias("n_events"),
+                 F.max("n").cast("long").alias("max_session_events"))
+            .orderBy(key_col))

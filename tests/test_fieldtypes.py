@@ -64,3 +64,26 @@ def test_terms_agg_doc_count(spark):
     # column absent -> plain row counts
     rows = terms_agg_doc_count(df.drop("_doc_count"), "k").collect()
     assert [(r.key, r.doc_count) for r in rows] == [("a", 2), ("b", 1)]
+
+
+def test_sessionize_gaps_and_islands(spark):
+    import datetime as dt
+
+    from sparksearch.dataops import session_stats, sessionize
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: two sessions (40-min gap splits), sizes 2 and 1
+        (1, base), (1, base + dt.timedelta(minutes=10)),
+        (1, base + dt.timedelta(minutes=50)),
+        # user 2: one session of 3 (gaps < 30 min)
+        (2, base), (2, base + dt.timedelta(minutes=29)),
+        (2, base + dt.timedelta(minutes=58)),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    s = {(r.user_id, r.ts.minute): r.session_id
+         for r in sessionize(df).collect()}
+    assert s[(1, 0)] == 1 and s[(1, 10)] == 1 and s[(1, 50)] == 2
+    assert s[(2, 0)] == s[(2, 29)] == s[(2, 58)] == 1
+    st = {r.user_id: (r.n_sessions, r.n_events, r.max_session_events)
+          for r in session_stats(df).collect()}
+    assert st == {1: (2, 3, 2), 2: (1, 3, 3)}

@@ -86,6 +86,16 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            # the driver gate's pandas canonicalizer sort_values-crashes on
+            # unhashable cells — flag complex-typed output columns loudly
+            from pyspark.sql import types as _T
+            complex_cols = [f.name for f in sdf.schema.fields
+                            if isinstance(f.dataType, (_T.ArrayType,
+                                                       _T.StructType,
+                                                       _T.MapType))]
+            if complex_cols:
+                print(f"NOTE {name}: complex-typed output columns "
+                      f"{complex_cols} would crash the driver canonicalizer")
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
