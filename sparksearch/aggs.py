@@ -587,6 +587,31 @@ def bucket_metrics(buckets: DataFrame, metric: str = "doc_count",
         keys_of("max_bucket").alias("max_keys"))
 
 
+def extended_stats_bucket(buckets: DataFrame, metric: str = "doc_count",
+                          sigma: float = 2.0) -> DataFrame:
+    """extended_stats_bucket sibling pipeline agg (reference reg.
+    sv/search/SearchModule.java:711-833, ExtendedStatsBucketPipeline-
+    AggregationBuilder): population variance/stddev of a sibling bucket
+    table's metric plus the ±sigma std-deviation bounds the reference's
+    InternalExtendedStats reports. One single-row agg over the already-
+    reduced bucket table."""
+    m = F.col(metric).cast("double")
+    row = buckets.agg(
+        F.count("*").cast("long").alias("count"),
+        F.min(m).alias("min"), F.max(m).alias("max"),
+        F.round(F.avg(m), 6).alias("avg"),
+        F.round(F.sum(m), 6).alias("sum"),
+        F.round(F.sum(m * m), 6).alias("sum_of_squares"),
+        F.round(F.var_pop(m), 6).alias("variance"),
+        F.round(F.stddev_pop(m), 6).alias("std_deviation"))
+    return row.select(
+        "*",
+        F.round(F.col("avg") + sigma * F.col("std_deviation"), 6)
+        .alias("std_upper"),
+        F.round(F.col("avg") - sigma * F.col("std_deviation"), 6)
+        .alias("std_lower"))
+
+
 def percentiles_bucket(buckets: DataFrame, metric: str = "doc_count",
                        pcts: list[float] = (0.25, 0.5, 0.75)) -> DataFrame:
     """percentiles_bucket pipeline agg: exact percentiles of a sibling

@@ -161,6 +161,34 @@ FROM per GROUP BY user_id ORDER BY user_id
 """.strip()
 
 
+def q_ext_stats_bucket(spark, sf_dir):
+    """extended_stats_bucket over the per-event_type doc_count buckets
+    (the last sibling pipeline agg in the reference registry without an
+    entry)."""
+    from sparksearch.aggs import extended_stats_bucket
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    buckets = ev.groupBy(F.col("event_type").alias("key")).agg(
+        F.count(F.lit(1)).alias("doc_count"))
+    return extended_stats_bucket(buckets, "doc_count", sigma=2.0)
+
+
+def sql_ext_stats_bucket() -> str:
+    return """
+WITH b AS ( SELECT count(*) AS dc FROM events GROUP BY event_type )
+SELECT CAST(count(*) AS BIGINT) AS count,
+       CAST(min(dc) AS DOUBLE) AS min, CAST(max(dc) AS DOUBLE) AS max,
+       round(avg(dc), 6) AS avg, round(sum(dc), 6) AS sum,
+       round(sum(dc * dc), 6) AS sum_of_squares,
+       round(var_pop(dc), 6) AS variance,
+       round(stddev_pop(dc), 6) AS std_deviation,
+       round(round(avg(dc), 6) + 2.0 * round(stddev_pop(dc), 6), 6)
+         AS std_upper,
+       round(round(avg(dc), 6) - 2.0 * round(stddev_pop(dc), 6), 6)
+         AS std_lower
+FROM b
+""".strip()
+
+
 def queries() -> dict:
     return {
         "ip_field_cidr": q_ip_field_cidr,
@@ -168,6 +196,7 @@ def queries() -> dict:
         "range_field_rel": q_range_field_rel,
         "agg_doc_count": q_agg_doc_count,
         "sessionize_events": q_sessionize,
+        "agg_ext_stats_bucket": q_ext_stats_bucket,
     }
 
 
@@ -178,4 +207,5 @@ def oracle_sql() -> dict:
         "range_field_rel": sql_range_field_rel(),
         "agg_doc_count": sql_agg_doc_count(),
         "sessionize_events": sql_sessionize(),
+        "agg_ext_stats_bucket": sql_ext_stats_bucket(),
     }
