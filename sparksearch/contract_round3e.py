@@ -189,6 +189,43 @@ FROM b
 """.strip()
 
 
+def q_ingest_pipeline3(spark, sf_dir):
+    """Third ingest-processor batch (modules/ingest-common): set (literal
+    field), rename, split -> sort -> dedupe -> join over an array field,
+    bytes (unit-suffix parse), and foreach (per-element transform)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    toks = F.split(F.concat_ws(",", "event_type", "event_type",
+                               F.lit("zz")), ",")
+    return (ev.select(
+        "event_id",
+        F.lit("web").alias("p_source"),                     # set
+        F.col("event_type").alias("p_kind"),                # rename
+        F.array_join(F.array_sort(F.array_distinct(toks)),  # split/sort/
+                     "-").alias("p_tags"),                  # dedupe/join
+        (F.regexp_extract(F.concat(F.col("user_id").cast("string"),
+                                   F.lit("kb")), r"^(\d+)kb$", 1)
+         .cast("long") * 1024).alias("p_bytes"),            # bytes
+        F.array_join(F.transform(toks, lambda x: F.upper(x)),
+                     ",").alias("p_upper"),                 # foreach
+    ).orderBy("event_id"))
+
+
+def sql_ingest_pipeline3() -> str:
+    return """
+SELECT event_id,
+       'web' AS p_source,
+       event_type AS p_kind,
+       array_to_string(list_sort(list_distinct(string_split(
+           event_type || ',' || event_type || ',zz', ','))), '-') AS p_tags,
+       CAST(regexp_extract(CAST(user_id AS VARCHAR) || 'kb',
+                           '^([0-9]+)kb$', 1) AS BIGINT) * 1024 AS p_bytes,
+       array_to_string(list_transform(string_split(
+           event_type || ',' || event_type || ',zz', ','),
+           x -> upper(x)), ',') AS p_upper
+FROM events ORDER BY event_id
+""".strip()
+
+
 def queries() -> dict:
     return {
         "ip_field_cidr": q_ip_field_cidr,
@@ -197,6 +234,7 @@ def queries() -> dict:
         "agg_doc_count": q_agg_doc_count,
         "sessionize_events": q_sessionize,
         "agg_ext_stats_bucket": q_ext_stats_bucket,
+        "ingest_pipeline3": q_ingest_pipeline3,
     }
 
 
@@ -208,4 +246,5 @@ def oracle_sql() -> dict:
         "agg_doc_count": sql_agg_doc_count(),
         "sessionize_events": sql_sessionize(),
         "agg_ext_stats_bucket": sql_ext_stats_bucket(),
+        "ingest_pipeline3": sql_ingest_pipeline3(),
     }
