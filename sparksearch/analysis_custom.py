@@ -592,6 +592,15 @@ _TOKEN_FILTERS = {
     "scandinavian_folding": _lazy_norm("scandinavian_folding"),
     "apostrophe": _lazy_norm("apostrophe"),
     "classic": _lazy_norm("classic"),
+    "serbian_normalization": _lazy_norm("serbian_normalization"),
+    "hindi_normalization": _lazy_norm("hindi_normalization"),
+    "sorani_normalization": _lazy_norm("sorani_normalization"),
+    "concatenate_graph": _lazy_norm("concatenate_graph"),
+    # legacy fixed-language stem filter names that map onto light-family
+    # stemmers this engine implements (ArabicStemFilter IS the Larkey
+    # light stemmer; CzechStemmer IS the Dolamic-Savoy light stemmer)
+    "arabic_stem": lambda cfg: _tf_stemmer({"language": "arabic"}),
+    "czech_stem": lambda cfg: _tf_stemmer({"language": "czech"}),
     "keyword_marker": _tf_keyword_marker,
     "stemmer_override": _tf_stemmer_override,
     "keyword_repeat": _tf_keyword_repeat,

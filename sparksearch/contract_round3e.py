@@ -226,7 +226,35 @@ FROM events ORDER BY event_id
 """.strip()
 
 
+# ---------------------------------------------------------------------------
+# round-3e analysis filters: serbian/hindi/sorani normalization, czech_stem,
+# concatenate_graph — goldens through the real Arrow-UDF analyze path
+# ---------------------------------------------------------------------------
+
+_LN_SETTINGS = {"tokenizer": "whitespace",
+                "filter": ["lowercase", "serbian_normalization",
+                           "hindi_normalization", "sorani_normalization"]}
+_LN_PROBES = [(0, "Ђачки џез"), (1, "क़रीब हाँ"), (2, "يك table")]
+#: hand-derived: ђачки -> djacki, џез -> dzez (bald-latin translit);
+#: क़रीब nukta-folds to करीब, हाँ chandrabindu -> हां; يك folds to یک
+_LN_GOLDENS = [
+    (0, "djacki", 0), (0, "dzez", 1),
+    (1, "करीब", 0), (1, "हां", 1),
+    (2, "یک", 0), (2, "table", 1),
+]
+
+_CC_SETTINGS = {"tokenizer": "whitespace",
+                "filter": ["lowercase",
+                           {"type": "stemmer", "language": "czech"},
+                           "concatenate_graph"]}
+_CC_PROBES = [(0, "Hrady ženami"), (1, "otcov")]
+#: czech light: hrady -> hrad, ženami -> žen; concatenate_graph joins the
+#: stream into ONE token at position 0 with the default " " separator
+_CC_GOLDENS = [(0, "hrad žen", 0), (1, "otc", 0)]
+
+
 def queries() -> dict:
+    from sparksearch.contract_round3d import _q_filter_goldens
     return {
         "ip_field_cidr": q_ip_field_cidr,
         "ip_field_sort": q_ip_field_sort,
@@ -235,6 +263,12 @@ def queries() -> dict:
         "sessionize_events": q_sessionize,
         "agg_ext_stats_bucket": q_ext_stats_bucket,
         "ingest_pipeline3": q_ingest_pipeline3,
+        "tf_lang_norms": _q_filter_goldens(
+            "an_lang_norms", _LN_SETTINGS, _LN_PROBES,
+            "serbian/hindi/sorani normalization filters vs hand goldens"),
+        "tf_concat_czech": _q_filter_goldens(
+            "an_concat_cz", _CC_SETTINGS, _CC_PROBES,
+            "czech light stemmer + concatenate_graph vs hand goldens"),
     }
 
 
@@ -247,4 +281,11 @@ def oracle_sql() -> dict:
         "sessionize_events": sql_sessionize(),
         "agg_ext_stats_bucket": sql_ext_stats_bucket(),
         "ingest_pipeline3": sql_ingest_pipeline3(),
+        "tf_lang_norms": _sql_goldens_3e(_LN_GOLDENS),
+        "tf_concat_czech": _sql_goldens_3e(_CC_GOLDENS),
     }
+
+
+def _sql_goldens_3e(goldens) -> str:
+    from sparksearch.contract_round3b import _sql_goldens
+    return _sql_goldens(goldens)

@@ -287,3 +287,99 @@ def _classic_term(t: str) -> str:
 
 def classic_filter(cfg: dict):
     return _term_map(_classic_term)
+
+
+# ---------------------------------------------------------------------------
+# serbian_normalization (SerbianNormalizationFilter, "bald" latin output)
+# ---------------------------------------------------------------------------
+
+_SR_CYR = {
+    "а": "a", "б": "b", "в": "v", "г": "g", "д": "d", "ђ": "dj",
+    "е": "e", "ж": "z", "з": "z", "и": "i", "ј": "j", "к": "k",
+    "л": "l", "љ": "lj", "м": "m", "н": "n", "њ": "nj", "о": "o",
+    "п": "p", "р": "r", "с": "s", "т": "t", "ћ": "c", "у": "u",
+    "ф": "f", "х": "h", "ц": "c", "ч": "c", "џ": "dz", "ш": "s",
+}
+_SR_LAT = {"đ": "dj", "ž": "z", "š": "s", "č": "c", "ć": "c",
+           "ǆ": "dz", "ǉ": "lj", "ǌ": "nj"}
+
+
+def _serbian_norm_term(t: str) -> str:
+    return "".join(_SR_CYR.get(ch) or _SR_LAT.get(ch) or ch for ch in t)
+
+
+def serbian_normalization_filter(cfg: dict):
+    """Cyrillic -> bald Latin transliteration + regional-diacritic fold
+    (analysis-common `serbian_normalization`; the standard Serbian
+    digraph mapping ђ->dj, љ->lj, њ->nj, џ->dz, ч/ћ->c, ш->s, ж->z)."""
+    return _term_map(_serbian_norm_term)
+
+
+# ---------------------------------------------------------------------------
+# hindi_normalization (HindiNormalizer — Ramanathan & Rao normalization)
+# ---------------------------------------------------------------------------
+
+#: precomposed nukta consonants -> base consonant (the normalizer treats
+#: क़/क etc. as spelling variants), plus chandrabindu -> anusvara and the
+#: standalone nukta dropped
+_HI_NORM = {
+    "क़": "क", "ख़": "ख", "ग़": "ग", "ज़": "ज", "ड़": "ड",
+    "ढ़": "ढ", "फ़": "फ", "य़": "य", "ऩ": "न", "ऱ": "र", "ऴ": "ळ",
+    "ॠ": "ऋ", "ॡ": "ऌ",
+    "ँ": "ं",                      # chandrabindu -> anusvara
+    "़": "",                                         # bare nukta
+}
+
+
+def _hindi_norm_term(t: str) -> str:
+    return "".join(_HI_NORM.get(ch, ch) for ch in t)
+
+
+def hindi_normalization_filter(cfg: dict):
+    """Devanagari spelling-variant normalization (`hindi_normalization`,
+    Lucene HindiNormalizer after Ramanathan & Rao): fold the
+    nukta-consonant variants to their base consonant, drop a combining
+    nukta, and normalize chandrabindu to anusvara.  The reference's
+    additional rare-vowel folds beyond ॠ/ॡ are omitted (documented)."""
+    return _term_map(_hindi_norm_term)
+
+
+# ---------------------------------------------------------------------------
+# sorani_normalization (SoraniNormalizationFilter)
+# ---------------------------------------------------------------------------
+
+_CKB_MAP = {
+    "ي": "ی", "ى": "ی",            # arabic/dotless yeh -> farsi yeh
+    "ك": "ک",                                  # arabic kaf -> keheh
+    "ه‍": "ھ",                       # heh + joiner -> doachashmee
+}
+_CKB_DROP = frozenset(["ـ", "‌"]
+                      + [chr(c) for c in range(0x064B, 0x0653)])
+
+
+def _sorani_norm_term(t: str) -> str:
+    t = t.replace("ه‌", "ە")   # final heh + ZWNJ -> ae
+    return "".join(_CKB_MAP.get(ch, ch) for ch in t
+                   if ch not in _CKB_DROP)
+
+
+def sorani_normalization_filter(cfg: dict):
+    """Sorani Kurdish orthography normalization (`sorani_normalization`):
+    arabic yeh/kaf fold to farsi yeh/keheh, heh+ZWNJ becomes ae (ە),
+    tatweel/ZWNJ/harakat are dropped."""
+    return _term_map(_sorani_norm_term)
+
+
+# ---------------------------------------------------------------------------
+# concatenate_graph (ConcatenateGraphTokenFilterFactory: token_separator
+# default " ", joins the whole stream into ONE token at position 0)
+# ---------------------------------------------------------------------------
+
+def concatenate_graph_filter(cfg: dict):
+    sep = cfg.get("token_separator", " ")
+
+    def cat(tokens):
+        if not tokens:
+            return tokens
+        return [(sep.join(t for t, _ in tokens), 0)]
+    return cat

@@ -382,6 +382,39 @@ def hindi_stem(s: str) -> str:
     return s
 
 
+#: Dolamic & Savoy case endings (longest first), then possessives —
+#: "Indexing and stemming approaches for the Czech language" (IPM 2009)
+_CZ_CASE = ("atech",
+            "ětem", "etem", "atům",
+            "ech", "ich", "ích", "ého", "ěmi", "emi", "ému",
+            "ete", "eti", "iho", "ího", "ími", "imu", "ách",
+            "ata", "aty", "ých", "ama", "ami", "ové", "ovi", "ými",
+            "em", "es", "ém", "ím", "ům", "at", "ám", "os", "us",
+            "ým", "mi", "ou",
+            "a", "e", "i", "o", "u", "ů", "y", "á", "é", "í", "ý", "ě")
+_CZ_POSS = ("ov", "ův", "in")
+
+
+def czech_stem(s: str) -> str:
+    """Czech light stemmer (Dolamic & Savoy, the rule set Lucene's
+    CzechStemmer implements): remove the longest matching case ending
+    (words of 4+ chars, 3+ chars must remain), then one possessive
+    ending (-ov/-ův/-in).  The published palatalization normalization
+    step is OMITTED — a documented narrowing: stems ending in palatal
+    variants (ci/či/zi/ži) conflate slightly less than the reference."""
+    if len(s) >= 4:
+        for suf in _CZ_CASE:
+            if s.endswith(suf) and len(s) - len(suf) >= 3:
+                s = s[: -len(suf)]
+                break
+    if len(s) >= 5:
+        for suf in _CZ_POSS:
+            if s.endswith(suf) and len(s) - len(suf) >= 3:
+                s = s[: -len(suf)]
+                break
+    return s
+
+
 #: language -> stemmer, the subset of StemmerTokenFilterFactory's registry
 #: this engine implements (english/porter route to porter.porter_stem in
 #: analysis_custom._tf_stemmer)
@@ -417,4 +450,5 @@ LANGUAGE_STEMMERS = {
     "norwegianLight": light_norwegian_stem,
     "norwegianMinimal": minimal_norwegian_stem,
     "hindi": hindi_stem,
+    "czech": czech_stem,
 }

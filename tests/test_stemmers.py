@@ -216,3 +216,32 @@ def test_scandinavian_hindi_registered_in_filter_factory():
                        ("hindi", "किताबों", "किताब")]:
         f = _tf_stemmer({"language": lang})
         assert f([(w, 0)]) == [(s, 0)], lang
+
+
+def test_czech_light_goldens():
+    from sparksearch.stemmers import czech_stem as st
+    # Dolamic-Savoy case endings: hrady/hradu/hradem -> hrad;
+    # ženami/ženách -> žen; possessive otcov -> otc
+    for w, s in [("hrady", "hrad"), ("hradem", "hrad"), ("hradu", "hrad"),
+                 ("ženami", "žen"), ("ženách", "žen"),
+                 ("nejnovějších", "nejnovějš"), ("otcov", "otc"),
+                 ("dům", "dům")]:
+        assert st(w) == s, (w, st(w))
+
+
+def test_norm_filters_round3e():
+    from sparksearch.analysis_custom import _TOKEN_FILTERS
+    sr = _TOKEN_FILTERS["serbian_normalization"]({})
+    assert sr([("ђачки", 0), ("џез", 1)]) == [("djacki", 0), ("dzez", 1)]
+    hi = _TOKEN_FILTERS["hindi_normalization"]({})
+    assert hi([("क़रीब", 0), ("हाँ", 1)]) == [("करीब", 0), ("हां", 1)]
+    ckb = _TOKEN_FILTERS["sorani_normalization"]({})
+    assert ckb([("يك", 0)]) == [("یک", 0)]
+    cat = _TOKEN_FILTERS["concatenate_graph"]({})
+    assert cat([("new", 0), ("york", 1)]) == [("new york", 0)]
+    cat2 = _TOKEN_FILTERS["concatenate_graph"]({"token_separator": "_"})
+    assert cat2([("a", 0), ("b", 1)]) == [("a_b", 0)]
+    ar = _TOKEN_FILTERS["arabic_stem"]({})
+    assert ar([("الكتاب", 0)]) == [("كتاب", 0)]
+    cz = _TOKEN_FILTERS["czech_stem"]({})
+    assert cz([("hrady", 0)]) == [("hrad", 0)]
