@@ -253,7 +253,23 @@ _CC_PROBES = [(0, "Hrady ženami"), (1, "otcov")]
 _CC_GOLDENS = [(0, "hrad žen", 0), (1, "otc", 0)]
 
 
+_SNOW_DE_PROBES = [(0, "Häuser Kinder arbeiten"),
+                   (1, "Schönheit Bücher")]
+#: hand-derived from the Snowball German spec (R1 suffix steps + umlaut
+#: unfold): häuser->haus, kinder->kind, arbeiten->arbeit,
+#: schönheit->schonheit (heit outside R2), bücher->buch
+_SNOW_DE_GOLDENS = [(0, "haus", 0), (0, "kind", 1), (0, "arbeit", 2),
+                    (1, "schonheit", 0), (1, "buch", 1)]
+
+_SNOW_RU_PROBES = [(0, "книгами красивый"), (1, "читала осталось")]
+#: Snowball Russian spec: noun -ами, adjectival -ый, verb -ла,
+#: reflexive -сь then verb -ло + trailing vowel
+_SNOW_RU_GOLDENS = [(0, "книг", 0), (0, "красив", 1),
+                    (1, "чита", 0), (1, "оста", 1)]
+
+
 def queries() -> dict:
+    from sparksearch.contract_round3b import _q_stem_goldens
     from sparksearch.contract_round3d import _q_filter_goldens
     return {
         "ip_field_cidr": q_ip_field_cidr,
@@ -269,6 +285,10 @@ def queries() -> dict:
         "tf_concat_czech": _q_filter_goldens(
             "an_concat_cz", _CC_SETTINGS, _CC_PROBES,
             "czech light stemmer + concatenate_graph vs hand goldens"),
+        "stem_snowball_de": _q_stem_goldens("an_snow_de", "german",
+                                            _SNOW_DE_PROBES),
+        "stem_snowball_ru": _q_stem_goldens("an_snow_ru", "russian",
+                                            _SNOW_RU_PROBES),
     }
 
 
@@ -283,6 +303,8 @@ def oracle_sql() -> dict:
         "ingest_pipeline3": sql_ingest_pipeline3(),
         "tf_lang_norms": _sql_goldens_3e(_LN_GOLDENS),
         "tf_concat_czech": _sql_goldens_3e(_CC_GOLDENS),
+        "stem_snowball_de": _sql_goldens_3e(_SNOW_DE_GOLDENS),
+        "stem_snowball_ru": _sql_goldens_3e(_SNOW_RU_GOLDENS),
     }
 
 

@@ -452,3 +452,16 @@ LANGUAGE_STEMMERS = {
     "hindi": hindi_stem,
     "czech": czech_stem,
 }
+
+
+def _snowball(name: str):
+    def load(s: str) -> str:
+        from sparksearch import snowball
+        return getattr(snowball, name)(s)
+    return load
+
+
+# plain language names route to the Snowball algorithms, as the
+# reference's factory does (StemmerTokenFilterFactory.java:172-256)
+LANGUAGE_STEMMERS["german"] = _snowball("german_snowball_stem")
+LANGUAGE_STEMMERS["russian"] = _snowball("russian_snowball_stem")

@@ -245,3 +245,32 @@ def test_norm_filters_round3e():
     assert ar([("الكتاب", 0)]) == [("كتاب", 0)]
     cz = _TOKEN_FILTERS["czech_stem"]({})
     assert cz([("hrady", 0)]) == [("hrad", 0)]
+
+
+def test_snowball_german():
+    from sparksearch.snowball import german_snowball_stem as st
+    for w, s in [("häuser", "haus"), ("kinder", "kind"),
+                 ("kategorie", "kategori"), ("schönheit", "schonheit"),
+                 ("aufeinander", "aufeinand"), ("bücher", "buch"),
+                 ("arbeiten", "arbeit"), ("schnelles", "schnell"),
+                 ("verständnisse", "verstandnis"), ("mädchen", "madch")]:
+        assert st(w) == s, (w, st(w))
+
+
+def test_snowball_russian():
+    from sparksearch.snowball import russian_snowball_stem as st
+    # важность: noun -ь strips, derivational -ост is OUTSIDE R2 (spec)
+    for w, s in [("книгами", "книг"), ("книги", "книг"),
+                 ("красивый", "красив"), ("читала", "чита"),
+                 ("делавшись", "дела"), ("новейший", "нов"),
+                 ("писал", "писа"), ("стол", "стол"),
+                 ("осталось", "оста"), ("важность", "важност")]:
+        assert st(w) == s, (w, st(w))
+
+
+def test_snowball_registered():
+    from sparksearch.analysis_custom import _tf_stemmer
+    f = _tf_stemmer({"language": "german"})
+    assert f([("häuser", 0)]) == [("haus", 0)]
+    f = _tf_stemmer({"language": "russian"})
+    assert f([("книгами", 0)]) == [("книг", 0)]
