@@ -261,6 +261,11 @@ _SNOW_DE_PROBES = [(0, "Häuser Kinder arbeiten"),
 _SNOW_DE_GOLDENS = [(0, "haus", 0), (0, "kind", 1), (0, "arbeit", 2),
                     (1, "schonheit", 0), (1, "buch", 1)]
 
+_SNOW_FR_PROBES = [(0, "continuer mangeaient"), (1, "châteaux nationale")]
+#: hand-traced from the Snowball French spec (see tests/test_stemmers.py)
+_SNOW_FR_GOLDENS = [(0, "continu", 0), (0, "mang", 1),
+                    (1, "château", 0), (1, "national", 1)]
+
 _SNOW_RU_PROBES = [(0, "книгами красивый"), (1, "читала осталось")]
 #: Snowball Russian spec: noun -ами, adjectival -ый, verb -ла,
 #: reflexive -сь then verb -ло + trailing vowel
@@ -289,6 +294,8 @@ def queries() -> dict:
                                             _SNOW_DE_PROBES),
         "stem_snowball_ru": _q_stem_goldens("an_snow_ru", "russian",
                                             _SNOW_RU_PROBES),
+        "stem_snowball_fr": _q_stem_goldens("an_snow_fr", "french",
+                                            _SNOW_FR_PROBES),
     }
 
 
@@ -305,6 +312,7 @@ def oracle_sql() -> dict:
         "tf_concat_czech": _sql_goldens_3e(_CC_GOLDENS),
         "stem_snowball_de": _sql_goldens_3e(_SNOW_DE_GOLDENS),
         "stem_snowball_ru": _sql_goldens_3e(_SNOW_RU_GOLDENS),
+        "stem_snowball_fr": _sql_goldens_3e(_SNOW_FR_GOLDENS),
     }
 
 

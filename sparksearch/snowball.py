@@ -5,14 +5,15 @@ routes plain language names to Lucene's SnowballFilter
 "german" -> GermanStemmer, "russian" -> RussianStemmer); these are
 from-spec re-derivations, NOT ports of the generated Snowball sources.
 
-Implemented: german, russian.  The remaining Snowball languages
-(french, dutch, ...) have substantially longer specs and stay
-unimplemented — `stemmer` raises on unknown languages.
+Implemented: german, russian, french.  The remaining Snowball languages
+(dutch, ...) have substantially longer specs and stay unimplemented —
+`stemmer` raises on unknown languages.
 """
 
 from __future__ import annotations
 
-__all__ = ["german_snowball_stem", "russian_snowball_stem"]
+__all__ = ["german_snowball_stem", "russian_snowball_stem",
+           "french_snowball_stem"]
 
 # ---------------------------------------------------------------------------
 # German (snowballstem.org/algorithms/german/stemmer.html)
@@ -234,3 +235,286 @@ def russian_snowball_stem(word: str) -> str:
     if w.endswith("ь") and len(w) - 1 >= rv:
         w = w[:-1]
     return w
+
+
+# ---------------------------------------------------------------------------
+# French (snowballstem.org/algorithms/french/stemmer.html)
+# ---------------------------------------------------------------------------
+
+_FR_VOWELS = set("aeiouyâàëéêèïîôûù")
+
+
+def _fr_prelude(w: str) -> str:
+    """Mark u/i between vowels and y adjacent to a vowel as consonants
+    (uppercase); u after q -> U."""
+    cs = list(w)
+    n = len(cs)
+    for i in range(n):
+        c = cs[i]
+        if c in ("u", "i") and 0 < i < n - 1 \
+                and cs[i - 1].lower() in _FR_VOWELS \
+                and cs[i + 1].lower() in _FR_VOWELS:
+            cs[i] = c.upper()
+        elif c == "y" and ((i > 0 and cs[i - 1].lower() in _FR_VOWELS)
+                           or (i < n - 1
+                               and cs[i + 1].lower() in _FR_VOWELS)):
+            cs[i] = "Y"
+        elif c == "u" and i > 0 and cs[i - 1] == "q":
+            cs[i] = "U"
+    return "".join(cs)
+
+
+def _fr_is_vowel(c: str) -> bool:
+    return c in _FR_VOWELS         # marked U/I/Y are consonants
+
+
+def _fr_regions(w: str) -> tuple[int, int, int]:
+    n = len(w)
+    # RV
+    if n >= 3 and _fr_is_vowel(w[0]) and _fr_is_vowel(w[1]):
+        rv = 3
+    elif w[:3] in ("par", "col", "tap"):
+        rv = 3
+    else:
+        rv = n
+        for i in range(1, n):
+            if _fr_is_vowel(w[i]):
+                rv = i + 1
+                break
+    def region_after(start: int) -> int:
+        i = start
+        while i < n and not _fr_is_vowel(w[i]):
+            i += 1
+        while i < n and _fr_is_vowel(w[i]):
+            i += 1
+        return min(i + 1, n)
+    r1 = region_after(0)
+    r2 = region_after(r1) if r1 < n else n
+    return rv, r1, r2
+
+
+#: step-1 suffixes, longest-first within each rule family
+_FR_S1_DEL_R2 = ("ances", "iqUes", "ismes", "ables", "istes",
+                 "ance", "iqUe", "isme", "able", "iste", "eux")
+_FR_S1_ATEUR = ("atrices", "ateurs", "ations", "atrice", "ateur",
+                "ation")
+_FR_S1_I_VERB = (
+    "issantes", "iraIent", "issaIent", "issants", "issante", "issions",
+    "irions", "issais", "issait", "issant", "issent", "issiez",
+    "issons", "irais", "irait", "irent", "iriez", "irons", "iront",
+    "isses", "issez", "îmes", "îtes", "irai", "iras", "irez", "isse",
+    "ies", "ira", "ît", "ie", "ir", "is", "it", "i")
+_FR_S2B_IONS = "ions"
+_FR_S2B_ER = ("eraIent", "erions", "èrent", "erais", "erait", "eriez",
+              "erons", "eront", "erai", "eras", "erez", "ées", "era",
+              "iez", "ée", "és", "er", "ez", "é")
+_FR_S2B_A = ("assions", "assent", "assiez", "aIent", "antes", "asses",
+             "âmes", "âtes", "ante", "ants", "asse", "ais", "ait",
+             "ant", "ât", "ai", "as", "a")
+
+
+def french_snowball_stem(word: str) -> str:
+    """Snowball French from the published spec: prelude consonant marks,
+    RV/R1/R2, standard-suffix step 1, verb steps 2a/2b, residual step 4,
+    undoubling and un-accenting.  From-spec re-derivation; the goldens
+    in the gate are hand-derived from the same spec."""
+    w = _fr_prelude(word)
+    rv, r1, r2 = _fr_regions(w)
+
+    def in_r(pos_region: int, suflen: int) -> bool:
+        return len(w) - suflen >= pos_region
+
+    def ends(s: str) -> bool:
+        return w.endswith(s)
+
+    orig = w
+    step1_mdone = False      # removed one of (a|e)mment / ment(s)
+    altered = False
+
+    # ---- step 1: standard suffix removal (longest match governs) ----
+    cands = []
+    for s in _FR_S1_DEL_R2 + _FR_S1_ATEUR + (
+            "logies", "logie", "usions", "utions", "usion", "ution",
+            "ences", "ence", "ements", "ement", "ités", "ité",
+            "ives", "ifs", "ive", "if", "eaux", "aux", "euses", "euse",
+            "issements", "issement", "amment", "emment", "ments",
+            "ment"):
+        if ends(s):
+            cands.append(s)
+    if cands:
+        suf = max(cands, key=len)
+        n = len(suf)
+        if suf in _FR_S1_DEL_R2:
+            if in_r(r2, n):
+                w = w[:-n]
+        elif suf in _FR_S1_ATEUR:
+            if in_r(r2, n):
+                w = w[:-n]
+                if w.endswith("ic"):
+                    if in_r(r2, 2):
+                        w = w[:-2]
+                    else:
+                        w = w[:-2] + "iqU"
+        elif suf in ("logie", "logies"):
+            if in_r(r2, n):
+                w = w[: -n] + "log"
+        elif suf in ("usion", "ution", "usions", "utions"):
+            if in_r(r2, n):
+                w = w[: -n] + "u"
+        elif suf in ("ence", "ences"):
+            if in_r(r2, n):
+                w = w[: -n] + "ent"
+        elif suf in ("ement", "ements"):
+            if in_r(rv, n):
+                w = w[:-n]
+                if w.endswith("iv") and in_r(r2, 2):
+                    w = w[:-2]
+                    if w.endswith("at") and in_r(r2, 2):
+                        w = w[:-2]
+                elif w.endswith("eus"):
+                    if in_r(r2, 3):
+                        w = w[:-3]
+                    elif in_r(r1, 3):
+                        w = w[:-3] + "eux"
+                elif (w.endswith("abl") or w.endswith("iqU")) \
+                        and in_r(r2, 3):
+                    w = w[:-3]
+                elif (w.endswith("ièr") or w.endswith("Ièr")) \
+                        and in_r(rv, 3):
+                    w = w[:-3] + "i"
+        elif suf in ("ité", "ités"):
+            if in_r(r2, n):
+                w = w[:-n]
+                if w.endswith("abil"):
+                    if in_r(r2, 4):
+                        w = w[:-4]
+                    else:
+                        w = w[:-4] + "abl"
+                elif w.endswith("ic"):
+                    if in_r(r2, 2):
+                        w = w[:-2]
+                    else:
+                        w = w[:-2] + "iqU"
+                elif w.endswith("iv") and in_r(r2, 2):
+                    w = w[:-2]
+        elif suf in ("if", "ive", "ifs", "ives"):
+            if in_r(r2, n):
+                w = w[:-n]
+                if w.endswith("at") and in_r(r2, 2):
+                    w = w[:-2]
+                    if w.endswith("ic"):
+                        if in_r(r2, 2):
+                            w = w[:-2]
+                        else:
+                            w = w[:-2] + "iqU"
+        elif suf == "eaux":
+            w = w[:-4] + "eau"
+        elif suf == "aux":
+            if in_r(r1, 3):
+                w = w[:-3] + "al"
+        elif suf in ("euse", "euses"):
+            if in_r(r2, n):
+                w = w[:-n]
+            elif in_r(r1, n):
+                w = w[: -n] + "eux"
+        elif suf in ("issement", "issements"):
+            if in_r(r1, n) and len(w) > n \
+                    and not _fr_is_vowel(w[-n - 1]):
+                w = w[:-n]
+        elif suf == "amment":
+            if in_r(rv, 6):
+                w = w[:-6] + "ant"
+                step1_mdone = True
+        elif suf == "emment":
+            if in_r(rv, 6):
+                w = w[:-6] + "ent"
+                step1_mdone = True
+        elif suf in ("ment", "ments"):
+            # preceded by a vowel in RV (the vowel stays)
+            if len(w) > n and _fr_is_vowel(w[-n - 1]) \
+                    and in_r(rv, n + 1):
+                w = w[:-n]
+                step1_mdone = True
+    altered = (w != orig)
+
+    # ---- steps 2a/2b: verb suffixes ----
+    if (not altered) or step1_mdone:
+        before2 = w
+        done2a = False
+        for suf in sorted(_FR_S1_I_VERB, key=len, reverse=True):
+            n = len(suf)
+            # "delete if in RV and preceded by a non-vowel also in RV"
+            if w.endswith(suf) and len(w) > n \
+                    and not _fr_is_vowel(w[-n - 1]) \
+                    and len(w) - n - 1 >= rv:
+                w = w[:-n]
+                done2a = True
+                break
+        if not done2a:
+            # step 2b
+            c2 = []
+            for s in (_FR_S2B_ER + _FR_S2B_A + (_FR_S2B_IONS,)):
+                if w.endswith(s):
+                    c2.append(s)
+            if c2:
+                suf = max(c2, key=len)
+                n = len(suf)
+                if suf == "ions":
+                    if in_r(r2, n):
+                        w = w[:-n]
+                elif suf in _FR_S2B_ER:
+                    if in_r(rv, n):
+                        w = w[:-n]
+                else:
+                    if in_r(rv, n):
+                        w = w[:-n]
+                        if w.endswith("e") and in_r(rv, 1):
+                            w = w[:-1]
+        altered = altered or (w != before2)
+
+    # ---- step 3 or 4 ----
+    if altered:
+        if w.endswith("Y"):
+            w = w[:-1] + "i"
+        elif w.endswith("ç"):
+            w = w[:-1] + "c"
+    else:
+        # step 4
+        if w.endswith("s") and len(w) >= 2 \
+                and w[-2] not in ("a", "i", "o", "u", "è", "s") \
+                and not (len(w) >= 3 and w[-2] == "i" and w[-3] == "H"):
+            w = w[:-1]
+        if w.endswith("ion") and in_r(r2, 3) and len(w) >= 4 \
+                and w[-4] in ("s", "t"):
+            w = w[:-3]
+        else:
+            for suf, rep in (("ière", "i"), ("Ière", "i"),
+                             ("ier", "i"), ("Ier", "i")):
+                if w.endswith(suf) and in_r(rv, len(suf)):
+                    w = w[: -len(suf)] + rep
+                    break
+            else:
+                if w.endswith("e") and in_r(rv, 1):
+                    w = w[:-1]
+                elif w.endswith("ë") and in_r(rv, 1) \
+                        and w[-3:-1] == "gu":
+                    w = w[:-1]
+
+    # ---- step 5: undouble ----
+    for dbl in ("enn", "onn", "ett", "ell", "eill"):
+        if w.endswith(dbl):
+            w = w[:-1]
+            break
+
+    # ---- step 6: un-accent ----
+    i = len(w) - 1
+    seen_cons = False
+    while i >= 0:
+        if _fr_is_vowel(w[i]) or w[i] in ("U", "I", "Y"):
+            if w[i] in ("é", "è") and seen_cons:
+                w = w[:i] + "e" + w[i + 1:]
+            break
+        seen_cons = True
+        i -= 1
+
+    return (w.replace("U", "u").replace("I", "i").replace("Y", "y"))

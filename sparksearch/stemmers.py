@@ -465,3 +465,4 @@ def _snowball(name: str):
 # reference's factory does (StemmerTokenFilterFactory.java:172-256)
 LANGUAGE_STEMMERS["german"] = _snowball("german_snowball_stem")
 LANGUAGE_STEMMERS["russian"] = _snowball("russian_snowball_stem")
+LANGUAGE_STEMMERS["french"] = _snowball("french_snowball_stem")

@@ -274,3 +274,23 @@ def test_snowball_registered():
     assert f([("häuser", 0)]) == [("haus", 0)]
     f = _tf_stemmer({"language": "russian"})
     assert f([("книгами", 0)]) == [("книг", 0)]
+
+
+def test_snowball_french():
+    from sparksearch.snowball import french_snowball_stem as st
+    # every vector hand-traced from the published spec (important: step
+    # 2b deletes -ant in RV; belle: step-5 undoubles -ell; possibilité
+    # keeps -ibil because the precedence suffix is literally "abil")
+    for w, s in [("majestueux", "majestu"), ("continuer", "continu"),
+                 ("continuité", "continu"), ("mangeaient", "mang"),
+                 ("châteaux", "château"), ("finissait", "fin"),
+                 ("nationale", "national"), ("nationaux", "national"),
+                 ("logiquement", "logiqu"), ("sincèrement", "sincer"),
+                 ("important", "import"), ("chanter", "chant"),
+                 ("chantée", "chant"), ("belle", "bel"),
+                 ("actuellement", "actuel"),
+                 ("possibilité", "possibil")]:
+        assert st(w) == s, (w, st(w))
+    from sparksearch.analysis_custom import _tf_stemmer
+    f = _tf_stemmer({"language": "french"})
+    assert f([("chanter", 0)]) == [("chant", 0)]
