@@ -266,6 +266,11 @@ _SNOW_FR_PROBES = [(0, "continuer mangeaient"), (1, "châteaux nationale")]
 _SNOW_FR_GOLDENS = [(0, "continu", 0), (0, "mang", 1),
                     (1, "château", 0), (1, "national", 1)]
 
+_SNOW_ES_PROBES = [(0, "cantando canciones"), (1, "trabajadores libros")]
+#: hand-traced from the Snowball Spanish spec
+_SNOW_ES_GOLDENS = [(0, "cant", 0), (0, "cancion", 1),
+                    (1, "trabaj", 0), (1, "libr", 1)]
+
 _SNOW_RU_PROBES = [(0, "книгами красивый"), (1, "читала осталось")]
 #: Snowball Russian spec: noun -ами, adjectival -ый, verb -ла,
 #: reflexive -сь then verb -ло + trailing vowel
@@ -296,6 +301,8 @@ def queries() -> dict:
                                             _SNOW_RU_PROBES),
         "stem_snowball_fr": _q_stem_goldens("an_snow_fr", "french",
                                             _SNOW_FR_PROBES),
+        "stem_snowball_es": _q_stem_goldens("an_snow_es", "spanish",
+                                            _SNOW_ES_PROBES),
     }
 
 
@@ -313,6 +320,7 @@ def oracle_sql() -> dict:
         "stem_snowball_de": _sql_goldens_3e(_SNOW_DE_GOLDENS),
         "stem_snowball_ru": _sql_goldens_3e(_SNOW_RU_GOLDENS),
         "stem_snowball_fr": _sql_goldens_3e(_SNOW_FR_GOLDENS),
+        "stem_snowball_es": _sql_goldens_3e(_SNOW_ES_GOLDENS),
     }
 
 

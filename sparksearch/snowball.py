@@ -5,15 +5,15 @@ routes plain language names to Lucene's SnowballFilter
 "german" -> GermanStemmer, "russian" -> RussianStemmer); these are
 from-spec re-derivations, NOT ports of the generated Snowball sources.
 
-Implemented: german, russian, french.  The remaining Snowball languages
-(dutch, ...) have substantially longer specs and stay unimplemented —
+Implemented: german, russian, french, spanish.  The remaining Snowball
+languages (dutch, ...) stay unimplemented —
 `stemmer` raises on unknown languages.
 """
 
 from __future__ import annotations
 
 __all__ = ["german_snowball_stem", "russian_snowball_stem",
-           "french_snowball_stem"]
+           "french_snowball_stem", "spanish_snowball_stem"]
 
 # ---------------------------------------------------------------------------
 # German (snowballstem.org/algorithms/german/stemmer.html)
@@ -518,3 +518,195 @@ def french_snowball_stem(word: str) -> str:
         i -= 1
 
     return (w.replace("U", "u").replace("I", "i").replace("Y", "y"))
+
+
+# ---------------------------------------------------------------------------
+# Spanish (snowballstem.org/algorithms/spanish/stemmer.html)
+# ---------------------------------------------------------------------------
+
+_ES_VOWELS = set("aeiouáéíóúü")
+
+_ES_PRON = ("selas", "selos", "sela", "selo", "las", "les", "los",
+            "nos", "me", "se", "la", "le", "lo")
+_ES_PRON_A = ("iéndo", "ándo", "ár", "ér", "ír")      # unaccent after
+_ES_PRON_B = ("iendo", "ando", "ar", "er", "ir")
+_ES_UNACC = {"á": "a", "é": "e", "í": "i", "ó": "o", "ú": "u"}
+
+_ES_S1_DEL_R2 = ("amientos", "imientos", "amiento", "imiento",
+                 "anzas", "ismos", "ables", "ibles", "istas", "anza",
+                 "icos", "icas", "ismo", "able", "ible", "ista",
+                 "osos", "osas", "ico", "ica", "oso", "osa")
+_ES_S1_ADOR = ("aciones", "adoras", "adores", "ancias", "adora",
+               "ación", "antes", "ancia", "ador", "ante")
+_ES_S2B = ("aríamos", "eríamos", "iríamos", "iéramos", "iésemos",
+           "aríais", "aremos", "eríais", "eremos", "iríais", "iremos",
+           "ierais", "ieseis", "asteis", "isteis", "ábamos", "áramos",
+           "ásemos", "arían", "arías", "aréis", "erían", "erías",
+           "eréis", "irían", "irías", "iréis", "ieran", "iesen",
+           "ieron", "iendo", "ieras", "ieses", "abais", "arais",
+           "aseis", "íamos", "arán", "arás", "aría", "erán", "erás",
+           "ería", "irán", "irás", "iría", "iera", "iese", "aste",
+           "iste", "aban", "aran", "asen", "aron", "ando", "abas",
+           "adas", "idas", "aras", "ases", "íais", "ados", "idos",
+           "amos", "imos", "ará", "aré", "erá", "eré", "irá", "iré",
+           "aba", "ada", "ida", "ara", "ase", "ían", "ado", "ido",
+           "ías", "áis", "ía", "ad", "ed", "id", "an", "ió", "ar",
+           "er", "ir", "as", "ís")
+_ES_S2B_EN = ("éis", "emos", "en", "es")        # strip preceding gu's u
+
+
+def _es_regions(w: str) -> tuple[int, int, int]:
+    n = len(w)
+
+    def isv(c: str) -> bool:
+        return c in _ES_VOWELS
+    # RV
+    rv = n
+    if n >= 2:
+        if not isv(w[1]):
+            # next vowel after position 1
+            for i in range(2, n):
+                if isv(w[i]):
+                    rv = i + 1
+                    break
+        elif isv(w[0]) and isv(w[1]):
+            for i in range(2, n):
+                if not isv(w[i]):
+                    rv = i + 1
+                    break
+        else:
+            rv = 3 if n >= 3 else n
+
+    def region_after(start: int) -> int:
+        i = start
+        while i < n and not isv(w[i]):
+            i += 1
+        while i < n and isv(w[i]):
+            i += 1
+        return min(i + 1, n)
+    r1 = region_after(0)
+    r2 = region_after(r1) if r1 < n else n
+    return rv, r1, r2
+
+
+def spanish_snowball_stem(word: str) -> str:
+    """Snowball Spanish from the published spec: attached-pronoun step 0,
+    standard suffixes over R1/R2, verb suffixes over RV, residual vowel
+    strip, final de-accenting."""
+    w = word
+    rv, r1, r2 = _es_regions(w)
+
+    def in_r(region: int, suflen: int) -> bool:
+        return len(w) - suflen >= region
+
+    # ---- step 0: attached pronouns ----
+    # delete the pronoun when the (gerund/infinitive + pronoun) pattern
+    # lies in RV: (a) accented forms also un-accent, (b) plain forms
+    # just delete, (c) "uyendo" keeps the u
+    for pron in _ES_PRON:
+        if not w.endswith(pron):
+            continue
+        base = w[: -len(pron)]
+
+        def pre_in_rv(pre: str) -> bool:
+            return base.endswith(pre) and len(base) - len(pre) >= rv
+
+        if any(pre_in_rv(p) for p in _ES_PRON_A):
+            w = "".join(_ES_UNACC.get(c, c) for c in base)
+        elif any(pre_in_rv(p) for p in _ES_PRON_B):
+            w = base
+        elif pre_in_rv("yendo") and len(base) >= 6 and base[-6] == "u":
+            w = base
+        break
+
+    rv, r1, r2 = _es_regions(w)
+    orig = w
+
+    # ---- step 1: standard suffixes (longest match) ----
+    cands = [s for s in (_ES_S1_DEL_R2 + _ES_S1_ADOR + (
+        "logías", "logía", "uciones", "ución", "encias", "encia",
+        "amente", "mente", "idades", "idad", "ivas", "ivos", "iva",
+        "ivo")) if w.endswith(s)]
+    if cands:
+        suf = max(cands, key=len)
+        n = len(suf)
+        if suf in _ES_S1_DEL_R2:
+            if in_r(r2, n):
+                w = w[:-n]
+        elif suf in _ES_S1_ADOR:
+            if in_r(r2, n):
+                w = w[:-n]
+                if w.endswith("ic") and in_r(r2, 2):
+                    w = w[:-2]
+        elif suf in ("logía", "logías"):
+            if in_r(r2, n):
+                w = w[: -n] + "log"
+        elif suf in ("ución", "uciones"):
+            if in_r(r2, n):
+                w = w[: -n] + "u"
+        elif suf in ("encia", "encias"):
+            if in_r(r2, n):
+                w = w[: -n] + "ente"
+        elif suf == "amente":
+            if in_r(r1, 6):
+                w = w[:-6]
+                if w.endswith("iv") and in_r(r2, 2):
+                    w = w[:-2]
+                    if w.endswith("at") and in_r(r2, 2):
+                        w = w[:-2]
+                elif (w.endswith("os") or w.endswith("ic")
+                      or w.endswith("ad")) and in_r(r2, 2):
+                    w = w[:-2]
+        elif suf == "mente":
+            if in_r(r2, 5):
+                w = w[:-5]
+                for pre in ("ante", "able", "ible"):
+                    if w.endswith(pre) and in_r(r2, 4):
+                        w = w[:-4]
+                        break
+        elif suf in ("idad", "idades"):
+            if in_r(r2, n):
+                w = w[:-n]
+                for pre in ("abil", "ic", "iv"):
+                    if w.endswith(pre) and in_r(r2, len(pre)):
+                        w = w[: -len(pre)]
+                        break
+        elif suf in ("iva", "ivo", "ivas", "ivos"):
+            if in_r(r2, n):
+                w = w[:-n]
+                if w.endswith("at") and in_r(r2, 2):
+                    w = w[:-2]
+
+    # ---- steps 2a/2b: verb suffixes (only if step 1 removed nothing) --
+    if w == orig:
+        done2a = False
+        for suf in ("yeron", "yendo", "yamos", "yais", "yan", "yen",
+                    "yas", "yes", "ya", "ye", "yo", "yó"):
+            n = len(suf)
+            if w.endswith(suf) and in_r(rv, n) and len(w) > n \
+                    and w[-n - 1] == "u":
+                w = w[:-n]
+                done2a = True
+                break
+        if not done2a:
+            c2 = [s for s in (_ES_S2B + _ES_S2B_EN) if w.endswith(s)]
+            if c2:
+                suf = max(c2, key=len)
+                n = len(suf)
+                if in_r(rv, n):
+                    w = w[:-n]
+                    if suf in _ES_S2B_EN and w.endswith("gu"):
+                        w = w[:-1]
+
+    # ---- step 3: residual ----
+    for suf in ("os", "a", "o", "á", "í", "ó"):
+        if w.endswith(suf) and in_r(rv, len(suf)):
+            w = w[: -len(suf)]
+            break
+    else:
+        if (w.endswith("e") or w.endswith("é")) and in_r(rv, 1):
+            w = w[:-1]
+            if w.endswith("gu") and in_r(rv, 1):
+                w = w[:-1]
+
+    return "".join(_ES_UNACC.get(c, c) for c in w)

@@ -466,3 +466,4 @@ def _snowball(name: str):
 LANGUAGE_STEMMERS["german"] = _snowball("german_snowball_stem")
 LANGUAGE_STEMMERS["russian"] = _snowball("russian_snowball_stem")
 LANGUAGE_STEMMERS["french"] = _snowball("french_snowball_stem")
+LANGUAGE_STEMMERS["spanish"] = _snowball("spanish_snowball_stem")

@@ -294,3 +294,20 @@ def test_snowball_french():
     from sparksearch.analysis_custom import _tf_stemmer
     f = _tf_stemmer({"language": "french"})
     assert f([("chanter", 0)]) == [("chant", 0)]
+
+
+def test_snowball_spanish():
+    from sparksearch.snowball import spanish_snowball_stem as st
+    # hand-traced from the published spec (generosidad: step-3 residual
+    # -os strips after -idad; dándoselo: pronoun pattern outside RV)
+    for w, s in [("cantando", "cant"), ("canciones", "cancion"),
+                 ("nacionalidad", "nacional"), ("lógicamente", "logic"),
+                 ("comieron", "com"), ("rápidamente", "rapid"),
+                 ("trabajadores", "trabaj"), ("generosidad", "gener"),
+                 ("libros", "libr"), ("corriendo", "corr"),
+                 ("comérselo", "com"), ("cantándola", "cant"),
+                 ("dándoselo", "dandosel")]:
+        assert st(w) == s, (w, st(w))
+    from sparksearch.analysis_custom import _tf_stemmer
+    f = _tf_stemmer({"language": "spanish"})
+    assert f([("cantando", 0)]) == [("cant", 0)]
