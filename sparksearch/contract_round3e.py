@@ -271,6 +271,11 @@ _SNOW_ES_PROBES = [(0, "cantando canciones"), (1, "trabajadores libros")]
 _SNOW_ES_GOLDENS = [(0, "cant", 0), (0, "cancion", 1),
                     (1, "trabaj", 0), (1, "libr", 1)]
 
+_SNOW_NL_PROBES = [(0, "boeken huizen"), (1, "katten aanbiedingen")]
+#: hand-traced from the Snowball Dutch spec
+_SNOW_NL_GOLDENS = [(0, "boek", 0), (0, "huiz", 1),
+                    (1, "kat", 0), (1, "aanbied", 1)]
+
 _SNOW_RU_PROBES = [(0, "книгами красивый"), (1, "читала осталось")]
 #: Snowball Russian spec: noun -ами, adjectival -ый, verb -ла,
 #: reflexive -сь then verb -ло + trailing vowel
@@ -303,6 +308,8 @@ def queries() -> dict:
                                             _SNOW_FR_PROBES),
         "stem_snowball_es": _q_stem_goldens("an_snow_es", "spanish",
                                             _SNOW_ES_PROBES),
+        "stem_snowball_nl": _q_stem_goldens("an_snow_nl", "dutch",
+                                            _SNOW_NL_PROBES),
     }
 
 
@@ -321,6 +328,7 @@ def oracle_sql() -> dict:
         "stem_snowball_ru": _sql_goldens_3e(_SNOW_RU_GOLDENS),
         "stem_snowball_fr": _sql_goldens_3e(_SNOW_FR_GOLDENS),
         "stem_snowball_es": _sql_goldens_3e(_SNOW_ES_GOLDENS),
+        "stem_snowball_nl": _sql_goldens_3e(_SNOW_NL_GOLDENS),
     }
 
 

@@ -5,15 +5,16 @@ routes plain language names to Lucene's SnowballFilter
 "german" -> GermanStemmer, "russian" -> RussianStemmer); these are
 from-spec re-derivations, NOT ports of the generated Snowball sources.
 
-Implemented: german, russian, french, spanish.  The remaining Snowball
-languages (dutch, ...) stay unimplemented —
+Implemented: german, russian, french, spanish, dutch.  The remaining
+Snowball languages stay unimplemented —
 `stemmer` raises on unknown languages.
 """
 
 from __future__ import annotations
 
 __all__ = ["german_snowball_stem", "russian_snowball_stem",
-           "french_snowball_stem", "spanish_snowball_stem"]
+           "french_snowball_stem", "spanish_snowball_stem",
+           "dutch_snowball_stem"]
 
 # ---------------------------------------------------------------------------
 # German (snowballstem.org/algorithms/german/stemmer.html)
@@ -710,3 +711,124 @@ def spanish_snowball_stem(word: str) -> str:
                 w = w[:-1]
 
     return "".join(_ES_UNACC.get(c, c) for c in w)
+
+
+# ---------------------------------------------------------------------------
+# Dutch (snowballstem.org/algorithms/dutch/stemmer.html)
+# ---------------------------------------------------------------------------
+
+_NL_VOWELS = set("aeiouyè")
+_NL_FOLD = str.maketrans({"ä": "a", "ë": "e", "ï": "i", "ö": "o",
+                          "ü": "u", "á": "a", "é": "e", "í": "i",
+                          "ó": "o", "ú": "u"})
+
+
+def _nl_prelude(w: str) -> str:
+    w = w.translate(_NL_FOLD)
+    cs = list(w)
+    n = len(cs)
+    if n and cs[0] == "y":
+        cs[0] = "Y"
+    for i in range(1, n):
+        if cs[i] == "y" and cs[i - 1] in _NL_VOWELS:
+            cs[i] = "Y"
+        elif cs[i] == "i" and cs[i - 1] in _NL_VOWELS \
+                and i + 1 < n and cs[i + 1] in _NL_VOWELS:
+            cs[i] = "I"
+    return "".join(cs)
+
+
+def _nl_regions(w: str) -> tuple[int, int]:
+    n = len(w)
+
+    def region_after(start: int) -> int:
+        i = start
+        while i < n and w[i] not in _NL_VOWELS:
+            i += 1
+        while i < n and w[i] in _NL_VOWELS:
+            i += 1
+        return min(i + 1, n)
+    r1 = region_after(0)
+    r1 = max(r1, 3) if n >= 3 else n
+    r2 = region_after(r1) if r1 < n else n
+    return r1, r2
+
+
+def _nl_undouble(w: str) -> str:
+    for dbl in ("kk", "dd", "tt"):
+        if w.endswith(dbl):
+            return w[:-1]
+    return w
+
+
+def dutch_snowball_stem(word: str) -> str:
+    """Snowball Dutch from the published spec: accent fold + y/i
+    consonant marks, suffix steps over R1/R2 with kk/dd/tt undoubling
+    and the final double-vowel undoubling (CVVC -> CVC)."""
+    w = _nl_prelude(word)
+    r1, r2 = _nl_regions(w)
+
+    def in_r1(nsuf: int) -> bool:
+        return len(w) - nsuf >= r1
+
+    def in_r2(nsuf: int) -> bool:
+        return len(w) - nsuf >= r2
+
+    # step 1
+    if w.endswith("heden") and in_r1(5):
+        w = w[:-5] + "heid"
+    elif (w.endswith("ene") or w.endswith("en")):
+        n = 3 if w.endswith("ene") else 2
+        if in_r1(n) and len(w) > n \
+                and w[-n - 1] not in _NL_VOWELS \
+                and w[-n - 3:-n] != "gem":
+            w = _nl_undouble(w[:-n])
+    elif (w.endswith("se") or w.endswith("s")):
+        n = 2 if w.endswith("se") else 1
+        if in_r1(n) and len(w) > n \
+                and w[-n - 1] not in _NL_VOWELS and w[-n - 1] != "j":
+            w = w[:-n]
+
+    # step 2: final e after a non-vowel in R1; flag for step 3b's "bar"
+    e_removed = False
+    if w.endswith("e") and in_r1(1) and len(w) >= 2 \
+            and w[-2] not in _NL_VOWELS:
+        w = _nl_undouble(w[:-1])
+        e_removed = True
+
+    # step 3a: heid
+    if w.endswith("heid") and in_r2(4) and len(w) >= 5 and w[-5] != "c":
+        w = w[:-4]
+        if w.endswith("en") and in_r1(2) and len(w) > 2 \
+                and w[-3] not in _NL_VOWELS and w[-5:-2] != "gem":
+            w = _nl_undouble(w[:-2])
+
+    # step 3b: d-suffixes
+    if (w.endswith("end") or w.endswith("ing")) and in_r2(3):
+        w = w[:-3]
+        if w.endswith("ig") and in_r2(2) and len(w) >= 3 \
+                and w[-3] != "e":
+            w = w[:-2]
+        else:
+            w = _nl_undouble(w)
+    elif w.endswith("ig") and in_r2(2) and len(w) >= 3 and w[-3] != "e":
+        w = w[:-2]
+    elif w.endswith("lijk") and in_r2(4):
+        w = w[:-4]
+        if w.endswith("e") and in_r1(1) and len(w) >= 2 \
+                and w[-2] not in _NL_VOWELS:
+            w = _nl_undouble(w[:-1])
+    elif w.endswith("baar") and in_r2(4):
+        w = w[:-4]
+    elif w.endswith("bar") and in_r2(3) and e_removed:
+        w = w[:-3]
+
+    # step 4: undouble vowel (C V V C$ with V in aa/ee/oo/uu, C != I)
+    if len(w) >= 4:
+        c1, v1, v2, c2 = w[-4], w[-3], w[-2], w[-1]
+        if c1 not in _NL_VOWELS and v1 == v2 \
+                and v1 in ("a", "e", "o", "u") \
+                and c2 not in _NL_VOWELS and c2 != "I":
+            w = w[:-2] + c2
+
+    return w.replace("Y", "y").replace("I", "i")

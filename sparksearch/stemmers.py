@@ -467,3 +467,4 @@ LANGUAGE_STEMMERS["german"] = _snowball("german_snowball_stem")
 LANGUAGE_STEMMERS["russian"] = _snowball("russian_snowball_stem")
 LANGUAGE_STEMMERS["french"] = _snowball("french_snowball_stem")
 LANGUAGE_STEMMERS["spanish"] = _snowball("spanish_snowball_stem")
+LANGUAGE_STEMMERS["dutch"] = _snowball("dutch_snowball_stem")

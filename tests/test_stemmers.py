@@ -311,3 +311,18 @@ def test_snowball_spanish():
     from sparksearch.analysis_custom import _tf_stemmer
     f = _tf_stemmer({"language": "spanish"})
     assert f([("cantando", 0)]) == [("cant", 0)]
+
+
+def test_snowball_dutch():
+    from sparksearch.snowball import dutch_snowball_stem as st
+    # hand-traced from the spec (mogelijkheden: heden->heid, heid strips
+    # in R2, but "lijk" then starts before R2 so it stays)
+    for w, s in [("lichamelijk", "licham"), ("lichamen", "licham"),
+                 ("boeken", "boek"), ("huizen", "huiz"),
+                 ("katten", "kat"), ("banen", "ban"),
+                 ("aanbiedingen", "aanbied"),
+                 ("mogelijkheden", "mogelijk")]:
+        assert st(w) == s, (w, st(w))
+    from sparksearch.analysis_custom import _tf_stemmer
+    f = _tf_stemmer({"language": "dutch"})
+    assert f([("boeken", 0)]) == [("boek", 0)]
