@@ -53,7 +53,12 @@ _REGISTRY: dict[str, "CustomAnalyzer"] = {}
 
 
 def get_custom(name: str) -> "CustomAnalyzer | None":
-    return _REGISTRY.get(name)
+    ca = _REGISTRY.get(name)
+    if ca is None:
+        # prebuilt language analyzers register lazily on first lookup
+        from sparksearch.lang_analyzers import maybe_register
+        ca = maybe_register(name)
+    return ca
 
 
 # ---------------------------------------------------------------------------

@@ -226,6 +226,31 @@ FROM events ORDER BY event_id
 """.strip()
 
 
+def _q_lang_analyzer(lang: str, probes):
+    """Prebuilt language analyzer (lang_analyzers.py) through the real
+    Arrow-UDF analyze path, vs hand goldens (elision + stop position
+    holes + stemmer)."""
+    from functools import reduce
+
+    def run(spark, sf_dir):
+        from sparksearch.build import tokenize_udf
+        outs = []
+        for pid, text in probes:
+            df = spark.createDataFrame([(text,)], "text string")
+            tok = df.withColumn("_t", tokenize_udf(lang)(F.col("text")))
+            outs.append(tok.select(
+                F.lit(pid).alias("probe"),
+                F.explode(F.arrays_zip("_t.terms", "_t.poss")).alias("tp"))
+                .select("probe", F.col("tp.terms").alias("term"),
+                        F.col("tp.poss").cast("int").alias("pos")))
+        return (reduce(lambda a, b: a.unionAll(b), outs)
+                .orderBy("probe", "pos", "term"))
+    run.__name__ = f"q_lang_analyzer_{lang}"
+    run.__doc__ = (f"prebuilt {lang} analyzer vs hand goldens "
+                   f"(lang_analyzers.py; Lucene analyzer composition)")
+    return run
+
+
 # ---------------------------------------------------------------------------
 # round-3e analysis filters: serbian/hindi/sorani normalization, czech_stem,
 # concatenate_graph — goldens through the real Arrow-UDF analyze path
@@ -271,6 +296,13 @@ _SNOW_ES_PROBES = [(0, "cantando canciones"), (1, "trabajadores libros")]
 _SNOW_ES_GOLDENS = [(0, "cant", 0), (0, "cancion", 1),
                     (1, "trabaj", 0), (1, "libr", 1)]
 
+_LA_FR_PROBES = [(0, "L'église et les chanteurs")]
+#: prebuilt french analyzer: elision strips l', et/les stop out leaving
+#: position holes, snowball stems église->églis chanteurs->chanteur
+_LA_FR_GOLDENS = [(0, "églis", 0), (0, "chanteur", 3)]
+_LA_DE_PROBES = [(0, "Die Häuser und Kinder")]
+_LA_DE_GOLDENS = [(0, "haus", 1), (0, "kind", 3)]
+
 _SNOW_NL_PROBES = [(0, "boeken huizen"), (1, "katten aanbiedingen")]
 #: hand-traced from the Snowball Dutch spec
 _SNOW_NL_GOLDENS = [(0, "boek", 0), (0, "huiz", 1),
@@ -310,6 +342,8 @@ def queries() -> dict:
                                             _SNOW_ES_PROBES),
         "stem_snowball_nl": _q_stem_goldens("an_snow_nl", "dutch",
                                             _SNOW_NL_PROBES),
+        "lang_analyzer_fr": _q_lang_analyzer("french", _LA_FR_PROBES),
+        "lang_analyzer_de": _q_lang_analyzer("german", _LA_DE_PROBES),
     }
 
 
@@ -329,6 +363,8 @@ def oracle_sql() -> dict:
         "stem_snowball_fr": _sql_goldens_3e(_SNOW_FR_GOLDENS),
         "stem_snowball_es": _sql_goldens_3e(_SNOW_ES_GOLDENS),
         "stem_snowball_nl": _sql_goldens_3e(_SNOW_NL_GOLDENS),
+        "lang_analyzer_fr": _sql_goldens_3e(_LA_FR_GOLDENS),
+        "lang_analyzer_de": _sql_goldens_3e(_LA_DE_GOLDENS),
     }
 
 

@@ -326,3 +326,23 @@ def test_snowball_dutch():
     from sparksearch.analysis_custom import _tf_stemmer
     f = _tf_stemmer({"language": "dutch"})
     assert f([("boeken", 0)]) == [("boek", 0)]
+
+
+def test_prebuilt_language_analyzers():
+    from sparksearch.analysis_custom import get_custom
+    from sparksearch.lang_analyzers import LANG_ANALYZERS
+    assert len(LANG_ANALYZERS) == 12
+    terms = lambda n, t: [(x.term, x.pos) for x in get_custom(n).analyze(t)]
+    assert terms("french", "L'église et les chanteurs") == [
+        ("églis", 0), ("chanteur", 3)]
+    assert terms("german", "Die Häuser und Kinder") == [
+        ("haus", 1), ("kind", 3)]
+    assert terms("dutch", "de kinderen en boeken") == [
+        ("kinder", 1), ("boek", 3)]
+    assert terms("hindi", "लड़के और किताबों") == [
+        ("लडक", 0), ("किताब", 2)]
+    assert terms("arabic", "الكتاب من المدرسة") == [
+        ("كتاب", 0), ("مدرس", 2)]
+    # every prebuilt name resolves and analyzes without error
+    for name in LANG_ANALYZERS:
+        assert get_custom(name).analyze("test 42") is not None
