@@ -226,6 +226,34 @@ FROM events ORDER BY event_id
 """.strip()
 
 
+def q_chunk_documents(spark, sf_dir):
+    """RAG-style overlapping character chunking (size 120, overlap 40)
+    over the documents table — map-only sequence+explode, no UDF
+    (dataops.chunk_documents)."""
+    from sparksearch.dataops import chunk_documents
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (chunk_documents(docs, size=120, overlap=40)
+            .orderBy("doc_id", "chunk_id"))
+
+
+def sql_chunk_documents() -> str:
+    return """
+WITH d AS ( SELECT doc_id, text, length(text) AS L FROM documents ),
+ser AS ( SELECT generate_series AS start
+         FROM generate_series(0, 100000, 80) ),
+s AS ( SELECT d.doc_id, d.text, ser.start
+       FROM d JOIN ser ON ser.start <= greatest(d.L - 1, 0) )
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1
+            AS INT) AS chunk_id,
+       CAST(start AS INT) AS chunk_start,
+       substr(text, CAST(start + 1 AS INT), 120) AS chunk_text
+FROM s
+WHERE length(substr(text, CAST(start + 1 AS INT), 120)) > 0
+ORDER BY doc_id, chunk_id
+""".strip()
+
+
 def _q_lang_analyzer(lang: str, probes):
     """Prebuilt language analyzer (lang_analyzers.py) through the real
     Arrow-UDF analyze path, vs hand goldens (elision + stop position
@@ -344,6 +372,7 @@ def queries() -> dict:
                                             _SNOW_NL_PROBES),
         "lang_analyzer_fr": _q_lang_analyzer("french", _LA_FR_PROBES),
         "lang_analyzer_de": _q_lang_analyzer("german", _LA_DE_PROBES),
+        "chunk_documents": q_chunk_documents,
     }
 
 
@@ -365,6 +394,7 @@ def oracle_sql() -> dict:
         "stem_snowball_nl": _sql_goldens_3e(_SNOW_NL_GOLDENS),
         "lang_analyzer_fr": _sql_goldens_3e(_LA_FR_GOLDENS),
         "lang_analyzer_de": _sql_goldens_3e(_LA_DE_GOLDENS),
+        "chunk_documents": sql_chunk_documents(),
     }
 
 

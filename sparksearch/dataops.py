@@ -1212,3 +1212,32 @@ def session_stats(ev: DataFrame, key_col: str = "user_id",
                  F.sum("n").cast("long").alias("n_events"),
                  F.max("n").cast("long").alias("max_session_events"))
             .orderBy(key_col))
+
+
+def chunk_documents(docs: DataFrame, size: int = 512, overlap: int = 128,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Split documents into fixed-size character windows with overlap —
+    the standard RAG / context-window chunking pass.  stride =
+    size - overlap; the last chunk is the remainder (never empty unless
+    the doc is).  Pure Catalyst: sequence + transform + explode, no UDF;
+    output is (id, chunk_id, chunk_start, chunk_text), partitioning
+    inherited from the scan — at 100 TB this is a map-only pass."""
+    if overlap >= size:
+        raise ValueError("overlap must be < size")
+    stride = size - overlap
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.length(text_col) - 1, F.lit(0)),
+        F.lit(stride))
+    chunks = F.transform(
+        starts, lambda s: F.struct(
+            s.alias("start"),
+            F.substring(F.col(text_col), s + 1, size).alias("txt")))
+    return (docs
+            .select(F.col(id_col), F.posexplode(chunks).alias("chunk_id",
+                                                              "c"))
+            .select(id_col, "chunk_id",
+                    F.col("c.start").alias("chunk_start"),
+                    F.col("c.txt").alias("chunk_text"))
+            .where(F.length("chunk_text") > 0))

@@ -87,3 +87,22 @@ def test_sessionize_gaps_and_islands(spark):
     st = {r.user_id: (r.n_sessions, r.n_events, r.max_session_events)
           for r in session_stats(df).collect()}
     assert st == {1: (2, 3, 2), 2: (1, 3, 3)}
+
+
+def test_chunk_documents(spark):
+    from sparksearch.dataops import chunk_documents
+    df = spark.createDataFrame(
+        [(1, "a" * 250), (2, "xy"), (3, "")], "doc_id int, text string")
+    rows = chunk_documents(df, size=100, overlap=20).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.doc_id, []).append(
+            (r.chunk_id, r.chunk_start, len(r.chunk_text)))
+    # stride 80: starts 0,80,160,240 -> lengths 100,100,90,10
+    assert by[1] == [(0, 0, 100), (1, 80, 100), (2, 160, 90),
+                     (3, 240, 10)]
+    assert by[2] == [(0, 0, 2)]
+    assert 3 not in by  # empty doc yields no chunks
+    import pytest
+    with pytest.raises(ValueError):
+        chunk_documents(df, size=10, overlap=10)
