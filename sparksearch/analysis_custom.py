@@ -225,11 +225,20 @@ def _tf_stemmer(cfg: dict, state: dict | None = None):
     from sparksearch.stemmers import LANGUAGE_STEMMERS
     fn = LANGUAGE_STEMMERS.get(lang)
     if fn is None:
-        if lang.lower() not in ("english", "porter", "porter2", "snowball",
-                                "light_english", "lightenglish", "lovins",
-                                "kstem"):
+        low = lang.lower()
+        if low in ("english", "porter"):
+            fn = porter_stem          # PorterStemFilter (Lucene "english")
+        elif low in ("porter2", "snowball"):
+            from sparksearch.snowball import porter2_stem
+            fn = porter2_stem         # Snowball English
+        elif low in ("light_english", "lightenglish", "lovins", "kstem"):
+            # genuinely different algorithms (KStem dictionary, Lovins) —
+            # refuse loudly rather than silently approximate with Porter
+            raise NotImplementedError(
+                f"stemmer language {lang!r} is not implemented; nearest "
+                f"supported: 'english' (Porter) or 'porter2' (Snowball)")
+        else:
             raise ValueError(f"unsupported stemmer language: {lang}")
-        fn = porter_stem
     return _keyword_aware_stem(fn, state)
 
 

@@ -331,6 +331,13 @@ _LA_FR_GOLDENS = [(0, "églis", 0), (0, "chanteur", 3)]
 _LA_DE_PROBES = [(0, "Die Häuser und Kinder")]
 _LA_DE_GOLDENS = [(0, "haus", 1), (0, "kind", 3)]
 
+_P2_PROBES = [(0, "crying skies generously"), (1, "relational feed")]
+#: porter2 (Snowball English) — distinct from Porter1 on these exact
+#: words (porter1: crying->cry, skies->ski, relational->relat too but
+#: generously->gener)
+_P2_GOLDENS = [(0, "cri", 0), (0, "sky", 1), (0, "generous", 2),
+               (1, "relat", 0), (1, "feed", 1)]
+
 _SNOW_NL_PROBES = [(0, "boeken huizen"), (1, "katten aanbiedingen")]
 #: hand-traced from the Snowball Dutch spec
 _SNOW_NL_GOLDENS = [(0, "boek", 0), (0, "huiz", 1),
@@ -370,6 +377,8 @@ def queries() -> dict:
                                             _SNOW_ES_PROBES),
         "stem_snowball_nl": _q_stem_goldens("an_snow_nl", "dutch",
                                             _SNOW_NL_PROBES),
+        "stem_porter2": _q_stem_goldens("an_porter2", "porter2",
+                                        _P2_PROBES),
         "lang_analyzer_fr": _q_lang_analyzer("french", _LA_FR_PROBES),
         "lang_analyzer_de": _q_lang_analyzer("german", _LA_DE_PROBES),
         "chunk_documents": q_chunk_documents,
@@ -392,6 +401,7 @@ def oracle_sql() -> dict:
         "stem_snowball_fr": _sql_goldens_3e(_SNOW_FR_GOLDENS),
         "stem_snowball_es": _sql_goldens_3e(_SNOW_ES_GOLDENS),
         "stem_snowball_nl": _sql_goldens_3e(_SNOW_NL_GOLDENS),
+        "stem_porter2": _sql_goldens_3e(_P2_GOLDENS),
         "lang_analyzer_fr": _sql_goldens_3e(_LA_FR_GOLDENS),
         "lang_analyzer_de": _sql_goldens_3e(_LA_DE_GOLDENS),
         "chunk_documents": sql_chunk_documents(),

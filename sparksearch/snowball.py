@@ -832,3 +832,193 @@ def dutch_snowball_stem(word: str) -> str:
             w = w[:-2] + c2
 
     return w.replace("Y", "y").replace("I", "i")
+
+
+# ---------------------------------------------------------------------------
+# English Porter2 (snowballstem.org/algorithms/english/stemmer.html)
+# ---------------------------------------------------------------------------
+
+_EN_VOWELS = set("aeiouy")
+_EN_DOUBLE = ("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
+_EN_LI_END = set("cdeghkmnrt")
+_EN_EXC1 = {"skis": "ski", "skies": "sky", "dying": "die",
+            "lying": "lie", "tying": "tie", "idly": "idl",
+            "gently": "gentl", "ugly": "ugli", "early": "earli",
+            "only": "onli", "singly": "singl",
+            "sky": "sky", "news": "news", "howe": "howe",
+            "atlas": "atlas", "cosmos": "cosmos", "bias": "bias",
+            "andes": "andes"}
+_EN_EXC2 = frozenset(("inning", "outing", "canning", "herring",
+                      "earring", "proceed", "exceed", "succeed"))
+
+
+def _en_is_vowel(c: str) -> bool:
+    return c in _EN_VOWELS and c != "Y" or c == "y"
+
+
+def _en_short_syllable(w: str, i: int) -> bool:
+    """True if a short syllable ends at index i (inclusive)."""
+    if i < 1:
+        return False
+    c, v = w[i], w[i - 1]
+    if c in _EN_VOWELS or c == "Y" or v not in _EN_VOWELS:
+        # need vowel + non-vowel
+        if not (v in _EN_VOWELS and c not in _EN_VOWELS and c != "Y"):
+            return False
+    if i == 1:
+        return v in _EN_VOWELS and c not in _EN_VOWELS
+    return (v in _EN_VOWELS and c not in _EN_VOWELS
+            and c not in ("w", "x", "Y")
+            and w[i - 2] not in _EN_VOWELS)
+
+
+def porter2_stem(word: str) -> str:
+    """Snowball English (Porter2) from the published spec — the
+    reference's "porter2"/"snowball" stemmer names.  Distinct from the
+    original Porter algorithm in porter.py (the "english"/"porter"
+    names), e.g. generously -> generous (porter2) vs gener (porter1
+    region rules), cry -> cri vs porter1's cry."""
+    w = word.lower()
+    if len(w) <= 2:
+        return w
+    if w.startswith("'"):
+        w = w[1:]
+    if w in _EN_EXC1:
+        return _EN_EXC1[w]
+    # mark consonant y
+    cs = list(w)
+    if cs[0] == "y":
+        cs[0] = "Y"
+    for i in range(1, len(cs)):
+        if cs[i] == "y" and cs[i - 1] in _EN_VOWELS:
+            cs[i] = "Y"
+    w = "".join(cs)
+
+    n = len(w)
+    r1 = n
+    for pre in ("gener", "commun", "arsen"):
+        if w.startswith(pre):
+            r1 = len(pre)
+            break
+    else:
+        for i in range(1, n):
+            if w[i] not in _EN_VOWELS and w[i - 1] in _EN_VOWELS:
+                r1 = i + 1
+                break
+    r2 = n
+    for i in range(r1 + 1, n):
+        if w[i] not in _EN_VOWELS and w[i - 1] in _EN_VOWELS:
+            r2 = i + 1
+            break
+
+    def in_r1(suflen: int) -> bool:
+        return len(w) - suflen >= r1
+
+    def in_r2(suflen: int) -> bool:
+        return len(w) - suflen >= r2
+
+    def has_vowel(upto: int) -> bool:
+        return any(c in _EN_VOWELS for c in w[:upto])
+
+    # step 0
+    for suf in ("'s'", "'s", "'"):
+        if w.endswith(suf):
+            w = w[: -len(suf)]
+            break
+
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ied") or w.endswith("ies"):
+        w = w[:-3] + ("i" if len(w) > 4 else "ie")
+    elif w.endswith("ss") or w.endswith("us"):
+        pass
+    elif w.endswith("s") and len(w) >= 3 \
+            and any(c in _EN_VOWELS for c in w[:-2]):
+        w = w[:-1]
+    if w in _EN_EXC2:
+        return w.replace("Y", "y")
+
+    # step 1b
+    done1b = False
+    for suf in ("eedly", "eed"):
+        if w.endswith(suf):
+            if in_r1(len(suf)):
+                w = w[: -len(suf)] + "ee"
+            done1b = True
+            break
+    if not done1b:
+        for suf in ("ingly", "edly", "ing", "ed"):
+            if w.endswith(suf) and has_vowel(len(w) - len(suf)):
+                w = w[: -len(suf)]
+                if w.endswith(("at", "bl", "iz")):
+                    w = w + "e"
+                elif w.endswith(_EN_DOUBLE):
+                    w = w[:-1]
+                elif r1 >= len(w) and _en_short_syllable(w, len(w) - 1):
+                    w = w + "e"
+                break
+
+    # step 1c
+    if len(w) > 2 and w[-1] in ("y", "Y") \
+            and w[-2] not in _EN_VOWELS:
+        w = w[:-1] + "i"
+
+    # step 2 (longest match, condition in R1)
+    s2 = (("ization", "ize"), ("ational", "ate"), ("fulness", "ful"),
+          ("ousness", "ous"), ("iveness", "ive"), ("tional", "tion"),
+          ("biliti", "ble"), ("lessli", "less"), ("entli", "ent"),
+          ("ation", "ate"), ("alism", "al"), ("aliti", "al"),
+          ("ousli", "ous"), ("iviti", "ive"), ("fulli", "ful"),
+          ("enci", "ence"), ("anci", "ance"), ("abli", "able"),
+          ("izer", "ize"), ("ator", "ate"), ("alli", "al"),
+          ("bli", "ble"), ("ogi", "og"), ("li", ""))
+    for suf, rep in s2:
+        if w.endswith(suf):
+            if in_r1(len(suf)):
+                if suf == "ogi":
+                    if len(w) > 3 and w[-4] == "l":
+                        w = w[:-3] + rep
+                elif suf == "li":
+                    if len(w) > 2 and w[-3] in _EN_LI_END:
+                        w = w[:-2]
+                else:
+                    w = w[: -len(suf)] + rep
+            break
+
+    # step 3
+    s3 = (("ational", "ate"), ("tional", "tion"), ("alize", "al"),
+          ("icate", "ic"), ("iciti", "ic"), ("ical", "ic"),
+          ("ative", ""), ("ness", ""), ("ful", ""))
+    for suf, rep in s3:
+        if w.endswith(suf):
+            if in_r1(len(suf)):
+                if suf == "ative":
+                    if in_r2(5):
+                        w = w[:-5]
+                else:
+                    w = w[: -len(suf)] + rep
+            break
+
+    # step 4 (R2)
+    s4 = ("ement", "ance", "ence", "able", "ible", "ment", "ant",
+          "ent", "ism", "ate", "iti", "ous", "ive", "ize", "ion",
+          "al", "er", "ic")
+    for suf in s4:
+        if w.endswith(suf):
+            if in_r2(len(suf)):
+                if suf == "ion":
+                    if len(w) > 3 and w[-4] in ("s", "t"):
+                        w = w[:-3]
+                else:
+                    w = w[: -len(suf)]
+            break
+
+    # step 5
+    if w.endswith("e") and (in_r2(1) or (
+            in_r1(1) and not _en_short_syllable(w, len(w) - 2))):
+        w = w[:-1]
+    elif w.endswith("l") and in_r2(1) and len(w) >= 2 and w[-2] == "l":
+        w = w[:-1]
+
+    return w.replace("Y", "y")

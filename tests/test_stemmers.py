@@ -346,3 +346,29 @@ def test_prebuilt_language_analyzers():
     # every prebuilt name resolves and analyzes without error
     for name in LANG_ANALYZERS:
         assert get_custom(name).analyze("test 42") is not None
+
+
+def test_porter2():
+    import pytest
+
+    from sparksearch.snowball import porter2_stem as p2
+    for w, s in [("crying", "cri"), ("dying", "die"), ("skies", "sky"),
+                 ("generously", "generous"), ("generate", "generat"),
+                 ("running", "run"), ("hopping", "hop"),
+                 ("hoping", "hope"), ("happiness", "happi"),
+                 ("relational", "relat"), ("rational", "ration"),
+                 ("agreed", "agre"), ("feed", "feed"),
+                 ("exceed", "exceed"), ("early", "earli"),
+                 ("knitting", "knit"), ("news", "news")]:
+        assert p2(w) == s, (w, p2(w))
+    from sparksearch.analysis_custom import _tf_stemmer
+    f = _tf_stemmer({"language": "porter2"})
+    assert f([("crying", 0)]) == [("cri", 0)]
+    # Porter1 stays on the "english" name (Lucene routing)
+    f1 = _tf_stemmer({"language": "english"})
+    assert f1([("crying", 0)]) == [("cry", 0)]
+    # genuinely different algorithms refuse loudly
+    with pytest.raises(NotImplementedError):
+        _tf_stemmer({"language": "kstem"})
+    with pytest.raises(NotImplementedError):
+        _tf_stemmer({"language": "lovins"})
