@@ -331,6 +331,13 @@ _LA_FR_GOLDENS = [(0, "églis", 0), (0, "chanteur", 3)]
 _LA_DE_PROBES = [(0, "Die Häuser und Kinder")]
 _LA_DE_GOLDENS = [(0, "haus", 1), (0, "kind", 3)]
 
+_SNOW_SV_PROBES = [(0, "bilarna flickorna"), (1, "starkaste vänligt")]
+_SNOW_SV_GOLDENS = [(0, "bil", 0), (0, "flick", 1),
+                    (1, "stark", 0), (1, "vän", 1)]
+_SNOW_DA_PROBES = [(0, "bilerne kvinderne"), (1, "huset venligst")]
+_SNOW_DA_GOLDENS = [(0, "bil", 0), (0, "kvind", 1),
+                    (1, "hus", 0), (1, "ven", 1)]
+
 _P2_PROBES = [(0, "crying skies generously"), (1, "relational feed")]
 #: porter2 (Snowball English) — distinct from Porter1 on these exact
 #: words (porter1: crying->cry, skies->ski, relational->relat too but
@@ -379,6 +386,10 @@ def queries() -> dict:
                                             _SNOW_NL_PROBES),
         "stem_porter2": _q_stem_goldens("an_porter2", "porter2",
                                         _P2_PROBES),
+        "stem_snowball_sv": _q_stem_goldens("an_snow_sv", "swedish",
+                                            _SNOW_SV_PROBES),
+        "stem_snowball_da": _q_stem_goldens("an_snow_da", "danish",
+                                            _SNOW_DA_PROBES),
         "lang_analyzer_fr": _q_lang_analyzer("french", _LA_FR_PROBES),
         "lang_analyzer_de": _q_lang_analyzer("german", _LA_DE_PROBES),
         "chunk_documents": q_chunk_documents,
@@ -402,6 +413,8 @@ def oracle_sql() -> dict:
         "stem_snowball_es": _sql_goldens_3e(_SNOW_ES_GOLDENS),
         "stem_snowball_nl": _sql_goldens_3e(_SNOW_NL_GOLDENS),
         "stem_porter2": _sql_goldens_3e(_P2_GOLDENS),
+        "stem_snowball_sv": _sql_goldens_3e(_SNOW_SV_GOLDENS),
+        "stem_snowball_da": _sql_goldens_3e(_SNOW_DA_GOLDENS),
         "lang_analyzer_fr": _sql_goldens_3e(_LA_FR_GOLDENS),
         "lang_analyzer_de": _sql_goldens_3e(_LA_DE_GOLDENS),
         "chunk_documents": sql_chunk_documents(),

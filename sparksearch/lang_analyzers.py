@@ -17,8 +17,9 @@ follow the Lucene analyzer shapes:
 - russian:    lowercase + stop + Snowball Russian.
 - dutch:      lowercase + stop + stemmer_override(DutchAnalyzer's
               DEFAULT_STEM_DICT) + Snowball Dutch.
-- swedish / norwegian: lowercase + stop + light stemmer (Lucene uses
-              Snowball here; light variant is the documented stand-in).
+- swedish / danish: lowercase + stop + Snowball (Lucene shape).
+- norwegian:  lowercase + stop + light stemmer (Lucene uses Snowball
+              here; light variant is the documented stand-in).
 - czech:      lowercase + stop + czech stemmer (CzechAnalyzer shape).
 - arabic:     lowercase + stop + arabic_normalization + light10 stemmer
               (ArabicAnalyzer shape).
@@ -87,6 +88,13 @@ _STOP = {
         ha mot alla under någon eller allt mycket sedan ju denna själv
         detta åt utan varit hur ingen mitt ni bli blev oss din dessa
         några deras blir mina samma vilken er vår dess inom mellan""",
+    "danish": """og i jeg det at en den til er som på de med han af
+        for ikke der var mig sig men et har om vi min havde ham hun nu
+        over da fra du ud sin dem os op man hans hvor eller hvad skal
+        selv her alle vil blev kunne ind når være dog noget ville jo
+        deres efter ned skulle denne end dette mit også under have dig
+        anden hende mine alt meget sit sine vor mod disse hvis din
+        nogle hos blive mange ad bliver hendes været thi jer så""",
     "norwegian": """og i jeg det at en et den til er som på de med han
         av ikke der så var meg seg men har om vi min mitt ha hadde hun
         nå over da ved fra du ut sin dem oss opp man kan hans hvor
@@ -148,7 +156,9 @@ def _defs() -> dict:
                   {"type": "stemmer_override", "rules": _NL_STEM_DICT},
                   {"type": "stemmer", "language": "dutch"}],
         "swedish": ["lowercase", stop("swedish"),
-                    {"type": "stemmer", "language": "light_swedish"}],
+                    {"type": "stemmer", "language": "swedish"}],
+        "danish": ["lowercase", stop("danish"),
+                   {"type": "stemmer", "language": "danish"}],
         "norwegian": ["lowercase", stop("norwegian"),
                       {"type": "stemmer",
                        "language": "light_norwegian"}],

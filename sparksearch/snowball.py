@@ -5,8 +5,8 @@ routes plain language names to Lucene's SnowballFilter
 "german" -> GermanStemmer, "russian" -> RussianStemmer); these are
 from-spec re-derivations, NOT ports of the generated Snowball sources.
 
-Implemented: german, russian, french, spanish, dutch.  The remaining
-Snowball languages stay unimplemented —
+Implemented: german, russian, french, spanish, dutch, swedish, danish,
+english-porter2.  The remaining Snowball languages stay unimplemented —
 `stemmer` raises on unknown languages.
 """
 
@@ -14,7 +14,8 @@ from __future__ import annotations
 
 __all__ = ["german_snowball_stem", "russian_snowball_stem",
            "french_snowball_stem", "spanish_snowball_stem",
-           "dutch_snowball_stem"]
+           "dutch_snowball_stem", "porter2_stem", "swedish_snowball_stem",
+           "danish_snowball_stem"]
 
 # ---------------------------------------------------------------------------
 # German (snowballstem.org/algorithms/german/stemmer.html)
@@ -1022,3 +1023,127 @@ def porter2_stem(word: str) -> str:
         w = w[:-1]
 
     return w.replace("Y", "y")
+
+
+# ---------------------------------------------------------------------------
+# Swedish (snowballstem.org/algorithms/swedish/stemmer.html)
+# ---------------------------------------------------------------------------
+
+_SV_VOWELS = set("aeiouyäåö")
+_SV_S_END = set("bcdfghjklmnoprtvy")
+_SV_S1 = ("heterna", "hetens", "heter", "heten", "anden", "arnas",
+          "ernas", "ornas", "andes", "arens", "andet", "arna", "erna",
+          "orna", "ande", "arne", "aste", "aren", "ades", "erns",
+          "ade", "are", "ern", "ens", "het", "ast", "ad", "en", "ar",
+          "er", "or", "as", "es", "at", "a", "e")
+
+
+def _sv_r1(w: str) -> int:
+    n = len(w)
+    for i in range(1, n):
+        if w[i] not in _SV_VOWELS and w[i - 1] in _SV_VOWELS:
+            return max(i + 1, 3)
+    return n
+
+
+def swedish_snowball_stem(word: str) -> str:
+    """Snowball Swedish from the published spec: one longest-match
+    suffix removal in R1 (or a valid-ending 's'), consonant-pair
+    shortening, and the lig/ig/els + löst/fullt step."""
+    w = word
+    r1 = _sv_r1(w)
+
+    def in_r1(nsuf: int) -> bool:
+        return len(w) - nsuf >= r1
+
+    for suf in _SV_S1:
+        if w.endswith(suf) and in_r1(len(suf)):
+            w = w[: -len(suf)]
+            break
+    else:
+        if w.endswith("s") and in_r1(1) and len(w) >= 2 \
+                and w[-2] in _SV_S_END:
+            w = w[:-1]
+
+    for pair in ("dd", "gd", "nn", "dt", "gt", "kt", "tt"):
+        if w.endswith(pair) and in_r1(2):
+            w = w[:-1]
+            break
+
+    if w.endswith("löst") and in_r1(4):
+        w = w[:-1]
+    elif w.endswith("fullt") and in_r1(5):
+        w = w[:-1]
+    else:
+        for suf in ("lig", "els", "ig"):
+            if w.endswith(suf) and in_r1(len(suf)):
+                w = w[: -len(suf)]
+                break
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Danish (snowballstem.org/algorithms/danish/stemmer.html)
+# ---------------------------------------------------------------------------
+
+_DA_VOWELS = set("aeiouyæåø")
+_DA_S_END = set("abcdfghjklmnoprtvyzå")
+_DA_S1 = ("erendes", "erende", "hedens", "erede", "heden", "heder",
+          "endes", "ernes", "erens", "erets", "ethed", "erer", "heds",
+          "enes", "eres", "eren", "ende", "erne", "ered", "eret",
+          "hed", "ene", "ere", "ens", "ers", "ets", "en", "er", "es",
+          "et", "e")
+
+
+def _da_r1(w: str) -> int:
+    n = len(w)
+    for i in range(1, n):
+        if w[i] not in _DA_VOWELS and w[i - 1] in _DA_VOWELS:
+            return max(i + 1, 3)
+    return n
+
+
+def danish_snowball_stem(word: str) -> str:
+    """Snowball Danish from the published spec: longest-match suffix
+    removal in R1 (or valid-ending 's'), consonant cleanup (gd/dt/gt/kt),
+    the igst/ig/lig/elig/els step with undoubling, and løst -> løs."""
+    w = word
+    r1 = _da_r1(w)
+
+    def in_r1(nsuf: int) -> bool:
+        return len(w) - nsuf >= r1
+
+    for suf in _DA_S1:
+        if w.endswith(suf) and in_r1(len(suf)):
+            w = w[: -len(suf)]
+            break
+    else:
+        if w.endswith("s") and in_r1(1) and len(w) >= 2 \
+                and w[-2] in _DA_S_END:
+            w = w[:-1]
+
+    for pair in ("gd", "dt", "gt", "kt"):
+        if w.endswith(pair) and in_r1(2):
+            w = w[:-1]
+            break
+
+    if w.endswith("igst") and in_r1(4):
+        w = w[:-2]
+    did3 = False
+    for suf in ("elig", "lig", "els", "ig"):
+        if w.endswith(suf) and in_r1(len(suf)):
+            w = w[: -len(suf)]
+            did3 = True
+            break
+    if did3:
+        for pair in ("gd", "dt", "gt", "kt"):
+            if w.endswith(pair) and in_r1(2):
+                w = w[:-1]
+                break
+    elif w.endswith("løst") and in_r1(4):
+        w = w[:-1]
+    # undouble a final double consonant in R1
+    if len(w) >= 2 and w[-1] == w[-2] and w[-1] not in _DA_VOWELS \
+            and in_r1(1):
+        w = w[:-1]
+    return w

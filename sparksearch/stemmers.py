@@ -468,3 +468,5 @@ LANGUAGE_STEMMERS["russian"] = _snowball("russian_snowball_stem")
 LANGUAGE_STEMMERS["french"] = _snowball("french_snowball_stem")
 LANGUAGE_STEMMERS["spanish"] = _snowball("spanish_snowball_stem")
 LANGUAGE_STEMMERS["dutch"] = _snowball("dutch_snowball_stem")
+LANGUAGE_STEMMERS["swedish"] = _snowball("swedish_snowball_stem")
+LANGUAGE_STEMMERS["danish"] = _snowball("danish_snowball_stem")

@@ -331,7 +331,7 @@ def test_snowball_dutch():
 def test_prebuilt_language_analyzers():
     from sparksearch.analysis_custom import get_custom
     from sparksearch.lang_analyzers import LANG_ANALYZERS
-    assert len(LANG_ANALYZERS) == 12
+    assert len(LANG_ANALYZERS) == 13
     terms = lambda n, t: [(x.term, x.pos) for x in get_custom(n).analyze(t)]
     assert terms("french", "L'église et les chanteurs") == [
         ("églis", 0), ("chanteur", 3)]
@@ -372,3 +372,24 @@ def test_porter2():
         _tf_stemmer({"language": "kstem"})
     with pytest.raises(NotImplementedError):
         _tf_stemmer({"language": "lovins"})
+
+
+def test_snowball_swedish_danish():
+    from sparksearch.snowball import (danish_snowball_stem as da,
+                                      swedish_snowball_stem as sv)
+    # spec-traced: jakt keeps kt (pair outside R1), möjligheterna loses
+    # heterna then lig; dejligt: gt shortens then lig strips
+    for w, s in [("bilarna", "bil"), ("flickorna", "flick"),
+                 ("starkaste", "stark"), ("möjligheterna", "möj"),
+                 ("vänligt", "vän"), ("jakt", "jakt"),
+                 ("klokast", "klok")]:
+        assert sv(w) == s, (w, sv(w))
+    for w, s in [("bilerne", "bil"), ("huset", "hus"),
+                 ("venligst", "ven"), ("følelser", "føl"),
+                 ("dejligt", "dej"), ("kvinderne", "kvind")]:
+        assert da(w) == s, (w, da(w))
+    from sparksearch.analysis_custom import _tf_stemmer
+    assert _tf_stemmer({"language": "swedish"})([("bilarna", 0)]) == [
+        ("bil", 0)]
+    assert _tf_stemmer({"language": "danish"})([("kvinderne", 0)]) == [
+        ("kvind", 0)]
