@@ -17,9 +17,8 @@ follow the Lucene analyzer shapes:
 - russian:    lowercase + stop + Snowball Russian.
 - dutch:      lowercase + stop + stemmer_override(DutchAnalyzer's
               DEFAULT_STEM_DICT) + Snowball Dutch.
-- swedish / danish: lowercase + stop + Snowball (Lucene shape).
-- norwegian:  lowercase + stop + light stemmer (Lucene uses Snowball
-              here; light variant is the documented stand-in).
+- swedish / danish / norwegian: lowercase + stop + Snowball
+              (Lucene analyzer shape).
 - czech:      lowercase + stop + czech stemmer (CzechAnalyzer shape).
 - arabic:     lowercase + stop + arabic_normalization + light10 stemmer
               (ArabicAnalyzer shape).
@@ -160,8 +159,7 @@ def _defs() -> dict:
         "danish": ["lowercase", stop("danish"),
                    {"type": "stemmer", "language": "danish"}],
         "norwegian": ["lowercase", stop("norwegian"),
-                      {"type": "stemmer",
-                       "language": "light_norwegian"}],
+                      {"type": "stemmer", "language": "norwegian"}],
         "czech": ["lowercase", stop("czech"),
                   {"type": "stemmer", "language": "czech"}],
         "arabic": ["lowercase", stop("arabic"), "arabic_normalization",

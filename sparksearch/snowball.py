@@ -6,7 +6,7 @@ routes plain language names to Lucene's SnowballFilter
 from-spec re-derivations, NOT ports of the generated Snowball sources.
 
 Implemented: german, russian, french, spanish, dutch, swedish, danish,
-english-porter2.  The remaining Snowball languages stay unimplemented —
+norwegian, english-porter2.  The remaining Snowball languages stay unimplemented —
 `stemmer` raises on unknown languages.
 """
 
@@ -15,7 +15,7 @@ from __future__ import annotations
 __all__ = ["german_snowball_stem", "russian_snowball_stem",
            "french_snowball_stem", "spanish_snowball_stem",
            "dutch_snowball_stem", "porter2_stem", "swedish_snowball_stem",
-           "danish_snowball_stem"]
+           "danish_snowball_stem", "norwegian_snowball_stem"]
 
 # ---------------------------------------------------------------------------
 # German (snowballstem.org/algorithms/german/stemmer.html)
@@ -1146,4 +1146,65 @@ def danish_snowball_stem(word: str) -> str:
     if len(w) >= 2 and w[-1] == w[-2] and w[-1] not in _DA_VOWELS \
             and in_r1(1):
         w = w[:-1]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Norwegian (snowballstem.org/algorithms/norwegian/stemmer.html)
+# ---------------------------------------------------------------------------
+
+_NO_VOWELS = set("aeiouyæåø")
+_NO_S_END = set("bcdfghjlmnoprtvyz")
+_NO_S1 = ("hetenes", "hetene", "hetens", "heten", "heter", "endes",
+          "edes", "enes", "ende", "ande", "ane", "ene", "ede", "ens",
+          "ers", "ets", "het", "ast", "en", "ar", "er", "as", "es",
+          "et", "a", "e")
+
+
+def _no_r1(w: str) -> int:
+    n = len(w)
+    for i in range(1, n):
+        if w[i] not in _NO_VOWELS and w[i - 1] in _NO_VOWELS:
+            return max(i + 1, 3)
+    return n
+
+
+def norwegian_snowball_stem(word: str) -> str:
+    """Snowball Norwegian (Bokmål) from the published spec: R1 suffix
+    ladder with the s-ending condition (k valid only after a
+    non-vowel), erte/ert -> er, dt/vt shortening, and the
+    leg/eleg/ig/lig/els/lov family step."""
+    w = word
+    r1 = _no_r1(w)
+
+    def in_r1(nsuf: int) -> bool:
+        return len(w) - nsuf >= r1
+
+    matched = None
+    for suf in _NO_S1:
+        if w.endswith(suf) and in_r1(len(suf)):
+            matched = suf
+            break
+    if matched:
+        w = w[: -len(matched)]
+    elif (w.endswith("erte") or w.endswith("ert")):
+        n = 4 if w.endswith("erte") else 3
+        if in_r1(n):
+            w = w[:-n] + "er"
+    elif w.endswith("s") and in_r1(1) and len(w) >= 2:
+        prev = w[-2]
+        if prev in _NO_S_END or (prev == "k" and len(w) >= 3
+                                 and w[-3] not in _NO_VOWELS):
+            w = w[:-1]
+
+    for pair in ("dt", "vt"):
+        if w.endswith(pair) and in_r1(2):
+            w = w[:-1]
+            break
+
+    for suf in ("hetslov", "eleg", "elov", "slov", "elig", "heig",
+                "leg", "lig", "eig", "els", "lov", "ig"):
+        if w.endswith(suf) and in_r1(len(suf)):
+            w = w[: -len(suf)]
+            break
     return w

@@ -470,3 +470,4 @@ LANGUAGE_STEMMERS["spanish"] = _snowball("spanish_snowball_stem")
 LANGUAGE_STEMMERS["dutch"] = _snowball("dutch_snowball_stem")
 LANGUAGE_STEMMERS["swedish"] = _snowball("swedish_snowball_stem")
 LANGUAGE_STEMMERS["danish"] = _snowball("danish_snowball_stem")
+LANGUAGE_STEMMERS["norwegian"] = _snowball("norwegian_snowball_stem")

@@ -393,3 +393,15 @@ def test_snowball_swedish_danish():
         ("bil", 0)]
     assert _tf_stemmer({"language": "danish"})([("kvinderne", 0)]) == [
         ("kvind", 0)]
+
+
+def test_snowball_norwegian():
+    from sparksearch.snowball import norwegian_snowball_stem as st
+    for w, s in [("bilene", "bil"), ("huset", "hus"),
+                 ("vakkert", "vakker"), ("mulighetene", "mul"),
+                 ("venlige", "ven"), ("bøkene", "bøk"),
+                 ("norske", "norsk"), ("viktigste", "viktigst")]:
+        assert st(w) == s, (w, st(w))
+    from sparksearch.analysis_custom import _tf_stemmer
+    assert _tf_stemmer({"language": "norwegian"})([("bilene", 0)]) == [
+        ("bil", 0)]
