@@ -146,7 +146,8 @@ _RECORD_FIRST = [
     "tf_lang_norms", "tf_concat_czech", "stem_snowball_de",
     "stem_snowball_ru", "stem_snowball_fr", "stem_snowball_es",
     "stem_snowball_nl", "stem_porter2", "stem_snowball_sv",
-    "stem_snowball_da", "stem_snowball_no", "lang_analyzer_fr",
+    "stem_snowball_da", "stem_snowball_no", "stem_snowball_it",
+    "lang_analyzer_fr",
     "lang_analyzer_de", "chunk_documents",
     # never-driver-recorded round-1/2 entries (verified locally)
     "knn_join_lsh", "dedup_clusters", "dedup_embedding", "knn_cosine_ivf",

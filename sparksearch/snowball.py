@@ -5,8 +5,8 @@ routes plain language names to Lucene's SnowballFilter
 "german" -> GermanStemmer, "russian" -> RussianStemmer); these are
 from-spec re-derivations, NOT ports of the generated Snowball sources.
 
-Implemented: german, russian, french, spanish, dutch, swedish, danish,
-norwegian, english-porter2.  The remaining Snowball languages stay unimplemented —
+Implemented: german, russian, french, spanish, italian, dutch, swedish,
+danish, norwegian, english-porter2.  The remaining Snowball languages stay unimplemented —
 `stemmer` raises on unknown languages.
 """
 
@@ -15,7 +15,8 @@ from __future__ import annotations
 __all__ = ["german_snowball_stem", "russian_snowball_stem",
            "french_snowball_stem", "spanish_snowball_stem",
            "dutch_snowball_stem", "porter2_stem", "swedish_snowball_stem",
-           "danish_snowball_stem", "norwegian_snowball_stem"]
+           "danish_snowball_stem", "norwegian_snowball_stem",
+           "italian_snowball_stem"]
 
 # ---------------------------------------------------------------------------
 # German (snowballstem.org/algorithms/german/stemmer.html)
@@ -1208,3 +1209,180 @@ def norwegian_snowball_stem(word: str) -> str:
             w = w[: -len(suf)]
             break
     return w
+
+
+# ---------------------------------------------------------------------------
+# Italian (snowballstem.org/algorithms/italian/stemmer.html)
+# ---------------------------------------------------------------------------
+
+_IT_VOWELS = set("aeiouàèìòù")
+_IT_ACUTE = {"á": "à", "é": "è", "í": "ì", "ó": "ò", "ú": "ù"}
+_IT_PRON = ("gliela", "gliele", "glieli", "glielo", "gliene",
+            "sene", "mela", "mele", "meli", "melo", "mene",
+            "tela", "tele", "teli", "telo", "tene",
+            "cela", "cele", "celi", "celo", "cene",
+            "vela", "vele", "veli", "velo", "vene",
+            "gli", "ci", "la", "le", "li", "lo", "mi", "ne", "si",
+            "ti", "vi")
+_IT_S1_DEL_R2 = ("atrici", "atrice", "abili", "abile", "ibili",
+                 "ibile", "anza", "anze", "iche", "ichi", "ismo",
+                 "ismi", "ista", "iste", "isti", "istà", "istè",
+                 "istì", "ante", "anti", "ico", "ici", "ica", "ice",
+                 "oso", "osi", "osa", "ose", "mente")
+_IT_S2 = ("erebbero", "irebbero", "assimo", "eranno", "erebbe",
+          "eremmo", "ereste", "eresti", "essero", "iranno", "irebbe",
+          "iremmo", "ireste", "iresti", "iscano", "iscono", "issero",
+          "arono", "avamo", "avano", "avate", "eremo", "erete",
+          "erono", "evamo", "evano", "evate", "iremo", "irete",
+          "irono", "ivamo", "ivano", "ivate", "ammo", "ando", "asse",
+          "assi", "emmo", "enda", "ende", "endi", "endo", "erai",
+          "erei", "Yamo", "iamo", "immo", "irai", "irei", "isca",
+          "isce", "isci", "isco", "ano", "are", "ata", "ate", "ati",
+          "ato", "ava", "avi", "avo", "erà", "ere", "erò", "ete",
+          "eva", "evi", "evo", "irà", "ire", "irò", "ita", "ite",
+          "iti", "ito", "iva", "ivi", "ivo", "ono", "uta", "ute",
+          "uti", "uto", "ar", "ir")
+
+
+def _it_prelude(w: str) -> str:
+    w = "".join(_IT_ACUTE.get(c, c) for c in w)
+    cs = list(w)
+    n = len(cs)
+    for i in range(n):
+        if cs[i] in ("u", "i") and 0 < i < n - 1 \
+                and cs[i - 1] in _IT_VOWELS and cs[i + 1] in _IT_VOWELS:
+            cs[i] = cs[i].upper()
+        elif cs[i] == "u" and i > 0 and cs[i - 1] == "q":
+            cs[i] = "U"
+    return "".join(cs)
+
+
+def _it_regions(w: str) -> tuple[int, int, int]:
+    n = len(w)
+
+    def isv(c):
+        return c in _IT_VOWELS
+    if n >= 2 and isv(w[0]) and isv(w[1]):
+        rv = 3
+    elif n >= 2 and not isv(w[1]):
+        rv = n
+        for i in range(2, n):
+            if isv(w[i]):
+                rv = i + 1
+                break
+    else:
+        rv = 3 if n >= 3 else n
+
+    def region_after(start):
+        i = start
+        while i < n and not isv(w[i]):
+            i += 1
+        while i < n and isv(w[i]):
+            i += 1
+        return min(i + 1, n)
+    r1 = region_after(0)
+    r2 = region_after(r1) if r1 < n else n
+    return rv, r1, r2
+
+
+def italian_snowball_stem(word: str) -> str:
+    """Snowball Italian from the published spec: acute->grave prelude
+    with U/I consonant marks, attached-pronoun step 0 (ando/endo delete,
+    ar/er/ir replace with e), standard suffixes over R1/R2, verb
+    suffixes over RV, final-vowel strip, ch/gh -> c/g."""
+    w = _it_prelude(word)
+    rv, r1, r2 = _it_regions(w)
+
+    def in_r(region, nsuf):
+        return len(w) - nsuf >= region
+
+    # step 0: attached pronouns
+    for pron in _IT_PRON:
+        if not w.endswith(pron):
+            continue
+        base = w[: -len(pron)]
+        for pre in ("ando", "endo"):
+            if base.endswith(pre) and len(base) - len(pre) >= rv:
+                w = base
+                break
+        else:
+            for pre in ("ar", "er", "ir"):
+                if base.endswith(pre) and len(base) - len(pre) >= rv:
+                    w = base + "e"
+                    break
+        break
+
+    orig = w
+    # step 1: standard suffixes (longest match)
+    cands = [s for s in (_IT_S1_DEL_R2 + (
+        "azione", "azioni", "atore", "atori", "logia", "logie",
+        "uzione", "uzioni", "usione", "usioni", "enza", "enze",
+        "amento", "amenti", "imento", "imenti", "amente", "ità",
+        "ivo", "ivi", "iva", "ive")) if w.endswith(s)]
+    if cands:
+        suf = max(cands, key=len)
+        n = len(suf)
+        if suf in _IT_S1_DEL_R2:
+            if in_r(r2, n):
+                w = w[:-n]
+        elif suf in ("azione", "azioni", "atore", "atori"):
+            if in_r(r2, n):
+                w = w[:-n]
+                if w.endswith("ic") and in_r(r2, 2):
+                    w = w[:-2]
+        elif suf in ("logia", "logie"):
+            if in_r(r2, n):
+                w = w[: -n] + "log"
+        elif suf in ("uzione", "uzioni", "usione", "usioni"):
+            if in_r(r2, n):
+                w = w[: -n] + "u"
+        elif suf in ("enza", "enze"):
+            if in_r(r2, n):
+                w = w[: -n] + "ente"
+        elif suf in ("amento", "amenti", "imento", "imenti"):
+            if in_r(rv, n):
+                w = w[:-n]
+        elif suf == "amente":
+            if in_r(r1, 6):
+                w = w[:-6]
+                if w.endswith("iv") and in_r(r2, 2):
+                    w = w[:-2]
+                    if w.endswith("at") and in_r(r2, 2):
+                        w = w[:-2]
+                elif (w.endswith("os") or w.endswith("ic")
+                      or w.endswith("abil")) and in_r(
+                          r2, 4 if w.endswith("abil") else 2):
+                    w = w[:-4] if w.endswith("abil") else w[:-2]
+        elif suf == "ità":
+            if in_r(r2, 3):
+                w = w[:-3]
+                for pre in ("abil", "ic", "iv"):
+                    if w.endswith(pre) and in_r(r2, len(pre)):
+                        w = w[: -len(pre)]
+                        break
+        elif suf in ("ivo", "ivi", "iva", "ive"):
+            if in_r(r2, n):
+                w = w[:-n]
+                if w.endswith("at") and in_r(r2, 2):
+                    w = w[:-2]
+                    if w.endswith("ic") and in_r(r2, 2):
+                        w = w[:-2]
+
+    # step 2: verb suffixes (only if step 1 removed nothing)
+    if w == orig:
+        for suf in _IT_S2:
+            if w.endswith(suf) and in_r(rv, len(suf)):
+                w = w[: -len(suf)]
+                break
+
+    # step 3a: final vowel (+ a preceding i), in RV
+    if w and w[-1] in ("a", "e", "i", "o", "à", "è", "ì", "ò") \
+            and in_r(rv, 1):
+        w = w[:-1]
+        if w and w[-1] == "i" and in_r(rv, 1):
+            w = w[:-1]
+    # step 3b: replace final ch/gh with c/g (suffix in RV)
+    if (w.endswith("ch") or w.endswith("gh")) and in_r(rv, 2):
+        w = w[:-1]
+
+    return w.replace("U", "u").replace("I", "i")

@@ -405,3 +405,18 @@ def test_snowball_norwegian():
     from sparksearch.analysis_custom import _tf_stemmer
     assert _tf_stemmer({"language": "norwegian"})([("bilene", 0)]) == [
         ("bil", 0)]
+
+
+def test_snowball_italian():
+    from sparksearch.snowball import italian_snowball_stem as st
+    # spec-traced (andare: "are" starts before RV so only the final
+    # vowel strips; lunghe: step-3b gh->g)
+    for w, s in [("ragazzo", "ragazz"), ("ragazzi", "ragazz"),
+                 ("andare", "andar"), ("abbandonata", "abbandon"),
+                 ("nazionale", "nazional"), ("logica", "logic"),
+                 ("parlando", "parl"), ("mangiandolo", "mang"),
+                 ("lunghe", "lung"), ("amiche", "amic")]:
+        assert st(w) == s, (w, st(w))
+    from sparksearch.analysis_custom import _tf_stemmer
+    assert _tf_stemmer({"language": "italian"})([("ragazzi", 0)]) == [
+        ("ragazz", 0)]
