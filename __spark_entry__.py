@@ -147,7 +147,7 @@ _RECORD_FIRST = [
     "stem_snowball_ru", "stem_snowball_fr", "stem_snowball_es",
     "stem_snowball_nl", "stem_porter2", "stem_snowball_sv",
     "stem_snowball_da", "stem_snowball_no", "stem_snowball_it",
-    "lang_analyzer_fr",
+    "stem_snowball_pt", "lang_analyzer_fr",
     "lang_analyzer_de", "chunk_documents",
     # never-driver-recorded round-1/2 entries (verified locally)
     "knn_join_lsh", "dedup_clusters", "dedup_embedding", "knn_cosine_ivf",

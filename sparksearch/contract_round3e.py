@@ -343,6 +343,9 @@ _SNOW_NO_GOLDENS = [(0, "bil", 0), (0, "mul", 1),
 _SNOW_IT_PROBES = [(0, "ragazzi parlando"), (1, "abbandonata lunghe")]
 _SNOW_IT_GOLDENS = [(0, "ragazz", 0), (0, "parl", 1),
                     (1, "abbandon", 0), (1, "lung", 1)]
+_SNOW_PT_PROBES = [(0, "gatos cantando"), (1, "bandeira falou")]
+_SNOW_PT_GOLDENS = [(0, "gat", 0), (0, "cant", 1),
+                    (1, "bandeir", 0), (1, "fal", 1)]
 
 _P2_PROBES = [(0, "crying skies generously"), (1, "relational feed")]
 #: porter2 (Snowball English) — distinct from Porter1 on these exact
@@ -400,6 +403,8 @@ def queries() -> dict:
                                             _SNOW_NO_PROBES),
         "stem_snowball_it": _q_stem_goldens("an_snow_it", "italian",
                                             _SNOW_IT_PROBES),
+        "stem_snowball_pt": _q_stem_goldens("an_snow_pt", "portuguese",
+                                            _SNOW_PT_PROBES),
         "lang_analyzer_fr": _q_lang_analyzer("french", _LA_FR_PROBES),
         "lang_analyzer_de": _q_lang_analyzer("german", _LA_DE_PROBES),
         "chunk_documents": q_chunk_documents,
@@ -427,6 +432,7 @@ def oracle_sql() -> dict:
         "stem_snowball_da": _sql_goldens_3e(_SNOW_DA_GOLDENS),
         "stem_snowball_no": _sql_goldens_3e(_SNOW_NO_GOLDENS),
         "stem_snowball_it": _sql_goldens_3e(_SNOW_IT_GOLDENS),
+        "stem_snowball_pt": _sql_goldens_3e(_SNOW_PT_GOLDENS),
         "lang_analyzer_fr": _sql_goldens_3e(_LA_FR_GOLDENS),
         "lang_analyzer_de": _sql_goldens_3e(_LA_DE_GOLDENS),
         "chunk_documents": sql_chunk_documents(),

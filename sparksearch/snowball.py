@@ -5,8 +5,8 @@ routes plain language names to Lucene's SnowballFilter
 "german" -> GermanStemmer, "russian" -> RussianStemmer); these are
 from-spec re-derivations, NOT ports of the generated Snowball sources.
 
-Implemented: german, russian, french, spanish, italian, dutch, swedish,
-danish, norwegian, english-porter2.  The remaining Snowball languages stay unimplemented —
+Implemented: german, russian, french, spanish, italian, portuguese,
+dutch, swedish, danish, norwegian, english-porter2.  The remaining Snowball languages stay unimplemented —
 `stemmer` raises on unknown languages.
 """
 
@@ -16,7 +16,7 @@ __all__ = ["german_snowball_stem", "russian_snowball_stem",
            "french_snowball_stem", "spanish_snowball_stem",
            "dutch_snowball_stem", "porter2_stem", "swedish_snowball_stem",
            "danish_snowball_stem", "norwegian_snowball_stem",
-           "italian_snowball_stem"]
+           "italian_snowball_stem", "portuguese_snowball_stem"]
 
 # ---------------------------------------------------------------------------
 # German (snowballstem.org/algorithms/german/stemmer.html)
@@ -1386,3 +1386,165 @@ def italian_snowball_stem(word: str) -> str:
         w = w[:-1]
 
     return w.replace("U", "u").replace("I", "i")
+
+
+# ---------------------------------------------------------------------------
+# Portuguese (snowballstem.org/algorithms/portuguese/stemmer.html)
+# ---------------------------------------------------------------------------
+
+_PT_VOWELS = set("aeiouáéíóúâêô")
+_PT_S1_DEL_R2 = ("amentos", "imentos", "amento", "imento", "ezas",
+                 "icos", "icas", "ismos", "istas", "osos", "osas",
+                 "eza", "ico", "ica", "ismo", "ável", "ível", "ista",
+                 "oso", "osa")
+_PT_S1_ADOR = ("adoras", "adores", "aça~os", "adora", "aça~o",
+               "aço~es", "antes", "ância", "ador", "ante")
+#: verb suffixes, re-derived from the published list; rare
+#: person/tense forms missing here only under-stem (documented)
+_PT_S2 = ("aríamos", "eríamos", "iríamos", "ássemos", "êssemos",
+          "íssemos", "aríeis", "eríeis", "iríeis", "ásseis",
+          "ésseis", "ísseis", "áramos", "éramos", "íramos",
+          "ávamos", "aremos", "eremos", "iremos", "ariam",
+          "eriam", "iriam", "assem", "essem", "issem", "arias",
+          "erias", "irias", "ardes", "erdes", "irdes", "asses",
+          "esses", "isses", "astes", "estes", "istes", "áreis",
+          "éreis", "íreis", "áveis", "íamos", "armos", "ermos",
+          "irmos", "aria", "eria", "iria", "asse", "esse", "isse",
+          "aste", "este", "iste", "arei", "erei", "irei", "aram",
+          "eram", "iram", "avam", "arem", "erem", "irem", "ando",
+          "endo", "indo", "adas", "idas", "arás", "aras", "eras",
+          "iras", "avas", "ares", "eres", "ires", "íeis", "ados",
+          "idos", "ámos", "amos", "emos", "imos", "iras", "ada",
+          "ida", "ará", "ara", "erá", "era", "irá", "ava", "iam",
+          "ado", "ido", "ias", "ais", "eis", "ões", "arão", "erão",
+          "irão", "ia", "ei", "am", "em", "ar", "er", "ir", "as",
+          "es", "is", "eu", "iu", "ou")
+
+
+def _pt_regions(w: str) -> tuple[int, int, int]:
+    n = len(w)
+
+    def isv(c):
+        return c in _PT_VOWELS
+    if n >= 2 and not isv(w[1]):
+        rv = n
+        for i in range(2, n):
+            if isv(w[i]):
+                rv = i + 1
+                break
+    elif n >= 2 and isv(w[0]) and isv(w[1]):
+        rv = n
+        for i in range(2, n):
+            if not isv(w[i]):
+                rv = i + 1
+                break
+    else:
+        rv = 3 if n >= 3 else n
+
+    def region_after(start):
+        i = start
+        while i < n and not isv(w[i]):
+            i += 1
+        while i < n and isv(w[i]):
+            i += 1
+        return min(i + 1, n)
+    r1 = region_after(0)
+    r2 = region_after(r1) if r1 < n else n
+    return rv, r1, r2
+
+
+def portuguese_snowball_stem(word: str) -> str:
+    """Snowball Portuguese from the published spec: nasal-vowel marking
+    (ã -> a~), standard suffixes over R1/R2 with precedence chains, verb
+    suffixes over RV, residual vowel strip, gu/ci + cedilla cleanup."""
+    w = word.replace("ã", "a~").replace("õ", "o~")
+    rv, r1, r2 = _pt_regions(w)
+
+    def in_r(region, nsuf):
+        return len(w) - nsuf >= region
+
+    orig = w
+    cands = [s for s in (_PT_S1_DEL_R2 + _PT_S1_ADOR + (
+        "logias", "logia", "uça~os", "uço~es", "uça~o", "ências",
+        "ência", "amente", "mente", "idades", "idade", "ivas",
+        "ivos", "iva", "ivo", "iras", "ira")) if w.endswith(s)]
+    if cands:
+        suf = max(cands, key=len)
+        n = len(suf)
+        if suf in _PT_S1_DEL_R2:
+            if in_r(r2, n):
+                w = w[:-n]
+        elif suf in _PT_S1_ADOR:
+            if in_r(r2, n):
+                w = w[:-n]
+                if w.endswith("ic") and in_r(r2, 2):
+                    w = w[:-2]
+        elif suf in ("logia", "logias"):
+            if in_r(r2, n):
+                w = w[: -n] + "log"
+        elif suf in ("uça~o", "uça~os", "uço~es"):
+            if in_r(r2, n):
+                w = w[: -n] + "u"
+        elif suf in ("ência", "ências"):
+            if in_r(r2, n):
+                w = w[: -n] + "ente"
+        elif suf == "amente":
+            if in_r(r1, 6):
+                w = w[:-6]
+                if w.endswith("iv") and in_r(r2, 2):
+                    w = w[:-2]
+                    if w.endswith("at") and in_r(r2, 2):
+                        w = w[:-2]
+                elif (w.endswith("os") or w.endswith("ic")
+                      or w.endswith("ad")) and in_r(r2, 2):
+                    w = w[:-2]
+        elif suf == "mente":
+            if in_r(r2, 5):
+                w = w[:-5]
+                for pre in ("ante", "avel", "ível"):
+                    if w.endswith(pre) and in_r(r2, 4):
+                        w = w[:-4]
+                        break
+        elif suf in ("idade", "idades"):
+            if in_r(r2, n):
+                w = w[:-n]
+                for pre in ("abil", "ic", "iv"):
+                    if w.endswith(pre) and in_r(r2, len(pre)):
+                        w = w[: -len(pre)]
+                        break
+        elif suf in ("iva", "ivo", "ivas", "ivos"):
+            if in_r(r2, n):
+                w = w[:-n]
+                if w.endswith("at") and in_r(r2, 2):
+                    w = w[:-2]
+        elif suf in ("ira", "iras"):
+            if in_r(rv, n) and len(w) > n and w[-n - 1] == "e":
+                w = w[: -n] + "ir"
+
+    did12 = w != orig
+    if not did12:
+        for suf in _PT_S2:
+            if w.endswith(suf) and in_r(rv, len(suf)):
+                w = w[: -len(suf)]
+                did12 = True
+                break
+
+    if did12:
+        if w.endswith("i") and in_r(rv, 1) and len(w) >= 2 \
+                and w[-2] == "c":
+            w = w[:-1]
+    else:
+        for suf in ("os", "a", "i", "o", "á", "í", "ó"):
+            if w.endswith(suf) and in_r(rv, len(suf)):
+                w = w[: -len(suf)]
+                break
+
+    if w and w[-1] in ("e", "é", "ê") and in_r(rv, 1):
+        w = w[:-1]
+        if len(w) >= 2 and ((w[-2:] == "gu" and in_r(rv, 1))
+                            or (w[-2:] == "ci" and in_r(rv, 1))):
+            w = w[:-1]
+    elif w.endswith("ç"):
+        w = w[:-1] + "c"
+
+    return w.replace("a~", "ã").replace("o~", "õ")

@@ -472,3 +472,4 @@ LANGUAGE_STEMMERS["swedish"] = _snowball("swedish_snowball_stem")
 LANGUAGE_STEMMERS["danish"] = _snowball("danish_snowball_stem")
 LANGUAGE_STEMMERS["norwegian"] = _snowball("norwegian_snowball_stem")
 LANGUAGE_STEMMERS["italian"] = _snowball("italian_snowball_stem")
+LANGUAGE_STEMMERS["portuguese"] = _snowball("portuguese_snowball_stem")

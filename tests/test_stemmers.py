@@ -420,3 +420,17 @@ def test_snowball_italian():
     from sparksearch.analysis_custom import _tf_stemmer
     assert _tf_stemmer({"language": "italian"})([("ragazzi", 0)]) == [
         ("ragazz", 0)]
+
+
+def test_snowball_portuguese():
+    from sparksearch.snowball import portuguese_snowball_stem as st
+    # spec-traced (começar: verb -ar then the step-5 cedilla fold)
+    for w, s in [("gatos", "gat"), ("cantando", "cant"),
+                 ("nacionalidade", "nacional"), ("bandeira", "bandeir"),
+                 ("começar", "comec"), ("quilométricas", "quilométr"),
+                 ("falou", "fal"), ("comeu", "com"),
+                 ("partiu", "part")]:
+        assert st(w) == s, (w, st(w))
+    from sparksearch.analysis_custom import _tf_stemmer
+    assert _tf_stemmer({"language": "portuguese"})([("gatos", 0)]) == [
+        ("gat", 0)]
