@@ -149,6 +149,7 @@ _RECORD_FIRST = [
     "stem_snowball_da", "stem_snowball_no", "stem_snowball_it",
     "stem_snowball_pt", "lang_analyzer_fr",
     "lang_analyzer_de", "chunk_documents",
+    "tf_lowercase_turkish", "tf_lowercase_greek",
     # never-driver-recorded round-1/2 entries (verified locally)
     "knn_join_lsh", "dedup_clusters", "dedup_embedding", "knn_cosine_ivf",
     "knn_sq8", "pii_redact", "domain_cap", "repeated_spans", "hashed_bow",

@@ -173,7 +173,35 @@ _TOKENIZERS = {
 TokList = "list[tuple[str, int]]"
 
 
+#: GreekLowerCaseFilter folds: accent/diaeresis strip + final sigma
+_EL_FOLD = str.maketrans({
+    "ά": "α", "έ": "ε", "ή": "η", "ί": "ι", "ό": "ο", "ύ": "υ",
+    "ώ": "ω", "ϊ": "ι", "ΐ": "ι", "ϋ": "υ", "ΰ": "υ", "ς": "σ",
+})
+
+
+def _tr_lower(t: str) -> str:
+    """TurkishLowerCaseFilter: İ -> i, I -> ı (dotless), I + combining
+    dot-above -> i; everything else plain lowercase."""
+    t = t.replace("İ", "i").replace("İ", "i").replace("I", "ı")
+    return t.lower()
+
+
 def _tf_lowercase(cfg: dict):
+    """``lowercase`` with the reference's language variants
+    (LowerCaseTokenFilterFactory.java:50-72): greek (accent fold +
+    final-sigma normalization), turkish (dotted/dotless i casing).
+    ``irish`` (eclipsis-aware) is unimplemented and raises."""
+    lang = (cfg or {}).get("language", "")
+    if lang == "greek":
+        return lambda toks: [(t.lower().translate(_EL_FOLD), p)
+                             for t, p in toks]
+    if lang == "turkish":
+        return lambda toks: [(_tr_lower(t), p) for t, p in toks]
+    if lang == "irish":
+        raise NotImplementedError(
+            "lowercase language 'irish' (eclipsis handling) not "
+            "implemented")
     return lambda toks: [(t.lower(), p) for t, p in toks]
 
 

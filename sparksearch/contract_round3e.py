@@ -324,6 +324,18 @@ _SNOW_ES_PROBES = [(0, "cantando canciones"), (1, "trabajadores libros")]
 _SNOW_ES_GOLDENS = [(0, "cant", 0), (0, "cancion", 1),
                     (1, "trabaj", 0), (1, "libr", 1)]
 
+_LC_SETTINGS = {"tokenizer": "whitespace",
+                "filter": [{"type": "lowercase", "language": "turkish"}]}
+_LC_PROBES = [(0, "İSTANBUL DİYARBAKIR ISPARTA")]
+#: Turkish casing: dotted İ -> i, dotless I -> ı
+_LC_GOLDENS = [(0, "istanbul", 0), (0, "diyarbakır", 1),
+               (0, "ısparta", 2)]
+_LCG_SETTINGS = {"tokenizer": "whitespace",
+                 "filter": [{"type": "lowercase", "language": "greek"}]}
+_LCG_PROBES = [(0, "ΚΑΛΌΣ Ελλάς ΜΑΪΟΣ")]
+#: Greek lowercase folds accents/diaeresis and final sigma
+_LCG_GOLDENS = [(0, "καλοσ", 0), (0, "ελλασ", 1), (0, "μαιοσ", 2)]
+
 _LA_FR_PROBES = [(0, "L'église et les chanteurs")]
 #: prebuilt french analyzer: elision strips l', et/les stop out leaving
 #: position holes, snowball stems église->églis chanteurs->chanteur
@@ -408,6 +420,12 @@ def queries() -> dict:
         "lang_analyzer_fr": _q_lang_analyzer("french", _LA_FR_PROBES),
         "lang_analyzer_de": _q_lang_analyzer("german", _LA_DE_PROBES),
         "chunk_documents": q_chunk_documents,
+        "tf_lowercase_turkish": _q_filter_goldens(
+            "an_lc_tr", _LC_SETTINGS, _LC_PROBES,
+            "Turkish dotted/dotless-i lowercase vs hand goldens"),
+        "tf_lowercase_greek": _q_filter_goldens(
+            "an_lc_el", _LCG_SETTINGS, _LCG_PROBES,
+            "Greek accent-fold + final-sigma lowercase vs hand goldens"),
     }
 
 
@@ -436,6 +454,8 @@ def oracle_sql() -> dict:
         "lang_analyzer_fr": _sql_goldens_3e(_LA_FR_GOLDENS),
         "lang_analyzer_de": _sql_goldens_3e(_LA_DE_GOLDENS),
         "chunk_documents": sql_chunk_documents(),
+        "tf_lowercase_turkish": _sql_goldens_3e(_LC_GOLDENS),
+        "tf_lowercase_greek": _sql_goldens_3e(_LCG_GOLDENS),
     }
 
 

@@ -234,3 +234,24 @@ def test_min_hash_deterministic_and_similarity():
     assert sum(1 for x in a if x in c) >= 5  # near-identical streams share
     d = _terms(_an([cfg]), "q r s t u v w x")
     assert sum(1 for x in a if x in d) <= 4  # disjoint streams mostly differ
+
+
+def test_lowercase_language_variants():
+    import pytest
+
+    from sparksearch.analysis_custom import _tf_lowercase
+    tr = _tf_lowercase({"language": "turkish"})
+    # Turkish casing: dotted İ -> i, dotless I -> ı (DIYARBAKIR keeps
+    # its dotless pattern; İSTANBUL -> istanbul)
+    assert tr([("İSTANBUL", 0)]) == [("istanbul", 0)]
+    assert tr([("DİYARBAKIR", 0)]) == [("diyarbakır", 0)]
+    assert tr([("ISPARTA", 0)]) == [("ısparta", 0)]
+    el = _tf_lowercase({"language": "greek"})
+    # accent fold + final sigma
+    assert el([("ΚΑΛΌΣ", 0)]) == [("καλοσ", 0)]
+    assert el([("Ελλάς", 0)]) == [("ελλασ", 0)]
+    assert el([("ΜΑΪΟΣ", 0)]) == [("μαιοσ", 0)]
+    with pytest.raises(NotImplementedError):
+        _tf_lowercase({"language": "irish"})
+    # default unchanged
+    assert _tf_lowercase({})([("ABC", 0)]) == [("abc", 0)]
