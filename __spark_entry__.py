@@ -144,15 +144,21 @@ _RECORD_FIRST = [
     "ip_field_cidr", "ip_field_sort", "range_field_rel", "agg_doc_count",
     "sessionize_events", "agg_ext_stats_bucket", "ingest_pipeline3",
     "tf_lang_norms", "tf_concat_czech", "stem_snowball_de",
-    "stem_snowball_ru", "stem_snowball_fr", "stem_snowball_es",
-    "stem_snowball_nl", "stem_porter2", "stem_snowball_sv",
-    "stem_snowball_da", "stem_snowball_no", "stem_snowball_it",
-    "stem_snowball_pt", "lang_analyzer_fr",
-    "lang_analyzer_de", "chunk_documents",
-    "tf_lowercase_turkish", "tf_lowercase_greek",
-    # never-driver-recorded round-1/2 entries (verified locally)
+    "stem_snowball_ru", "stem_snowball_fr", "stem_porter2",
+    "lang_analyzer_fr", "chunk_documents",
+    # VERDICT-named never-driver-recorded round-1/2 entries take the
+    # remaining first-50 slots (knn_join_lsh, dedup_clusters were called
+    # out by name); the rest of the round-3 goldens entries follow and
+    # stay covered by the local gate + pytest
     "knn_join_lsh", "dedup_clusters", "dedup_embedding", "knn_cosine_ivf",
-    "knn_sq8", "pii_redact", "domain_cap", "repeated_spans", "hashed_bow",
+    "knn_sq8", "pii_redact", "domain_cap", "similarity_lmdirichlet",
+    "api_knn",
+    "stem_snowball_es", "stem_snowball_nl", "stem_snowball_sv",
+    "stem_snowball_da", "stem_snowball_no", "stem_snowball_it",
+    "stem_snowball_pt", "lang_analyzer_de",
+    "tf_lowercase_turkish", "tf_lowercase_greek",
+    # remaining never-driver-recorded round-1/2 entries
+    "repeated_spans", "hashed_bow",
     "lm_quality", "pack_sequences", "mixture_sample", "decontaminate",
     "gopher_repetition",
     "api_field_sort", "api_search_after", "api_terms_agg",
