@@ -482,11 +482,16 @@ def french_snowball_stem(word: str) -> str:
         elif w.endswith("ç"):
             w = w[:-1] + "c"
     else:
-        # step 4
-        if w.endswith("s") and len(w) >= 2 \
-                and w[-2] not in ("a", "i", "o", "u", "è", "s") \
-                and not (len(w) >= 3 and w[-2] == "i" and w[-3] == "H"):
-            w = w[:-1]
+        # step 4: delete final s unless preceded by a/o/u/è/s, or by an
+        # i that is NOT itself preceded by the consonant-marked H
+        # (spec: "not preceded by a, i (unless itself preceded by H),
+        # o, u, è or s")
+        if w.endswith("s") and len(w) >= 2:
+            prev = w[-2]
+            blocked = prev in ("a", "o", "u", "è", "s") or (
+                prev == "i" and not (len(w) >= 3 and w[-3] == "H"))
+            if not blocked:
+                w = w[:-1]
         if w.endswith("ion") and in_r(r2, 3) and len(w) >= 4 \
                 and w[-4] in ("s", "t"):
             w = w[:-3]
