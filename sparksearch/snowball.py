@@ -1208,7 +1208,7 @@ def norwegian_snowball_stem(word: str) -> str:
             w = w[:-1]
             break
 
-    for suf in ("hetslov", "eleg", "elov", "slov", "elig", "heig",
+    for suf in ("hetslov", "eleg", "elov", "slov", "elig",
                 "leg", "lig", "eig", "els", "lov", "ig"):
         if w.endswith(suf) and in_r1(len(suf)):
             w = w[: -len(suf)]
