@@ -157,6 +157,8 @@ _RECORD_FIRST = [
     "stem_snowball_da", "stem_snowball_no", "stem_snowball_it",
     "stem_snowball_pt", "lang_analyzer_de",
     "tf_lowercase_turkish", "tf_lowercase_greek",
+    # round-3 continuation (plugin-tier mappers)
+    "mapping_size", "murmur3_hash", "annotated_text", "geoip_enrich",
     # remaining never-driver-recorded round-1/2 entries
     "repeated_spans", "hashed_bow",
     "lm_quality", "pack_sequences", "mixture_sample", "decontaminate",
@@ -246,6 +248,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from sparksearch import contract_round3c as CR3C
     from sparksearch import contract_round3d as CR3D
     from sparksearch import contract_round3e as CR3E
+    from sparksearch import contract_round3f as CR3F
+    out.update(CR3F.queries())
     out.update(CR3E.queries())
     out.update(CR3D.queries())
     out.update(CR3.queries())
@@ -302,7 +306,9 @@ def oracle_sql() -> dict[str, str]:
     from sparksearch import contract_round3c as CR3C
     from sparksearch import contract_round3d as CR3D
     from sparksearch import contract_round3e as CR3E
+    from sparksearch import contract_round3f as CR3F
     out = dict(CD.oracle_sql())
+    out.update(CR3F.oracle_sql())
     out.update(CR3E.oracle_sql())
     out.update(CR3D.oracle_sql())
     out.update(CR3.oracle_sql())

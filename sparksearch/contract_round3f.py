@@ -1,0 +1,173 @@
+"""Round-3 contract entries: plugin-tier mappers + geoip enrich.
+
+- mapping_size     — mapper-size `_size` metadata field (SizeFieldMapper)
+- murmur3_hash     — mapper-murmur3 hash field; gate = injectivity on the
+                     corpus + determinism (count distinct hash == count
+                     distinct value; the hash itself has no SQL oracle)
+- annotated_text   — mapper-annotated-text token streams vs hand goldens
+- geoip_enrich     — ingest-geoip analogue: CIDR-range attribute lookup
+                     through the /16-bucketed broadcast equi-join
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# mapper-size
+# ---------------------------------------------------------------------------
+
+def q_mapping_size(spark, sf_dir):
+    """`_size` = source byte length, filterable + sortable
+    (SizeFieldMapper.java — enabled:true stores source().length())."""
+    from sparksearch.mappers_plugins import with_size
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = with_size(docs, "text", out="size_b")
+    return (out.where(F.col("size_b") >= 200)
+            .select("doc_id", "size_b")
+            .orderBy(F.desc("size_b"), "doc_id").limit(25))
+
+
+def sql_mapping_size() -> str:
+    return """
+SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS size_b
+FROM documents WHERE octet_length(encode(text)) >= 200
+ORDER BY size_b DESC, doc_id LIMIT 25
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# mapper-murmur3
+# ---------------------------------------------------------------------------
+
+def q_murmur3_hash(spark, sf_dir):
+    """murmur3 field: index-time hash column must be deterministic and
+    collision-free on the corpus (Murmur3FieldMapper h1 — cardinality
+    aggs count hashes instead of re-hashing values)."""
+    from sparksearch.mappers_plugins import with_murmur3
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = with_murmur3(docs, "text", out="h")
+    return h.agg(
+        F.count("*").cast("long").alias("rows"),
+        F.countDistinct("text").cast("long").alias("n_text"),
+        F.countDistinct("h").cast("long").alias("n_hash"))
+
+
+def sql_murmur3_hash() -> str:
+    # a 64-bit hash over this corpus is injective: n_hash == n_text
+    return """
+SELECT CAST(count(*) AS BIGINT) AS rows,
+       CAST(count(DISTINCT text) AS BIGINT) AS n_text,
+       CAST(count(DISTINCT text) AS BIGINT) AS n_hash
+FROM documents
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# mapper-annotated-text — goldens gate
+# ---------------------------------------------------------------------------
+
+_ANN_PROBES = [
+    (0, "visit [New York](NYC) soon"),
+    (1, "the [Golden Gate Bridge](Landmark&SF) at dawn"),
+    (2, "plain text only"),
+    (3, "[a](X%26Y) b"),
+]
+
+#: hand-derived: surface tokens at stream positions, each annotation
+#: value ONE token at the first surface token's position (posInc 0);
+#: %xx decoded after the & split
+_ANN_GOLDENS = [
+    (0, "visit", 0), (0, "NYC", 1), (0, "new", 1), (0, "york", 2),
+    (0, "soon", 3),
+    (1, "the", 0), (1, "Landmark", 1), (1, "SF", 1), (1, "golden", 1),
+    (1, "gate", 2), (1, "bridge", 3), (1, "at", 4), (1, "dawn", 5),
+    (2, "plain", 0), (2, "text", 1), (2, "only", 2),
+    (3, "X&Y", 0), (3, "a", 0), (3, "b", 1),
+]
+
+
+def q_annotated_text(spark, sf_dir):
+    """annotated_text field analysis via the Arrow UDF path
+    (AnnotatedTextFieldMapper: annotations injected at the surface's
+    first token position)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<struct<term:string,pos:int>>")
+    def _ann(texts):
+        import pandas as pd
+
+        from sparksearch.mappers_plugins import annotated_analyze
+        return pd.Series([
+            [(t, p) for t, p in annotated_analyze(s or "")]
+            for s in texts])
+
+    df = spark.createDataFrame([(p, s) for p, s in _ANN_PROBES],
+                               "probe int, markup string")
+    return (df.select("probe", F.explode(_ann("markup")).alias("tp"))
+            .select("probe", F.col("tp.term").alias("term"),
+                    F.col("tp.pos").alias("pos"))
+            .orderBy("probe", "pos", "term"))
+
+
+def sql_annotated_text() -> str:
+    vals = ", ".join(
+        "({}, '{}', {})".format(p, t.replace("'", "''"), pos)
+        for p, t, pos in _ANN_GOLDENS)
+    return f"""
+SELECT probe, term, CAST(pos AS INT) AS pos
+FROM (VALUES {vals}) AS v(probe, term, pos)
+ORDER BY probe, pos, term
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# ingest-geoip analogue
+# ---------------------------------------------------------------------------
+
+def q_geoip_enrich(spark, sf_dir):
+    """CIDR-range lookup enrich over the events IPs (GeoIpProcessor
+    semantics; /16-bucketed broadcast equi-join plan)."""
+    from sparksearch.contract_round3e import _ips
+    from sparksearch.mappers_plugins import geoip_enrich
+    ev = _ips(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    ranges = spark.createDataFrame(
+        [("10.0.0.0/9", "low"), ("10.128.0.0/10", "mid")],
+        "cidr string, zone string")
+    out = geoip_enrich(ev, "ip", ranges)
+    return (out.groupBy("zone")
+            .agg(F.count("*").cast("long").alias("doc_count"))
+            .orderBy(F.asc_nulls_last("zone")))
+
+
+def sql_geoip_enrich() -> str:
+    return """
+SELECT CASE WHEN user_id % 200 < 128 THEN 'low'
+            WHEN user_id % 200 < 192 THEN 'mid'
+            ELSE NULL END AS zone,
+       CAST(count(*) AS BIGINT) AS doc_count
+FROM events GROUP BY 1 ORDER BY zone NULLS LAST
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def queries() -> dict:
+    return {
+        "mapping_size": q_mapping_size,
+        "murmur3_hash": q_murmur3_hash,
+        "annotated_text": q_annotated_text,
+        "geoip_enrich": q_geoip_enrich,
+    }
+
+
+def oracle_sql() -> dict:
+    return {
+        "mapping_size": sql_mapping_size(),
+        "murmur3_hash": sql_murmur3_hash(),
+        "annotated_text": sql_annotated_text(),
+        "geoip_enrich": sql_geoip_enrich(),
+    }
