@@ -159,6 +159,7 @@ _RECORD_FIRST = [
     "tf_lowercase_turkish", "tf_lowercase_greek",
     # round-3 continuation (plugin-tier mappers)
     "mapping_size", "murmur3_hash", "annotated_text", "geoip_enrich",
+    "script_expression",
     # remaining never-driver-recorded round-1/2 entries
     "repeated_spans", "hashed_bow",
     "lm_quality", "pack_sequences", "mixture_sample", "decontaminate",

@@ -152,6 +152,37 @@ FROM events GROUP BY 1 ORDER BY zone NULLS LAST
 
 
 # ---------------------------------------------------------------------------
+# lang-expression scripts
+# ---------------------------------------------------------------------------
+
+def q_script_expression(spark, sf_dir):
+    """script_score with `"lang": "expression"` (modules/lang-expression):
+    bare-function Lucene-expression syntax lowered to the painless
+    compiler at DSL parse time, so the script still runs JVM-side."""
+    from sparksearch import contract as C
+    from sparksearch.dsl import from_dsl
+    _, ex = C.get_engine(spark, sf_dir)
+    q = from_dsl({"script_score": {
+        "query": {"match": {"text": "join"}},
+        "script": {"lang": "expression",
+                   "source": "_score * ln(doc['dl'].value + 1)"}}})
+    return C.topk_rounded(ex, q, k=10)
+
+
+def sql_script_expression() -> str:
+    from sparksearch import contract as C
+    from sparksearch.contract_round2c import _SC_JOIN
+    expr = "sc.score * ln(dl.dl + 1)"
+    return f"""
+WITH {C._PAGES}, {C._TOK}, {C._DL},
+{_SC_JOIN}
+SELECT p.docid, p.url, round({expr}, 4) AS score
+FROM sc JOIN pages p USING (docid) JOIN dl USING (docid)
+ORDER BY round({expr}, 4) DESC, p.docid ASC LIMIT 10
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -161,6 +192,7 @@ def queries() -> dict:
         "murmur3_hash": q_murmur3_hash,
         "annotated_text": q_annotated_text,
         "geoip_enrich": q_geoip_enrich,
+        "script_expression": q_script_expression,
     }
 
 
@@ -170,4 +202,5 @@ def oracle_sql() -> dict:
         "murmur3_hash": sql_murmur3_hash(),
         "annotated_text": sql_annotated_text(),
         "geoip_enrich": sql_geoip_enrich(),
+        "script_expression": sql_script_expression(),
     }

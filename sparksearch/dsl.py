@@ -127,10 +127,21 @@ def _boosting(body: dict) -> Boosting:
 
 
 def _script_spec(spec: Any) -> tuple[str, dict | None]:
-    """{"source": ..., "params": ...} or a bare source string."""
+    """{"source": ..., "params": ..., "lang": ...} or a bare source
+    string.  lang "painless" (default) passes through; lang "expression"
+    (modules/lang-expression — Lucene expressions) is lowered to the
+    painless expression subset at parse time, so the rest of the engine
+    sees one script dialect."""
     if isinstance(spec, str):
         return spec, None
-    return spec["source"], spec.get("params")
+    lang = spec.get("lang", "painless")
+    source = spec["source"]
+    if lang == "expression":
+        from sparksearch.painless import expression_to_painless
+        source = expression_to_painless(source)
+    elif lang not in ("painless",):
+        raise ValueError(f"unsupported script lang {lang!r}")
+    return source, spec.get("params")
 
 
 def _distance_feature(body: dict):

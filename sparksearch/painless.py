@@ -100,6 +100,11 @@ _MATH = {
     "max": (2, F.greatest),
     "min": (2, F.least),
     "atan2": (2, F.atan2),
+    "acos": (1, F.acos),
+    "asin": (1, F.asin),
+    "cosh": (1, F.cosh),
+    "sinh": (1, F.sinh),
+    "tanh": (1, F.tanh),
     # Java Math.round: floor(x + 0.5) as long
     "round": (1, lambda c: F.floor(c + 0.5).cast("long")),
 }
@@ -394,3 +399,46 @@ def _number(text: str):
 def _unquote(text: str) -> str:
     body = text[1:-1]
     return re.sub(r"\\(.)", r"\1", body)
+
+
+# ---------------------------------------------------------------------------
+# lang-expression (modules/lang-expression) — Lucene expressions
+# ---------------------------------------------------------------------------
+
+#: the Lucene-expressions function set (JavascriptCompiler's builtins, the
+#: list the reference's ExpressionScriptEngine exposes); haversin is the
+#: one member with no Catalyst counterpart and raises at rewrite time
+_EXPR_FNS = ("abs", "acos", "asin", "atan", "atan2", "ceil", "cos",
+             "cosh", "exp", "floor", "log10", "max", "min", "pow",
+             "sin", "sinh", "sqrt", "tan", "tanh")
+_EXPR_FN_RE = re.compile(
+    r"\b(ln|haversin|" + "|".join(_EXPR_FNS) + r")\s*\(")
+
+
+def expression_to_painless(source: str) -> str:
+    """Lower a lang-expression script to the painless expression subset.
+
+    Lucene expressions (modules/lang-expression — ExpressionScriptEngine
+    compiles via JavascriptCompiler) are numeric-only, JS-syntax
+    expressions over ``doc['f'].value`` / ``_score`` bindings with BARE
+    math function names (``ln(x)``, ``sqrt(x)``) instead of painless's
+    ``Math.log(x)``.  The operator grammar is the shared Java precedence
+    the painless parser already implements, so lowering = rewriting the
+    function names; the compiled column is identical.  ``haversin`` has
+    no Catalyst counterpart and is rejected loudly.
+    """
+    def sub(m: re.Match) -> str:
+        name = m.group(1)
+        if name == "haversin":
+            raise PainlessError("expression function haversin( is not "
+                                "supported (no geo fields in this corpus)")
+        return "Math." + ("log" if name == "ln" else name) + "("
+    return _EXPR_FN_RE.sub(sub, source)
+
+
+def compile_expression(source: str, params: dict | None = None,
+                       score_col: str = "score") -> CompiledScript:
+    """Compile a lang-expression script: lower to painless, compile, and
+    cast to double (expressions always evaluate to doubles)."""
+    c = compile_script(expression_to_painless(source), params, score_col)
+    return CompiledScript(source, c.col.cast("double"), c.doc_fields)

@@ -186,3 +186,51 @@ def test_dsl_span_gap(spark):
         {"span_term": {"text": "table"}}], "slop": 0, "in_order": True}})
     assert isinstance(q, SpanNear)
     assert q.clauses[1] == SpanGap("text", 1)
+
+
+# ---------------------------------------------------------------------------
+# lang-expression (modules/lang-expression)
+# ---------------------------------------------------------------------------
+
+def test_expression_lowering_names():
+    from sparksearch.painless import expression_to_painless
+    assert (expression_to_painless("ln(doc['dl'].value) + sqrt(2)")
+            == "Math.log(doc['dl'].value) + Math.sqrt(2)")
+    # ln inside an identifier must NOT rewrite
+    assert expression_to_painless("lnx + 1") == "lnx + 1"
+
+
+def test_expression_haversin_rejected():
+    import pytest
+
+    from sparksearch.painless import PainlessError, expression_to_painless
+    with pytest.raises(PainlessError, match="haversin"):
+        expression_to_painless("haversin(1, 2, 3, 4)")
+
+
+def test_expression_compiles_and_evaluates(spark):
+    from sparksearch.painless import compile_expression
+    c = compile_expression("min(abs(-3.0), pow(x, 2)) + ln(1)")
+    df = spark.createDataFrame([(1.5,)], "x double")
+    assert df.select(c.col.alias("v")).first()["v"] == 2.25
+    assert c.doc_fields == frozenset({"x"})
+
+
+def test_expression_lang_via_dsl(spark):
+    from sparksearch.dsl import from_dsl
+    from sparksearch.queries import FunctionScore
+    q = from_dsl({"script_score": {
+        "query": {"match_all": {}},
+        "script": {"lang": "expression", "source": "ln(doc['dl'].value)"}}})
+    assert isinstance(q, FunctionScore)
+    assert "Math.log" in q.functions[0].source
+
+
+def test_unknown_script_lang_rejected():
+    import pytest
+
+    from sparksearch.dsl import from_dsl
+    with pytest.raises(ValueError, match="lang"):
+        from_dsl({"script_score": {
+            "query": {"match_all": {}},
+            "script": {"lang": "mustache", "source": "1"}}})
