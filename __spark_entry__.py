@@ -160,6 +160,8 @@ _RECORD_FIRST = [
     # round-3 continuation (plugin-tier mappers)
     "mapping_size", "murmur3_hash", "annotated_text", "geoip_enrich",
     "script_expression",
+    "stem_snowball_ro", "stem_snowball_hu", "stem_snowball_fi",
+    "stem_snowball_tr", "stem_snowball_de2",
     # remaining never-driver-recorded round-1/2 entries
     "repeated_spans", "hashed_bow",
     "lm_quality", "pack_sequences", "mixture_sample", "decontaminate",

@@ -183,21 +183,67 @@ ORDER BY round({expr}, 4) DESC, p.docid ASC LIMIT 10
 
 
 # ---------------------------------------------------------------------------
+# continuation Snowball stemmers (snowball2.py) — goldens gates
+# ---------------------------------------------------------------------------
+
+_SNOW_RO_PROBES = [(0, "studenţii lucrează"), (1, "istorică importante")]
+#: hand-derived from the Snowball Romanian spec (see tests/test_snowball2.py)
+_SNOW_RO_GOLDENS = [(0, "studenţ", 0), (0, "lucr", 1),
+                    (1, "istor", 0), (1, "import", 1)]
+
+_SNOW_HU_PROBES = [(0, "házak asztallal"), (1, "embereknek könyvünk")]
+_SNOW_HU_GOLDENS = [(0, "ház", 0), (0, "asztal", 1),
+                    (1, "ember", 0), (1, "könyv", 1)]
+
+_SNOW_FI_PROBES = [(0, "taloissa kaupungeissa"), (1, "kirjat nopeasti")]
+_SNOW_FI_GOLDENS = [(0, "talo", 0), (0, "kaupung", 1),
+                    (1, "kirj", 0), (1, "nopeast", 1)]
+
+_SNOW_TR_PROBES = [(0, "kitapları evlerinden"), (1, "ağaçtan güzeldir")]
+_SNOW_TR_GOLDENS = [(0, "kitap", 0), (0, "ev", 1),
+                    (1, "ağaç", 0), (1, "güzel", 1)]
+
+_SNOW_DE2_PROBES = [(0, "haeuser schoene"), (1, "quelle kinder")]
+#: ae/oe fold to umlauts then stem as german; qu keeps its u
+_SNOW_DE2_GOLDENS = [(0, "haus", 0), (0, "schon", 1),
+                     (1, "quell", 0), (1, "kind", 1)]
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 def queries() -> dict:
-    return {
+    from sparksearch.contract_round3b import _q_stem_goldens
+    stems = {
+        "stem_snowball_ro": _q_stem_goldens("an_snow_ro", "romanian",
+                                            _SNOW_RO_PROBES),
+        "stem_snowball_hu": _q_stem_goldens("an_snow_hu", "hungarian",
+                                            _SNOW_HU_PROBES),
+        "stem_snowball_fi": _q_stem_goldens("an_snow_fi", "finnish",
+                                            _SNOW_FI_PROBES),
+        "stem_snowball_tr": _q_stem_goldens("an_snow_tr", "turkish",
+                                            _SNOW_TR_PROBES),
+        "stem_snowball_de2": _q_stem_goldens("an_snow_de2", "german2",
+                                             _SNOW_DE2_PROBES),
+    }
+    return {**stems, **{
         "mapping_size": q_mapping_size,
         "murmur3_hash": q_murmur3_hash,
         "annotated_text": q_annotated_text,
         "geoip_enrich": q_geoip_enrich,
         "script_expression": q_script_expression,
-    }
+    }}
 
 
 def oracle_sql() -> dict:
+    from sparksearch.contract_round3e import _sql_goldens_3e
     return {
+        "stem_snowball_ro": _sql_goldens_3e(_SNOW_RO_GOLDENS),
+        "stem_snowball_hu": _sql_goldens_3e(_SNOW_HU_GOLDENS),
+        "stem_snowball_fi": _sql_goldens_3e(_SNOW_FI_GOLDENS),
+        "stem_snowball_tr": _sql_goldens_3e(_SNOW_TR_GOLDENS),
+        "stem_snowball_de2": _sql_goldens_3e(_SNOW_DE2_GOLDENS),
         "mapping_size": sql_mapping_size(),
         "murmur3_hash": sql_murmur3_hash(),
         "annotated_text": sql_annotated_text(),

@@ -473,3 +473,17 @@ LANGUAGE_STEMMERS["danish"] = _snowball("danish_snowball_stem")
 LANGUAGE_STEMMERS["norwegian"] = _snowball("norwegian_snowball_stem")
 LANGUAGE_STEMMERS["italian"] = _snowball("italian_snowball_stem")
 LANGUAGE_STEMMERS["portuguese"] = _snowball("portuguese_snowball_stem")
+
+
+def _snowball2(name: str):
+    def load(s: str) -> str:
+        from sparksearch import snowball2
+        return getattr(snowball2, name)(s)
+    return load
+
+
+LANGUAGE_STEMMERS["romanian"] = _snowball2("romanian_snowball_stem")
+LANGUAGE_STEMMERS["hungarian"] = _snowball2("hungarian_snowball_stem")
+LANGUAGE_STEMMERS["finnish"] = _snowball2("finnish_snowball_stem")
+LANGUAGE_STEMMERS["turkish"] = _snowball2("turkish_snowball_stem")
+LANGUAGE_STEMMERS["german2"] = _snowball2("german2_snowball_stem")
