@@ -162,6 +162,7 @@ _RECORD_FIRST = [
     "script_expression",
     "stem_snowball_ro", "stem_snowball_hu", "stem_snowball_fi",
     "stem_snowball_tr", "stem_snowball_de2",
+    "stem_indonesian", "stem_galician_min",
     # remaining never-driver-recorded round-1/2 entries
     "repeated_spans", "hashed_bow",
     "lm_quality", "pack_sequences", "mixture_sample", "decontaminate",

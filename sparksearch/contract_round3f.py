@@ -208,6 +208,16 @@ _SNOW_DE2_PROBES = [(0, "haeuser schoene"), (1, "quelle kinder")]
 _SNOW_DE2_GOLDENS = [(0, "haus", 0), (0, "schon", 1),
                      (1, "quell", 0), (1, "kind", 1)]
 
+_ID_PROBES = [(0, "makanan membaca"), (1, "belajar bukunya")]
+#: Tala rules: -an suffix, mem- prefix, bel- (ajar class), -nya possessive
+_ID_GOLDENS = [(0, "makan", 0), (0, "baca", 1),
+               (1, "ajar", 0), (1, "buku", 1)]
+
+_GL_PROBES = [(0, "cancións animais"), (1, "papeis libros")]
+#: Galician plural reduction: ns→n, ais→al, eis→el, plain -s
+_GL_GOLDENS = [(0, "canción", 0), (0, "animal", 1),
+               (1, "papel", 0), (1, "libro", 1)]
+
 
 # ---------------------------------------------------------------------------
 # registry
@@ -226,6 +236,11 @@ def queries() -> dict:
                                             _SNOW_TR_PROBES),
         "stem_snowball_de2": _q_stem_goldens("an_snow_de2", "german2",
                                              _SNOW_DE2_PROBES),
+        "stem_indonesian": _q_stem_goldens("an_id", "indonesian",
+                                           _ID_PROBES),
+        "stem_galician_min": _q_stem_goldens("an_gl_min",
+                                             "minimal_galician",
+                                             _GL_PROBES),
     }
     return {**stems, **{
         "mapping_size": q_mapping_size,
@@ -244,6 +259,8 @@ def oracle_sql() -> dict:
         "stem_snowball_fi": _sql_goldens_3e(_SNOW_FI_GOLDENS),
         "stem_snowball_tr": _sql_goldens_3e(_SNOW_TR_GOLDENS),
         "stem_snowball_de2": _sql_goldens_3e(_SNOW_DE2_GOLDENS),
+        "stem_indonesian": _sql_goldens_3e(_ID_GOLDENS),
+        "stem_galician_min": _sql_goldens_3e(_GL_GOLDENS),
         "mapping_size": sql_mapping_size(),
         "murmur3_hash": sql_murmur3_hash(),
         "annotated_text": sql_annotated_text(),

@@ -487,3 +487,127 @@ LANGUAGE_STEMMERS["hungarian"] = _snowball2("hungarian_snowball_stem")
 LANGUAGE_STEMMERS["finnish"] = _snowball2("finnish_snowball_stem")
 LANGUAGE_STEMMERS["turkish"] = _snowball2("turkish_snowball_stem")
 LANGUAGE_STEMMERS["german2"] = _snowball2("german2_snowball_stem")
+
+
+# ---------------------------------------------------------------------------
+# Indonesian (Tala 2003) — StemmerTokenFilterFactory "indonesian"
+# ---------------------------------------------------------------------------
+
+_ID_VOWELS = set("aeiou")
+
+
+def _id_syll(w: str) -> int:
+    return sum(1 for c in w if c in _ID_VOWELS)
+
+
+def indonesian_stem(s: str) -> str:
+    """Indonesian stemmer from F. Z. Tala, "A Study of Stemming Effects
+    on Information Retrieval in Bahasa Indonesia" (2003) — the algorithm
+    behind Lucene's IndonesianStemFilter (reference
+    StemmerTokenFilterFactory.java:211 "indonesian").
+
+    Order: inflectional particle (-kah/-lah/-pun), possessive pronoun
+    (-ku/-mu/-nya), then derivation — a first-order prefix (meng-/meny-/
+    men-/mem-/me-/peng-/peny-/pen-/pem-/di-/ter-/ke- with the meny→s,
+    peny→s, memV→pV sound recodings) followed by a suffix, or a
+    second-order prefix (ber-/bel-/per-/pel-) followed by a suffix.
+    Each removal requires >2 syllables remaining (vowel count) and the
+    paper's prefix-suffix co-occurrence restrictions block -kan after
+    ke-/peng-, -an after di-/meng-/ter-, -i after ber-/ke-/peng-.
+    From the published rule set; conflation locked by goldens."""
+    w = s
+    if _id_syll(w) > 2:
+        for suf in ("kah", "lah", "pun"):
+            if w.endswith(suf):
+                w = w[: -len(suf)]
+                break
+    if _id_syll(w) > 2:
+        for suf in ("nya", "ku", "mu"):
+            if w.endswith(suf):
+                w = w[: -len(suf)]
+                break
+
+    removed1 = None
+    if _id_syll(w) > 2:
+        for pre in ("meng", "meny", "men", "mem", "me",
+                    "peng", "peny", "pen", "pem",
+                    "di", "ter", "ke"):
+            if w.startswith(pre):
+                rest = w[len(pre):]
+                if not rest:
+                    continue
+                if pre in ("meny", "peny"):
+                    if rest[0] not in _ID_VOWELS:
+                        continue
+                    w = "s" + rest          # menyapu -> sapu
+                elif pre in ("mem", "pem") and rest[0] in _ID_VOWELS:
+                    w = "p" + rest          # memilih -> pilih
+                else:
+                    w = rest
+                removed1 = pre
+                break
+
+    removed2 = None
+    if removed1 is None and _id_syll(w) > 2:
+        for pre in ("bel", "pel", "ber", "per", "be", "pe"):
+            if w.startswith(pre):
+                rest = w[len(pre):]
+                if not rest:
+                    continue
+                if pre in ("bel", "pel") and not rest.startswith("ajar"):
+                    continue                # only belajar/pelajar class
+                if pre in ("be", "pe") and not (
+                        len(rest) > 1 and rest[0] not in _ID_VOWELS
+                        and rest.startswith(rest[0] + "er")):
+                    continue                # beC-er... (bekerja -> kerja)
+                w = rest
+                removed2 = pre
+                break
+
+    if _id_syll(w) > 2:
+        blocked = {
+            "kan": ("ke", "peng", "peny", "pen", "pem"),
+            "an": ("di", "meng", "meny", "men", "mem", "me", "ter"),
+            "i": ("ber", "bel", "be", "ke", "peng", "peny", "pen", "pem"),
+        }
+        for suf in ("kan", "an", "i"):
+            if w.endswith(suf):
+                pres = blocked[suf]
+                if removed1 in pres or removed2 in pres:
+                    continue
+                w = w[: -len(suf)]
+                break
+    return w
+
+
+LANGUAGE_STEMMERS["indonesian"] = indonesian_stem
+
+
+def minimal_galician_stem(s: str) -> str:
+    """Galician minimal (GalicianMinimalStemFilter — number reduction
+    only, the plural step of the RSLP-Galician adaptation): diphthong
+    plurals first (-ns→-n, -ais→-al, -eis→-el, -ois→-ol, -ís→-il), else
+    a plain final -s strip.  From the published plural rule set."""
+    if len(s) >= 4 and s.endswith("ns"):
+        return s[:-1]
+    if len(s) >= 5:
+        for suf, rep in (("ais", "al"), ("eis", "el"), ("ois", "ol"),
+                         ("ís", "il")):
+            if s.endswith(suf):
+                return s[: -len(suf)] + rep
+    if len(s) >= 4 and s.endswith("s") and not s.endswith("ss"):
+        return s[:-1]
+    return s
+
+
+LANGUAGE_STEMMERS["minimal_galician"] = minimal_galician_stem
+LANGUAGE_STEMMERS["minimalGalician"] = minimal_galician_stem
+
+# Nynorsk written-norm variants: the Bokmål tables above already carry
+# the Nynorsk plural endings (-ar / -ane), so the norm-specific split of
+# NorwegianLightStemmer.NYNORSK is not reproduced — the shared table
+# covers both norms (a documented blend, not a separate rule set).
+LANGUAGE_STEMMERS["light_nynorsk"] = light_norwegian_stem
+LANGUAGE_STEMMERS["lightNynorsk"] = light_norwegian_stem
+LANGUAGE_STEMMERS["minimal_nynorsk"] = minimal_norwegian_stem
+LANGUAGE_STEMMERS["minimalNynorsk"] = minimal_norwegian_stem

@@ -125,3 +125,38 @@ def test_registry_routes():
                               ("turkish", "kitaplar", "kitap"),
                               ("german2", "haeuser", "haus")]:
         assert LANGUAGE_STEMMERS[lang](probe) == stem
+
+
+def test_indonesian_goldens():
+    from sparksearch.stemmers import indonesian_stem
+    _check(indonesian_stem, [
+        ("makanan", "makan"), ("membaca", "baca"), ("menyapu", "sapu"),
+        ("memilih", "pilih"), ("belajar", "ajar"), ("bukunya", "buku"),
+        ("diambil", "ambil"), ("perjalanan", "jalan"),
+        ("pembangunan", "bangun"), ("kirimkan", "kirim"),
+        ("mengambil", "ambil"), ("terbesar", "besar"),
+        ("keadaan", "ada"), ("bekerja", "kerja"),
+        # >2-syllable guard: short words stay whole
+        ("rumah", "rumah"), ("buku", "buku"),
+    ])
+
+
+def test_indonesian_cooccurrence_restriction():
+    from sparksearch.stemmers import indonesian_stem
+    # ke-...-i is a forbidden combination: the -i survives
+    assert indonesian_stem("ketahui") == "tahui"
+
+
+def test_galician_minimal_goldens():
+    from sparksearch.stemmers import minimal_galician_stem
+    _check(minimal_galician_stem, [
+        ("cancións", "canción"), ("animais", "animal"),
+        ("papeis", "papel"), ("caracois", "caracol"),
+        ("libros", "libro"), ("luz", "luz"),
+    ])
+
+
+def test_nynorsk_aliases_route():
+    from sparksearch.stemmers import LANGUAGE_STEMMERS
+    assert LANGUAGE_STEMMERS["light_nynorsk"]("husane") == "hus"
+    assert LANGUAGE_STEMMERS["minimal_nynorsk"]("hestar") == "hest"
