@@ -218,6 +218,15 @@ _GL_PROBES = [(0, "cancións animais"), (1, "papeis libros")]
 _GL_GOLDENS = [(0, "canción", 0), (0, "animal", 1),
                (1, "papel", 0), (1, "libro", 1)]
 
+#: prebuilt turkish analyzer: apostrophe strip, Turkish I→ı lowercase,
+#: 've' stop hole, Snowball stems
+_LA_TR_PROBES = [(0, "Istanbul'da kitaplar ve güzeldir")]
+_LA_TR_GOLDENS = [(0, "ıstanbul", 0), (0, "kitap", 1), (0, "güzel", 3)]
+
+#: prebuilt finnish analyzer: 'ja' stop hole, Snowball stems
+_LA_FI_PROBES = [(0, "taloissa ja kirjat")]
+_LA_FI_GOLDENS = [(0, "talo", 0), (0, "kirj", 2)]
+
 
 # ---------------------------------------------------------------------------
 # registry
@@ -242,6 +251,9 @@ def queries() -> dict:
                                              "minimal_galician",
                                              _GL_PROBES),
     }
+    from sparksearch.contract_round3e import _q_lang_analyzer
+    stems["lang_analyzer_tr"] = _q_lang_analyzer("turkish", _LA_TR_PROBES)
+    stems["lang_analyzer_fi"] = _q_lang_analyzer("finnish", _LA_FI_PROBES)
     return {**stems, **{
         "mapping_size": q_mapping_size,
         "murmur3_hash": q_murmur3_hash,
@@ -261,6 +273,8 @@ def oracle_sql() -> dict:
         "stem_snowball_de2": _sql_goldens_3e(_SNOW_DE2_GOLDENS),
         "stem_indonesian": _sql_goldens_3e(_ID_GOLDENS),
         "stem_galician_min": _sql_goldens_3e(_GL_GOLDENS),
+        "lang_analyzer_tr": _sql_goldens_3e(_LA_TR_GOLDENS),
+        "lang_analyzer_fi": _sql_goldens_3e(_LA_FI_GOLDENS),
         "mapping_size": sql_mapping_size(),
         "murmur3_hash": sql_murmur3_hash(),
         "annotated_text": sql_annotated_text(),

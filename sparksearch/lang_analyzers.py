@@ -115,6 +115,33 @@ _STOP = {
         لها لهم ثم أي كل بعد قبل عند قد كان كانت يكون هذا هذه ذلك تلك
         هناك التي الذي الذين حتى إذا كما لكن بل منذ حيث أما بها به أنه
         أنها نحن أنا أنت""",
+    "romanian": """şi în a la cu de pe un o este sunt care ce nu se mai
+        pentru din că dacă dar sau când cum unde cine am ai are avem au
+        fost era fi fie după între până prin despre sub peste acest
+        această aceste acestor lor lui ei el ea noi voi eu tu îl îi le
+        ne vă mă te lor meu mea tău ta său sa""",
+    "hungarian": """a az és hogy nem is de egy ez volt már csak meg mint
+        el így ki mi ha vagy még vagyis lesz lehet kell volt voltak van
+        vannak ő ők én te mi ti azt ezt aki ami amely amelyek mert mikor
+        hol miért hogyan minden nagyon itt ott majd után előtt alatt
+        között által ellen fel le be át rá nél hoz tól ról ből""",
+    "finnish": """ja on ei se että en oli hän mutta niin kuin myös joka
+        jos kun nyt mitä tämä ole sen ovat sitä vain jo mukaan kaikki
+        hänen sitten vielä tai siitä olla voi me he ne sinä minä mikä
+        missä koska sekä eli vaan sille tässä näin paljon hyvin""",
+    "turkish": """ve bir bu da de için ile olarak daha çok en gibi kadar
+        sonra ama ancak ya ki mi mu mü ne o şu ben sen biz siz onlar
+        her hem ise değil var yok olan olduğu üzere göre karşı doğru
+        diye çünkü fakat veya yani hiç bütün bazı şey""",
+    "indonesian": """yang dan di ke dari untuk pada dengan dalam ini itu
+        adalah akan tidak ada atau juga oleh saya kami kita mereka dia
+        ia anda bisa sudah telah masih harus dapat karena jika maka
+        tetapi namun serta antara seperti hingga sampai bagi tentang
+        secara para lebih sangat hanya agar yaitu bahwa""",
+    "galician": """a o e de do da en un unha os as que non se para con
+        por unha máis pero como xa ou cando moi sen sobre tamén ata hai
+        onde quen desde todo nós durante todos eles elas este esta isto
+        entre eu ti el ela nos vos seu súa meu miña teu túa""",
     "hindi": """के का एक में की है यह और से हैं को पर इस कि जो कर मे गया
         करने किया अपने ने नहीं तो ही या हो था तक साथ करना बाद लिए अभी दो
         इसी रहा अपनी जब कोई व जैसे सभी करता तरह उस वह भी""",
@@ -164,6 +191,25 @@ def _defs() -> dict:
                   {"type": "stemmer", "language": "czech"}],
         "arabic": ["lowercase", stop("arabic"), "arabic_normalization",
                    {"type": "stemmer", "language": "arabic"}],
+        "romanian": ["lowercase", stop("romanian"),
+                     {"type": "stemmer", "language": "romanian"}],
+        "hungarian": ["lowercase", stop("hungarian"),
+                      {"type": "stemmer", "language": "hungarian"}],
+        "finnish": ["lowercase", stop("finnish"),
+                    {"type": "stemmer", "language": "finnish"}],
+        # TurkishAnalyzer shape: apostrophe strip, then the Turkish
+        # dotted/dotless-i lowercase, then stop + Snowball
+        "turkish": ["apostrophe",
+                    {"type": "lowercase", "language": "turkish"},
+                    stop("turkish"),
+                    {"type": "stemmer", "language": "turkish"}],
+        "indonesian": ["lowercase", stop("indonesian"),
+                       {"type": "stemmer", "language": "indonesian"}],
+        # GalicianAnalyzer ships the full RSLP-G stemmer; this engine
+        # routes to the minimal (plural-only) variant — documented
+        # deviation, same family
+        "galician": ["lowercase", stop("galician"),
+                     {"type": "stemmer", "language": "minimal_galician"}],
         "hindi": ["lowercase", "hindi_normalization", stop("hindi"),
                   {"type": "stemmer", "language": "hindi"}],
     }

@@ -160,3 +160,18 @@ def test_nynorsk_aliases_route():
     from sparksearch.stemmers import LANGUAGE_STEMMERS
     assert LANGUAGE_STEMMERS["light_nynorsk"]("husane") == "hus"
     assert LANGUAGE_STEMMERS["minimal_nynorsk"]("hestar") == "hest"
+
+
+def test_prebuilt_analyzers_new_languages():
+    from sparksearch.lang_analyzers import maybe_register
+    cases = {
+        "romanian": ("studenţii lucrează şi", ["studenţ", "lucr"]),
+        "hungarian": ("a házak asztallal", ["ház", "asztal"]),
+        "finnish": ("taloissa ja kirjat", ["talo", "kirj"]),
+        "turkish": ("Istanbul'da kitaplar ve", ["ıstanbul", "kitap"]),
+        "indonesian": ("makanan yang membaca", ["makan", "baca"]),
+        "galician": ("as cancións e animais", ["canción", "animal"]),
+    }
+    for name, (probe, want) in cases.items():
+        an = maybe_register(name)
+        assert [t for t, _ in an.analyze(probe)] == want, name
