@@ -227,6 +227,18 @@ _LA_TR_GOLDENS = [(0, "ıstanbul", 0), (0, "kitap", 1), (0, "güzel", 3)]
 _LA_FI_PROBES = [(0, "taloissa ja kirjat")]
 _LA_FI_GOLDENS = [(0, "talo", 0), (0, "kirj", 2)]
 
+#: Kölner Phonetik through the chain: homophones conflate; replace=false
+#: stacks the code at the original's position
+_CGN_SETTINGS = {
+    "tokenizer": "standard",
+    "filter": ["lowercase",
+               {"type": "phonetic", "encoder": "koelnerphonetik",
+                "replace": False}],
+}
+_CGN_PROBES = [(0, "Meier Mayer"), (1, "Breschnew")]
+_CGN_GOLDENS = [(0, "67", 0), (0, "meier", 0), (0, "67", 1),
+                (0, "mayer", 1), (1, "17863", 0), (1, "breschnew", 0)]
+
 
 # ---------------------------------------------------------------------------
 # registry
@@ -254,6 +266,11 @@ def queries() -> dict:
     from sparksearch.contract_round3e import _q_lang_analyzer
     stems["lang_analyzer_tr"] = _q_lang_analyzer("turkish", _LA_TR_PROBES)
     stems["lang_analyzer_fi"] = _q_lang_analyzer("finnish", _LA_FI_PROBES)
+    from sparksearch.contract_round3d import _q_filter_goldens
+    stems["tf_cologne"] = _q_filter_goldens(
+        "an_cologne", _CGN_SETTINGS, _CGN_PROBES,
+        "Kölner Phonetik encoder vs published vectors (replace=false "
+        "stacking)")
     return {**stems, **{
         "mapping_size": q_mapping_size,
         "murmur3_hash": q_murmur3_hash,
@@ -275,6 +292,7 @@ def oracle_sql() -> dict:
         "stem_galician_min": _sql_goldens_3e(_GL_GOLDENS),
         "lang_analyzer_tr": _sql_goldens_3e(_LA_TR_GOLDENS),
         "lang_analyzer_fi": _sql_goldens_3e(_LA_FI_GOLDENS),
+        "tf_cologne": _sql_goldens_3e(_CGN_GOLDENS),
         "mapping_size": sql_mapping_size(),
         "murmur3_hash": sql_murmur3_hash(),
         "annotated_text": sql_annotated_text(),

@@ -284,23 +284,84 @@ def _soundex(term: str) -> str:
     return "".join(out).ljust(4, "0")
 
 
+#: Kölner Phonetik letter→digit table is context-dependent; these are
+#: the context-free entries (Postel 1969, the commons-codec
+#: ColognePhonetic the plugin wraps as encoder=koelnerphonetik)
+_COLOGNE_PLAIN = {
+    **dict.fromkeys("aeijouyäöü", "0"),
+    "b": "1", "f": "3", "v": "3", "w": "3",
+    "g": "4", "k": "4", "q": "4",
+    "l": "5", "m": "6", "n": "6", "r": "7", "s": "8", "z": "8",
+    "ß": "8",
+}
+
+
+def _cologne(term: str) -> str:
+    """Kölner Phonetik: context rules for C/D/T/P/X, then collapse runs
+    and drop every '0' except a leading one."""
+    w = [c for c in term.lower() if c.isalpha() or c == "ß"]
+    digits = []
+    n = len(w)
+    for i, c in enumerate(w):
+        nxt = w[i + 1] if i + 1 < n else ""
+        prv = w[i - 1] if i > 0 else ""
+        if c == "h":
+            d = ""                               # h is silent
+        elif c == "p":
+            d = "3" if nxt == "h" else "1"
+        elif c in "dt":
+            d = "8" if nxt and nxt in "csz" else "2"
+        elif c == "c":
+            if i == 0:
+                d = "4" if nxt and nxt in "ahkloqrux" else "8"
+            elif prv in "sz":
+                d = "8"
+            else:
+                d = "4" if nxt and nxt in "ahkoqux" else "8"
+        elif c == "x":
+            d = "8" if prv and prv in "ckq" else "48"
+        else:
+            d = _COLOGNE_PLAIN.get(c, "")
+        digits.append(d)
+    code = "".join(digits)
+    # collapse consecutive duplicates, then strip non-leading zeros
+    out = []
+    for ch in code:
+        if out and out[-1] == ch:
+            continue
+        out.append(ch)
+    return "".join(c for i, c in enumerate(out) if c != "0" or i == 0)
+
+
+_PHONETIC_ENCODERS = {
+    "soundex": _soundex,
+    "koelnerphonetik": _cologne,
+    "cologne": _cologne,
+}
+
+
 def phonetic_filter(cfg: dict):
-    """phonetic (PhoneticTokenFilterFactory, encoder=soundex only):
-    replace=true (default) substitutes the code; replace=false stacks
-    the code after the original at the same position."""
+    """phonetic (PhoneticTokenFilterFactory): encoders soundex and
+    koelnerphonetik/cologne (commons-codec ColognePhonetic, from the
+    published Postel tables); other encoders (metaphone, caverphone,
+    nysiis, …) refuse loudly.  replace=true (default) substitutes the
+    code; replace=false stacks the code after the original at the same
+    position."""
     encoder = cfg.get("encoder", "metaphone")
-    if encoder != "soundex":
+    enc = _PHONETIC_ENCODERS.get(encoder)
+    if enc is None:
         raise NotImplementedError(
-            f"phonetic encoder {encoder!r} not implemented (soundex only)")
+            f"phonetic encoder {encoder!r} not implemented "
+            f"(supported: {sorted(_PHONETIC_ENCODERS)})")
     replace = bool(cfg.get("replace", True))
     if replace:
-        return lambda toks: [(_soundex(t), p) for t, p in toks]
+        return lambda toks: [(enc(t), p) for t, p in toks]
 
     def apply(toks):
         out = []
         for t, p in toks:
             out.append((t, p))
-            code = _soundex(t)
+            code = enc(t)
             if code and code != t:
                 out.append((code, p))
         return out

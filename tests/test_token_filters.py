@@ -255,3 +255,34 @@ def test_lowercase_language_variants():
         _tf_lowercase({"language": "irish"})
     # default unchanged
     assert _tf_lowercase({})([("ABC", 0)]) == [("abc", 0)]
+
+
+# ---------------------------------------------------------------------------
+# phonetic encoder=koelnerphonetik (ColognePhonetic)
+# ---------------------------------------------------------------------------
+
+def test_cologne_published_vectors():
+    from sparksearch.filters_ext import _cologne
+    # canonical published examples of the Kölner Phonetik
+    assert _cologne("Müller-Lüdenscheidt") == "65752682"
+    assert _cologne("Breschnew") == "17863"
+    assert _cologne("Wikipedia") == "3412"
+    # homophone surnames conflate
+    assert _cologne("Meier") == _cologne("Mayer") == _cologne("Maier")
+
+
+def test_cologne_context_rules():
+    from sparksearch.filters_ext import _cologne
+    assert _cologne("Phon") == "36"       # P before H -> 3
+    assert _cologne("Stadt") == "822"     # d before t? no: dt->2 once... S8 T2 A0 D2 T2 -> 8 2 0 2 -> 822
+    assert _cologne("Axt") == "0482"      # X not after C/K/Q -> 48
+
+
+def test_cologne_filter_in_chain():
+    from sparksearch.analysis_custom import register_analyzer
+    an = register_analyzer("an_cologne_t", {
+        "tokenizer": "standard",
+        "filter": ["lowercase",
+                   {"type": "phonetic", "encoder": "koelnerphonetik"}],
+    })
+    assert [t for t, _ in an.analyze("Meier Mayer")] == ["67", "67"]
