@@ -115,3 +115,42 @@ def test_analyzer_terms_are_lowercase_nonempty(text):
         assert t.term and t.term == t.term.lower()
         assert t.pos > last
         last = t.pos
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=ord("a"),
+                                      max_codepoint=0x17F),
+               min_size=1, max_size=24))
+@settings(max_examples=300, deadline=None)
+def test_stemmers_total_and_bounded(word):
+    """Every registered stemmer is total over Latin-ish words: returns a
+    str, never crashes, and never grows the word by more than the
+    largest replacement delta (+2 chars covers ksi/ist-style rewrites)."""
+    from sparksearch.stemmers import LANGUAGE_STEMMERS
+    w = word.lower()
+    for lang, fn in LANGUAGE_STEMMERS.items():
+        out = fn(w)
+        assert isinstance(out, str), lang
+        assert len(out) <= len(w) + 2, (lang, w, out)
+
+
+@given(st.text(min_size=0, max_size=32))
+@settings(max_examples=200, deadline=None)
+def test_cologne_output_is_digits(s):
+    from sparksearch.filters_ext import _cologne
+    out = _cologne(s)
+    assert all(c in "0123456789" for c in out)
+    # non-leading zeros never survive
+    assert "0" not in out[1:]
+
+
+@given(st.text(alphabet="aeıioöuübcçdfgğhjklmnprsştvyz",
+               min_size=3, max_size=20))
+@settings(max_examples=300, deadline=None)
+def test_turkish_stem_is_prefix_up_to_final_consonant(word):
+    """The Turkish stemmer only removes suffixes; apart from the final
+    devoicing-reversal letter the stem is a prefix of the input."""
+    from sparksearch.snowball2 import turkish_snowball_stem
+    out = turkish_snowball_stem(word)
+    assert len(out) <= len(word)
+    if out:
+        assert word.startswith(out[:-1])
