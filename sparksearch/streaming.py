@@ -190,3 +190,30 @@ def percolate_stream(pages_stream: DataFrame, queries: DataFrame,
     """
     from sparksearch.percolate import percolate
     return percolate(pages_stream, queries, analyzer, sort=False)
+
+
+def session_window_stats(pages_stream: DataFrame,
+                         gap: str = "30 minutes",
+                         watermark: str = "1 hour",
+                         key: str = "site") -> DataFrame:
+    """Streaming sessionization with Spark's native ``session_window``:
+    per-key sessions close after `gap` of event-time silence — the
+    streaming twin of ``dataops.sessionize`` (the batch gaps-and-islands
+    operator) with the SAME 30-minute-gap semantics.
+
+    Scale shape: state is one open session per active key (merged by the
+    session-window state store), evicted once the watermark passes the
+    session end; shuffle is one exchange on the grouping key.  Append
+    mode emits each closed session exactly once.
+    """
+    from pyspark.sql import functions as F
+    kcol = (F.regexp_extract("url", r"^https?://([^/]+)/", 1).alias("site")
+            if key == "site" else F.col(key))
+    return (pages_stream
+            .withWatermark("warc_ts", watermark)
+            .groupBy(F.session_window("warc_ts", gap).alias("sess"), kcol)
+            .agg(F.count("*").cast("long").alias("n_pages"),
+                 F.sum(F.length("text")).cast("long").alias("chars"))
+            .select(F.col("sess.start").alias("session_start"),
+                    F.col("sess.end").alias("session_end"),
+                    key, "n_pages", "chars"))

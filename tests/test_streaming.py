@@ -229,3 +229,45 @@ def test_percolate_stream_alerts(spark, tmp_path_factory):
     got = {(r.url, r.qid) for r in spark.read.parquet(out).collect()}
     want = {(r.url, r.qid) for r in percolate(pages, queries).collect()}
     assert got == want and len(got) > len(got1)
+
+
+def test_session_window_stats_gap_semantics(spark, tmp_path):
+    """Native session_window sessions: rows within the 30-min gap merge
+    into one session per site; a row past the gap opens a second session.
+    Append mode emits a session only after the watermark passes its end."""
+    import datetime as dt
+
+    from sparksearch.streaming import session_window_stats
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    t = lambda h, m: dt.datetime(2025, 1, 1, h, m)
+
+    _write_pages(spark, [
+        ("https://a.example/1", t(0, 0), None, "aa", "en"),
+        ("https://a.example/2", t(0, 10), None, "bbb", "en"),   # same sess
+        ("https://a.example/3", t(1, 0), None, "c", "en"),      # new sess
+        ("https://b.example/1", t(0, 5), None, "dd", "en"),
+        # far-future row advances the watermark past every session end
+        ("https://z.example/9", t(9, 0), None, "zz", "en"),
+    ], src, mode="overwrite")
+
+    stream = (spark.readStream
+              .schema("url string, warc_ts timestamp, html binary, "
+                      "text string, lang string").parquet(src))
+    q = (session_window_stats(stream, gap="30 minutes", watermark="1 hour")
+         .writeStream.format("parquet").option("path", sink)
+         .outputMode("append").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.read.parquet(sink).collect()
+    by = {(r["site"], r["session_start"].hour, r["session_start"].minute):
+          (r["n_pages"], r["chars"]) for r in rows}
+    # a.example: one 2-page session [00:00, 00:40), one 1-page at 01:00
+    assert by[("a.example", 0, 0)] == (2, 5)
+    assert by[("a.example", 1, 0)] == (1, 1)
+    assert by[("b.example", 0, 5)] == (1, 2)
+    # session end = last event + gap
+    a0 = [r for r in rows if r["site"] == "a.example"
+          and r["session_start"].minute == 0 and r["session_start"].hour == 0]
+    assert a0[0]["session_end"] == t(0, 40)
