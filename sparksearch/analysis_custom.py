@@ -638,6 +638,8 @@ _TOKEN_FILTERS = {
     "hindi_normalization": _lazy_norm("hindi_normalization"),
     "sorani_normalization": _lazy_norm("sorani_normalization"),
     "concatenate_graph": _lazy_norm("concatenate_graph"),
+    "icu_normalizer": _lazy_norm("icu_normalizer"),
+    "icu_folding": _lazy_norm("icu_folding"),
     # legacy fixed-language stem filter names that map onto light-family
     # stemmers this engine implements (ArabicStemFilter IS the Larkey
     # light stemmer; CzechStemmer IS the Dolamic-Savoy light stemmer)

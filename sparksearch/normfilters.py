@@ -383,3 +383,46 @@ def concatenate_graph_filter(cfg: dict):
             return tokens
         return [(sep.join(t for t, _ in tokens), 0)]
     return cat
+
+
+# ---------------------------------------------------------------------------
+# analysis-icu plugin: icu_normalizer / icu_folding
+# (plugins/analysis-icu/.../IcuNormalizerTokenFilterFactory.java,
+#  IcuFoldingTokenFilterFactory.java)
+# ---------------------------------------------------------------------------
+
+def icu_normalizer_filter(cfg: dict):
+    """``icu_normalizer`` (analysis-icu): Unicode normalization with
+    ``name`` nfc|nfkc|nfkc_cf (default nfkc_cf).  nfc/nfkc are the exact
+    Unicode normal forms (unicodedata); nfkc_cf = NFKC + case fold,
+    composed from NFKC and str.casefold() per the Unicode definition —
+    semantics-exact, no ICU library needed for these three modes."""
+    import unicodedata
+    name = (cfg or {}).get("name", "nfkc_cf").lower()
+    if name == "nfc":
+        fn = lambda t: unicodedata.normalize("NFC", t)
+    elif name == "nfkc":
+        fn = lambda t: unicodedata.normalize("NFKC", t)
+    elif name == "nfkc_cf":
+        fn = lambda t: unicodedata.normalize(
+            "NFKC", unicodedata.normalize("NFKC", t).casefold())
+    else:
+        raise NotImplementedError(
+            f"icu_normalizer name {name!r} (nfc/nfkc/nfkc_cf supported)")
+    return _term_map(fn)
+
+
+def icu_folding_filter(cfg: dict):
+    """``icu_folding`` (analysis-icu): accent/case/compatibility folding.
+    DOCUMENTED SUBSET of ICU's UTR#30 foldings: NFKC + case fold +
+    combining-mark strip — covers the diacritic/case/width foldings that
+    dominate search folding; the long tail of UTR#30 script-specific
+    foldings (e.g. Hangul jamo) is not reproduced."""
+    import unicodedata
+
+    def fold(t: str) -> str:
+        t = unicodedata.normalize("NFKC", t).casefold()
+        t = unicodedata.normalize("NFKD", t)
+        return unicodedata.normalize(
+            "NFC", "".join(c for c in t if not unicodedata.combining(c)))
+    return _term_map(fold)

@@ -286,3 +286,44 @@ def test_cologne_filter_in_chain():
                    {"type": "phonetic", "encoder": "koelnerphonetik"}],
     })
     assert [t for t, _ in an.analyze("Meier Mayer")] == ["67", "67"]
+
+
+# ---------------------------------------------------------------------------
+# analysis-icu: icu_normalizer / icu_folding
+# ---------------------------------------------------------------------------
+
+def test_icu_normalizer_modes():
+    from sparksearch.analysis_custom import register_analyzer
+    # nfkc_cf (default): compatibility forms fold, case folds
+    an = register_analyzer("an_icu_nrm", {
+        "tokenizer": "whitespace",
+        "filter": [{"type": "icu_normalizer"}],
+    })
+    # ﬁ ligature -> fi, fullwidth Ａ -> a, ß -> ss (case fold)
+    assert [t for t, _ in an.analyze("ﬁsh Ａ straße")] \
+        == ["fish", "a", "strasse"]
+    # nfc leaves case and compatibility chars alone
+    an2 = register_analyzer("an_icu_nfc", {
+        "tokenizer": "whitespace",
+        "filter": [{"type": "icu_normalizer", "name": "nfc"}],
+    })
+    decomposed = "étude"           # e + combining acute
+    assert [t for t, _ in an2.analyze(decomposed)] == ["étude"]
+
+
+def test_icu_folding_accents_case_width():
+    from sparksearch.analysis_custom import register_analyzer
+    an = register_analyzer("an_icu_fold", {
+        "tokenizer": "whitespace",
+        "filter": [{"type": "icu_folding"}],
+    })
+    assert [t for t, _ in an.analyze("Café ÉTUDE ｆｕｌｌ")] \
+        == ["cafe", "etude", "full"]
+
+
+def test_icu_normalizer_unknown_mode_refuses():
+    import pytest
+
+    from sparksearch.normfilters import icu_normalizer_filter
+    with pytest.raises(NotImplementedError):
+        icu_normalizer_filter({"name": "nfd"})
