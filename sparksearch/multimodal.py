@@ -7,13 +7,16 @@ Arrow-batched `mapInPandas` stages so bytes never round-trip through
 driver or per-row Python.
 
 The heavy media codecs (PIL/ffmpeg/torchaudio) are NOT in this
-environment, so the decode kernels are stubbed two ways:
+environment.  The metadata decode has three modes:
+  - `decode_stub="headers"`: REAL container-header parsing (pure bytes:
+    PNG/GIF/JPEG/BMP/WAV/WebP via `sniff_media`) — width/height/
+    duration/channels are exact for those containers, no codec library;
   - `decode_stub="deterministic"` (default): a seeded fake decoder that
     derives plausible metadata (dimensions, duration, channels) from a
     hash of the payload — so the full Spark plumbing (schema, batching,
     partitioning, joins on metadata) is real and testable;
   - `decode_stub="raise"`: NotImplementedError at first batch — the
-    production wiring point where a real codec import goes.
+    production wiring point where a full pixel/sample decoder goes.
 
 Everything upstream/downstream of the kernel (manifest schema, content
 hashing, size stats, batch shapes) is exact and production-grade.
@@ -30,6 +33,7 @@ from pyspark.sql import types as T
 
 __all__ = [
     "MEDIA_SCHEMA",
+    "sniff_media",
     "media_manifest",
     "decode_metadata",
     "sample_frames",
@@ -69,10 +73,76 @@ def media_manifest(pages: DataFrame) -> DataFrame:
                  F.lit("text/html").alias("content_type")).alias("meta"))
 
 
+def sniff_media(payload: bytes) -> tuple | None:
+    """REAL container-header parsing, pure bytes — no codec library:
+    (width, height, duration_ms, channels) from PNG IHDR, GIF logical
+    screen, JPEG SOFn, BMP InfoHeader, WAV fmt/data chunks, WebP VP8X.
+    Returns None when the magic is unknown (full pixel/sample decode
+    still needs PIL/ffmpeg — this covers the metadata fields)."""
+    import struct
+    p = payload
+    if p[:8] == b"\x89PNG\r\n\x1a\n" and len(p) >= 24:
+        w, h = struct.unpack(">II", p[16:24])
+        return (w, h, None, None)
+    if p[:6] in (b"GIF87a", b"GIF89a") and len(p) >= 10:
+        w, h = struct.unpack("<HH", p[6:10])
+        return (w, h, None, None)
+    if p[:2] == b"\xff\xd8":                       # JPEG: walk segments
+        i = 2
+        while i + 9 < len(p):
+            if p[i] != 0xFF:
+                i += 1
+                continue
+            marker = p[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seglen = struct.unpack(">H", p[i + 2:i + 4])[0]
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                          0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                h, w = struct.unpack(">HH", p[i + 5:i + 9])
+                return (w, h, None, None)
+            i += 2 + seglen
+        return None
+    if p[:2] == b"BM" and len(p) >= 26:
+        w, h = struct.unpack("<ii", p[18:26])
+        return (w, abs(h), None, None)
+    if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+        i, channels, byte_rate, data_size = 12, None, None, None
+        while i + 8 <= len(p):
+            cid = p[i:i + 4]
+            sz = struct.unpack("<I", p[i + 4:i + 8])[0]
+            if cid == b"fmt " and i + 16 <= len(p):
+                channels = struct.unpack("<H", p[i + 10:i + 12])[0]
+                byte_rate = struct.unpack("<I", p[i + 16:i + 20])[0]
+            elif cid == b"data":
+                data_size = sz
+            i += 8 + sz + (sz & 1)
+        dur = (int(data_size * 1000 / byte_rate)
+               if byte_rate and data_size is not None else None)
+        return (None, None, dur, channels)
+    if p[:4] == b"RIFF" and p[8:12] == b"WEBP" and p[12:16] == b"VP8X" \
+            and len(p) >= 30:
+        w = int.from_bytes(p[24:27], "little") + 1
+        h = int.from_bytes(p[27:30], "little") + 1
+        return (w, h, None, None)
+    return None
+
+
 def decode_metadata(media: DataFrame,
                     decode_stub: str = "deterministic") -> DataFrame:
     """Decode payloads → typed metadata. Arrow-batched; exact fields
-    (n_bytes, sha1) are real, media dimensions come from the stub."""
+    (n_bytes, sha1) are always real.  Modes:
+
+    - ``"headers"``: REAL decode of the metadata fields by container-
+      header parsing (PNG/GIF/JPEG/BMP/WAV/WebP — `sniff_media`);
+      unknown containers yield nulls.  Pixel/sample decode still needs
+      PIL/ffmpeg and stays a plug point.
+    - ``"deterministic"`` (default): seeded fake dimensions from the
+      payload hash — full plumbing testable without media fixtures.
+    - ``"raise"``: NotImplementedError at first batch (production wiring
+      point for a real full decoder).
+    """
 
     def kernel(batches):
         for pdf in batches:
@@ -84,15 +154,23 @@ def decode_metadata(media: DataFrame,
                         "media codec not available in this environment; "
                         "plug PIL/ffmpeg decode here")
                 h = hashlib.sha1(payload).hexdigest()
-                seed = int(h[:8], 16)
                 width = height = duration = channels = None
-                if r.kind == "image":
-                    width, height = 64 + seed % 1920, 64 + (seed >> 8) % 1080
-                elif r.kind == "audio":
-                    duration, channels = 1000 + seed % 600_000, 1 + seed % 2
-                elif r.kind == "video":
-                    width, height = 160 + seed % 1760, 90 + (seed >> 8) % 990
-                    duration = 1000 + seed % 3_600_000
+                if decode_stub == "headers":
+                    parsed = sniff_media(payload)
+                    if parsed:
+                        width, height, duration, channels = parsed
+                else:
+                    seed = int(h[:8], 16)
+                    if r.kind == "image":
+                        width, height = (64 + seed % 1920,
+                                         64 + (seed >> 8) % 1080)
+                    elif r.kind == "audio":
+                        duration, channels = (1000 + seed % 600_000,
+                                              1 + seed % 2)
+                    elif r.kind == "video":
+                        width, height = (160 + seed % 1760,
+                                         90 + (seed >> 8) % 990)
+                        duration = 1000 + seed % 3_600_000
                 rows.append((r.media_id, r.kind, len(payload), h,
                              width, height, duration, channels))
             yield pd.DataFrame(

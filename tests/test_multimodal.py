@@ -66,3 +66,58 @@ def test_fake_video_decode_and_frame_sampling(spark):
         assert {f["offset_ms"] for f in got} \
             == {i * 10_000 for i in range(expect)}
         assert all(len(f["frame_sha1"]) == 40 for f in got)
+
+
+# ---------------------------------------------------------------------------
+# real container-header decode (decode_stub="headers")
+# ---------------------------------------------------------------------------
+
+def _png(w, h):
+    import struct
+    return (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+            + struct.pack(">II", w, h) + b"\x08\x06\x00\x00\x00")
+
+
+def _wav(seconds, channels=2, rate=8000, bps=2):
+    import struct
+    byte_rate = rate * channels * bps
+    data = b"\x00" * (byte_rate * seconds)
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16)
+            + struct.pack("<HHIIHH", 1, channels, rate, byte_rate,
+                          channels * bps, bps * 8)
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def test_sniff_media_containers():
+    import struct
+
+    from sparksearch.multimodal import sniff_media
+    assert sniff_media(_png(640, 480)) == (640, 480, None, None)
+    assert sniff_media(b"GIF89a" + struct.pack("<HH", 320, 200)) \
+        == (320, 200, None, None)
+    jpeg = (b"\xff\xd8\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+            + b"\x00" * 10 + b"\xff\xc2" + struct.pack(">H", 17)
+            + b"\x08" + struct.pack(">HH", 1080, 1920) + b"\x03")
+    assert sniff_media(jpeg) == (1920, 1080, None, None)
+    # top-down BMP stores negative height
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 800, -600)
+    assert sniff_media(bmp) == (800, 600, None, None)
+    assert sniff_media(_wav(2, channels=2, rate=8000)) \
+        == (None, None, 2000, 2)
+    assert sniff_media(b"not a media file") is None
+
+
+def test_decode_metadata_headers_mode(spark):
+    from sparksearch.multimodal import decode_metadata
+    rows = [("img1", "image", bytearray(_png(99, 44)), None),
+            ("aud1", "audio", bytearray(_wav(1, channels=1)), None),
+            ("doc1", "html", bytearray(b"<html></html>"), None)]
+    from sparksearch.multimodal import MEDIA_SCHEMA
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in
+           decode_metadata(df, decode_stub="headers").collect()}
+    assert (out["img1"]["width"], out["img1"]["height"]) == (99, 44)
+    assert (out["aud1"]["duration_ms"], out["aud1"]["channels"]) == (1000, 1)
+    assert out["doc1"]["width"] is None         # unknown container -> nulls
+    assert out["doc1"]["n_bytes"] == 13         # exact fields still real
