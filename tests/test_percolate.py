@@ -44,3 +44,30 @@ def test_phrase_positional(perc):
 def test_term_and_single_phrase(perc):
     assert ("u4", "q_term") in perc
     assert ("u5", "q_phrase1") in perc   # 1-term phrase = membership
+
+
+def test_percolate_bool_kind(spark):
+    """Stored bool queries: must (all present) + must_not (none present)
+    + should (>= msm); missing should list is vacuously satisfied."""
+    from sparksearch.percolate import percolate
+    docs = spark.createDataFrame(
+        [("u1", "spark joins hash tables fast"),
+         ("u2", "spark scans slow disks"),
+         ("u3", "hash tables only")],
+        "url string, text string")
+    queries = spark.createDataFrame(
+        [("b1", "bool", ["fast", "slow"], 1, ["spark"], ["error"]),
+         ("b2", "bool", [], None, ["hash", "tables"], None),
+         ("b3", "bool", [], None, ["spark"], ["slow"]),
+         ("t1", "term", ["disks"], None, None, None)],
+        "qid string, kind string, terms array<string>, msm int, "
+        "must array<string>, must_not array<string>")
+    got = {(r["url"], r["qid"])
+           for r in percolate(docs, queries).collect()}
+    assert got == {
+        ("u1", "b1"),            # must spark + should fast
+        ("u2", "b1"),            # must spark + should slow
+        ("u1", "b2"), ("u3", "b2"),   # hash AND tables present
+        ("u1", "b3"),            # spark present, slow absent
+        ("u2", "t1"),            # legacy kinds unaffected by new columns
+    }
