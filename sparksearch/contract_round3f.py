@@ -152,6 +152,50 @@ FROM events GROUP BY 1 ORDER BY zone NULLS LAST
 
 
 # ---------------------------------------------------------------------------
+# DSIR importance weighting (training-data op)
+# ---------------------------------------------------------------------------
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR (Xie et al. 2023) per-doc importance log-weights: bigram
+    log-likelihood ratio target-vs-raw with add-1 smoothing over the
+    union vocabulary; target = sources src1/src2.  Exact-bigram gate
+    path (the hashed-bucket variant is the documented scale path)."""
+    from sparksearch.dataops import dsir_importance
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = docs.where(F.col("source").isin("src1", "src2"))
+    return dsir_importance(docs, target).orderBy("doc_id")
+
+
+def sql_dsir_weights() -> str:
+    return """
+WITH toks AS ( SELECT doc_id, source, string_split(lower(text), ' ') AS w
+               FROM documents ),
+big AS ( SELECT doc_id, source,
+                unnest(list_transform(generate_series(1, len(w)-1),
+                                      i -> w[i] || ' ' || w[i+1])) AS b
+         FROM toks WHERE len(w) >= 2 ),
+rc AS ( SELECT b, count(*) AS cr FROM big GROUP BY b ),
+tc AS ( SELECT b, count(*) AS ct FROM big
+        WHERE source IN ('src1', 'src2') GROUP BY b ),
+tot AS ( SELECT (SELECT sum(cr) FROM rc) AS nr,
+                (SELECT sum(ct) FROM tc) AS nt,
+                (SELECT count(*) FROM
+                    (SELECT b FROM rc UNION SELECT b FROM tc)) AS v ),
+terms AS ( SELECT big.doc_id,
+                  ln((coalesce(tc.ct, 0) + 1.0) / (tot.nt + 1.0 * tot.v))
+                - ln((coalesce(rc.cr, 0) + 1.0) / (tot.nr + 1.0 * tot.v))
+                  AS t
+           FROM big LEFT JOIN rc USING (b) LEFT JOIN tc USING (b)
+           CROSS JOIN tot )
+SELECT d.doc_id, round(coalesce(s.logw, 0.0), 4) AS logw
+FROM documents d LEFT JOIN
+     ( SELECT doc_id, sum(t) AS logw FROM terms GROUP BY doc_id ) s
+     USING (doc_id)
+ORDER BY d.doc_id
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # lang-expression scripts
 # ---------------------------------------------------------------------------
 
@@ -277,6 +321,7 @@ def queries() -> dict:
         "annotated_text": q_annotated_text,
         "geoip_enrich": q_geoip_enrich,
         "script_expression": q_script_expression,
+        "dsir_weights": q_dsir_weights,
     }}
 
 
@@ -293,6 +338,7 @@ def oracle_sql() -> dict:
         "lang_analyzer_tr": _sql_goldens_3e(_LA_TR_GOLDENS),
         "lang_analyzer_fi": _sql_goldens_3e(_LA_FI_GOLDENS),
         "tf_cologne": _sql_goldens_3e(_CGN_GOLDENS),
+        "dsir_weights": sql_dsir_weights(),
         "mapping_size": sql_mapping_size(),
         "murmur3_hash": sql_murmur3_hash(),
         "annotated_text": sql_annotated_text(),

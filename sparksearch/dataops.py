@@ -1241,3 +1241,88 @@ def chunk_documents(docs: DataFrame, size: int = 512, overlap: int = 128,
                     F.col("c.start").alias("chunk_start"),
                     F.col("c.txt").alias("chunk_text"))
             .where(F.length("chunk_text") > 0))
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (Xie et al., "Data Selection for
+# Language Models via Importance Resampling", 2023): score each raw doc
+# by the log-likelihood ratio of its n-grams under a target-domain
+# distribution vs the raw distribution, then resample by the weights.
+# ---------------------------------------------------------------------------
+
+def _bigrams(col):
+    t = F.split(F.lower(col), r"\s+")
+    return F.when(
+        F.size(t) >= 2,
+        F.transform(F.sequence(F.lit(0), F.size(t) - 2),
+                    lambda i: F.concat(F.element_at(t, i + 1), F.lit(" "),
+                                       F.element_at(t, i + 2)))) \
+        .otherwise(F.array().cast("array<string>"))
+
+
+def dsir_importance(docs: DataFrame, target: DataFrame,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    smoothing: float = 1.0,
+                    n_buckets: int | None = None) -> DataFrame:
+    """Per-doc DSIR importance log-weight: Σ over the doc's word bigrams
+    of ln p̂_target(b) − ln p̂_raw(b), add-`smoothing` estimates over the
+    union vocabulary.
+
+    Gate path (`n_buckets=None`): exact bigram strings — two groupBy
+    count tables, target side broadcast.  Scale path (`n_buckets=B`):
+    bigrams hash into B buckets (the paper's hashed n-grams), so BOTH
+    count tables are B rows — broadcastable at any corpus size and the
+    scoring join disappears into two map-side lookups; one shuffle for
+    the per-doc weight sum either way.  Size B well below the corpus
+    bigram count (the paper uses 10k at web scale): with B ≫ data the
+    add-`smoothing` mass dominates and the weight degenerates toward a
+    per-bigram constant (doc length)."""
+    key = (lambda c: F.pmod(F.xxhash64(c), F.lit(n_buckets))) \
+        if n_buckets else (lambda c: c)
+    raw_b = (docs.select(F.col(id_col),
+                         F.explode(_bigrams(F.col(text_col))).alias("b"))
+             .withColumn("b", key(F.col("b"))))
+    tgt_b = (target.select(F.explode(_bigrams(F.col(text_col))).alias("b"))
+             .withColumn("b", key(F.col("b"))))
+    rc = raw_b.groupBy("b").agg(F.count("*").alias("cr"))
+    tc = tgt_b.groupBy("b").agg(F.count("*").alias("ct"))
+    if n_buckets:
+        vocab = F.lit(float(n_buckets))
+    else:
+        vocab = F.col("_v")
+    totals = (rc.agg(F.sum("cr").alias("_nr")).crossJoin(
+        tc.agg(F.sum("ct").alias("_nt"))))
+    if not n_buckets:
+        totals = totals.crossJoin(
+            rc.select("b").union(tc.select("b")).distinct()
+            .agg(F.count("*").cast("double").alias("_v")))
+    s = F.lit(float(smoothing))
+    joined = (raw_b
+              .join(rc.hint("broadcast") if n_buckets else rc, "b", "left")
+              .join(F.broadcast(tc), "b", "left")
+              .crossJoin(F.broadcast(totals)))
+    term = (F.log((F.coalesce(F.col("ct"), F.lit(0)) + s)
+                  / (F.col("_nt") + s * vocab))
+            - F.log((F.coalesce(F.col("cr"), F.lit(0)) + s)
+                    / (F.col("_nr") + s * vocab)))
+    w = joined.groupBy(id_col).agg(F.sum(term).alias("logw"))
+    return (docs.select(id_col).join(w, id_col, "left")
+            .select(id_col, F.round(F.coalesce(F.col("logw"), F.lit(0.0)),
+                                    4).alias("logw")))
+
+
+def dsir_sample(weights: DataFrame, k: int, seed: int = 7,
+                id_col: str = "doc_id") -> DataFrame:
+    """Gumbel-top-k resampling over DSIR log-weights, deterministic:
+    the Gumbel noise comes from a uniform derived from
+    xxhash64(id, seed), so re-runs select the same k docs (the paper
+    samples without replacement ∝ exp(logw); Gumbel-top-k is that
+    sampler).  One TakeOrderedAndProject — no global sort."""
+    u = (F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)),
+                F.lit(2 ** 31)) + 1) / F.lit(float(2 ** 31 + 1))
+    gumbel = -F.log(-F.log(u))
+    return (weights
+            .select(id_col, "logw",
+                    (F.col("logw") + gumbel).alias("_gkey"))
+            .orderBy(F.desc("_gkey")).limit(k)
+            .select(id_col, "logw"))
