@@ -331,7 +331,7 @@ def test_snowball_dutch():
 def test_prebuilt_language_analyzers():
     from sparksearch.analysis_custom import get_custom
     from sparksearch.lang_analyzers import LANG_ANALYZERS
-    assert len(LANG_ANALYZERS) == 13
+    assert len(LANG_ANALYZERS) == 19
     terms = lambda n, t: [(x.term, x.pos) for x in get_custom(n).analyze(t)]
     assert terms("french", "L'église et les chanteurs") == [
         ("églis", 0), ("chanteur", 3)]
