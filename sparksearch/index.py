@@ -341,3 +341,37 @@ def field_caps(ix: "IndexReader") -> DataFrame:
     return ix.spark.createDataFrame(
         rows, "field string, type string, searchable boolean, "
               "aggregatable boolean").orderBy("field")
+
+
+def rollover(registry_path: str, alias: str, new_index_dir: str,
+             max_docs: int | None = None,
+             max_age_s: float | None = None) -> dict:
+    """_rollover analogue (action/admin/indices/rollover/
+    TransportRolloverAction.java + RolloverConditions): evaluate the
+    conditions against the alias's CURRENT write index; when any is met,
+    atomically repoint the alias at `new_index_dir` (built beforehand by
+    the caller — index builds are batch jobs here, so the "create new
+    index" step of the REST action is the preceding build).  Returns the
+    REST-response shape: per-condition evaluation + `rolled_over`.
+
+    Conditions: ``max_docs`` vs the index's committed ``n_docs``;
+    ``max_age_s`` vs the meta.json commit time (the index's birth as
+    readers see it).  No conditions at all = unconditional rollover,
+    matching the REST default.
+    """
+    import os
+    import time as _time
+    cur = resolve_alias(registry_path, alias)
+    with open(f"{cur}/meta.json") as f:
+        meta = json.load(f)
+    age_s = _time.time() - os.path.getmtime(f"{cur}/meta.json")
+    conds: dict[str, bool] = {}
+    if max_docs is not None:
+        conds[f"[max_docs: {max_docs}]"] = meta["n_docs"] >= max_docs
+    if max_age_s is not None:
+        conds[f"[max_age: {max_age_s}s]"] = age_s >= max_age_s
+    rolled = (not conds) or any(conds.values())
+    if rolled:
+        set_alias(registry_path, alias, new_index_dir)
+    return {"rolled_over": rolled, "conditions": conds,
+            "old_index": cur, "new_index": new_index_dir if rolled else cur}

@@ -129,3 +129,36 @@ def test_scroll_rejects_from(spark, index_sf0001):
     with pytest.raises(ValueError):
         scroll_open(Executor(index_sf0001),
                     {"query": {"match_all": {}}, "from": 3})
+
+
+def test_rollover_conditions_and_alias_swap(spark, tmp_path):
+    """_rollover: condition evaluation against the write index's meta +
+    atomic alias repoint only when a condition fires."""
+    from sparksearch.build import build_index
+    from sparksearch.corpus import pages_from_documents
+    from sparksearch.index import open_index, resolve_alias, rollover, \
+        set_alias
+    old = str(tmp_path / "ix_old")
+    new = str(tmp_path / "ix_new")
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001")
+    build_index(pages.limit(30), old, n_buckets=4, partitions=4)
+    build_index(pages.limit(10), new, n_buckets=4, partitions=4)
+    reg = str(tmp_path / "aliases.json")
+    set_alias(reg, "logs-write", old)
+
+    # condition not met: alias keeps pointing at the old index
+    r = rollover(reg, "logs-write", new, max_docs=1000)
+    assert not r["rolled_over"] and resolve_alias(reg, "logs-write") == old
+    assert r["conditions"] == {"[max_docs: 1000]": False}
+
+    # met: swapped atomically, readers through the alias see the new one
+    r = rollover(reg, "logs-write", new, max_docs=10, max_age_s=10**9)
+    assert r["rolled_over"]
+    assert r["conditions"]["[max_docs: 10]"] is True
+    assert r["conditions"]["[max_age: 1000000000s]"] is False
+    assert resolve_alias(reg, "logs-write") == new
+    assert open_index(spark, "logs-write", reg).n_docs == 10
+
+    # no conditions = unconditional rollover (REST default)
+    set_alias(reg, "logs-write", old)
+    assert rollover(reg, "logs-write", new)["rolled_over"]
