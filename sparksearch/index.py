@@ -375,3 +375,66 @@ def rollover(registry_path: str, alias: str, new_index_dir: str,
         set_alias(registry_path, alias, new_index_dir)
     return {"rolled_over": rolled, "conditions": conds,
             "old_index": cur, "new_index": new_index_dir if rolled else cur}
+
+
+def reshard(spark: SparkSession, index_dir: str, out_dir: str,
+            n_buckets: int, partitions: int | None = None) -> dict:
+    """_split / _shrink analogue (action/admin/indices/shrink/
+    TransportResizeAction.java): re-bucket an existing index to a new
+    shard (bucket) count WITHOUT re-analyzing — postings rows are read
+    back, re-assigned `bucket = pmod(xxhash64(term), new_n)`, and
+    rewritten partitioned by the new bucket; docs/stats/meta carry over.
+    Like the reference's resize, the result is a NEW index directory and
+    the source stays untouched (swap via `set_alias`).
+
+    Scale shape: one full postings scan + one shuffle on the new bucket
+    key — no tokenization, no stats recompute; the docs and stats tables
+    are rewritten as-is (index-sort layout + manifest preserved).
+    Tombstones are applied (expunged) during the rewrite while n_docs /
+    stats carry over unchanged, so scoring matches the source exactly —
+    the reference's deletes-don't-affect-idf-until-merge behavior.
+    Works on the row-postings layout; rebuild packed segments afterwards
+    with `segments.build_segments`.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+    ix = IndexReader(spark, index_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    post = ix.postings.drop("bucket").withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+    p = partitions or max(8, n_buckets)
+    parts = ["pday", "bucket"] if ix.time_partition else ["bucket"]
+    (post.repartition(p, "bucket", "term")
+     .sortWithinPartitions("term", "docid")
+     .write.mode("overwrite").partitionBy(*parts)
+     .parquet(f"{out_dir}/postings/gen=0"))
+    isort = ix.meta.get("index_sort")
+    if isort:
+        # preserve the sorted-docs layout + its per-file skip manifest
+        from sparksearch.build import write_sort_manifest
+        fld = isort["field"]
+        key = F.col(fld).asc() if isort["asc"] else F.col(fld).desc()
+        (ix.docs.repartitionByRange(max(1, p // 2), key,
+                                    F.col("docid").asc())
+         .sortWithinPartitions(key, F.col("docid").asc())
+         .write.mode("overwrite").parquet(f"{out_dir}/docs/gen=0"))
+        write_sort_manifest(f"{out_dir}/docs/gen=0", fld)
+    elif ix.time_partition:
+        (ix.docs.write.mode("overwrite").partitionBy("pday")
+         .parquet(f"{out_dir}/docs/gen=0"))
+    else:
+        ix.docs.write.mode("overwrite").parquet(f"{out_dir}/docs/gen=0")
+    ix.stats.write.mode("overwrite").parquet(f"{out_dir}/{ix.stats_path}")
+    meta = dict(ix.meta)
+    meta["n_buckets"] = int(n_buckets)
+    meta["generations"] = [0]
+    meta.pop("deletes", None)
+    meta["n_deleted"] = 0
+    meta["resharded_from"] = index_dir
+    tmp = f"{out_dir}/meta.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=2)
+    os.replace(tmp, f"{out_dir}/meta.json")
+    return {"source": index_dir, "target": out_dir,
+            "n_buckets": int(n_buckets)}

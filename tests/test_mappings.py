@@ -162,3 +162,29 @@ def test_rollover_conditions_and_alias_swap(spark, tmp_path):
     # no conditions = unconditional rollover (REST default)
     set_alias(reg, "logs-write", old)
     assert rollover(reg, "logs-write", new)["rolled_over"]
+
+
+def test_reshard_rank_identical(spark, tmp_path):
+    """_split/_shrink analogue: re-bucketing 4→8 leaves every query
+    result rank- and score-identical; the new layout prunes on the new
+    bucket count."""
+    from sparksearch.build import build_index
+    from sparksearch.corpus import pages_from_documents
+    from sparksearch.exec import Executor
+    from sparksearch.index import IndexReader, reshard
+    from sparksearch.queries import Match
+    src = str(tmp_path / "ix4")
+    dst = str(tmp_path / "ix8")
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001")
+    build_index(pages, src, n_buckets=4, partitions=4)
+    info = reshard(spark, src, dst, n_buckets=8)
+    assert info["n_buckets"] == 8
+    a = Executor(IndexReader(spark, src))
+    b = Executor(IndexReader(spark, dst))
+    q = Match("text", "hash join table")
+    ra = [(r["docid"], round(r["score"], 6))
+          for r in a.search(q, k=10).collect()]
+    rb = [(r["docid"], round(r["score"], 6))
+          for r in b.search(q, k=10).collect()]
+    assert ra == rb and len(ra) == 10
+    assert IndexReader(spark, dst).n_buckets == 8
