@@ -1326,3 +1326,34 @@ def dsir_sample(weights: DataFrame, k: int, seed: int = 7,
                     (F.col("logw") + gumbel).alias("_gkey"))
             .orderBy(F.desc("_gkey")).limit(k)
             .select(id_col, "logw"))
+
+
+def stratified_split(df: DataFrame, fractions: dict | None = None,
+                     group_col: str | None = None, seed: int = 13,
+                     out_col: str = "split") -> DataFrame:
+    """Deterministic, leakage-safe train/val/test assignment.
+
+    Each GROUP (default: the row itself) hashes to a uniform in [0, 1)
+    via xxhash64(group, seed); cumulative `fractions` thresholds assign
+    the split, so (a) re-runs and cluster-size changes never move a row,
+    and (b) with `group_col` (e.g. the registrable domain) every row of
+    a group lands in ONE split — near-duplicates inside a site cannot
+    leak train→test.  Pure Catalyst (a hash + a CASE); no shuffle, no
+    sampling job, trivially correct at any scale."""
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    key = F.col(group_col) if group_col else \
+        F.concat_ws("\x1f", *[F.col(c).cast("string") for c in df.columns])
+    u = (F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(1_000_000))
+         / F.lit(1_000_000.0))
+    expr, acc = None, 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        cond = u < F.lit(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (F.lit(names[-1]) if expr is None
+            else expr.otherwise(names[-1]))
+    return df.withColumn(out_col, expr)

@@ -65,3 +65,38 @@ def test_dsir_sample_deterministic_gumbel(spark):
     assert a != c            # seed changes the draw
     # short docs with empty bigram sets still carry weight 0, not null
     assert w.where("logw IS NULL").count() == 0
+
+
+def test_stratified_split_group_safe_and_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from sparksearch.dataops import canonical_url, stratified_split
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    docs = docs.withColumn(
+        "domain", F.concat(F.lit("site"), (F.col("doc_id") % 23)))
+    out = stratified_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1},
+                           group_col="domain", seed=5)
+    # complete + deterministic
+    again = stratified_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1},
+                             group_col="domain", seed=5)
+    assert out.count() == docs.count()
+    assert (out.select("doc_id", "split").exceptAll(
+        again.select("doc_id", "split")).count() == 0)
+    # group integrity: one split per domain
+    assert (out.groupBy("domain")
+            .agg(F.countDistinct("split").alias("n"))
+            .where("n > 1").count() == 0)
+    # all three splits materialize and train dominates
+    sizes = {r["split"]: r["count"]
+             for r in out.groupBy("split").count().collect()}
+    assert set(sizes) == {"train", "val", "test"}
+    assert sizes["train"] > sizes["val"] and sizes["train"] > sizes["test"]
+
+
+def test_stratified_split_fraction_validation(spark):
+    import pytest
+
+    from sparksearch.dataops import stratified_split
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="sum to 1"):
+        stratified_split(docs, {"train": 0.5, "test": 0.1})
