@@ -283,6 +283,14 @@ _CGN_PROBES = [(0, "Meier Mayer"), (1, "Breschnew")]
 _CGN_GOLDENS = [(0, "67", 0), (0, "meier", 0), (0, "67", 1),
                 (0, "mayer", 1), (1, "17863", 0), (1, "breschnew", 0)]
 
+#: icu_normalizer nfkc_cf: ligature + fullwidth compat folds, ß casefold
+_ICU_SETTINGS = {
+    "tokenizer": "whitespace",
+    "filter": [{"type": "icu_normalizer", "name": "nfkc_cf"}],
+}
+_ICU_PROBES = [(0, "ﬁsh straße Ｗｉｄｅ")]
+_ICU_GOLDENS = [(0, "fish", 0), (0, "strasse", 1), (0, "wide", 2)]
+
 
 # ---------------------------------------------------------------------------
 # registry
@@ -315,6 +323,10 @@ def queries() -> dict:
         "an_cologne", _CGN_SETTINGS, _CGN_PROBES,
         "Kölner Phonetik encoder vs published vectors (replace=false "
         "stacking)")
+    stems["tf_icu_normalizer"] = _q_filter_goldens(
+        "an_icu", _ICU_SETTINGS, _ICU_PROBES,
+        "icu_normalizer nfkc_cf (ligature/fullwidth compat + case fold) "
+        "vs Unicode-derived goldens")
     return {**stems, **{
         "mapping_size": q_mapping_size,
         "murmur3_hash": q_murmur3_hash,
@@ -338,6 +350,7 @@ def oracle_sql() -> dict:
         "lang_analyzer_tr": _sql_goldens_3e(_LA_TR_GOLDENS),
         "lang_analyzer_fi": _sql_goldens_3e(_LA_FI_GOLDENS),
         "tf_cologne": _sql_goldens_3e(_CGN_GOLDENS),
+        "tf_icu_normalizer": _sql_goldens_3e(_ICU_GOLDENS),
         "dsir_weights": sql_dsir_weights(),
         "mapping_size": sql_mapping_size(),
         "murmur3_hash": sql_murmur3_hash(),
