@@ -163,7 +163,7 @@ _RECORD_FIRST = [
     "stem_snowball_ro", "stem_snowball_hu", "stem_snowball_fi",
     "stem_snowball_tr", "stem_snowball_de2",
     "stem_indonesian", "stem_galician_min",
-    "lang_analyzer_tr", "lang_analyzer_fi", "tf_cologne", "dsir_weights", "tf_icu_normalizer",
+    "lang_analyzer_tr", "lang_analyzer_fi", "tf_cologne", "dsir_weights", "tf_icu_normalizer", "knn_pq_adc",
     # remaining never-driver-recorded round-1/2 entries
     "repeated_spans", "hashed_bow",
     "lm_quality", "pack_sequences", "mixture_sample", "decontaminate",

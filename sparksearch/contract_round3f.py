@@ -196,6 +196,77 @@ ORDER BY d.doc_id
 
 
 # ---------------------------------------------------------------------------
+# product quantization kNN (ADC)
+# ---------------------------------------------------------------------------
+
+_PQ_M, _PQ_KC, _PQ_Q, _PQ_K = 2, 4, 7, 10
+
+
+def q_knn_pq(spark, sf_dir):
+    """PQ/ADC kNN (Jégou et al. 2011; the OpenSearch k-NN plugin's
+    faiss IVF-PQ family): per-subspace Lloyd codebooks, m-int codes,
+    query answered by an ADC lookup-table scan.  Tiny (m=2, kc=4)
+    gate instance — the oracle unrolls the identical training,
+    encoding, and table arithmetic; serving params are m=8-16, kc=256."""
+    from sparksearch.dataops import pq_knn
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq_knn(emb, query_id=_PQ_Q, k=_PQ_K, m=_PQ_M, kc=_PQ_KC,
+                  iters=1)
+
+
+def sql_knn_pq() -> str:
+    dim, m, kc, q = 64, _PQ_M, _PQ_KC, _PQ_Q
+    w = dim // m
+    parts = ["""
+e AS ( SELECT vec_id AS vid,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       FROM embeddings )""".strip()]
+    dsql = ("list_sum(list_transform(range(1, len(s.sv) + 1), "
+            "i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])))")
+    for j in range(m):
+        lo, hi = j * w + 1, (j + 1) * w
+        parts.append(f"""
+s{j} AS ( SELECT vid, (v)[{lo}:{hi}] AS sv FROM e ),
+c{j}0 AS ( SELECT row_number() OVER (ORDER BY vid) - 1 AS cid, sv AS cv
+           FROM ( SELECT vid, sv FROM s{j} ORDER BY vid LIMIT {kc} ) ),
+a{j}1 AS ( SELECT vid, sv, cid AS cl FROM (
+             SELECT s.vid, s.sv, c.cid, {dsql} AS d,
+                    row_number() OVER (PARTITION BY s.vid
+                        ORDER BY {dsql} ASC, c.cid ASC) AS rn
+             FROM s{j} s, c{j}0 c ) WHERE rn = 1 ),
+cm{j}1 AS ( SELECT cl AS cid, list(mm ORDER BY pos) AS cv FROM (
+              SELECT cl, pos, round(avg(val), 6) AS mm
+              FROM ( SELECT cl, unnest(sv) AS val,
+                            generate_subscripts(sv, 1) AS pos FROM a{j}1 )
+              GROUP BY cl, pos ) GROUP BY cl ),
+c{j}1 AS ( SELECT cid, cv FROM cm{j}1
+           UNION ALL
+           SELECT cid, cv FROM c{j}0
+           WHERE cid NOT IN ( SELECT cid FROM cm{j}1 ) ),
+f{j} AS ( SELECT vid, cid AS code FROM (
+            SELECT s.vid, c.cid, {dsql} AS d,
+                   row_number() OVER (PARTITION BY s.vid
+                       ORDER BY {dsql} ASC, c.cid ASC) AS rn
+            FROM s{j} s, c{j}1 c ) WHERE rn = 1 ),
+t{j} AS ( SELECT c.cid,
+                 list_sum(list_transform(range(1, len(qq.sv) + 1),
+                     i -> (qq.sv[i] - c.cv[i]) * (qq.sv[i] - c.cv[i])))
+                 AS tv
+          FROM c{j}1 c, ( SELECT sv FROM s{j} WHERE vid = {q} ) qq )
+""".strip())
+        ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT f0.vid AS vec_id, round(t0.tv + t1.tv, 6) AS adc
+FROM f0 JOIN f1 USING (vid)
+JOIN t0 ON t0.cid = f0.code
+JOIN t1 ON t1.cid = f1.code
+WHERE f0.vid != {q}
+ORDER BY adc ASC, vec_id ASC LIMIT {_PQ_K}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # lang-expression scripts
 # ---------------------------------------------------------------------------
 
@@ -334,6 +405,7 @@ def queries() -> dict:
         "geoip_enrich": q_geoip_enrich,
         "script_expression": q_script_expression,
         "dsir_weights": q_dsir_weights,
+        "knn_pq_adc": q_knn_pq,
     }}
 
 
@@ -352,6 +424,7 @@ def oracle_sql() -> dict:
         "tf_cologne": _sql_goldens_3e(_CGN_GOLDENS),
         "tf_icu_normalizer": _sql_goldens_3e(_ICU_GOLDENS),
         "dsir_weights": sql_dsir_weights(),
+        "knn_pq_adc": sql_knn_pq(),
         "mapping_size": sql_mapping_size(),
         "murmur3_hash": sql_murmur3_hash(),
         "annotated_text": sql_annotated_text(),

@@ -1357,3 +1357,102 @@ def stratified_split(df: DataFrame, fractions: dict | None = None,
     expr = (F.lit(names[-1]) if expr is None
             else expr.otherwise(names[-1]))
     return df.withColumn(out_col, expr)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou, Douze, Schmid, "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011 — the IVF-PQ family OpenSearch's
+# k-NN plugin exposes via faiss): split the vector into m subspaces,
+# k-means each subspace to a kc-entry codebook, store m small codes per
+# vector, and answer queries by Asymmetric Distance Computation (ADC) —
+# a per-query lookup table, never a float-vector scan.
+# ---------------------------------------------------------------------------
+
+def _pq_slices(dim: int, m: int) -> list[tuple[int, int]]:
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    w = dim // m
+    return [(j * w + 1, w) for j in range(m)]   # 1-based for slice()
+
+
+def pq_train(embs: DataFrame, m: int = 8, kc: int = 256, iters: int = 2,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> list[list[list[float]]]:
+    """Per-subspace codebooks via the deterministic Lloyd's machinery
+    (clustering.kmeans: lowest-id init, means rounded to 6 decimals).
+    Training cost: m × iters bounded (kc × dim/m)-double collects —
+    the 'training, not serving' posture of bpe/kmeans.  Serving-scale
+    params are m=8..16, kc=256 (1 byte/code); the contract gate runs a
+    tiny (m=2, kc=4) instance the SQL oracle unrolls exactly."""
+    from sparksearch.clustering import kmeans
+    dim = len(embs.select(vec_col).first()[0])
+    books = []
+    for start, w in _pq_slices(dim, m):
+        sub = embs.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), start, w).alias("sub"))
+        _, cents = kmeans(sub, k=kc, iters=iters, id_col=id_col,
+                          vec_col="sub")
+        books.append(cents)
+    return books
+
+
+def _pq_dist_expr(sub_sql: str, cent: list[float]) -> str:
+    arr = "array(" + ", ".join(repr(float(x)) for x in cent) + ")"
+    return (f"aggregate(zip_with({sub_sql}, {arr}, "
+            f"(x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)")
+
+
+def pq_encode(embs: DataFrame, books: list[list[list[float]]],
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """(id, code array<int>): per subspace, the index of the nearest
+    codebook centroid (ties → lowest index).  One constant-folded JVM
+    projection — m×kc distance expressions, no Python, no shuffle.
+    Footprint: m codes ≈ m bytes of information per vector vs 4·dim
+    bytes of floats (64× at dim=64, m=8, kc=256)."""
+    m = len(books)
+    dim = sum(len(b[0]) for b in books) if books else 0
+    codes = []
+    for j, (start, w) in enumerate(_pq_slices(dim, m)):
+        sub = f"slice(transform({vec_col}, x -> CAST(x AS DOUBLE)), " \
+              f"{start}, {w})"
+        dists = ("array(" + ", ".join(_pq_dist_expr(sub, c)
+                                      for c in books[j]) + ")")
+        codes.append(f"CAST(array_position({dists}, "
+                     f"array_min({dists})) - 1 AS INT)")
+    return embs.select(F.col(id_col),
+                       F.expr("array(" + ", ".join(codes) + ")")
+                       .alias("code"))
+
+
+def pq_knn(embs: DataFrame, query_id: int, k: int = 10, m: int = 2,
+           kc: int = 4, iters: int = 1, id_col: str = "vec_id",
+           vec_col: str = "embedding") -> DataFrame:
+    """ADC top-k: approximate squared-L2 of query vs every PQ code —
+    dist ≈ Σ_j table_j[code_j], table_j precomputed driver-side from the
+    query's subvectors (m×kc doubles).  The scan reads only the m-int
+    code column (at 100 TB: the codes table is ~dim·4/m× smaller than
+    the floats and the per-row work is m array lookups inside codegen);
+    one TakeOrderedAndProject, no shuffle, no Python."""
+    books = pq_train(embs, m=m, kc=kc, iters=iters, id_col=id_col,
+                     vec_col=vec_col)
+    codes = pq_encode(embs, books, id_col=id_col, vec_col=vec_col)
+    q = embs.where(F.col(id_col) == query_id) \
+        .select(F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))")
+                .alias("v")).first()["v"]
+    dim = len(q)
+    tables = []
+    for j, (start, w) in enumerate(_pq_slices(dim, m)):
+        qj = q[start - 1: start - 1 + w]
+        tables.append([sum((a - b) * (a - b) for a, b in zip(qj, c))
+                       for c in books[j]])
+    parts = [
+        "element_at(array("
+        + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in tables[j])
+        + f"), code[{j}] + 1)" for j in range(m)]
+    adc = " + ".join(parts)
+    return (codes.where(F.col(id_col) != query_id)
+            .select(id_col, F.round(F.expr(adc), 6).alias("adc"))
+            .orderBy(F.col("adc").asc(), F.col(id_col).asc())
+            .limit(k))

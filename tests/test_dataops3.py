@@ -100,3 +100,46 @@ def test_stratified_split_fraction_validation(spark):
     docs = spark.createDataFrame([(1,)], "doc_id long")
     with pytest.raises(ValueError, match="sum to 1"):
         stratified_split(docs, {"train": 0.5, "test": 0.1})
+
+
+# ---------------------------------------------------------------------------
+# product quantization (ADC kNN)
+# ---------------------------------------------------------------------------
+
+def test_pq_encode_shape_and_range(spark):
+    from sparksearch.dataops import pq_encode, pq_train
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = pq_train(emb, m=4, kc=8, iters=1)
+    assert len(books) == 4 and all(len(b) == 8 for b in books)
+    assert all(len(c) == 16 for b in books for c in b)   # 64/4 dims
+    rows = pq_encode(emb, books).collect()
+    assert all(len(r["code"]) == 4 for r in rows)
+    assert all(0 <= c < 8 for r in rows for c in r["code"])
+
+
+def test_pq_knn_recall_against_exact_l2(spark):
+    import numpy as np
+
+    from sparksearch.dataops import pq_knn
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    got = {r["vec_id"]
+           for r in pq_knn(emb, query_id=7, k=10, m=16, kc=16,
+                           iters=2).collect()}
+    pdf = emb.toPandas()
+    V = np.array([list(map(float, v)) for v in pdf["embedding"]])
+    ids = pdf["vec_id"].to_numpy()
+    q = V[ids == 7][0]
+    d = ((V - q) ** 2).sum(1)
+    mask = ids != 7
+    exact = set(ids[mask][np.argsort(d[mask], kind="stable")][:10].tolist())
+    # unrefined PQ on synthetic near-uniform vectors: modest but real
+    assert len(got & exact) >= 3
+
+
+def test_pq_dim_not_divisible_raises(spark):
+    import pytest
+
+    from sparksearch.dataops import pq_train
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="divisible"):
+        pq_train(emb, m=7)
