@@ -1456,3 +1456,69 @@ def pq_knn(embs: DataFrame, query_id: int, k: int = 10, m: int = 2,
             .select(id_col, F.round(F.expr(adc), 6).alias("adc"))
             .orderBy(F.col("adc").asc(), F.col(id_col).asc())
             .limit(k))
+
+
+def pq_knn_refined(emb: DataFrame, query_id: int, k: int = 10,
+                   m: int = 8, kc: int = 16, iters: int = 2,
+                   refine_factor: int = 4, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """PQ/ADC candidates re-ranked by EXACT L2 (the faiss `refine`
+    stage): take the top k·refine_factor codes by ADC, fetch only those
+    float vectors (a broadcast semi-join — k·rf rows, never the corpus),
+    and exact-score them.  Recovers most of the recall PQ loses while
+    the full scan still reads only the m-int code column."""
+    cand = pq_knn(emb, query_id, k=k * refine_factor, m=m, kc=kc,
+                  iters=iters, id_col=id_col, vec_col=vec_col) \
+        .select(id_col)
+    v = F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))")
+    e = emb.select(F.col(id_col), v.alias("_v"))
+    q = e.where(F.col(id_col) == query_id).first()["_v"]
+    qarr = "array(" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in q) + ")"
+    l2 = F.expr(f"aggregate(zip_with(_v, {qarr}, "
+                f"(x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)")
+    return (e.join(F.broadcast(cand), id_col)
+            .select(id_col, F.round(l2, 6).alias("l2"))
+            .orderBy(F.col("l2").asc(), F.col(id_col).asc())
+            .limit(k))
+
+
+def ivfpq_knn(emb: DataFrame, query_id: int, k: int = 10,
+              n_cells: int = 8, n_probe: int = 2, m: int = 8,
+              kc: int = 16, iters: int = 2, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ: the coarse IVF cell filter composed with the PQ/ADC scan
+    (faiss IndexIVFPQ, the OpenSearch k-NN plugin's billion-scale
+    config).  The scan touches only the n_probe nearest cells AND only
+    the m-int code column inside them — the two orthogonal reductions
+    multiply.  Deterministic like both parents (sampled coarse codebook,
+    lowest-id Lloyd init).
+
+    This self-contained form trains the PQ codebooks on the probed
+    subset per call (gate-friendly determinism); the serving shape is
+    `pq_train` once on a corpus sample + `pq_encode` at ingest with the
+    cell id, so a query is two pushed-down filters and an ADC scan.
+    faiss encodes residuals (v − coarse centroid); plain-vector codes
+    here — a documented simplification, same asymptotics."""
+    cents = [list(map(float, r[vec_col])) for r in
+             emb.where(F.col(id_col) < n_cells)
+                .orderBy(id_col).select(vec_col).collect()]
+    v = F.col(vec_col).cast("array<double>")
+    cs = F.array(*[_cosine(v, F.array(*[F.lit(x) for x in c]))
+                   for c in cents])
+    cell = (F.array_position(cs, F.array_max(cs)) - 1).cast("int")
+    assigned = emb.withColumn("_cell", cell)
+    qv = list(map(float, emb.where(F.col(id_col) == query_id)
+                  .select(vec_col).first()[0]))
+    import math as _m
+
+    def _cos_py(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (_m.sqrt(sum(x * x for x in a))
+                      * _m.sqrt(sum(x * x for x in b)) or 1.0)
+
+    order = sorted(range(len(cents)),
+                   key=lambda i: (-_cos_py(qv, cents[i]), i))
+    probed = assigned.where(F.col("_cell").isin(order[:n_probe])) \
+        .drop("_cell")
+    return pq_knn(probed, query_id, k=k, m=m, kc=kc, iters=iters,
+                  id_col=id_col, vec_col=vec_col)
