@@ -1,4 +1,4 @@
-"""Round-3 contract entries: plugin-tier mappers + geoip enrich.
+"""Round-3 continuation contract entries.
 
 - mapping_size     — mapper-size `_size` metadata field (SizeFieldMapper)
 - murmur3_hash     — mapper-murmur3 hash field; gate = injectivity on the
@@ -7,6 +7,15 @@
 - annotated_text   — mapper-annotated-text token streams vs hand goldens
 - geoip_enrich     — ingest-geoip analogue: CIDR-range attribute lookup
                      through the /16-bucketed broadcast equi-join
+- script_expression — lang-expression lowered to the painless compiler
+- dsir_weights     — DSIR bigram importance log-weights vs a full SQL
+                     mirror (training-data op)
+- knn_pq_adc       — product-quantization ADC kNN vs a DuckDB unroll of
+                     the identical train/encode/table arithmetic
+- stem_snowball_ro/hu/fi/tr/de2, stem_indonesian, stem_galician_min —
+                     continuation stemmers vs hand-derived goldens
+- lang_analyzer_tr/fi — prebuilt analyzer compositions vs goldens
+- tf_cologne, tf_icu_normalizer — Kölner Phonetik / ICU nfkc_cf filters
 """
 
 from __future__ import annotations

@@ -143,3 +143,37 @@ def test_pq_dim_not_divisible_raises(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     with pytest.raises(ValueError, match="divisible"):
         pq_train(emb, m=7)
+
+
+def test_pq_refined_recall_improves_or_matches(spark):
+    import numpy as np
+
+    from sparksearch.dataops import pq_knn, pq_knn_refined
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    plain = {r["vec_id"] for r in
+             pq_knn(emb, 7, k=10, m=16, kc=16, iters=2).collect()}
+    refined = {r["vec_id"] for r in
+               pq_knn_refined(emb, 7, k=10, m=16, kc=16, iters=2,
+                              refine_factor=4).collect()}
+    pdf = emb.toPandas()
+    V = np.array([list(map(float, v)) for v in pdf["embedding"]])
+    ids = pdf["vec_id"].to_numpy()
+    q = V[ids == 7][0]
+    d = ((V - q) ** 2).sum(1)
+    mask = ids != 7
+    exact = set(ids[mask][np.argsort(d[mask], kind="stable")][:10].tolist())
+    assert len(refined & exact) >= len(plain & exact)
+    assert len(refined & exact) >= 5     # refine recovers real recall
+
+
+def test_ivfpq_probe_filter_composes(spark):
+    from sparksearch.dataops import ivfpq_knn
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = ivfpq_knn(emb, query_id=3, k=5, n_cells=4, n_probe=2,
+                     m=4, kc=4, iters=1).collect()
+    assert len(rows) == 5
+    assert all(r["vec_id"] != 3 for r in rows)
+    # deterministic across invocations
+    again = ivfpq_knn(emb, query_id=3, k=5, n_cells=4, n_probe=2,
+                      m=4, kc=4, iters=1).collect()
+    assert [r["vec_id"] for r in rows] == [r["vec_id"] for r in again]
