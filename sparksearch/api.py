@@ -60,6 +60,16 @@ _BODY_KEYS = frozenset({
     "collapse", "highlight", "explain", "suggest", "profile", "_source",
     "aggs", "aggregations", "script_fields", "runtime_mappings",
     "docvalue_fields", "fields", "terminate_after",
+    # accepted for drop-in body compatibility:
+    # - timeout: a best-effort latency bound in the reference
+    #   (QueryPhase checks a timer between segments); a batch Spark job
+    #   has no mid-query cancellation point, so it is recorded and the
+    #   response reports timed_out=false — a documented no-op, never a
+    #   silent behavior change
+    # - stored_fields: this engine's docs table IS the stored-fields
+    #   store, so the key routes through the same doc-column fetch as
+    #   docvalue_fields
+    "timeout", "stored_fields",
 })
 
 
@@ -350,7 +360,7 @@ def search_df(ex, body: dict, pages: DataFrame | None = None,
         doc_fields.add(body["collapse"]["field"])
     # `fields` (FetchFieldsPhase) and `docvalue_fields` both force doc
     # columns into the fetch regardless of _source filtering
-    for fk in ("docvalue_fields", "fields"):
+    for fk in ("docvalue_fields", "fields", "stored_fields"):
         doc_fields |= {f["field"] if isinstance(f, dict) else f
                        for f in body.get(fk, [])}
     sf_compiled: dict = {}
@@ -631,6 +641,8 @@ def run_search(ex, body: dict, pages: DataFrame | None = None,
                      if h["_score"] is not None), default=None)
     resp = {"hits": {"total": total_rep,
                      "max_score": max_score, "hits": hits}}
+    if "timeout" in body:
+        resp["timed_out"] = False      # documented no-op, see _BODY_KEYS
     if ta:
         resp["terminated_early"] = terminated_early
     if "aggs" in body:

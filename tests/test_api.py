@@ -605,3 +605,19 @@ def test_vector_body_errors(ex, emb001):
                                           {"vector": qv, "k": 3}}},
                         "aggs": {"l": {"terms": {"field": "lang"}}}},
                    emb=emb001)
+
+
+def test_body_timeout_and_stored_fields(spark, index_sf0001):
+    """`timeout` accepted (documented no-op: timed_out=false reported);
+    `stored_fields` fetches doc columns like docvalue_fields."""
+    from sparksearch.api import run_search
+    from sparksearch.exec import Executor
+    ex = Executor(index_sf0001)
+    resp = run_search(ex, {
+        "query": {"match": {"text": "join"}},
+        "size": 3, "timeout": "2s", "stored_fields": ["lang"]})
+    assert resp["timed_out"] is False
+    assert len(resp["hits"]["hits"]) == 3
+    # stored_fields forces the column into the fetched source
+    assert all(h["_source"].get("lang")
+               for h in resp["hits"]["hits"])
