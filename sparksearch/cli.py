@@ -14,6 +14,10 @@ Usage (cluster; exercised end-to-end against Spark's spark-submit):
         --index /data/index --match "hash join" --k 10 [--wand]
     spark-submit --py-files sparksearch.zip sparksearch/cli.py search \
         --index /data/index --body body.json   # full _search request body
+    spark-submit --py-files sparksearch.zip sparksearch/cli.py snapshot \
+        --index /data/index --repo /backups/repo --name nightly-01
+    spark-submit --py-files sparksearch.zip sparksearch/cli.py restore \
+        --repo /backups/repo --name nightly-01 --dest /data/index_restored
 
 The driver-side session builder honors an existing SparkSession when run
 under spark-submit (getOrCreate) — master/cores/memory come from the
@@ -131,6 +135,31 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_snapshot(args) -> int:
+    """Incremental content-addressed snapshot of a committed index
+    (snapshot.py); one Spark task per file unless --local."""
+    from sparksearch.snapshot import create_snapshot
+    spark = None if args.local else _spark("sparksearch-snapshot")
+    m = create_snapshot(args.index, args.repo, args.name, spark=spark)
+    print(json.dumps({"snapshot": m["name"], **m["metrics"]}))
+    return 0
+
+
+def cmd_restore(args) -> int:
+    from sparksearch.snapshot import restore_snapshot
+    m = restore_snapshot(args.repo, args.name, args.dest,
+                         verify=not args.no_verify)
+    print(json.dumps({"restored": m["name"], "dest": args.dest,
+                      **m["metrics"]}))
+    return 0
+
+
+def cmd_snapshots(args) -> int:
+    from sparksearch.snapshot import list_snapshots
+    print(json.dumps(list_snapshots(args.repo)))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="sparksearch")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -182,6 +211,25 @@ def main(argv: list[str] | None = None) -> int:
     se.add_argument("--body", required=True,
                     help="path to a _search JSON body, or - for stdin")
     se.set_defaults(fn=cmd_search)
+
+    sn = sub.add_parser("snapshot")
+    sn.add_argument("--index", required=True)
+    sn.add_argument("--repo", required=True)
+    sn.add_argument("--name", required=True)
+    sn.add_argument("--local", action="store_true",
+                    help="driver-side copies (default fans out via Spark)")
+    sn.set_defaults(fn=cmd_snapshot)
+
+    rs = sub.add_parser("restore")
+    rs.add_argument("--repo", required=True)
+    rs.add_argument("--name", required=True)
+    rs.add_argument("--dest", required=True)
+    rs.add_argument("--no-verify", action="store_true")
+    rs.set_defaults(fn=cmd_restore)
+
+    sl = sub.add_parser("snapshots")
+    sl.add_argument("--repo", required=True)
+    sl.set_defaults(fn=cmd_snapshots)
 
     args = p.parse_args(argv)
     return args.fn(args)

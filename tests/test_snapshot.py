@@ -113,6 +113,22 @@ def test_verify_catches_corruption(snap_env, tmp_path):
     assert verify_repository(repo)["corrupt"] == []
 
 
+def test_cli_snapshot_restore_roundtrip(spark, snap_env, capsys):
+    from sparksearch.cli import main
+    repo = str(snap_env["base"] / "cli_repo")
+    dest = str(snap_env["base"] / "cli_restored")
+    assert main(["snapshot", "--index", snap_env["ix"], "--repo", repo,
+                 "--name", "cli-1", "--local"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["snapshot"] == "cli-1" and out["copied_bytes"] > 0
+    assert main(["snapshots", "--repo", repo]) == 0
+    assert [s["name"] for s in
+            json.loads(capsys.readouterr().out.strip())] == ["cli-1"]
+    assert main(["restore", "--repo", repo, "--name", "cli-1",
+                 "--dest", dest]) == 0
+    assert _search_pairs(spark, dest) == _search_pairs(spark, snap_env["ix"])
+
+
 def test_delete_gc_keeps_shared_blobs(spark, snap_env):
     repo = snap_env["repo"]
     res = delete_snapshot(repo, "s1", gc=True)
