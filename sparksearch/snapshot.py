@@ -38,7 +38,7 @@ import time
 
 __all__ = [
     "create_snapshot", "restore_snapshot", "list_snapshots",
-    "delete_snapshot", "verify_repository",
+    "delete_snapshot", "verify_repository", "mount_snapshot",
 ]
 
 _BLOBS = "blobs"
@@ -179,11 +179,18 @@ def list_snapshots(repo_dir: str) -> list[dict]:
 
 
 def restore_snapshot(repo_dir: str, name: str, dest_dir: str,
-                     spark=None, verify: bool = True) -> dict:
+                     spark=None, verify: bool = True,
+                     link: bool = False) -> dict:
     """Materialize snapshot ``name`` into ``dest_dir`` (must not already
     contain an index).  With ``verify`` every restored file is re-hashed
     against the manifest, so blob-store corruption fails the restore
-    instead of producing a silently-wrong index."""
+    instead of producing a silently-wrong index.
+
+    ``link=True`` hardlinks blobs instead of copying — a zero-copy
+    restore (falls back to copy across filesystems).  Safe because both
+    the blob store and the index dataset are immutable-once-written;
+    deleting the snapshot later leaves the linked index intact (the
+    inode survives until its last link goes)."""
     mpath = _manifest_path(repo_dir, name)
     if not os.path.exists(mpath):
         raise FileNotFoundError(f"no snapshot {name!r} in {repo_dir}")
@@ -199,6 +206,12 @@ def restore_snapshot(repo_dir: str, name: str, dest_dir: str,
         if verify and _sha256(blob) != e["sha256"]:
             raise IOError(
                 f"blob {e['sha256'][:12]} for {e['path']} is corrupt")
+        if link:
+            try:
+                os.link(blob, dst)
+                return e["path"]
+            except OSError:
+                pass  # cross-device — fall through to copy
         shutil.copyfile(blob, dst)
         return e["path"]
 
@@ -210,6 +223,22 @@ def restore_snapshot(repo_dir: str, name: str, dest_dir: str,
         for e in files:
             _one(e)
     return manifest
+
+
+def mount_snapshot(repo_dir: str, name: str, spark, mount_dir: str):
+    """Searchable snapshot: open an IndexReader directly off the
+    repository without copying index bytes.  The reference's
+    searchable-snapshots feature queries a snapshot in remote storage
+    through a block-fetching directory
+    (`server/src/main/java/org/opensearch/index/store/remote/file/OnDemandBlockSnapshotIndexInput.java`);
+    here the analogue is a hardlink mount — the parquet scan reads the
+    repository's own blobs, and Spark's scan pruning plays the role of
+    on-demand block fetch (only the buckets/row-groups a query touches
+    are ever read).  ``mount_dir`` holds only directory entries, not
+    data."""
+    restore_snapshot(repo_dir, name, mount_dir, verify=False, link=True)
+    from sparksearch.index import IndexReader
+    return IndexReader(spark, mount_dir)
 
 
 def delete_snapshot(repo_dir: str, name: str, gc: bool = True) -> dict:

@@ -113,6 +113,22 @@ def test_verify_catches_corruption(snap_env, tmp_path):
     assert verify_repository(repo)["corrupt"] == []
 
 
+def test_mount_snapshot_is_zero_copy_and_searchable(spark, snap_env):
+    from sparksearch.snapshot import mount_snapshot
+    from sparksearch.exec import Executor
+    from sparksearch.queries import Match
+    mnt = str(snap_env["base"] / "mounted")
+    ixr = mount_snapshot(snap_env["repo"], "s2", spark, mnt)
+    ex = Executor(ixr)
+    rows = ex.search(Match("text", "hash join table"), k=10).collect()
+    got = sorted((r["url"], round(r["score"], 9)) for r in rows)
+    assert got == _search_pairs(spark, snap_env["ix"])
+    # every mounted file is a hardlink to a repo blob, not a copy
+    for root, _dirs, files in os.walk(mnt):
+        for f in files:
+            assert os.stat(os.path.join(root, f)).st_nlink >= 2
+
+
 def test_cli_snapshot_restore_roundtrip(spark, snap_env, capsys):
     from sparksearch.cli import main
     repo = str(snap_env["base"] / "cli_repo")
