@@ -43,9 +43,17 @@ def _read_pages(spark, path: str):
     if path.endswith(".json") or path.endswith(".jsonl"):
         return reader.json(path)
     try:
-        return reader.format("iceberg").load(path)
+        df = reader.format("iceberg").load(path)
     except Exception:
-        return reader.parquet(path)
+        df = reader.parquet(path)
+    cols = set(df.columns)
+    if "url" not in cols and {"doc_id", "text"} <= cols:
+        # a documents-shaped table (the testdata corpus): synthesize the
+        # pages(url, warc_ts, html, text, lang) shape deterministically
+        # instead of failing the build with a missing-column error
+        from sparksearch.corpus import pages_from_docs_frame
+        return pages_from_docs_frame(df)
+    return df
 
 
 def cmd_build(args) -> int:

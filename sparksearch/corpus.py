@@ -54,19 +54,27 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     HTML comment to exercise the extractor (FIXTURES.md §1).
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pages_from_docs_frame(docs)
+
+
+def pages_from_docs_frame(docs: DataFrame) -> DataFrame:
+    """Same mapping over an already-loaded documents frame (doc_id, text
+    [, lang]) — the CLI's auto-adapter for documents-shaped inputs."""
     d = F.col("doc_id")
     comment = F.when(d % 20 == 0, F.lit(_HTML_COMMENT)).otherwise(F.lit(""))
     html_str = F.concat(
         F.lit(_HTML_PREFIX), comment, F.lit(_HTML_MID),
         _escape(F.col("text")), F.lit(_HTML_SUFFIX),
     )
+    lang = (F.col("lang") if "lang" in docs.columns
+            else F.lit("en")).alias("lang")
     return docs.select(
         _url_expr(d).alias("url"),
         (F.to_timestamp(F.lit("2025-01-01 00:00:00"))
          + F.make_interval(secs=d.cast("double"))).alias("warc_ts"),
         F.encode(html_str, "UTF-8").alias("html"),
         F.col("text"),
-        F.col("lang"),
+        lang,
     )
 
 
