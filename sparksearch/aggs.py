@@ -60,6 +60,7 @@ __all__ = [
     "rescore",
     "matrix_stats",
     "moving_window_aggs",
+    "moving_avg_model",
     "bucket_script_chain",
     "rare_terms",
     "multi_terms",
@@ -293,6 +294,120 @@ def moving_window_aggs(buckets: DataFrame, metric: str = "doc_count",
             .withColumn("moving_max", F.max(m).over(w))
             .withColumn("serial_diff",
                         (m - F.lag(m, lag).over(lw)).cast("double"))
+            .orderBy("key"))
+
+
+def _mov_model_expr(vals: str, model: str, alpha: float, beta: float,
+                    gamma: float, period: int, multiplicative: bool) -> str:
+    """Catalyst SQL expression evaluating one reference mov_avg model over
+    an array<double> column named `vals` (the trailing window, oldest
+    first). Mirrors MovingFunctions.java:126-380 exactly, including the
+    quirks: linear's totalWeight starts at 1; holt seeds b=0 from the
+    first point; holt_winters' initial seasonal is vs[i]/s in BOTH modes,
+    the additive seasonal update uses (last_s - last_b), and multiplicative
+    inputs get +1e-10 padding."""
+    a, b, g, p = (repr(float(alpha)) + "D", repr(float(beta)) + "D",
+                  repr(float(gamma)) + "D", int(period))
+    if model == "simple":
+        return (f"CASE WHEN size({vals}) > 0 THEN "
+                f"aggregate({vals}, 0.0D, (acc, x) -> acc + x)"
+                f" / size({vals}) END")
+    if model == "linear":
+        # avg = sum(v_i * i), totalWeight = 1 + sum(1..n)
+        # (MovingFunctions.linearWeightedAvg:126-139 — the initial
+        #  totalWeight = 1 is a reference quirk, preserved)
+        return (f"CASE WHEN size({vals}) > 0 THEN "
+                f"aggregate(zip_with({vals}, sequence(1, size({vals})),"
+                f" (v, i) -> v * CAST(i AS DOUBLE)), 0.0D,"
+                f" (acc, x) -> acc + x)"
+                f" / (1.0D + size({vals}) * (size({vals}) + 1) / 2.0D)"
+                f" END")
+    if model == "ewma":
+        # avg <- x*alpha + avg*(1-alpha), seeded with the first value
+        # (MovingFunctions.ewma:155-170)
+        return (f"CASE WHEN size({vals}) > 0 THEN "
+                f"aggregate(slice({vals}, 2, size({vals}) - 1),"
+                f" element_at({vals}, 1),"
+                f" (acc, x) -> x * {a} + acc * (1.0D - {a})) END")
+    if model == "holt":
+        # s1 = v1, b1 = 0; s' = a*x + (1-a)*(s+b); b' = be*(s'-s)+(1-be)*b;
+        # 1-step forecast = s (MovingFunctions.holtForecast:200-240)
+        sn = f"({a} * x + (1.0D - {a}) * (acc.s + acc.b))"
+        return (f"CASE WHEN size({vals}) > 0 THEN "
+                f"aggregate(slice({vals}, 2, size({vals}) - 1),"
+                f" named_struct('s', element_at({vals}, 1), 'b', 0.0D),"
+                f" (acc, x) -> named_struct("
+                f"   's', {sn},"
+                f"   'b', {b} * ({sn} - acc.s) + (1.0D - {b}) * acc.b),"
+                f" acc -> acc.s) END")
+    if model == "holt_winters":
+        # MovingFunctions.holtWintersForecast:276-380 — needs >= 2*period
+        # points (HoltWintersModel.hasValue:266); level/trend initialised
+        # from the first two seasons, seasonal fold carries the growing
+        # seasonal array in the accumulator.
+        pad = " + 0.0000000001D" if multiplicative else ""
+        vs = f"transform({vals}, v -> v{pad})"
+        s0 = f"(aggregate(slice({vs}, 1, {p}), 0.0D, (acc, x) -> acc + x) / {p}D)"
+        b0 = (f"(aggregate(zip_with(slice({vs}, {p} + 1, {p}),"
+              f" slice({vs}, 1, {p}), (hi, lo) -> (hi - lo) / {p}D),"
+              f" 0.0D, (acc, x) -> acc + x) / {p}D)")
+        seas0 = (f"CASE WHEN {s0} = 0.0D THEN"
+                 f" transform(slice({vs}, 1, {p}), v -> 0.0D)"
+                 f" ELSE transform(slice({vs}, 1, {p}), v -> v / {s0}) END")
+        sp = f"element_at(acc.seas, size(acc.seas) - {p} + 1)"
+        if multiplicative:
+            sn = f"({a} * (x / {sp}) + (1.0D - {a}) * (acc.s + acc.b))"
+            se = f"({g} * (x / (acc.s + acc.b)) + (1.0D - {g}) * {sp})"
+            fin = (f"(acc.s + acc.b)"
+                   f" * element_at(acc.seas, size(acc.seas) - {p} + 1)")
+        else:
+            sn = f"({a} * (x - {sp}) + (1.0D - {a}) * (acc.s + acc.b))"
+            se = f"({g} * (x - (acc.s - acc.b)) + (1.0D - {g}) * {sp})"
+            fin = (f"acc.s + acc.b"
+                   f" + element_at(acc.seas, size(acc.seas) - {p} + 1)")
+        return (f"CASE WHEN size({vals}) >= 2 * {p} THEN "
+                f"aggregate(slice({vs}, {p} + 1, size({vs}) - {p}),"
+                f" named_struct('s', {s0}, 'b', {b0}, 'seas', {seas0}),"
+                f" (acc, x) -> named_struct("
+                f"   's', {sn},"
+                f"   'b', {b} * ({sn} - acc.s) + (1.0D - {b}) * acc.b,"
+                f"   'seas', concat(acc.seas, array({se}))),"
+                f" acc -> {fin}) END")
+    raise ValueError(f"unknown mov_avg model {model!r}")
+
+
+def moving_avg_model(buckets: DataFrame, metric: str = "doc_count",
+                     model: str = "ewma", window: int = 5,
+                     alpha: float = 0.3, beta: float = 0.1,
+                     gamma: float = 0.3, period: int = 1,
+                     multiplicative: bool = False) -> DataFrame:
+    """mov_avg with the reference's pluggable model registry: simple /
+    linear / ewma / holt (HoltLinearModel.java) / holt_winters
+    (HoltWintersModel.java:56), per MovAvgPipelineAggregator.reduce:120-172
+    semantics — the window for bucket i is the trailing `window` bucket
+    values EXCLUDING bucket i, a bucket gets a value only when
+    model.hasValue(|window|) (>=1, or >= 2*period for holt_winters), and
+    null metric values are skipped (gap_policy skip).
+
+    The recursion is evaluated as a Catalyst `aggregate` HOF fold over a
+    `collect_list` trailing frame — no Python UDF. Like the reference
+    (pipeline aggs reduce bucket-by-bucket on one coordinator), this is a
+    single-task pass over the already-reduced bucket table, which is
+    histogram-sized by construction; `minimize` (random-restart parameter
+    fitting, EwmaModel.neighboringModel) is not implemented."""
+    m = F.col(metric).cast("double")
+    w = Window.orderBy("key").rowsBetween(-window, -1)
+    expr = _mov_model_expr("__mv_vals", model, alpha, beta, gamma, period,
+                           multiplicative)
+    return (buckets
+            .withColumn("__mv_vals", F.collect_list(m).over(w))
+            # a null/NaN-valued bucket gets no mov_avg in the reference
+            # (the InternalSimpleValue is added inside the non-null branch,
+            # MovAvgPipelineAggregator.java:149-160)
+            .withColumn("moving_avg",
+                        F.when(m.isNotNull(),
+                               F.round(F.expr(expr).cast("double"), 6)))
+            .drop("__mv_vals")
             .orderBy("key"))
 
 
