@@ -383,8 +383,21 @@ def write_stats(spark: SparkSession, out_dir: str, stats_df: DataFrame,
 
 
 def write_meta(out_dir: str, meta: dict) -> None:
-    """Atomic meta.json replace -- the index's commit point (segments_N)."""
+    """Atomic meta.json replace -- the index's commit point (segments_N).
+
+    ``created_ts`` is stamped on the FIRST commit and preserved across
+    later commits (add_generation / delete sync / expunge), so age-based
+    conditions (rollover max_age) measure from index creation like the
+    reference's index.creation_date setting, not from the last commit."""
     os.makedirs(out_dir, exist_ok=True)
+    if "created_ts" not in meta:
+        prior = None
+        try:
+            with open(f"{out_dir}/meta.json") as f:
+                prior = json.load(f).get("created_ts")
+        except (OSError, ValueError):
+            prior = None
+        meta["created_ts"] = prior if prior is not None else time.time()
     tmp = f"{out_dir}/meta.json.tmp"
     with open(tmp, "w") as f:
         json.dump(meta, f, indent=2)

@@ -355,16 +355,19 @@ def rollover(registry_path: str, alias: str, new_index_dir: str,
     REST-response shape: per-condition evaluation + `rolled_over`.
 
     Conditions: ``max_docs`` vs the index's committed ``n_docs``;
-    ``max_age_s`` vs the meta.json commit time (the index's birth as
-    readers see it).  No conditions at all = unconditional rollover,
-    matching the REST default.
+    ``max_age_s`` vs the index's ``created_ts`` (stamped at first commit
+    by build.write_meta — the reference's index.creation_date; meta.json's
+    mtime moves on EVERY commit, which would let a frequently-updated
+    index defer age-based rollover forever).  No conditions at all =
+    unconditional rollover, matching the REST default.
     """
     import os
     import time as _time
     cur = resolve_alias(registry_path, alias)
     with open(f"{cur}/meta.json") as f:
         meta = json.load(f)
-    age_s = _time.time() - os.path.getmtime(f"{cur}/meta.json")
+    born = meta.get("created_ts") or os.path.getmtime(f"{cur}/meta.json")
+    age_s = _time.time() - born
     conds: dict[str, bool] = {}
     if max_docs is not None:
         conds[f"[max_docs: {max_docs}]"] = meta["n_docs"] >= max_docs
@@ -390,18 +393,23 @@ def reshard(spark: SparkSession, index_dir: str, out_dir: str,
     Scale shape: one full postings scan + one shuffle on the new bucket
     key — no tokenization, no stats recompute; the docs and stats tables
     are rewritten as-is (index-sort layout + manifest preserved).
-    Tombstones are applied (expunged) during the rewrite while n_docs /
-    stats carry over unchanged, so scoring matches the source exactly —
-    the reference's deletes-don't-affect-idf-until-merge behavior.
-    Works on the row-postings layout; rebuild packed segments afterwards
-    with `segments.build_segments`.
+    Tombstones are carried over AS TOMBSTONES (pre-merge semantics): the
+    raw rows are rewritten, the delete files are copied, and
+    n_docs / n_deleted / stats all carry over unchanged — so scoring
+    matches the source exactly (the reference's
+    deletes-don't-affect-idf-until-merge behavior) AND the doc-count
+    bookkeeping stays internally consistent: a later expunge_deletes on
+    the resharded index reconciles counts the same way it would have on
+    the source.  Works on the row-postings layout; rebuild packed
+    segments afterwards with `segments.build_segments`.
     """
     import os
+    import shutil
 
     from pyspark.sql import functions as F
     ix = IndexReader(spark, index_dir)
     os.makedirs(out_dir, exist_ok=True)
-    post = ix.postings.drop("bucket").withColumn(
+    post = ix._gen_union("postings").drop("bucket").withColumn(
         "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
     p = partitions or max(8, n_buckets)
     parts = ["pday", "bucket"] if ix.time_partition else ["bucket"]
@@ -415,22 +423,28 @@ def reshard(spark: SparkSession, index_dir: str, out_dir: str,
         from sparksearch.build import write_sort_manifest
         fld = isort["field"]
         key = F.col(fld).asc() if isort["asc"] else F.col(fld).desc()
-        (ix.docs.repartitionByRange(max(1, p // 2), key,
-                                    F.col("docid").asc())
+        (ix._gen_union("docs")
+         .repartitionByRange(max(1, p // 2), key,
+                             F.col("docid").asc())
          .sortWithinPartitions(key, F.col("docid").asc())
          .write.mode("overwrite").parquet(f"{out_dir}/docs/gen=0"))
         write_sort_manifest(f"{out_dir}/docs/gen=0", fld)
     elif ix.time_partition:
-        (ix.docs.write.mode("overwrite").partitionBy("pday")
+        (ix._gen_union("docs").write.mode("overwrite").partitionBy("pday")
          .parquet(f"{out_dir}/docs/gen=0"))
     else:
-        ix.docs.write.mode("overwrite").parquet(f"{out_dir}/docs/gen=0")
+        ix._gen_union("docs").write.mode("overwrite") \
+            .parquet(f"{out_dir}/docs/gen=0")
     ix.stats.write.mode("overwrite").parquet(f"{out_dir}/{ix.stats_path}")
     meta = dict(ix.meta)
     meta["n_buckets"] = int(n_buckets)
     meta["generations"] = [0]
-    meta.pop("deletes", None)
-    meta["n_deleted"] = 0
+    # pre-merge semantics: tombstone files come along, counts unchanged
+    for rel in ix.delete_files:
+        dst = os.path.join(out_dir, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.copytree(os.path.join(index_dir, rel), dst,
+                        dirs_exist_ok=True)
     meta["resharded_from"] = index_dir
     tmp = f"{out_dir}/meta.json.tmp"
     with open(tmp, "w") as f:

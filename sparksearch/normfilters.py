@@ -391,12 +391,34 @@ def concatenate_graph_filter(cfg: dict):
 #  IcuFoldingTokenFilterFactory.java)
 # ---------------------------------------------------------------------------
 
+# Default_Ignorable_Code_Point ranges (UCD DerivedCoreProperties.txt) —
+# NFKC_Casefold maps these to nothing (soft hyphen, ZWNJ/ZWJ, bidi
+# controls, variation selectors, Hangul fillers, tag characters, ...)
+_DEFAULT_IGNORABLE = (
+    (0x00AD, 0x00AD), (0x034F, 0x034F), (0x061C, 0x061C),
+    (0x115F, 0x1160), (0x17B4, 0x17B5), (0x180B, 0x180F),
+    (0x200B, 0x200F), (0x202A, 0x202E), (0x2060, 0x206F),
+    (0x3164, 0x3164), (0xFE00, 0xFE0F), (0xFEFF, 0xFEFF),
+    (0xFFA0, 0xFFA0), (0xFFF0, 0xFFF8), (0x1BCA0, 0x1BCA3),
+    (0x1D173, 0x1D17A), (0xE0000, 0xE0FFF),
+)
+
+
+def _strip_default_ignorable(t: str) -> str:
+    return "".join(
+        c for c in t
+        if not any(lo <= ord(c) <= hi for lo, hi in _DEFAULT_IGNORABLE))
+
+
 def icu_normalizer_filter(cfg: dict):
     """``icu_normalizer`` (analysis-icu): Unicode normalization with
     ``name`` nfc|nfkc|nfkc_cf (default nfkc_cf).  nfc/nfkc are the exact
-    Unicode normal forms (unicodedata); nfkc_cf = NFKC + case fold,
-    composed from NFKC and str.casefold() per the Unicode definition —
-    semantics-exact, no ICU library needed for these three modes."""
+    Unicode normal forms (unicodedata); nfkc_cf = NFKC + case fold +
+    Default_Ignorable_Code_Point removal, composed per the Unicode
+    NFKC_Casefold definition (UAX #31 / DerivedNormalizationProps: DI
+    code points map to nothing) — semantics-exact, no ICU library needed
+    for these three modes.  DI chars are stripped both before and after
+    normalization (NFKC can itself emit one: U+3164 -> U+1160)."""
     import unicodedata
     name = (cfg or {}).get("name", "nfkc_cf").lower()
     if name == "nfc":
@@ -404,8 +426,10 @@ def icu_normalizer_filter(cfg: dict):
     elif name == "nfkc":
         fn = lambda t: unicodedata.normalize("NFKC", t)
     elif name == "nfkc_cf":
-        fn = lambda t: unicodedata.normalize(
-            "NFKC", unicodedata.normalize("NFKC", t).casefold())
+        fn = lambda t: _strip_default_ignorable(unicodedata.normalize(
+            "NFKC",
+            unicodedata.normalize(
+                "NFKC", _strip_default_ignorable(t)).casefold()))
     else:
         raise NotImplementedError(
             f"icu_normalizer name {name!r} (nfc/nfkc/nfkc_cf supported)")

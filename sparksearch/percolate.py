@@ -76,20 +76,22 @@ def percolate(docs: DataFrame, queries: DataFrame,
                      # single-term phrase to plain membership instead
                      F.when(n_terms == 1, n_present >= 1)
                      .otherwise((n_terms >= 2) & phrase_ok)))
-    if "must" in queries.columns or "must_not" in queries.columns:
-        cols = queries.columns
-        must = F.col("must") if "must" in cols else F.lit(None) \
-            .cast("array<string>")
-        must_not = F.col("must_not") if "must_not" in cols else \
-            F.lit(None).cast("array<string>")
-        must_ok = F.coalesce(F.forall(must, present), F.lit(True))
-        not_ok = ~F.coalesce(F.exists(must_not, present), F.lit(False))
-        should_ok = F.when(
-            n_terms > 0,
-            n_present >= F.coalesce(F.col("msm"), F.lit(1))) \
-            .otherwise(F.lit(True))
-        matched = matched.when(F.col("kind") == "bool",
-                               must_ok & not_ok & should_ok)
+    # the bool branch is ALWAYS present (missing must/must_not columns
+    # default to null = no constraint) so a should-only bool still matches
+    # instead of falling through to otherwise(False)
+    cols = queries.columns
+    must = F.col("must") if "must" in cols else F.lit(None) \
+        .cast("array<string>")
+    must_not = F.col("must_not") if "must_not" in cols else \
+        F.lit(None).cast("array<string>")
+    must_ok = F.coalesce(F.forall(must, present), F.lit(True))
+    not_ok = ~F.coalesce(F.exists(must_not, present), F.lit(False))
+    should_ok = F.when(
+        n_terms > 0,
+        n_present >= F.coalesce(F.col("msm"), F.lit(1))) \
+        .otherwise(F.lit(True))
+    matched = matched.when(F.col("kind") == "bool",
+                           must_ok & not_ok & should_ok)
     matched = matched.otherwise(F.lit(False))
     out = paired.where(matched).select("url", "qid")
     return out.orderBy("url", "qid") if sort else out

@@ -76,6 +76,51 @@ def _put_blob(repo_dir: str, src: str, digest: str) -> bool:
     return True
 
 
+class _repo_lock:
+    """Advisory single-writer lock on the repository (O_CREAT|O_EXCL on
+    <repo>/.lock).  The reference serializes snapshot create/delete
+    through the cluster state's repository generation
+    (BlobStoreRepository#latestIndexBlobId); a filesystem repo gets the
+    same invariant from this lock: a delete's GC can no longer collect
+    blobs an in-flight create uploaded before its manifest committed.
+    Stale locks (holder died) are broken after ``stale_s``."""
+
+    def __init__(self, repo_dir: str, timeout_s: float = 30.0,
+                 stale_s: float = 300.0):
+        self.path = os.path.join(repo_dir, ".lock")
+        self.timeout_s = timeout_s
+        self.stale_s = stale_s
+
+    def __enter__(self):
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        deadline = time.time() + self.timeout_s
+        while True:
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return self
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(self.path) \
+                            > self.stale_s:
+                        os.remove(self.path)  # break a dead holder's lock
+                        continue
+                except OSError:
+                    continue
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"repository {self.path} is locked by another "
+                        f"writer (single-writer invariant)")
+                time.sleep(0.05)
+
+    def __exit__(self, *exc):
+        try:
+            os.remove(self.path)
+        except OSError:
+            pass
+
+
 def _index_files(index_dir: str) -> list[str]:
     """Relative paths of every committed index file.  Hadoop's hidden
     `.crc` / `._SUCCESS.crc` shadow files are excluded, like the
@@ -119,7 +164,12 @@ def create_snapshot(index_dir: str, repo_dir: str, name: str,
     rels = _index_files(index_dir)
     os.makedirs(os.path.join(repo_dir, _SNAPS), exist_ok=True)
     os.makedirs(os.path.join(repo_dir, _BLOBS), exist_ok=True)
+    with _repo_lock(repo_dir):
+        return _create_locked(index_dir, repo_dir, name, spark, ts, meta,
+                              rels)
 
+
+def _create_locked(index_dir, repo_dir, name, spark, ts, meta, rels):
     if spark is not None:
         ix_dir, rp_dir = index_dir, repo_dir  # rebind for the closure
 
@@ -243,26 +293,30 @@ def mount_snapshot(repo_dir: str, name: str, spark, mount_dir: str):
 
 def delete_snapshot(repo_dir: str, name: str, gc: bool = True) -> dict:
     """Drop a snapshot; with ``gc`` remove blobs no surviving manifest
-    references (BlobStoreRepository#cleanup)."""
-    mpath = _manifest_path(repo_dir, name)
-    if not os.path.exists(mpath):
-        raise FileNotFoundError(f"no snapshot {name!r} in {repo_dir}")
-    os.remove(mpath)
-    removed = 0
-    freed = 0
-    if gc:
-        live: set[str] = set()
-        for snap in list_snapshots(repo_dir):
-            with open(_manifest_path(repo_dir, snap["name"])) as f:
-                live.update(e["sha256"] for e in json.load(f)["files"])
-        bdir = os.path.join(repo_dir, _BLOBS)
-        for root, _dirs, files in os.walk(bdir):
-            for fn in files:
-                if fn not in live and not fn.endswith(".tmp"):
-                    p = os.path.join(root, fn)
-                    freed += os.path.getsize(p)
-                    os.remove(p)
-                    removed += 1
+    references (BlobStoreRepository#cleanup).  Runs under the repository
+    single-writer lock so GC cannot collect blobs an in-flight
+    create_snapshot uploaded before its manifest committed; in-flight
+    tmp blobs ('<digest>.tmp.<pid>.<n>') are also skipped."""
+    with _repo_lock(repo_dir):
+        mpath = _manifest_path(repo_dir, name)
+        if not os.path.exists(mpath):
+            raise FileNotFoundError(f"no snapshot {name!r} in {repo_dir}")
+        os.remove(mpath)
+        removed = 0
+        freed = 0
+        if gc:
+            live: set[str] = set()
+            for snap in list_snapshots(repo_dir):
+                with open(_manifest_path(repo_dir, snap["name"])) as f:
+                    live.update(e["sha256"] for e in json.load(f)["files"])
+            bdir = os.path.join(repo_dir, _BLOBS)
+            for root, _dirs, files in os.walk(bdir):
+                for fn in files:
+                    if fn not in live and ".tmp" not in fn:
+                        p = os.path.join(root, fn)
+                        freed += os.path.getsize(p)
+                        os.remove(p)
+                        removed += 1
     return {"deleted": name, "blobs_removed": removed, "bytes_freed": freed}
 
 
