@@ -255,7 +255,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from sparksearch import contract_round3e as CR3E
     from sparksearch import contract_round3f as CR3F
     from sparksearch import contract_round4 as CR4
+    from sparksearch import contract_round4b as CR4B
     out.update(CR4.queries())
+    out.update(CR4B.queries())
     out.update(CR3F.queries())
     out.update(CR3E.queries())
     out.update(CR3D.queries())
@@ -315,8 +317,10 @@ def oracle_sql() -> dict[str, str]:
     from sparksearch import contract_round3e as CR3E
     from sparksearch import contract_round3f as CR3F
     from sparksearch import contract_round4 as CR4
+    from sparksearch import contract_round4b as CR4B
     out = dict(CD.oracle_sql())
     out.update(CR4.oracle_sql())
+    out.update(CR4B.oracle_sql())
     out.update(CR3F.oracle_sql())
     out.update(CR3E.oracle_sql())
     out.update(CR3D.oracle_sql())

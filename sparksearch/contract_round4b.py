@@ -1,0 +1,141 @@
+"""Driver-contract entries for round 4 (b): the served IVF-PQ lifecycle.
+
+- knn_ivfpq_served — `ivfpq_build` ONCE per sf_dir (coarse assign →
+  residual → pq_train → pq_encode → parquet partitioned by cell +
+  codebook sidecar), then `ivfpq_query` answers from the persisted
+  codes with NO retraining and NO float-vector scan: the cell filter is
+  directory pruning, the id exclusion a pushed-down filter, the ADC a
+  constant-folded CASE.  This gates the faiss IndexIVFPQ shape the
+  OpenSearch k-NN plugin serves (plugin/src/main/java/org/opensearch/
+  knn/index/) including residual encoding (by_residual=true), replacing
+  the per-call `ivfpq_knn` form as the scale story.
+
+The DuckDB oracle unrolls the identical arithmetic: coarse L2 argmin to
+the n_cells lowest-id vectors, residual subtraction, one deterministic
+Lloyd iteration per subspace (init = kc lowest-id residual subvectors,
+means rounded to 6 dp, empty clusters keep init), nearest-codebook
+encoding, per-probed-cell query-residual ADC tables, round(·, 6).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+_N_CELLS, _N_PROBE, _M, _KC, _Q, _K = 8, 3, 4, 8, 7, 10
+_DIM = 64
+
+_IVF_DIRS: dict[str, str] = {}
+
+
+def _index_dir(spark, sf_dir: str) -> str:
+    key = os.path.realpath(sf_dir)
+    if key not in _IVF_DIRS:
+        from sparksearch.dataops import ivfpq_build
+        out = os.path.join(
+            tempfile.gettempdir(),
+            "sparksearch_ivfpq_" + key.strip("/").replace("/", "_"))
+        if not os.path.exists(os.path.join(out, "ivfpq_meta.json")):
+            emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            ivfpq_build(emb, out, n_cells=_N_CELLS, m=_M, kc=_KC, iters=1)
+        _IVF_DIRS[key] = out
+    return _IVF_DIRS[key]
+
+
+def q_knn_ivfpq_served(spark, sf_dir):
+    """Train-once / encode-at-ingest / query-many IVF-PQ with residual
+    codes (faiss IndexIVFPQ; k-NN plugin `method: ivf, encoder: pq`)."""
+    from sparksearch.dataops import ivfpq_query
+    idx = _index_dir(spark, sf_dir)
+    qv = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+          .where(F.col("vec_id") == _Q).first()["embedding"])
+    out = ivfpq_query(spark, idx, qv, k=_K, n_probe=_N_PROBE,
+                      exclude_id=_Q)
+    return out.select(F.col("vid").alias("vec_id"), "adc")
+
+
+def sql_knn_ivfpq_served() -> str:
+    nc, np_, m, kc, q, k, dim = \
+        _N_CELLS, _N_PROBE, _M, _KC, _Q, _K, _DIM
+    w = dim // m
+    l2 = ("list_sum(list_transform(range(1, len({a}) + 1), "
+          "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))")
+    dfull = l2.format(a="e.v", b="cc.ccv")
+    dsql = l2.format(a="s.sv", b="c.cv")
+    parts = [f"""
+e AS ( SELECT vec_id AS vid,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       FROM embeddings ),
+cc AS ( SELECT vid AS ccid, v AS ccv FROM e WHERE vid < {nc} ),
+asg AS ( SELECT vid, v, ccid AS cell, ccv FROM (
+           SELECT e.vid, e.v, cc.ccid, cc.ccv, {dfull} AS d,
+                  row_number() OVER (PARTITION BY e.vid
+                      ORDER BY {dfull} ASC, cc.ccid ASC) AS rn
+           FROM e, cc ) WHERE rn = 1 ),
+r AS ( SELECT vid, cell,
+              list_transform(range(1, len(v) + 1), i -> v[i] - ccv[i]) AS v
+       FROM asg )""".strip()]
+    for j in range(m):
+        lo, hi = j * w + 1, (j + 1) * w
+        parts.append(f"""
+s{j} AS ( SELECT vid, (v)[{lo}:{hi}] AS sv FROM r ),
+c{j}0 AS ( SELECT row_number() OVER (ORDER BY vid) - 1 AS cid, sv AS cv
+           FROM ( SELECT vid, sv FROM s{j} ORDER BY vid LIMIT {kc} ) ),
+a{j}1 AS ( SELECT vid, sv, cid AS cl FROM (
+             SELECT s.vid, s.sv, c.cid, {dsql} AS d,
+                    row_number() OVER (PARTITION BY s.vid
+                        ORDER BY {dsql} ASC, c.cid ASC) AS rn
+             FROM s{j} s, c{j}0 c ) WHERE rn = 1 ),
+cm{j}1 AS ( SELECT cl AS cid, list(mm ORDER BY pos) AS cv FROM (
+              SELECT cl, pos, round(avg(val), 6) AS mm
+              FROM ( SELECT cl, unnest(sv) AS val,
+                            generate_subscripts(sv, 1) AS pos FROM a{j}1 )
+              GROUP BY cl, pos ) GROUP BY cl ),
+c{j}1 AS ( SELECT cid, cv FROM cm{j}1
+           UNION ALL
+           SELECT cid, cv FROM c{j}0
+           WHERE cid NOT IN ( SELECT cid FROM cm{j}1 ) ),
+f{j} AS ( SELECT vid, cid AS code FROM (
+            SELECT s.vid, c.cid, {dsql} AS d,
+                   row_number() OVER (PARTITION BY s.vid
+                       ORDER BY {dsql} ASC, c.cid ASC) AS rn
+            FROM s{j} s, c{j}1 c ) WHERE rn = 1 ),
+qs{j} AS ( SELECT cell, (v)[{lo}:{hi}] AS sv FROM qr ),
+t{j} AS ( SELECT s.cell, c.cid,
+                 {dsql} AS tv
+          FROM qs{j} s, c{j}1 c )""".strip())
+    qcte = f"""
+qv AS ( SELECT v FROM e WHERE vid = {q} ),
+pc AS ( SELECT ccid AS cell, ccv FROM (
+          SELECT cc.ccid, cc.ccv,
+                 {l2.format(a="q.v", b="cc.ccv")} AS d
+          FROM cc, qv q ORDER BY d ASC, cc.ccid ASC LIMIT {np_} ) ),
+qr AS ( SELECT pc.cell,
+               list_transform(range(1, len(q.v) + 1),
+                              i -> q.v[i] - pc.ccv[i]) AS v
+        FROM pc, qv q )""".strip()
+    parts.insert(1, qcte)
+    ctes = ",\n".join(parts)
+    adcsum = " + ".join(f"t{j}.tv" for j in range(m))
+    joins = "\n".join(
+        f"JOIN t{j} ON t{j}.cell = r.cell AND t{j}.cid = f{j}.code"
+        for j in range(m))
+    fjoins = " ".join(f"JOIN f{j} USING (vid)" for j in range(m))
+    return f"""
+WITH {ctes}
+SELECT r.vid AS vec_id, round({adcsum}, 6) AS adc
+FROM r {fjoins}
+{joins}
+WHERE r.vid != {q}
+ORDER BY adc ASC, vec_id ASC LIMIT {k}
+""".strip()
+
+
+def queries() -> dict:
+    return {"knn_ivfpq_served": q_knn_ivfpq_served}
+
+
+def oracle_sql() -> dict:
+    return {"knn_ivfpq_served": sql_knn_ivfpq_served()}

@@ -1405,12 +1405,14 @@ def _pq_dist_expr(sub_sql: str, cent: list[float]) -> str:
 
 def pq_encode(embs: DataFrame, books: list[list[list[float]]],
               id_col: str = "vec_id",
-              vec_col: str = "embedding") -> DataFrame:
+              vec_col: str = "embedding",
+              keep: tuple = ()) -> DataFrame:
     """(id, code array<int>): per subspace, the index of the nearest
     codebook centroid (ties → lowest index).  One constant-folded JVM
     projection — m×kc distance expressions, no Python, no shuffle.
     Footprint: m codes ≈ m bytes of information per vector vs 4·dim
-    bytes of floats (64× at dim=64, m=8, kc=256)."""
+    bytes of floats (64× at dim=64, m=8, kc=256).  `keep` passes
+    extra columns through (e.g. the IVF cell id at ingest)."""
     m = len(books)
     dim = sum(len(b[0]) for b in books) if books else 0
     codes = []
@@ -1422,6 +1424,7 @@ def pq_encode(embs: DataFrame, books: list[list[list[float]]],
         codes.append(f"CAST(array_position({dists}, "
                      f"array_min({dists})) - 1 AS INT)")
     return embs.select(F.col(id_col),
+                       *[F.col(c) for c in keep],
                        F.expr("array(" + ", ".join(codes) + ")")
                        .alias("code"))
 
@@ -1494,11 +1497,12 @@ def ivfpq_knn(emb: DataFrame, query_id: int, k: int = 10,
     lowest-id Lloyd init).
 
     This self-contained form trains the PQ codebooks on the probed
-    subset per call (gate-friendly determinism); the serving shape is
-    `pq_train` once on a corpus sample + `pq_encode` at ingest with the
-    cell id, so a query is two pushed-down filters and an ADC scan.
-    faiss encodes residuals (v − coarse centroid); plain-vector codes
-    here — a documented simplification, same asymptotics."""
+    subset per call and codes plain vectors — a convenience/demo shape.
+    The SERVING path (and the gated one: contract entry
+    `knn_ivfpq_served`) is `ivfpq_build` once → persisted cell-
+    partitioned codes with RESIDUAL encoding (faiss by_residual) →
+    `ivfpq_query` many, where a query is directory pruning + a pushed
+    filter + an ADC scan with no retraining."""
     cents = [list(map(float, r[vec_col])) for r in
              emb.where(F.col(id_col) < n_cells)
                 .orderBy(id_col).select(vec_col).collect()]
@@ -1522,3 +1526,127 @@ def ivfpq_knn(emb: DataFrame, query_id: int, k: int = 10,
         .drop("_cell")
     return pq_knn(probed, query_id, k=k, m=m, kc=kc, iters=iters,
                   id_col=id_col, vec_col=vec_col)
+
+
+# ---------------------------------------------------------------------------
+# Served IVF-PQ: the train-once / encode-at-ingest / query-many lifecycle
+# (faiss IndexIVFPQ as exposed by the OpenSearch k-NN plugin's
+# `method: {name: ivf, encoder: pq}` — KNNEngine.FAISS index build at
+# plugin/src/main/java/org/opensearch/knn/index/*).  This is the shape
+# that runs at 100 TB: training happens once on a sample, every ingested
+# vector is reduced to an m-int code + a cell id, and a query touches
+# only the n_probe probed cell partitions and only the code column.
+# ---------------------------------------------------------------------------
+
+def _l2_expr(col_sql: str, cent: list[float]):
+    arr = "array(" + ", ".join(repr(float(x)) for x in cent) + ")"
+    return (f"aggregate(zip_with({col_sql}, {arr}, "
+            f"(x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)")
+
+
+def ivfpq_build(emb: DataFrame, out_dir: str, n_cells: int = 8,
+                m: int = 8, kc: int = 16, iters: int = 1,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> dict:
+    """Build a persistent IVF-PQ index with RESIDUAL encoding.
+
+    1. coarse quantizer: the n_cells lowest-id vectors (a supplied /
+       sampled coarse codebook — faiss IndexIVF accepts an arbitrary
+       pre-trained quantizer; swap in `clustering.kmeans` centroids for
+       a trained one, the layout is identical);
+    2. cell assignment by squared-L2 argmin (ties → lowest cell) — one
+       constant-folded JVM projection;
+    3. residual r = v − centroid[cell] (faiss `by_residual=true`): PQ
+       codebooks are trained on residuals, which concentrates the
+       per-subspace variance and is what recovers IVF-PQ's recall at
+       large n_cells;
+    4. `pq_train` on the residuals (deterministic Lloyd, means rounded
+       to 6 dp), `pq_encode` of the residuals with the cell id kept;
+    5. codes written as parquet PARTITIONED BY cell (so the query-time
+       cell filter is directory pruning, not a scan) and the sidecar
+       `ivfpq_meta.json` holds centroids + codebooks (n_cells×dim +
+       m×kc×dim/m doubles — driver/broadcast sized at any corpus).
+
+    Scale shape: one pass to assign+residual+encode (no shuffle — the
+    partitionBy write is the only exchange), training cost bounded by
+    `pq_train`'s m × iters (kc × dim/m)-double collects.
+    """
+    import json
+    import os
+    e = emb.select(
+        F.col(id_col).alias("vid"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("v"))
+    cents = [list(map(float, r["v"])) for r in
+             e.where(F.col("vid") < n_cells).orderBy("vid").collect()]
+    if len(cents) < n_cells:
+        raise ValueError(f"need >= {n_cells} vectors with id < n_cells")
+    dim = len(cents[0])
+    dists = "array(" + ", ".join(_l2_expr("v", c) for c in cents) + ")"
+    cell = (f"CAST(array_position({dists}, "
+            f"array_min({dists})) - 1 AS INT)")
+    cent_arr = "array(" + ", ".join(
+        "array(" + ", ".join(repr(float(x)) for x in c) + ")"
+        for c in cents) + ")"
+    resid = (e.withColumn("cell", F.expr(cell))
+             .withColumn("rv", F.expr(
+                 f"zip_with(v, element_at({cent_arr}, cell + 1), "
+                 f"(x, y) -> x - y)")))
+    books = pq_train(resid, m=m, kc=kc, iters=iters,
+                     id_col="vid", vec_col="rv")
+    codes = pq_encode(resid, books, id_col="vid", vec_col="rv",
+                      keep=("cell",))
+    (codes.repartition("cell")
+     .write.mode("overwrite").partitionBy("cell")
+     .parquet(os.path.join(out_dir, "codes")))
+    meta = {"n_cells": n_cells, "m": m, "kc": kc, "dim": dim,
+            "iters": iters, "centroids": cents, "books": books}
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = os.path.join(out_dir, "ivfpq_meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(out_dir, "ivfpq_meta.json"))
+    return meta
+
+
+def ivfpq_query(spark, index_dir: str, qvec, k: int = 10,
+                n_probe: int = 2, exclude_id=None) -> DataFrame:
+    """Answer a query against an `ivfpq_build` index: NO training, NO
+    float-vector scan.  Driver side: n_cells L2s pick the n_probe
+    nearest cells (ties → lowest cell) and one m×kc ADC table per
+    probed cell is computed from the query RESIDUAL q − centroid[cell].
+    Executor side: a scan of the codes parquet pruned to the probed
+    cell directories (PartitionFilters) + the id exclusion
+    (PushedFilters), per-row cost = m array lookups via a CASE over
+    the probed cells, one TakeOrderedAndProject.  At 100 TB the scan
+    reads n_probe/n_cells of an m-byte-per-vector table."""
+    import json
+    import os
+    with open(os.path.join(index_dir, "ivfpq_meta.json")) as f:
+        meta = json.load(f)
+    cents, books, m = meta["centroids"], meta["books"], meta["m"]
+    dim = meta["dim"]
+    q = [float(x) for x in qvec]
+    d2 = [sum((a - b) * (a - b) for a, b in zip(q, c)) for c in cents]
+    probed = sorted(range(len(cents)), key=lambda i: (d2[i], i))[:n_probe]
+    arms = []
+    for c in probed:
+        qr = [a - b for a, b in zip(q, cents[c])]
+        parts = []
+        for j, (start, w) in enumerate(_pq_slices(dim, m)):
+            qj = qr[start - 1: start - 1 + w]
+            tab = [sum((a - b) * (a - b) for a, b in zip(qj, cv))
+                   for cv in books[j]]
+            parts.append(
+                "element_at(array("
+                + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in tab)
+                + f"), code[{j}] + 1)")
+        arms.append((c, " + ".join(parts)))
+    adc = "CASE " + " ".join(
+        f"WHEN cell = {c} THEN ({e})" for c, e in arms) + " END"
+    codes = (spark.read.parquet(os.path.join(index_dir, "codes"))
+             .where(F.col("cell").isin(probed)))
+    if exclude_id is not None:
+        codes = codes.where(F.col("vid") != exclude_id)
+    return (codes.select("vid", F.round(F.expr(adc), 6).alias("adc"))
+            .orderBy(F.col("adc").asc(), F.col("vid").asc())
+            .limit(k))
