@@ -133,9 +133,51 @@ ORDER BY adc ASC, vec_id ASC LIMIT {k}
 """.strip()
 
 
+def q_ingest_attachment(spark, sf_dir):
+    """ingest-attachment analogue (AttachmentProcessor.java:132-200):
+    each document's text is wrapped in a REAL Flate-compressed PDF
+    inside the job (Arrow batches, bytes never leave executors), then
+    the attachment processor sniffs the type and extracts content /
+    content_length / title back — a byte-exact round trip."""
+    import pandas as pd
+    from sparksearch.attachments import ingest_attachment, make_pdf
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text"))
+
+    def wrap(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "data": [make_pdf(t, title=f"doc-{i}")
+                         for i, t in zip(pdf["doc_id"], pdf["text"])]})
+
+    pdfs = docs.mapInPandas(wrap, schema="doc_id long, data binary")
+    out = ingest_attachment(pdfs, field="data")
+    return (out.select("doc_id",
+                       F.col("attachment_content_type").alias("ctype"),
+                       F.col("attachment_content_length").alias("clen"),
+                       F.col("attachment_title").alias("title"),
+                       F.col("attachment_content").alias("content"))
+            .orderBy("doc_id"))
+
+
+def sql_ingest_attachment() -> str:
+    return """
+SELECT doc_id,
+       'application/pdf' AS ctype,
+       CAST(length(trim(text)) AS BIGINT) AS clen,
+       'doc-' || CAST(doc_id AS VARCHAR) AS title,
+       trim(text) AS content
+FROM documents ORDER BY doc_id
+""".strip()
+
+
 def queries() -> dict:
-    return {"knn_ivfpq_served": q_knn_ivfpq_served}
+    return {"knn_ivfpq_served": q_knn_ivfpq_served,
+            "ingest_attachment": q_ingest_attachment}
 
 
 def oracle_sql() -> dict:
-    return {"knn_ivfpq_served": sql_knn_ivfpq_served()}
+    return {"knn_ivfpq_served": sql_knn_ivfpq_served(),
+            "ingest_attachment": sql_ingest_attachment()}
