@@ -573,9 +573,6 @@ def run_search(ex, body: dict, pages: DataFrame | None = None,
         # (explain_many plans docid isin over the term-pruned postings),
         # not a driver round-trip per hit
         from sparksearch.fetchops import explain_many
-        from sparksearch.queries import Match as _Match
-        if not isinstance(q, _Match):
-            raise ValueError("body explain supports match queries")
         erows = _timed(
             "explain_batch",
             explain_many(ex, q, [r["docid"] for r in rows]).collect)

@@ -150,7 +150,7 @@ LIMIT {k}
 
 def sloppy_phrase_sql(text: str, slop: int, k: int = 10) -> str:
     """match_phrase with slop > 0 — displacement-sum semantics mirroring
-    exec._plan_phrase_sloppy: anchor each position of the first term; per
+    exec._phrase_freq_sloppy: anchor each position of the first term; per
     later term take the min |p_i − (p0+i)|; anchors with Σd ≤ slop weigh
     1/(1+Σd) into the sloppy phrase frequency."""
     terms = _terms_list(text)

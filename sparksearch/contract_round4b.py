@@ -173,11 +173,127 @@ FROM documents ORDER BY doc_id
 """.strip()
 
 
+# ---------------------------------------------------------------------------
+# explain for bool / phrase (round-3 VERDICT "Missing #5": the reference
+# explains every query type — ExplainPhase.java; api.py previously raised
+# for anything but match)
+# ---------------------------------------------------------------------------
+
+_EXP_BOOL = None  # built lazily by _bool_q()
+
+
+def _bool_q():
+    from sparksearch.queries import Bool, Match
+    return Bool(must=[Match("text", "join")],
+                should=[Match("text", "fast"), Match("text", "slow")],
+                must_not=[Match("text", "error")])
+
+
+def q_explain_bool(spark, sf_dir):
+    """Per-clause BM25 breakdown for every top-10 hit of a mixed bool —
+    Lucene BooleanWeight's "sum of:" subtree flattened with a clause
+    label (fetchops._explain_bool)."""
+    from sparksearch import contract as C
+    from sparksearch.fetchops import explain_many
+    _, ex = C.get_engine(spark, sf_dir)
+    q = _bool_q()
+    top = C.topk_rounded(ex, q, k=10).collect()
+    return explain_many(ex, q, [r["docid"] for r in top])
+
+
+def sql_explain_bool() -> str:
+    from sparksearch import contract as C
+    P, TOK, DL = C._PAGES, C._TOK, C._DL
+    idf = C._idf_sql("dft.df", "g.n")
+    tfn = C._tfn_sql("tf.tf", "dlq.dl_q", "g.avgdl")
+    return f"""
+WITH {P}, {TOK}, {DL},
+tf AS ( SELECT docid, term, count(*) AS tf FROM tok
+        WHERE term IN ('error','fast','join','slow') GROUP BY docid, term ),
+dft AS ( SELECT term, count(*) AS df FROM tf GROUP BY term ),
+sc AS ( SELECT tf.docid, tf.term, tf.tf, dft.df,
+               {idf} AS idf_v, {tfn} AS tfn_v
+        FROM tf JOIN dft USING (term) JOIN dlq USING (docid) CROSS JOIN g ),
+agg AS (
+  SELECT docid,
+         sum(CASE WHEN term = 'join' THEN idf_v * tfn_v ELSE 0 END) AS s_must,
+         sum(CASE WHEN term IN ('fast','slow') THEN idf_v * tfn_v
+                  ELSE 0 END) AS s_opt,
+         bool_or(term = 'join') AS has_must,
+         bool_or(term = 'error') AS has_not
+  FROM sc GROUP BY docid ),
+top10 AS ( SELECT docid FROM agg
+           WHERE has_must AND NOT has_not
+           ORDER BY round(s_must + s_opt, 4) DESC, docid ASC LIMIT 10 )
+SELECT sc.docid,
+       CASE sc.term WHEN 'join' THEN 'must[0]:match(text:join)'
+                    WHEN 'fast' THEN 'should[0]:match(text:fast)'
+                    WHEN 'slow' THEN 'should[1]:match(text:slow)' END AS clause,
+       sc.term, CAST(sc.tf AS DOUBLE) AS tf, CAST(sc.df AS BIGINT) AS df,
+       CAST(round(sc.idf_v, 6) AS DOUBLE) AS idf,
+       CAST(round(sc.tfn_v, 6) AS DOUBLE) AS tfn,
+       CAST(1.0 AS DOUBLE) AS weight,
+       CAST(round(sc.idf_v * sc.tfn_v, 6) AS DOUBLE) AS contribution
+FROM sc JOIN top10 USING (docid)
+WHERE sc.term != 'error'
+ORDER BY sc.docid, clause, sc.term
+""".strip()
+
+
+def q_explain_phrase(spark, sf_dir):
+    """Phrase pseudo-term explanation for every top-10 phrase hit —
+    tf = phrase frequency, idf = Σ member idfs (PhraseWeight.explain)."""
+    from sparksearch import contract as C
+    from sparksearch.fetchops import explain_many
+    from sparksearch.queries import MatchPhrase
+    _, ex = C.get_engine(spark, sf_dir)
+    q = MatchPhrase("text", "hash join")
+    top = C.topk_rounded(ex, q, k=10).collect()
+    return explain_many(ex, q, [r["docid"] for r in top])
+
+
+def sql_explain_phrase() -> str:
+    from sparksearch import contract as C
+    P, TOKPOS, DL = C._PAGES, C._TOKPOS, C._DL
+    idf_terms = " + ".join(
+        f"(SELECT {C._idf_sql('count(*)', '(SELECT n FROM g)')} "
+        f"FROM (SELECT DISTINCT docid FROM tokpos WHERE term = '{t}'))"
+        for t in ("hash", "join"))
+    tfn = C._tfn_sql("ph.pf", "dlq.dl_q", "g.avgdl")
+    return f"""
+WITH {P},
+{TOKPOS},
+tok AS ( SELECT docid, term FROM tokpos ),
+{DL},
+p0 AS ( SELECT docid, pos FROM tokpos WHERE term = 'hash' ),
+p1 AS ( SELECT docid, pos FROM tokpos WHERE term = 'join' ),
+ph AS ( SELECT p0.docid, count(*) AS pf
+        FROM p0 JOIN p1 ON p1.docid = p0.docid AND p1.pos = p0.pos + 1
+        GROUP BY p0.docid ),
+top10 AS ( SELECT docid FROM (
+             SELECT ph.docid, ({idf_terms}) * {tfn} AS score
+             FROM ph JOIN dlq USING (docid) CROSS JOIN g )
+           ORDER BY round(score, 4) DESC, docid ASC LIMIT 10 )
+SELECT ph.docid, 'hash join' AS term,
+       CAST(ph.pf AS DOUBLE) AS tf, CAST(NULL AS BIGINT) AS df,
+       CAST(round({idf_terms}, 6) AS DOUBLE) AS idf,
+       CAST(round({tfn}, 6) AS DOUBLE) AS tfn,
+       CAST(1.0 AS DOUBLE) AS weight,
+       CAST(round(({idf_terms}) * {tfn}, 6) AS DOUBLE) AS contribution
+FROM ph JOIN top10 USING (docid) JOIN dlq USING (docid) CROSS JOIN g
+ORDER BY ph.docid
+""".strip()
+
+
 def queries() -> dict:
     return {"knn_ivfpq_served": q_knn_ivfpq_served,
-            "ingest_attachment": q_ingest_attachment}
+            "ingest_attachment": q_ingest_attachment,
+            "query_explain_bool": q_explain_bool,
+            "query_explain_phrase": q_explain_phrase}
 
 
 def oracle_sql() -> dict:
     return {"knn_ivfpq_served": sql_knn_ivfpq_served(),
-            "ingest_attachment": sql_ingest_attachment()}
+            "ingest_attachment": sql_ingest_attachment(),
+            "query_explain_bool": sql_explain_bool(),
+            "query_explain_phrase": sql_explain_phrase()}

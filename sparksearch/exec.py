@@ -763,10 +763,16 @@ class Executor:
         if len(terms) == 1:
             return self._plan_match(
                 Match(q.field_name, q.text, analyzer=q.analyzer), scored)
-        if q.slop > 0:
-            return self._plan_phrase_sloppy(terms, q.slop, scored)
-        # n-way docid join of the member terms' postings; phrase frequency =
-        # |pos_0 ∩ (pos_1 - 1) ∩ ... ∩ (pos_i - i)| — built-in array ops only
+        joined = (self._phrase_freq_sloppy(terms, q.slop) if q.slop > 0
+                  else self._phrase_freq_exact(terms))
+        return self._phrase_score(joined, terms, scored)
+
+    def _phrase_freq_exact(self, terms: list[str]) -> DataFrame:
+        """(docid, dl_q, pf) for an exact (slop 0) phrase — shared by
+        scoring and `_explain` (fetchops.explain_many).
+        n-way docid join of the member terms' postings; phrase frequency =
+        |pos_0 ∩ (pos_1 - 1) ∩ ... ∩ (pos_i - i)| — built-in array ops
+        only."""
         uniq = sorted(set(terms))
         p = self.ix.postings_for(uniq).select("term", "docid", "positions", "dl_q")
         def shift_by(i: int):
@@ -785,10 +791,9 @@ class Executor:
         joined = reduce(lambda a, b: a.join(b, "docid"), legs)
         pf = reduce(lambda acc, i: F.array_intersect(acc, F.col(f"pos{i}")),
                     range(1, len(terms)), F.col("pos0"))
-        joined = joined.select("docid", "dl_q",
-                               F.size(pf).cast("double").alias("pf")) \
-                       .filter(F.col("pf") > 0)
-        return self._phrase_score(joined, terms, scored)
+        return joined.select("docid", "dl_q",
+                             F.size(pf).cast("double").alias("pf")) \
+                     .filter(F.col("pf") > 0)
 
     def _plan_multi_phrase(self, ptoks, q: MatchPhrase,
                            scored: bool) -> DataFrame:
@@ -840,9 +845,10 @@ class Executor:
         flat = [t for g in slots for t in g]
         return self._phrase_score(joined, flat, scored)
 
-    def _plan_phrase_sloppy(self, terms: list[str], slop: int,
-                            scored: bool) -> DataFrame:
-        """Sloppy phrase (slop > 0): anchor at each position p0 of terms[0];
+    def _phrase_freq_sloppy(self, terms: list[str],
+                            slop: int) -> DataFrame:
+        """(docid, dl_q, pf) for a sloppy phrase — shared by scoring and
+        `_explain`.  Anchor at each position p0 of terms[0];
         per later term i, displacement d_i = min over its positions of
         |p_i − (p0+i)| via array_min/transform (JVM higher-order fns, no
         explode of non-anchor legs); anchors with Σd_i ≤ slop contribute
@@ -874,11 +880,10 @@ class Executor:
         d_total = reduce(lambda a, b: a + b, dcols)
         matched = (cur.withColumn("_d", d_total.cast("double"))
                       .filter(F.col("_d") <= float(slop)))
-        joined = (matched.groupBy("docid", "dl_q")
-                  .agg(F.sum(F.lit(1.0) / (F.lit(1.0) + F.col("_d")))
-                       .alias("pf"))
-                  .select("docid", "dl_q", "pf"))
-        return self._phrase_score(joined, terms, scored)
+        return (matched.groupBy("docid", "dl_q")
+                .agg(F.sum(F.lit(1.0) / (F.lit(1.0) + F.col("_d")))
+                     .alias("pf"))
+                .select("docid", "dl_q", "pf"))
 
     def _phrase_score(self, joined: DataFrame, terms: list[str],
                       scored: bool) -> DataFrame:

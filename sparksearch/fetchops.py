@@ -326,14 +326,46 @@ def explain_many(ex, q, docids: list) -> DataFrame:
     is a single Spark job instead of one per hit
     (sv/action/explain/TransportExplainAction.java is per-doc; a search
     response's explain:true annotates every hit, so the batch is the
-    natural unit)."""
+    natural unit).
+
+    Dispatch: match → the classic per-term rows (schema unchanged);
+    match_phrase → one pseudo-term row per doc (tf = phrase frequency,
+    idf = Σ member idfs — Lucene PhraseWeight.explain);
+    bool → the per-clause union with a `clause` label column (Lucene's
+    "sum of:" subtree, flattened).  Anything else raises loudly — term
+    queries here are keyword/docvalue filters with no postings entry, so
+    a BM25 "explanation" would be fabricated."""
+    from sparksearch.queries import Bool as _Bool
+    from sparksearch.queries import Match as _Match
+    from sparksearch.queries import MatchPhrase as _Phrase
+    if isinstance(q, _Match):
+        return _explain_match(ex, q, docids)
+    if isinstance(q, _Phrase):
+        return _explain_phrase(ex, q, docids)
+    if isinstance(q, _Bool):
+        return _explain_bool(ex, q, docids)
+    raise ValueError(
+        "explain supports match / match_phrase / bool queries; "
+        f"got {type(q).__name__}")
+
+
+def _explain_match(ex, q, docids: list) -> DataFrame:
     from collections import Counter
 
-    from sparksearch import bm25
     from sparksearch.analysis import analyze
     ix = ex.ix
     terms = [t for t, _ in analyze(q.text, q.analyzer or ix.search_analyzer)]
     cnt = Counter(terms)
+    return _explain_terms(ex, {t: float(c) for t, c in cnt.items()}, docids)
+
+
+def _explain_terms(ex, weights: dict, docids: list) -> DataFrame:
+    """Core per-term breakdown shared by match / term / bool clauses:
+    `weights` maps term → clause weight (duplicate-occurrence count for
+    match)."""
+    from sparksearch import bm25
+    ix = ex.ix
+    cnt = weights
     uniq = sorted(cnt)
     ids = [int(d) for d in docids]
     p = (ix.postings_for(uniq, with_positions=False)
@@ -359,12 +391,94 @@ def explain_many(ex, q, docids: list) -> DataFrame:
             .orderBy("docid", "term"))
 
 
+def _explain_phrase(ex, q, docids: list, weight: float = 1.0) -> DataFrame:
+    """match_phrase explanation: one pseudo-term row per doc —
+    term = the phrase text, tf = (sloppy) phrase frequency (double),
+    df = NULL, idf = Σ member idfs — Lucene PhraseWeight.explain's
+    "phraseFreq" / "idf, sum of" breakdown, flattened."""
+    from collections import Counter
+
+    from sparksearch.analysis import analyze
+    from sparksearch.exec import _idf_col
+    ix = ex.ix
+    ptoks = analyze(q.text, q.analyzer or ix.search_analyzer)
+    terms = [t for t, _ in ptoks]
+    if not terms:
+        raise ValueError("explain over an empty phrase")
+    if len({p for _, p in ptoks}) != len(ptoks):
+        raise NotImplementedError(
+            "explain over a synonym-stacked multi-phrase is not supported")
+    if len(terms) == 1:
+        from sparksearch.queries import Match as _Match
+        base = _explain_match(
+            ex, _Match(q.field_name, q.text, analyzer=q.analyzer), docids)
+        return base.withColumn("tf", F.col("tf").cast("double"))
+    ids = [int(d) for d in docids]
+    joined = (ex._phrase_freq_sloppy(terms, q.slop) if q.slop > 0
+              else ex._phrase_freq_exact(terms)) \
+        .filter(F.col("docid").isin(ids))
+    cnt = Counter(terms)
+    wmap = F.create_map(*[x for t, c in cnt.items()
+                          for x in (F.lit(t), F.lit(float(c)))])
+    sum_idf = (ix.stats_for(sorted(cnt))
+               .withColumn("idf", _idf_col(ix.n_docs))
+               .select(F.sum(F.col("idf")
+                             * F.element_at(wmap, F.col("term")))
+                       .alias("sum_idf")))
+    tfn = ex._tfn_sim(F.col("pf"), F.col("dl_q"))
+    return (joined.crossJoin(F.broadcast(sum_idf))
+            .select("docid",
+                    F.lit(q.text).alias("term"),
+                    F.col("pf").cast("double").alias("tf"),
+                    F.lit(None).cast("long").alias("df"),
+                    F.round("sum_idf", 6).alias("idf"),
+                    F.round(tfn, 6).alias("tfn"),
+                    F.lit(float(weight)).alias("weight"),
+                    F.round(F.col("sum_idf") * tfn * F.lit(float(weight)),
+                            6).alias("contribution"))
+            .orderBy("docid"))
+
+
+def _explain_bool(ex, q, docids: list) -> DataFrame:
+    """bool explanation: the per-clause union with a `clause` label —
+    Lucene's BooleanWeight "sum of:" subtree flattened into rows.  Only
+    SCORING clauses (must / should) produce rows; filter and must_not
+    clauses contribute no score (filter context) and the given docids
+    already passed them.  tf is double so match and phrase clause rows
+    union cleanly.  Unsupported scoring clause types raise loudly."""
+    from sparksearch.queries import Match as _Match
+    from sparksearch.queries import MatchPhrase as _Phrase
+    frames = []
+    for label, clauses in (("must", q.must), ("should", q.should)):
+        for i, c in enumerate(clauses):
+            if isinstance(c, _Match):
+                f = _explain_match(ex, c, docids)
+                tag = f"{label}[{i}]:match({c.field_name}:{c.text})"
+            elif isinstance(c, _Phrase):
+                f = _explain_phrase(ex, c, docids)
+                tag = f"{label}[{i}]:match_phrase({c.field_name}:{c.text})"
+            else:
+                raise NotImplementedError(
+                    "bool explain: unsupported scoring clause "
+                    f"{type(c).__name__}")
+            frames.append(f.withColumn("tf", F.col("tf").cast("double"))
+                          .withColumn("clause", F.lit(tag)))
+    if not frames:
+        raise ValueError("bool explain: no scoring clauses (must/should)")
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return (out.select("docid", "clause", "term", "tf", "df", "idf",
+                       "tfn", "weight", "contribution")
+            .orderBy("docid", "clause", "term"))
+
+
 def explain(ex, q, docid: int) -> DataFrame:
     """`_explain` API: per-term BM25 score breakdown for one doc —
     (term, tf, df, idf, tfn, contribution) rows plus the clause weight,
-    mirroring Lucene's Explanation tree for the flagship match query
-    (sv/action/explain/TransportExplainAction.java). One-doc wrapper of
-    explain_many."""
+    mirroring Lucene's Explanation tree for match / match_phrase / bool
+    queries (sv/action/explain/TransportExplainAction.java).
+    One-doc wrapper of explain_many."""
     return explain_many(ex, q, [docid]).drop("docid")
 
 

@@ -621,3 +621,30 @@ def test_body_timeout_and_stored_fields(spark, index_sf0001):
     # stored_fields forces the column into the fetched source
     assert all(h["_source"].get("lang")
                for h in resp["hits"]["hits"])
+
+
+def test_explain_bool_and_phrase_in_body(ex):
+    """body explain over bool and match_phrase queries (ExplainPhase
+    parity: every hit carries per-clause / pseudo-term breakdowns)."""
+    resp = run_search(ex, {
+        "query": {"bool": {"must": [{"match": {"text": "join"}}],
+                           "should": [{"match": {"text": "fast"}}],
+                           "must_not": [{"match": {"text": "error"}}]}},
+        "size": 3, "_source": False, "explain": True})
+    assert resp["hits"]["hits"]
+    for h in resp["hits"]["hits"]:
+        exp = h["_explanation"]
+        assert exp
+        clauses = {e["clause"] for e in exp}
+        assert "must[0]:match(text:join)" in clauses
+        total = sum(e["contribution"] for e in exp)
+        assert abs(total - h["_score"]) < 5e-4
+    resp = run_search(ex, {
+        "query": {"match_phrase": {"text": "hash join"}},
+        "size": 2, "_source": False, "explain": True})
+    assert resp["hits"]["hits"]
+    for h in resp["hits"]["hits"]:
+        exp = h["_explanation"]
+        assert len(exp) == 1 and exp[0]["term"] == "hash join"
+        assert exp[0]["df"] is None and exp[0]["tf"] >= 1.0
+        assert abs(exp[0]["contribution"] - h["_score"]) < 5e-4
