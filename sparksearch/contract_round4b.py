@@ -285,15 +285,43 @@ ORDER BY ph.docid
 """.strip()
 
 
+# ---------------------------------------------------------------------------
+# metaphone (analysis-phonetic, commons-codec Metaphone — the plugin's
+# default encoder, previously a loud refusal)
+# ---------------------------------------------------------------------------
+
+_MP_SETTINGS = {
+    "tokenizer": "whitespace",
+    "filter": [{"type": "phonetic", "encoder": "metaphone",
+                "replace": False}],
+}
+_MP_PROBES = [(0, "testing dogs knight"), (1, "SCHEDULE CHARACTER why")]
+#: commons-codec MetaphoneTest vectors; replace=false stacks the code at
+#: the original's position ("why" encodes to "" → no stacked token)
+_MP_GOLDENS = [(0, "testing", 0), (0, "TSTN", 0),
+               (0, "dogs", 1), (0, "TKS", 1),
+               (0, "knight", 2), (0, "NT", 2),
+               (1, "SCHEDULE", 0), (1, "SKTL", 0),
+               (1, "CHARACTER", 1), (1, "KRKT", 1),
+               (1, "why", 2)]
+
+
 def queries() -> dict:
+    from sparksearch.contract_round3d import _q_filter_goldens
     return {"knn_ivfpq_served": q_knn_ivfpq_served,
             "ingest_attachment": q_ingest_attachment,
             "query_explain_bool": q_explain_bool,
-            "query_explain_phrase": q_explain_phrase}
+            "query_explain_phrase": q_explain_phrase,
+            "tf_metaphone": _q_filter_goldens(
+                "an_metaphone", _MP_SETTINGS, _MP_PROBES,
+                "Metaphone encoder vs commons-codec published vectors "
+                "(replace=false stacking)")}
 
 
 def oracle_sql() -> dict:
+    from sparksearch.contract_round3b import _sql_goldens
     return {"knn_ivfpq_served": sql_knn_ivfpq_served(),
             "ingest_attachment": sql_ingest_attachment(),
             "query_explain_bool": sql_explain_bool(),
-            "query_explain_phrase": sql_explain_phrase()}
+            "query_explain_phrase": sql_explain_phrase(),
+            "tf_metaphone": _sql_goldens(_MP_GOLDENS)}

@@ -333,18 +333,157 @@ def _cologne(term: str) -> str:
     return "".join(c for i, c in enumerate(out) if c != "0" or i == 0)
 
 
+_MP_VOWELS = "AEIOU"
+_MP_FRONTV = "EIY"        # front vowels: C/G soften before these
+_MP_VARSON = "CSPTG"      # H is silent after these
+
+
+def _metaphone(term: str, max_len: int = 4) -> str:
+    """Metaphone (Lawrence Philips 1990, as shipped by commons-codec
+    Metaphone.java — the analysis-phonetic plugin's default encoder):
+    initial-cluster folding (KN/GN/PN/AE/WR/WH/X-), C/G front-vowel
+    softening, TH→0, SH/-TIA-/-TIO-→X, silent GH/GN/MB-final, 4-char
+    code cap.  Verified against the published commons-codec test
+    vectors (tests/test_filters_ext.py)."""
+    txt = "".join(c for c in term.upper() if "A" <= c <= "Z")
+    if not txt:
+        return ""
+    if len(txt) == 1:
+        return txt
+    # initial two-character transforms
+    first, second = txt[0], txt[1]
+    if first in "KGP" and second == "N":
+        word = txt[1:]
+    elif first == "A" and second == "E":
+        word = txt[1:]
+    elif first == "W" and second == "R":
+        word = txt[1:]
+    elif first == "W" and second == "H":
+        word = "W" + txt[2:]
+    elif first == "X":
+        word = "S" + txt[1:]
+    else:
+        word = txt
+    wdsz = len(word)
+    code: list[str] = []
+
+    def at(i: int) -> str:
+        return word[i] if 0 <= i < wdsz else ""
+
+    def is_vowel(i: int) -> bool:
+        return at(i) in _MP_VOWELS
+
+    def region(i: int, s: str) -> bool:
+        return word[i:i + len(s)] == s
+
+    n = 0
+    while len(code) < max_len and n < wdsz:
+        symb = word[n]
+        if symb != "C" and at(n - 1) == symb:   # dedup runs except C
+            n += 1
+            continue
+        if symb in _MP_VOWELS:
+            if n == 0:
+                code.append(symb)
+        elif symb == "B":
+            if not (at(n - 1) == "M" and n == wdsz - 1):  # silent -MB
+                code.append("B")
+        elif symb == "C":
+            if at(n - 1) == "S" and n < wdsz - 1 and at(n + 1) in _MP_FRONTV:
+                pass                            # silent in SCE/SCI/SCY
+            elif region(n, "CIA"):
+                code.append("X")
+            elif n < wdsz - 1 and at(n + 1) in _MP_FRONTV:
+                code.append("S")                # CE/CI/CY
+            elif at(n - 1) == "S" and at(n + 1) == "H":
+                code.append("K")                # SCH
+            elif at(n + 1) == "H":
+                if n == 0 and wdsz >= 3 and is_vowel(2):
+                    code.append("K")            # word-initial CH+vowel
+                else:
+                    code.append("X")            # CH
+            else:
+                code.append("K")
+        elif symb == "D":
+            if n + 2 < wdsz and at(n + 1) == "G" and at(n + 2) in _MP_FRONTV:
+                code.append("J")                # DGE/DGI/DGY
+                n += 2
+            else:
+                code.append("T")
+        elif symb == "G":
+            silent = False
+            if n + 1 == wdsz - 1 and at(n + 1) == "H":
+                silent = True                   # terminal GH
+            elif n + 1 < wdsz - 1 and at(n + 1) == "H" \
+                    and not is_vowel(n + 2):
+                silent = True                   # GH + consonant
+            elif n > 0 and (region(n, "GN") and n + 2 == wdsz
+                            or region(n, "GNED") and n + 4 == wdsz):
+                silent = True                   # -GN / -GNED
+            hard = at(n - 1) == "G"
+            if not silent:
+                if n < wdsz - 1 and at(n + 1) in _MP_FRONTV and not hard:
+                    code.append("J")
+                else:
+                    code.append("K")
+        elif symb == "H":
+            if n == wdsz - 1:
+                pass                            # terminal H
+            elif n > 0 and at(n - 1) in _MP_VARSON:
+                pass                            # silent after C,S,P,T,G
+            elif is_vowel(n + 1):
+                code.append("H")
+        elif symb in "FJLMNR":
+            code.append(symb)
+        elif symb == "K":
+            if at(n - 1) != "C":
+                code.append("K")
+        elif symb == "P":
+            code.append("F" if at(n + 1) == "H" else "P")
+        elif symb == "Q":
+            code.append("K")
+        elif symb == "S":
+            if region(n, "SH") or region(n, "SIO") or region(n, "SIA"):
+                code.append("X")
+            else:
+                code.append("S")
+        elif symb == "T":
+            if region(n, "TIA") or region(n, "TIO"):
+                code.append("X")
+            elif region(n, "TCH"):
+                pass                            # silent in TCH
+            elif region(n, "TH"):
+                code.append("0")
+            else:
+                code.append("T")
+        elif symb == "V":
+            code.append("F")
+        elif symb in "WY":
+            if n < wdsz - 1 and is_vowel(n + 1):
+                code.append(symb)
+        elif symb == "X":
+            code.append("K")
+            code.append("S")
+        elif symb == "Z":
+            code.append("S")
+        n += 1
+    return "".join(code[:max_len])
+
+
 _PHONETIC_ENCODERS = {
     "soundex": _soundex,
     "koelnerphonetik": _cologne,
     "cologne": _cologne,
+    "metaphone": _metaphone,
 }
 
 
 def phonetic_filter(cfg: dict):
-    """phonetic (PhoneticTokenFilterFactory): encoders soundex and
-    koelnerphonetik/cologne (commons-codec ColognePhonetic, from the
-    published Postel tables); other encoders (metaphone, caverphone,
-    nysiis, …) refuse loudly.  replace=true (default) substitutes the
+    """phonetic (PhoneticTokenFilterFactory): encoders soundex,
+    koelnerphonetik/cologne (commons-codec ColognePhonetic, published
+    Postel tables) and metaphone (commons-codec Metaphone, verified
+    against its published test vectors); other encoders (caverphone,
+    nysiis, double_metaphone, …) refuse loudly.  replace=true (default) substitutes the
     code; replace=false stacks the code after the original at the same
     position."""
     encoder = cfg.get("encoder", "metaphone")

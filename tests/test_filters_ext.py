@@ -108,7 +108,7 @@ def test_soundex_replace_false_stacks():
 
 def test_phonetic_unknown_encoder_raises():
     with pytest.raises(NotImplementedError):
-        _an([{"type": "phonetic", "encoder": "metaphone"}])
+        _an([{"type": "phonetic", "encoder": "caverphone"}])
 
 
 def test_decompound_search_recall(spark, tmp_path):
@@ -135,3 +135,32 @@ def test_decompound_search_recall(spark, tmp_path):
     ex = Executor(IndexReader(spark, d))
     hits = ex.search(Match("text", "schiff"), k=10).collect()
     assert sorted(r.url for r in hits) == ["u1", "u2"]
+
+
+def test_metaphone_commons_codec_vectors():
+    """commons-codec MetaphoneTest vectors (the analysis-phonetic
+    plugin's default encoder)."""
+    from sparksearch.filters_ext import _metaphone as m
+    vectors = {
+        "howl": "HL", "testing": "TSTN", "The": "0", "quick": "KK",
+        "brown": "BRN", "fox": "FKS", "jumped": "JMPT", "over": "OFR",
+        "lazy": "LS", "dogs": "TKS",
+        "knight": "NT", "wright": "RT", "why": "",
+        "aero": "ER", "xavier": "SFR", "dumb": "TM", "thumb": "0M",
+        "science": "SNS", "judge": "JJ",
+        "SCHEDULE": "SKTL", "SCHEMATIC": "SKMT",
+        "CHARACTER": "KRKT", "TEACH": "TX",
+    }
+    for w, want in vectors.items():
+        assert m(w) == want, (w, want, m(w))
+
+
+def test_metaphone_filter_registered():
+    a = _an([{"type": "phonetic", "encoder": "metaphone"}])
+    assert _terms(a, "testing dogs") == ["TSTN", "TKS"]
+
+
+def test_double_metaphone_still_refuses():
+    import pytest as _pt
+    with _pt.raises(NotImplementedError):
+        _an([{"type": "phonetic", "encoder": "double_metaphone"}])("x")
