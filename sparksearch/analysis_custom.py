@@ -164,6 +164,7 @@ _TOKENIZERS = {
     "simple_pattern_split": _lazy_tokenizer("simple_pattern_split"),
     "uax_url_email": _lazy_tokenizer("uax_url_email"),
     "classic": _lazy_tokenizer("classic"),
+    "icu_tokenizer": _lazy_tokenizer("icu_tokenizer"),
 }
 
 # ---------------------------------------------------------------------------

@@ -305,6 +305,25 @@ _MP_GOLDENS = [(0, "testing", 0), (0, "TSTN", 0),
                (1, "CHARACTER", 1), (1, "KRKT", 1),
                (1, "why", 2)]
 
+# ---------------------------------------------------------------------------
+# icu_tokenizer (analysis-icu IcuTokenizerFactory): UAX#29 word break +
+# dictionary break engine for CJK / SE-Asian runs
+# ---------------------------------------------------------------------------
+
+_ICU_TK_SETTINGS = {
+    "tokenizer": {"type": "icu_tokenizer",
+                  "dictionary": ["画面", "สวัสดี", "ครับ"]},
+}
+_ICU_TK_PROBES = [(0, "don't stop 3.14 1,000 e.g. test"),
+                  (1, "ログイン画面です"),
+                  (2, "สวัสดีครับ hello")]
+#: hand-derived from UAX#29 (WB5-13b) + greedy dictionary break
+_ICU_TK_GOLDENS = [(0, "don't", 0), (0, "stop", 1), (0, "3.14", 2),
+                   (0, "1,000", 3), (0, "e.g", 4), (0, "test", 5),
+                   (1, "ログイン", 0), (1, "画面", 1),
+                   (1, "で", 2), (1, "す", 3),
+                   (2, "สวัสดี", 0), (2, "ครับ", 1), (2, "hello", 2)]
+
 
 def queries() -> dict:
     from sparksearch.contract_round3d import _q_filter_goldens
@@ -315,7 +334,11 @@ def queries() -> dict:
             "tf_metaphone": _q_filter_goldens(
                 "an_metaphone", _MP_SETTINGS, _MP_PROBES,
                 "Metaphone encoder vs commons-codec published vectors "
-                "(replace=false stacking)")}
+                "(replace=false stacking)"),
+            "tk_icu": _q_filter_goldens(
+                "an_icu_tk", _ICU_TK_SETTINGS, _ICU_TK_PROBES,
+                "icu_tokenizer UAX#29 word break + dictionary break "
+                "engine vs hand-derived goldens")}
 
 
 def oracle_sql() -> dict:
@@ -324,4 +347,5 @@ def oracle_sql() -> dict:
             "ingest_attachment": sql_ingest_attachment(),
             "query_explain_bool": sql_explain_bool(),
             "query_explain_phrase": sql_explain_phrase(),
-            "tf_metaphone": _sql_goldens(_MP_GOLDENS)}
+            "tf_metaphone": _sql_goldens(_MP_GOLDENS),
+            "tk_icu": _sql_goldens(_ICU_TK_GOLDENS)}

@@ -264,6 +264,209 @@ def classic_tokenizer(cfg: dict) -> Callable[[str], list[str]]:
     return lambda s: [m.group(0)[:max_len] for m in _CLASSIC_RE.finditer(s)]
 
 
+# ---------------------------------------------------------------------------
+# icu_tokenizer (analysis-icu plugin)
+# ---------------------------------------------------------------------------
+
+#: UAX#29 word-break property subsets (the members that occur in text;
+#: full property files are at unicode.org/Public/UCD/latest/ucd/auxiliary)
+_WB_MIDLETTER = frozenset(":··՟״‧︓﹕：")
+_WB_MIDNUM = frozenset(",;٬⁄︐︔﹐﹔，；")
+_WB_MIDNUMLET = frozenset(".․﹒．")
+_WB_EXTNUMLET_EXTRA = frozenset("_‿⁀︳︴＿")
+
+_WB_AH = frozenset(("ALetter", "Hebrew"))
+_WB_WORDY = frozenset(("ALetter", "Hebrew", "Numeric", "Katakana",
+                       "ExtendNumLet"))
+
+
+def _wb_class(ch: str) -> str:
+    o = ord(ch)
+    if ch in "\r\n\x0b\x0c\x85  ":
+        return "NL"
+    cat = unicodedata.category(ch)
+    if cat in ("Mn", "Mc", "Me"):
+        return "Extend"
+    if cat == "Cf":
+        return "Format"
+    if ch == "'":
+        return "SQ"
+    if ch == '"':
+        return "DQ"
+    if ch in _WB_MIDLETTER:
+        return "MidLetter"
+    if ch in _WB_MIDNUM:
+        return "MidNum"
+    if ch in _WB_MIDNUMLET:
+        return "MidNumLet"
+    if cat == "Nd":
+        return "Numeric"
+    if cat == "Pc" or ch in _WB_EXTNUMLET_EXTRA:
+        return "ExtendNumLet"
+    if 0x30A0 <= o <= 0x30FF or 0x31F0 <= o <= 0x31FF \
+            or 0xFF66 <= o <= 0xFF9F:
+        return "Katakana"
+    if 0x3040 <= o <= 0x309F:
+        return "Hiragana"
+    if 0x4E00 <= o <= 0x9FFF or 0x3400 <= o <= 0x4DBF \
+            or 0xF900 <= o <= 0xFAFF or 0x20000 <= o <= 0x2FA1F:
+        return "Han"
+    if 0x0E00 <= o <= 0x0E7F:
+        return "Thai"
+    if 0x0E80 <= o <= 0x0EFF:
+        return "Lao"
+    if 0x1780 <= o <= 0x17FF:
+        return "Khmer"
+    if 0x1000 <= o <= 0x109F:
+        return "Myanmar"
+    if 0x0590 <= o <= 0x05FF:
+        return "Hebrew"
+    if ch.isalpha():
+        return "ALetter"
+    return "Other"
+
+
+def _wb_pair_ok(prev: str, cur: str) -> bool:
+    """Pairwise no-break rules WB5/8/9/10/13/13a/13b."""
+    if prev in _WB_AH and (cur in _WB_AH or cur == "Numeric"):
+        return True
+    if prev == "Numeric" and (cur == "Numeric" or cur in _WB_AH):
+        return True
+    if prev == "Katakana" and cur == "Katakana":
+        return True
+    if cur == "ExtendNumLet" and prev in _WB_WORDY:
+        return True
+    if prev == "ExtendNumLet" and cur in _WB_WORDY:
+        return True
+    return False
+
+
+def icu_tokenizer(cfg: dict) -> Callable[[str], list[str]]:
+    """``icu_tokenizer`` (analysis-icu plugin, IcuTokenizerFactory →
+    ICU BreakIterator word instance): UAX#29 default word-break rules —
+    AHLetter chains with MidLetter/MidNumLet/Single_Quote interiors
+    (WB5-7a), numeric grouping through MidNum/MidNumLet (WB8-12),
+    Katakana chains (WB13), ExtendNumLet joining (WB13a/b), Extend and
+    Format characters attached to the base (WB4) — hand-implemented
+    from the published spec (unicode.org/reports/tr29).
+
+    ICU's DICTIONARY-based segmentation of Han/Hiragana and
+    Thai/Lao/Khmer/Myanmar runs is reproduced with a user-supplied
+    ``dictionary`` word list (greedy longest-match, the
+    DictionaryBreakEngine posture): ICU's bundled CJ/Thai frequency
+    dictionaries don't ship here, so with no dictionary configured
+    Han/Hiragana fall back to per-character tokens (the cjk_bigram
+    pipeline's expected input) and SE-Asian runs stay whole — both
+    documented deviations, loud in this docstring rather than silent."""
+    words = sorted((w for w in (cfg.get("dictionary") or ()) if w),
+                   key=len, reverse=True)
+
+    def seg_dict(run: str, per_char: bool) -> list[str]:
+        out, i, n = [], 0, len(run)
+        gap = []
+
+        def flush_gap():
+            if gap:
+                if per_char:
+                    # grapheme-ish: combining marks attach to their base
+                    clusters: list[str] = []
+                    for ch in gap:
+                        if clusters and _wb_class(ch) in ("Extend",
+                                                          "Format"):
+                            clusters[-1] += ch
+                        else:
+                            clusters.append(ch)
+                    out.extend(clusters)
+                else:
+                    out.append("".join(gap))
+                gap.clear()
+
+        while i < n:
+            for w in words:
+                if run.startswith(w, i):
+                    flush_gap()
+                    out.append(w)
+                    i += len(w)
+                    break
+            else:
+                gap.append(run[i])
+                i += 1
+        flush_gap()
+        return out
+
+    def tok(s: str) -> list[str]:
+        out: list[str] = []
+        i, n = 0, len(s)
+        while i < n:
+            c = _wb_class(s[i])
+            if c in ("Han", "Hiragana"):
+                j = i
+                while j < n and _wb_class(s[j]) in ("Han", "Hiragana",
+                                                    "Extend", "Format"):
+                    j += 1
+                out.extend(seg_dict(s[i:j], per_char=True))
+                i = j
+                continue
+            if c in ("Thai", "Lao", "Khmer", "Myanmar"):
+                j = i
+                while j < n and _wb_class(s[j]) in (c, "Extend", "Format"):
+                    j += 1
+                out.extend(seg_dict(s[i:j], per_char=False))
+                i = j
+                continue
+            if c not in _WB_WORDY:
+                i += 1
+                continue
+            # wordy chain
+            buf = [s[i]]
+            has_word = c != "ExtendNumLet"
+            prev = c
+            j = i + 1
+            while j < n:
+                cj = _wb_class(s[j])
+                if cj in ("Extend", "Format"):          # WB4
+                    buf.append(s[j])
+                    j += 1
+                    continue
+                if cj in _WB_WORDY and _wb_pair_ok(prev, cj):
+                    buf.append(s[j])
+                    has_word = has_word or cj != "ExtendNumLet"
+                    prev = cj
+                    j += 1
+                    continue
+                if cj in ("MidLetter", "MidNum", "MidNumLet", "SQ", "DQ"):
+                    k = j + 1
+                    while k < n and _wb_class(s[k]) in ("Extend", "Format"):
+                        k += 1
+                    nxt = _wb_class(s[k]) if k < n else None
+                    join = False
+                    if prev in _WB_AH and nxt in _WB_AH \
+                            and cj in ("MidLetter", "MidNumLet", "SQ"):
+                        join = True                     # WB6/7
+                    elif prev == "Numeric" and nxt == "Numeric" \
+                            and cj in ("MidNum", "MidNumLet", "SQ"):
+                        join = True                     # WB11/12
+                    elif prev == "Hebrew" and cj == "DQ" \
+                            and nxt == "Hebrew":
+                        join = True                     # WB7b/7c
+                    if join:
+                        buf.append(s[j:k + 1])
+                        prev = nxt
+                        has_word = True
+                        j = k + 1
+                        continue
+                    if prev == "Hebrew" and cj == "SQ":  # WB7a
+                        buf.append(s[j])
+                        j += 1
+                    break
+                break
+            if has_word:
+                out.append("".join(buf))
+            i = j
+        return out
+    return tok
+
+
 TOKENIZERS_EXT = {
     "ngram": ngram_tokenizer,
     "edge_ngram": edge_ngram_tokenizer,
@@ -273,4 +476,5 @@ TOKENIZERS_EXT = {
     "simple_pattern_split": simple_pattern_split_tokenizer,
     "uax_url_email": uax_url_email_tokenizer,
     "classic": classic_tokenizer,
+    "icu_tokenizer": icu_tokenizer,
 }

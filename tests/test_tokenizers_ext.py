@@ -129,3 +129,54 @@ def test_edge_ngram_index_and_search(spark, tmp_path):
     hits = ex.search(Match("text", "spar", analyzer="an_kw_lower"),
                      k=10).collect()
     assert sorted(r.url for r in hits) == ["u1", "u2"]
+
+
+# ---------------------------------------------------------------------------
+# icu_tokenizer (analysis-icu)
+# ---------------------------------------------------------------------------
+
+def test_icu_uax29_word_break():
+    from sparksearch.tokenizers_ext import icu_tokenizer
+    t = icu_tokenizer({})
+    assert t("don't stop 3.14 1,000 e.g. test") == \
+        ["don't", "stop", "3.14", "1,000", "e.g", "test"]
+    assert t("can't-stop won't") == ["can't", "stop", "won't"]
+    assert t("A_B_3 under_score __ plain") == \
+        ["A_B_3", "under_score", "plain"]
+    assert t("café résumé") == ["café", "résumé"]
+
+
+def test_icu_hebrew_quote_rules():
+    from sparksearch.tokenizers_ext import icu_tokenizer
+    t = icu_tokenizer({})
+    # WB7a: Hebrew letter + single quote keeps the quote
+    assert t("קוטג' שלום") == ["קוטג'", "שלום"]
+    # WB7b/c: Hebrew letters join through a double quote
+    assert t('מנכ"ל') == ['מנכ"ל']
+
+
+def test_icu_katakana_chain_and_han_fallback():
+    from sparksearch.tokenizers_ext import icu_tokenizer
+    t = icu_tokenizer({})
+    assert t("ログイン画面です") == ["ログイン", "画", "面", "で", "す"]
+    assert t("１２３ ｶﾀｶﾅ") == ["１２３", "ｶﾀｶﾅ"]
+
+
+def test_icu_dictionary_break_engine():
+    from sparksearch.tokenizers_ext import icu_tokenizer
+    td = icu_tokenizer({"dictionary": ["สวัสดี", "ครับ", "画面"]})
+    assert td("สวัสดีครับ hello") == ["สวัสดี", "ครับ", "hello"]
+    assert td("ログイン画面です") == ["ログイン", "画面", "で", "す"]
+    # no dictionary: SE-Asian run stays whole (documented fallback)
+    t = icu_tokenizer({})
+    assert t("สวัสดีครับ") == ["สวัสดีครับ"]
+
+
+def test_icu_in_custom_analyzer():
+    from sparksearch.analysis_custom import CustomAnalyzer
+    a = CustomAnalyzer({
+        "tokenizer": {"type": "icu_tokenizer",
+                      "dictionary": ["画面"]},
+        "filter": ["lowercase"]})
+    assert [t.term for t in a.analyze("Don't LOGIN 画面")] == \
+        ["don't", "login", "画面"]
