@@ -49,6 +49,11 @@ def word_histogram(docs: DataFrame, text_col: str = "text") -> DataFrame:
             .groupBy("word").agg(F.count(F.lit(1)).alias("cnt")))
 
 
+#: candidate pairs collected per batched-training round (bounded
+#: driver traffic: 256 rows of two short symbols + a long)
+_BPE_BATCH_CAND = 256
+
+
 def _pair_counts(words: DataFrame) -> DataFrame:
     """Adjacent-symbol pair counts, weighted by word count. `syms` is the
     space-joined symbol string; the zip/explode is all JVM expressions."""
@@ -178,21 +183,63 @@ def bpe_train(docs: DataFrame, n_merges: int, text_col: str = "text",
         "cnt", F.concat_ws(" ", F.split(F.col("word"), "")).alias("syms")
     ).localCheckpoint()
     merges: list[dict] = []
-    for step in range(1, n_merges + 1):
+    # Batched rounds: each round collects the top-`_BPE_BATCH_CAND`
+    # pairs ONCE, then accepts the maximal prefix that provably equals
+    # the sequential greedy result (pinned by
+    # test_bpe_local_equals_distributed):
+    #   - accepted pairs must be pairwise symbol-disjoint, counting the
+    #     merged string as a symbol (disjointness ⇒ each accepted
+    #     pair's count is unchanged by the earlier accepted merges, and
+    #     any pair a merge CREATES, (x, ab) / (ab, y), is bounded by an
+    #     existing pair overlapping {a, b} — which, had its count been
+    #     ≥ the next accepted pair's, would appear earlier in the order
+    #     and terminate the prefix);
+    #   - when the collect was truncated (M rows returned), only pairs
+    #     with count strictly above the horizon (row M's count) are
+    #     accepted past the first, since unseen ties beyond the horizon
+    #     could bound a created pair that ties the candidate.
+    # A 32k-merge vocab thus needs ~vocab/accepted-per-round jobs
+    # (hundreds), not 32k sequential jobs.
+    while len(merges) < n_merges:
         top = (_pair_counts(words)
                .orderBy(F.col("pair_count").desc(),
                         F.col("a").asc(), F.col("b").asc())
-               .limit(1).collect())
+               .limit(_BPE_BATCH_CAND).collect())
         if not top:
             break
-        a, b, c = top[0]["a"], top[0]["b"], top[0]["pair_count"]
-        merges.append({"step": step, "left": a, "right": b,
-                       "merged": a + b, "pair_count": int(c)})
-        # map-only greedy merge; old checkpoint blocks are freed by the
-        # ContextCleaner once the previous frame is unreferenced
+        truncated = len(top) == _BPE_BATCH_CAND
+        blocked: set[str] = set()
+        batch: list[tuple[str, str, int]] = []
+        # terminator = first candidate overlapping an accepted pair; its
+        # count bounds every pair a batch merge can CREATE (a created
+        # (x, ab) needs an original (x, a), which overlaps (a, b) and so
+        # sorts at or after the terminator)
+        c_term = int(top[-1]["pair_count"]) if truncated else -1
+        for r in top:
+            a, b, c = r["a"], r["b"], int(r["pair_count"])
+            if a in blocked or b in blocked:
+                c_term = max(c_term, c)
+                break
+            if len(merges) + len(batch) < n_merges:
+                batch.append((a, b, c))
+                blocked |= {a, b, a + b}
+        # a created pair can TIE c_term and be lexicographically smaller
+        # than an accepted candidate, so only counts strictly above
+        # c_term are provably in sequential order; batch[0] is the exact
+        # sequential pick either way
+        batch = batch[:1] + [p for p in batch[1:] if p[2] > c_term]
+        for a, b, c in batch:
+            merges.append({"step": len(merges) + 1, "left": a,
+                           "right": b, "merged": a + b, "pair_count": c})
+        # ONE map-only job applies the whole batch (disjointness makes
+        # the composed fold identical to sequential application); old
+        # checkpoint blocks are freed by the ContextCleaner once the
+        # previous frame is unreferenced
+        expr = "syms"
+        for a, b, _ in batch:
+            expr = _merge_expr(expr, a, b)
         words = words.select(
-            "cnt", F.expr(_merge_expr("syms", a, b)).alias("syms")
-        ).localCheckpoint()
+            "cnt", F.expr(expr).alias("syms")).localCheckpoint()
     return merges
 
 
