@@ -202,17 +202,30 @@ def significant_terms(ex, q, size: int = 5,
 
 
 def date_histogram_pipeline(df: DataFrame, field: str,
-                            interval: str = "day") -> DataFrame:
+                            interval: str = "day",
+                            n_partitions: int = 8) -> DataFrame:
     """date_histogram + cumulative_sum + derivative (pipeline aggs as
-    window functions over the bucket table)."""
+    window functions over the bucket table).
+
+    Physical plan: ranged_pipeline_frame — cumulative sums are
+    per-range-partition running totals + broadcast offsets (two-pass
+    prefix sum), derivative lags across the boundary via carry rows;
+    no single-task global window."""
     buckets = date_histogram(df, field, interval)
-    w = Window.orderBy("key").rowsBetween(Window.unboundedPreceding, 0)
-    lag_w = Window.orderBy("key")
-    return (buckets
-            .withColumn("cumulative", F.sum("doc_count").over(w))
+    base, off = ranged_pipeline_frame(buckets, key="key", carry=1,
+                                      n_partitions=n_partitions,
+                                      cum_metrics=("doc_count",))
+    lw = Window.partitionBy("_pid").orderBy("key")
+    cw = lw.rowsBetween(Window.unboundedPreceding, 0)
+    run = F.sum(F.when(~F.col("_carry"), F.col("doc_count"))
+                .otherwise(F.lit(0))).over(cw)
+    return (base
+            .withColumn("cumulative",
+                        (run + off["doc_count"]).cast("long"))
             .withColumn("derivative",
                         (F.col("doc_count")
-                         - F.lag("doc_count").over(lag_w)).cast("long"))
+                         - F.lag("doc_count").over(lw)).cast("long"))
+            .where(~F.col("_carry")).drop("_pid", "_carry")
             .orderBy("key"))
 
 
@@ -277,23 +290,99 @@ def matrix_stats(df: DataFrame, f1: str, f2: str) -> DataFrame:
 
 # --- pipeline aggs over bucket tables (SearchModule.java:711-833) ----------
 
+def ranged_pipeline_frame(buckets: DataFrame, key: str = "key",
+                          carry: int = 1, n_partitions: int = 8,
+                          cum_metrics: tuple = ()):
+    """Range-partitioned frame for trailing-window pipeline aggs — the
+    scale form replacing a bare `Window.orderBy(key)` (which funnels
+    the whole bucket stream through ONE task; fine for histogram-sized
+    tables, serializing for composite-paginated streams of 10^7
+    buckets).  The `pack_sequences` two-pass prefix pattern
+    (dataops.py:758):
+
+    1. `repartitionByRange(key)` + `spark_partition_id`, pinned by
+       localCheckpoint so both passes see the same placement;
+    2. each partition's last `carry` rows are collected (bounded:
+       n_partitions × carry rows) and re-injected into the NEXT
+       non-empty partition flagged `_carry` — they feed trailing
+       windows across the boundary and are dropped from output (a
+       rolling driver-side buffer handles partitions shorter than
+       `carry`);
+    3. for every metric in `cum_metrics`, per-partition sums (one
+       bounded collect) become literal offsets so running totals are
+       per-partition sums + offset.
+
+    Returns (frame with `_pid`/`_carry`, {metric: offset Column}).
+    Callers window over Window.partitionBy('_pid').orderBy(key), then
+    filter `~_carry` and drop the helpers."""
+    rb = (buckets.repartitionByRange(n_partitions, F.col(key))
+          .withColumn("_pid", F.spark_partition_id())
+          .localCheckpoint())
+    wdesc = Window.partitionBy("_pid").orderBy(F.col(key).desc())
+    tails = (rb.withColumn("_rn", F.row_number().over(wdesc))
+             .where(F.col("_rn") <= carry).drop("_rn").collect())
+    sums = {}
+    if cum_metrics:
+        rows = rb.groupBy("_pid").agg(
+            *[F.sum(F.col(c)).alias(c) for c in cum_metrics]).collect()
+        sums = {r["_pid"]: r for r in rows}
+    from collections import defaultdict
+    by_pid = defaultdict(list)
+    for r in tails:
+        by_pid[r["_pid"]].append(r.asDict())
+    pids = sorted(by_pid)
+    carry_rows: list[dict] = []
+    prefix: list[dict] = []
+    offsets: dict = {c: {} for c in cum_metrics}
+    acc = {c: 0 for c in cum_metrics}
+    for p in pids:
+        for r in prefix[-carry:]:
+            carry_rows.append({**r, "_pid": p, "_carry": True})
+        for c in cum_metrics:
+            offsets[c][p] = acc[c]
+            acc[c] += sums[p][c] or 0
+        prefix = (prefix
+                  + sorted(by_pid[p], key=lambda r: r[key]))[-carry:]
+    base = rb.withColumn("_carry", F.lit(False))
+    if carry_rows:
+        cdf = rb.sparkSession.createDataFrame(
+            [tuple(r.get(f.name) for f in base.schema.fields)
+             for r in carry_rows], schema=base.schema)
+        base = base.unionByName(cdf)
+    off_cols = {}
+    for c in cum_metrics:
+        expr = F.lit(0)
+        for p, v in offsets[c].items():
+            expr = F.when(F.col("_pid") == p, F.lit(v)).otherwise(expr)
+        off_cols[c] = expr
+    return base, off_cols
+
+
 def moving_window_aggs(buckets: DataFrame, metric: str = "doc_count",
-                       window: int = 3, lag: int = 1) -> DataFrame:
+                       window: int = 3, lag: int = 1,
+                       n_partitions: int = 8) -> DataFrame:
     """mov_avg (simple model) + mov_fn(max) + serial_diff as window
     functions over an ordered bucket table. The window is the trailing
     `window` buckets INCLUDING the current one (mov_fn shift=1 form);
     serial_diff subtracts the bucket `lag` positions back.
     Reference registrations: sv/search/SearchModule.java:711-833
     (mov_avg/mov_fn via MovAvgPipelineAggregationBuilder,
-    SerialDiffPipelineAggregationBuilder)."""
+    SerialDiffPipelineAggregationBuilder).
+
+    Physical plan: ranged_pipeline_frame — NO single-task global
+    window; boundary rows carry across range partitions."""
+    base, _ = ranged_pipeline_frame(buckets, key="key",
+                                    carry=max(window - 1, lag),
+                                    n_partitions=n_partitions)
     m = F.col(metric).cast("double")
-    w = Window.orderBy("key").rowsBetween(-(window - 1), 0)
-    lw = Window.orderBy("key")
-    return (buckets
+    lw = Window.partitionBy("_pid").orderBy("key")
+    w = lw.rowsBetween(-(window - 1), 0)
+    return (base
             .withColumn("moving_avg", F.round(F.avg(m).over(w), 6))
             .withColumn("moving_max", F.max(m).over(w))
             .withColumn("serial_diff",
                         (m - F.lag(m, lag).over(lw)).cast("double"))
+            .where(~F.col("_carry")).drop("_pid", "_carry")
             .orderBy("key"))
 
 
@@ -390,16 +479,17 @@ def moving_avg_model(buckets: DataFrame, metric: str = "doc_count",
     null metric values are skipped (gap_policy skip).
 
     The recursion is evaluated as a Catalyst `aggregate` HOF fold over a
-    `collect_list` trailing frame — no Python UDF. Like the reference
-    (pipeline aggs reduce bucket-by-bucket on one coordinator), this is a
-    single-task pass over the already-reduced bucket table, which is
-    histogram-sized by construction; `minimize` (random-restart parameter
-    fitting, EwmaModel.neighboringModel) is not implemented."""
+    `collect_list` trailing frame — no Python UDF, and the frame runs
+    over ranged_pipeline_frame (carry rows across range partitions), so
+    the bucket stream never funnels through one task; `minimize`
+    (random-restart parameter fitting, EwmaModel.neighboringModel) is
+    not implemented."""
+    base, _ = ranged_pipeline_frame(buckets, key="key", carry=window)
     m = F.col(metric).cast("double")
-    w = Window.orderBy("key").rowsBetween(-window, -1)
+    w = Window.partitionBy("_pid").orderBy("key").rowsBetween(-window, -1)
     expr = _mov_model_expr("__mv_vals", model, alpha, beta, gamma, period,
                            multiplicative)
-    return (buckets
+    return (base
             .withColumn("__mv_vals", F.collect_list(m).over(w))
             # a null/NaN-valued bucket gets no mov_avg in the reference
             # (the InternalSimpleValue is added inside the non-null branch,
@@ -407,7 +497,7 @@ def moving_avg_model(buckets: DataFrame, metric: str = "doc_count",
             .withColumn("moving_avg",
                         F.when(m.isNotNull(),
                                F.round(F.expr(expr).cast("double"), 6)))
-            .drop("__mv_vals")
+            .where(~F.col("_carry")).drop("__mv_vals", "_pid", "_carry")
             .orderBy("key"))
 
 

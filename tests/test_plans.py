@@ -190,3 +190,56 @@ def test_nested_filter_is_single_scan_no_python(engine):
     # predicate evaluates pre-join on the sidecar leg: no shuffle beyond
     # the sidecar join itself (both legs scan the same docs parquet)
     assert plan.count("Exchange") <= 2
+
+
+def test_pipeline_windows_not_single_task(spark):
+    """Pipeline-agg windows (cumulative/derivative/moving) must run over
+    range partitions with boundary carry rows — NO single-partition
+    global Window (a 10^7-bucket composite stream would serialize).
+    Values must equal the naive global-window form."""
+    import datetime
+
+    from pyspark.sql import Window, functions as F
+    from sparksearch.aggs import moving_window_aggs, ranged_pipeline_frame
+
+    rows = [(datetime.datetime(2025, 1, 1) + datetime.timedelta(hours=i),
+             (i * 7) % 13 + 1) for i in range(200)]
+    buckets = spark.createDataFrame(rows, "key timestamp, doc_count long")
+
+    out = moving_window_aggs(buckets, window=4, lag=2, n_partitions=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every Window node must be partitioned (partitionBy _pid) — a bare
+    # `Window [..orderBy..]` with empty partition spec funnels one task
+    import re
+    for m in re.finditer(r"Window \[[^\]]*\], \[\]", plan):
+        raise AssertionError(f"unpartitioned global window: {m.group(0)}")
+    got = out.orderBy("key").collect()
+
+    # naive single-task reference
+    m = F.col("doc_count").cast("double")
+    w = Window.orderBy("key").rowsBetween(-3, 0)
+    lw = Window.orderBy("key")
+    ref = (buckets
+           .withColumn("moving_avg", F.round(F.avg(m).over(w), 6))
+           .withColumn("moving_max", F.max(m).over(w))
+           .withColumn("serial_diff", (m - F.lag(m, 2).over(lw))
+                       .cast("double"))
+           .orderBy("key").collect())
+    assert [tuple(r) for r in got] == [tuple(r) for r in ref]
+
+    # cumulative offsets: ranged frame + offsets == global running sum
+    base, off = ranged_pipeline_frame(buckets, key="key", carry=1,
+                                      n_partitions=8,
+                                      cum_metrics=("doc_count",))
+    cw = (Window.partitionBy("_pid").orderBy("key")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    run = F.sum(F.when(~F.col("_carry"), F.col("doc_count"))
+                .otherwise(F.lit(0))).over(cw)
+    cum = (base.withColumn("c", (run + off["doc_count"]).cast("long"))
+           .where(~F.col("_carry")).orderBy("key").select("c").collect())
+    want = []
+    acc = 0
+    for _, dc in rows:
+        acc += dc
+        want.append(acc)
+    assert [r["c"] for r in cum] == want
