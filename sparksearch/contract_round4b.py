@@ -325,9 +325,39 @@ _ICU_TK_GOLDENS = [(0, "don't", 0), (0, "stop", 1), (0, "3.14", 2),
                    (2, "สวัสดี", 0), (2, "ครับ", 1), (2, "hello", 2)]
 
 
+# ---------------------------------------------------------------------------
+# completion suggester regex mode (RegexOptions.java)
+# ---------------------------------------------------------------------------
+
+_CR_REGEX = "s[ctl]"
+
+
+def q_completion_regex(spark, sf_dir):
+    """Regex completion (RegexCompletionQuery): the pattern matches a
+    PREFIX of the suggestion — 's[ctl]' reaches scan/stream/slow/... ."""
+    from sparksearch import contract as C
+    from sparksearch.fetchops import suggest_completion_regex
+    ix, _ = C.get_engine(spark, sf_dir)
+    return suggest_completion_regex(ix, _CR_REGEX, size=5)
+
+
+def sql_completion_regex() -> str:
+    from sparksearch import contract as C
+    return f"""
+WITH {C._PAGES},
+{C._TOK},
+d AS ( SELECT term, CAST(count(DISTINCT docid) AS BIGINT) AS df
+       FROM tok GROUP BY term )
+SELECT term, df FROM d
+WHERE regexp_matches(term, '^(?:{_CR_REGEX})')
+ORDER BY df DESC, term ASC LIMIT 5
+""".strip()
+
+
 def queries() -> dict:
     from sparksearch.contract_round3d import _q_filter_goldens
     return {"knn_ivfpq_served": q_knn_ivfpq_served,
+            "completion_regex": q_completion_regex,
             "ingest_attachment": q_ingest_attachment,
             "query_explain_bool": q_explain_bool,
             "query_explain_phrase": q_explain_phrase,
@@ -344,6 +374,7 @@ def queries() -> dict:
 def oracle_sql() -> dict:
     from sparksearch.contract_round3b import _sql_goldens
     return {"knn_ivfpq_served": sql_knn_ivfpq_served(),
+            "completion_regex": sql_completion_regex(),
             "ingest_attachment": sql_ingest_attachment(),
             "query_explain_bool": sql_explain_bool(),
             "query_explain_phrase": sql_explain_phrase(),

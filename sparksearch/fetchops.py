@@ -298,6 +298,42 @@ def suggest_completion_fuzzy(ix, prefix: str, fuzziness: int = 1,
             .limit(size))
 
 
+def _regex_literal_head(pattern: str) -> str:
+    """Leading literal characters of a regex (up to the first
+    metacharacter) — the sargable prefix guard for a regex completion."""
+    out = []
+    for ch in pattern:
+        if ch in "\\^$.|?*+()[]{}":
+            break
+        out.append(ch)
+    # a trailing literal before a quantifier may match 0 times — drop it
+    rest = pattern[len(out):]
+    if out and rest[:1] in ("?", "*", "{"):
+        out.pop()
+    return "".join(out)
+
+
+def suggest_completion_regex(ix, regex: str, size: int = 5) -> DataFrame:
+    """Completion suggester REGEX mode
+    (sv/search/suggest/completion/RegexOptions.java / Lucene
+    RegexCompletionQuery): a suggestion matches when the regex matches a
+    PREFIX of it — the compiled automaton is anchored at the start of
+    the suggestion, so `term RLIKE '^(?:regex)'` is the exact predicate.
+    Ranked df desc then term asc like the prefix walk.
+
+    Plan shape: the regex's literal head (chars before the first
+    metacharacter) becomes a sargable startswith guard on the sorted
+    term dictionary — parquet min/max prunes row groups before the JVM
+    rlike evaluates."""
+    cand = ix.stats.select("term", F.col("df").cast("long").alias("df"))
+    head = _regex_literal_head(regex)
+    if head:
+        cand = cand.where(F.col("term").startswith(head))
+    cand = cand.where(F.col("term").rlike("^(?:" + regex + ")"))
+    return (cand.orderBy(F.col("df").desc(), F.col("term").asc())
+            .limit(size))
+
+
 def term_vectors(ix, pages: DataFrame, docid: int) -> DataFrame:
     """`_termvectors` API: (term, tf, positions) for one doc, generated on
     the fly by re-analyzing the stored source text — the reference's

@@ -648,3 +648,24 @@ def test_explain_bool_and_phrase_in_body(ex):
         assert len(exp) == 1 and exp[0]["term"] == "hash join"
         assert exp[0]["df"] is None and exp[0]["tf"] >= 1.0
         assert abs(exp[0]["contribution"] - h["_score"]) < 5e-4
+
+
+def test_completion_regex(ex):
+    """Regex completion mode (RegexOptions / RegexCompletionQuery): the
+    pattern matches a prefix of the suggestion; literal head stays
+    sargable."""
+    from sparksearch.fetchops import _regex_literal_head, \
+        suggest_completion_regex
+    ix = ex.ix
+    rows = suggest_completion_regex(ix, "s[ctl]", size=10).collect()
+    assert rows and all(r["term"][0] == "s" and r["term"][1] in "ctl"
+                        for r in rows)
+    dfs = [r["df"] for r in rows]
+    assert dfs == sorted(dfs, reverse=True)
+    # anchored at start: a mid-word match must NOT qualify
+    assert all(not r["term"].startswith("a")
+               for r in suggest_completion_regex(ix, "ort", 10).collect())
+    assert _regex_literal_head("scan") == "scan"
+    assert _regex_literal_head("sc[ae]n") == "sc"
+    assert _regex_literal_head("sca?n") == "sc"
+    assert _regex_literal_head("(ab)c") == ""
