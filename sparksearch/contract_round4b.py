@@ -326,6 +326,42 @@ _ICU_TK_GOLDENS = [(0, "don't", 0), (0, "stop", 1), (0, "3.14", 2),
 
 
 # ---------------------------------------------------------------------------
+# WARC source connector (Common-Crawl-shaped ingest, SURVEY §2.1)
+# ---------------------------------------------------------------------------
+
+def q_warc_ingest(spark, sf_dir):
+    """Round-trip the pages corpus through REAL gzip-member WARC files:
+    pack ~1/8th of the corpus per archive (applyInPandas), then
+    `warc_to_pages` parses them back — url, warc_ts, and the extracted
+    text must all survive byte-exactly."""
+    import pandas as pd
+    from sparksearch.corpus import pages_from_documents
+    from sparksearch.warc import make_warc, warc_to_pages
+
+    pages = pages_from_documents(spark, sf_dir)
+    grouped = pages.withColumn("_g", F.pmod(F.xxhash64("url"), F.lit(8)))
+
+    def pack(pdf):
+        pdf = pdf.sort_values("url")
+        recs = [(u, t.strftime("%Y-%m-%dT%H:%M:%SZ"), bytes(h))
+                for u, t, h in zip(pdf["url"], pdf["warc_ts"],
+                                   pdf["html"])]
+        return pd.DataFrame({"data": [make_warc(recs, compress=True)]})
+
+    warcs = grouped.groupBy("_g").applyInPandas(pack, "data binary")
+    out = warc_to_pages(warcs)
+    return out.select("url", "warc_ts", "text").orderBy("url")
+
+
+def sql_warc_ingest() -> str:
+    from sparksearch import contract as C
+    return f"""
+WITH {C._PAGES}
+SELECT url, warc_ts, text FROM pages ORDER BY url
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # completion suggester regex mode (RegexOptions.java)
 # ---------------------------------------------------------------------------
 
@@ -358,6 +394,7 @@ def queries() -> dict:
     from sparksearch.contract_round3d import _q_filter_goldens
     return {"knn_ivfpq_served": q_knn_ivfpq_served,
             "completion_regex": q_completion_regex,
+            "warc_ingest": q_warc_ingest,
             "ingest_attachment": q_ingest_attachment,
             "query_explain_bool": q_explain_bool,
             "query_explain_phrase": q_explain_phrase,
@@ -375,6 +412,7 @@ def oracle_sql() -> dict:
     from sparksearch.contract_round3b import _sql_goldens
     return {"knn_ivfpq_served": sql_knn_ivfpq_served(),
             "completion_regex": sql_completion_regex(),
+            "warc_ingest": sql_warc_ingest(),
             "ingest_attachment": sql_ingest_attachment(),
             "query_explain_bool": sql_explain_bool(),
             "query_explain_phrase": sql_explain_phrase(),
