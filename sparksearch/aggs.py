@@ -330,19 +330,23 @@ def ranged_pipeline_frame(buckets: DataFrame, key: str = "key",
     by_pid = defaultdict(list)
     for r in tails:
         by_pid[r["_pid"]].append(r.asDict())
-    pids = sorted(by_pid)
+    # pids must come from BOTH collections: with carry=0 the tails
+    # collect is empty but cumulative offsets still need every partition
+    pids = sorted(set(by_pid) | set(sums))
     carry_rows: list[dict] = []
     prefix: list[dict] = []
     offsets: dict = {c: {} for c in cum_metrics}
     acc = {c: 0 for c in cum_metrics}
     for p in pids:
-        for r in prefix[-carry:]:
-            carry_rows.append({**r, "_pid": p, "_carry": True})
+        if carry:
+            for r in prefix[-carry:]:
+                carry_rows.append({**r, "_pid": p, "_carry": True})
         for c in cum_metrics:
             offsets[c][p] = acc[c]
             acc[c] += sums[p][c] or 0
-        prefix = (prefix
-                  + sorted(by_pid[p], key=lambda r: r[key]))[-carry:]
+        if carry:
+            prefix = (prefix + sorted(by_pid.get(p, ()),
+                                      key=lambda r: r[key]))[-carry:]
     base = rb.withColumn("_carry", F.lit(False))
     if carry_rows:
         cdf = rb.sparkSession.createDataFrame(

@@ -362,6 +362,67 @@ SELECT url, warc_ts, text FROM pages ORDER BY url
 
 
 # ---------------------------------------------------------------------------
+# robots.txt filtering (RFC 9309) — crawl-pipeline gatekeeper
+# ---------------------------------------------------------------------------
+
+_ROBOTS_TXT = ("User-agent: evilbot\nDisallow: /\n\n"
+               "User-agent: *\nDisallow: /p/000000\n"
+               "Allow: /p/0000005\nDisallow: /p/*7$\n")
+
+
+def q_robots_filter(spark, sf_dir):
+    """RFC 9309 precedence over every host: Disallow /p/000000 (len 9)
+    blocks docs 0-99, Allow /p/0000005 (len 10) re-admits 50-59, the
+    wildcard-anchored Disallow /p/*7$ (len 5) blocks ids ending in 7
+    unless a longer rule already decided."""
+    from sparksearch.corpus import pages_from_documents
+    from sparksearch.robots import robots_filter
+    pages = pages_from_documents(spark, sf_dir).select("url", "lang")
+    hosts = pages.select(F.regexp_extract(
+        "url", r"^[a-z][a-z0-9+.-]*://([^/]*)", 1).alias("host")).distinct()
+    robots = hosts.withColumn("content", F.lit(_ROBOTS_TXT))
+    out = robots_filter(pages, robots, agent="ccbot")
+    return out.select("url").orderBy("url")
+
+
+def sql_robots_filter() -> str:
+    from sparksearch import contract as C
+    return f"""
+WITH {C._PAGES},
+x AS ( SELECT url, CAST(substr(url, length(url) - 7, 8) AS INT) AS did
+       FROM pages )
+SELECT url FROM x
+WHERE (did BETWEEN 50 AND 59) OR (did > 99 AND did % 10 <> 7)
+ORDER BY url
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# deterministic epoch shuffle (training-data pipeline)
+# ---------------------------------------------------------------------------
+
+def q_epoch_shuffle(spark, sf_dir):
+    """Reproducible per-epoch global permutation: rank = position in
+    md5(key:epoch) order, computed with the two-pass ranged pattern
+    (no single-task window); the oracle replays the identical md5."""
+    from sparksearch.dataops import epoch_shuffle
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id"))
+    out = epoch_shuffle(docs, epoch=3, key_cols=["doc_id"])
+    return out.select("doc_id", "shuffle_rank").orderBy("doc_id")
+
+
+def sql_epoch_shuffle() -> str:
+    return """
+SELECT doc_id,
+       CAST(row_number() OVER (
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':3'),
+                    CAST(doc_id AS VARCHAR)) AS BIGINT) AS shuffle_rank
+FROM documents ORDER BY doc_id
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # completion suggester regex mode (RegexOptions.java)
 # ---------------------------------------------------------------------------
 
@@ -395,6 +456,8 @@ def queries() -> dict:
     return {"knn_ivfpq_served": q_knn_ivfpq_served,
             "completion_regex": q_completion_regex,
             "warc_ingest": q_warc_ingest,
+            "robots_filter": q_robots_filter,
+            "epoch_shuffle": q_epoch_shuffle,
             "ingest_attachment": q_ingest_attachment,
             "query_explain_bool": q_explain_bool,
             "query_explain_phrase": q_explain_phrase,
@@ -413,6 +476,8 @@ def oracle_sql() -> dict:
     return {"knn_ivfpq_served": sql_knn_ivfpq_served(),
             "completion_regex": sql_completion_regex(),
             "warc_ingest": sql_warc_ingest(),
+            "robots_filter": sql_robots_filter(),
+            "epoch_shuffle": sql_epoch_shuffle(),
             "ingest_attachment": sql_ingest_attachment(),
             "query_explain_bool": sql_explain_bool(),
             "query_explain_phrase": sql_explain_phrase(),

@@ -1650,3 +1650,38 @@ def ivfpq_query(spark, index_dir: str, qvec, k: int = 10,
     return (codes.select("vid", F.round(F.expr(adc), 6).alias("adc"))
             .orderBy(F.col("adc").asc(), F.col("vid").asc())
             .limit(k))
+
+
+def epoch_shuffle(df: DataFrame, epoch: int, key_cols: list | None = None,
+                  out_col: str = "shuffle_rank",
+                  n_partitions: int = 8) -> DataFrame:
+    """Deterministic global training-epoch shuffle: every epoch is an
+    independent, reproducible permutation of the corpus — the op a
+    training-data pipeline runs before sequence packing so shard order
+    isn't corpus order.
+
+    hash = md5(key ⊕ ':' ⊕ epoch): engine-portable (Spark and the
+    DuckDB oracle produce identical hex), uniform, and seedable by
+    epoch.  The global rank is the two-pass ranged pattern
+    (aggs.ranged_pipeline_frame): repartitionByRange on the hash,
+    per-partition running counts, bounded per-partition offsets — NO
+    single-task global window, no driver materialization.  Ties (equal
+    hashes — only possible with duplicate keys) break on the key
+    string."""
+    from sparksearch.aggs import ranged_pipeline_frame
+    cols = key_cols or df.columns
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])
+    base = (df.withColumn("_k", key)
+            .withColumn("_h", F.md5(F.concat(F.col("_k"),
+                                             F.lit(f":{int(epoch)}"))))
+            .withColumn("_one", F.lit(1)))
+    frame, off = ranged_pipeline_frame(base, key="_h", carry=0,
+                                       n_partitions=n_partitions,
+                                       cum_metrics=("_one",))
+    w = (Window.partitionBy("_pid").orderBy("_h", "_k")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    rank = (F.sum(F.when(~F.col("_carry"), F.col("_one"))
+                  .otherwise(F.lit(0))).over(w) + off["_one"])
+    return (frame.where(~F.col("_carry"))
+            .withColumn(out_col, rank.cast("long"))
+            .drop("_pid", "_carry", "_one", "_h", "_k"))
