@@ -179,9 +179,6 @@ FROM documents ORDER BY doc_id
 # for anything but match)
 # ---------------------------------------------------------------------------
 
-_EXP_BOOL = None  # built lazily by _bool_q()
-
-
 def _bool_q():
     from sparksearch.queries import Bool, Match
     return Bool(must=[Match("text", "join")],
