@@ -359,6 +359,54 @@ SELECT url, warc_ts, text FROM pages ORDER BY url
 
 
 # ---------------------------------------------------------------------------
+# rank_features (plural) — sparse feature maps
+# (modules/mapper-extras/.../RankFeaturesFieldMapper.java)
+# ---------------------------------------------------------------------------
+
+def q_rank_features_map(spark, sf_dir):
+    """rank_features mapper: per-doc sparse feature MAP, queried per key
+    through the rank_feature functions — sigmoid on a derived 'bonus'
+    feature + log on the doc-length feature, composed in a bool should
+    (the documented usage)."""
+    from sparksearch import contract as C
+    from sparksearch.exec import Executor
+    from sparksearch.queries import Bool, Match, RankFeature
+    ix, _ = C.get_engine(spark, sf_dir)
+    side = ix.docs.select(
+        "url",
+        F.create_map(
+            F.lit("dlf"), F.col("dl").cast("double"),
+            F.lit("bonus"), (F.col("dl") % 7 + 1).cast("double"))
+        .alias("features"))
+    ex2 = Executor(ix.with_docvalues(side))
+    q = Bool(must=[Match("text", "join")],
+             should=[RankFeature("features.bonus", function="sigmoid",
+                                 pivot=3.0, exponent=2.0, boost=0.4),
+                     RankFeature("features.dlf", function="log",
+                                 scaling_factor=1.0, boost=0.1)])
+    return C.topk_rounded(ex2, q, k=10)
+
+
+def sql_rank_features_map() -> str:
+    from sparksearch import contract as C
+    from sparksearch.contract_round2c import _SC_JOIN
+    P, TOK, DL = C._PAGES, C._TOK, C._DL
+    b = "(dl.dl % 7 + 1)"
+    return f"""
+WITH {P}, {TOK}, {DL},
+{_SC_JOIN},
+rf AS ( SELECT sc.docid,
+               sc.score
+               + 0.4 * (pow({b}, 2.0) / (pow({b}, 2.0) + 9.0))
+               + 0.1 * ln(1.0 + dl.dl) AS score
+        FROM sc JOIN dl USING (docid) )
+SELECT p.docid, p.url, round(rf.score, 4) AS score
+FROM rf JOIN pages p USING (docid)
+ORDER BY round(rf.score, 4) DESC, p.docid ASC LIMIT 10
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # robots.txt filtering (RFC 9309) — crawl-pipeline gatekeeper
 # ---------------------------------------------------------------------------
 
@@ -455,6 +503,7 @@ def queries() -> dict:
             "warc_ingest": q_warc_ingest,
             "robots_filter": q_robots_filter,
             "epoch_shuffle": q_epoch_shuffle,
+            "rank_features_map": q_rank_features_map,
             "ingest_attachment": q_ingest_attachment,
             "query_explain_bool": q_explain_bool,
             "query_explain_phrase": q_explain_phrase,
@@ -475,6 +524,7 @@ def oracle_sql() -> dict:
             "warc_ingest": sql_warc_ingest(),
             "robots_filter": sql_robots_filter(),
             "epoch_shuffle": sql_epoch_shuffle(),
+            "rank_features_map": sql_rank_features_map(),
             "ingest_attachment": sql_ingest_attachment(),
             "query_explain_bool": sql_explain_bool(),
             "query_explain_phrase": sql_explain_phrase(),

@@ -371,8 +371,20 @@ class Executor:
     def _plan_rank_feature(self, q: RankFeature, scored: bool) -> DataFrame:
         """rank_feature: one column-pruned docs scan, the saturating
         function as a Catalyst expression
-        (sv/index/query/RankFeatureQueryBuilder.java)."""
-        v = F.col(q.field_name).cast("double")
+        (sv/index/query/RankFeatureQueryBuilder.java).
+
+        A dotted name whose head is NOT a docs column addresses one key
+        of a `rank_features` map field (RankFeaturesFieldMapper.java —
+        sparse per-doc feature sets stored as map<string,float>):
+        v = element_at(map, key), null for absent keys, so docs missing
+        the feature don't match, same as the singular mapper."""
+        name = q.field_name
+        docs_cols = set(self.ix.docs.columns)
+        if name not in docs_cols and "." in name:
+            base, _, key = name.partition(".")
+            v = F.element_at(F.col(base), F.lit(key)).cast("double")
+        else:
+            v = F.col(name).cast("double")
         if q.function == "saturation":
             s = v / (v + F.lit(float(q.pivot)))
         elif q.function == "log":
