@@ -407,6 +407,67 @@ ORDER BY round(rf.score, 4) DESC, p.docid ASC LIMIT 10
 
 
 # ---------------------------------------------------------------------------
+# real pixel kernel: BMP nearest-neighbor resize (multimodal stage)
+# ---------------------------------------------------------------------------
+
+def q_media_resize(spark, sf_dir):
+    """Per-doc 8×6 BMPs with formula pixels → `resize_images` to 5×4
+    (REAL pure-bytes nearest-neighbor pixel resample, src=(x·w)//w') →
+    decoded width/height/byte-size/pixel-sum.  The oracle replays the
+    identical integer resample arithmetic in SQL over a pixel grid."""
+    import pandas as pd
+    from sparksearch.multimodal import bmp_decode, make_bmp, resize_images
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+
+    def wrap(batches):
+        for pdf in batches:
+            payloads = [make_bmp(
+                8, 6, lambda x, y, d=int(d): (
+                    (d * 7 + y * 13 + x * 31) % 256,) * 3)
+                for d in pdf["doc_id"]]
+            yield pd.DataFrame({"media_id": pdf["doc_id"].astype(str),
+                                "payload": payloads})
+
+    media = docs.mapInPandas(wrap, "media_id string, payload binary")
+    out = resize_images(media, 5, 4)
+
+    def summarize(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                data = bytes(r.payload)
+                _, _, px = bmp_decode(data)
+                psum = sum(sum(p) for row in px for p in row)
+                rows.append((int(r.media_id), int(r.width),
+                             int(r.height), len(data), psum))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "n_bytes", "pixel_sum"])
+
+    return (out.mapInPandas(
+        summarize, "doc_id long, width int, height int, "
+                   "n_bytes long, pixel_sum long")
+        .orderBy("doc_id"))
+
+
+def sql_media_resize() -> str:
+    return """
+WITH px AS (
+  SELECT d.doc_id, gx.x, gy.y,
+         (d.doc_id * 7 + ((gy.y * 6) // 4) * 13
+          + ((gx.x * 8) // 5) * 31) % 256 AS v
+  FROM documents d,
+       generate_series(0, 4) AS gx(x),
+       generate_series(0, 3) AS gy(y) )
+SELECT doc_id, CAST(5 AS INT) AS width, CAST(4 AS INT) AS height,
+       CAST(118 AS BIGINT) AS n_bytes,
+       CAST(3 * sum(v) AS BIGINT) AS pixel_sum
+FROM px GROUP BY doc_id ORDER BY doc_id
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # robots.txt filtering (RFC 9309) — crawl-pipeline gatekeeper
 # ---------------------------------------------------------------------------
 
@@ -504,6 +565,7 @@ def queries() -> dict:
             "robots_filter": q_robots_filter,
             "epoch_shuffle": q_epoch_shuffle,
             "rank_features_map": q_rank_features_map,
+            "media_resize": q_media_resize,
             "ingest_attachment": q_ingest_attachment,
             "query_explain_bool": q_explain_bool,
             "query_explain_phrase": q_explain_phrase,
@@ -525,6 +587,7 @@ def oracle_sql() -> dict:
             "robots_filter": sql_robots_filter(),
             "epoch_shuffle": sql_epoch_shuffle(),
             "rank_features_map": sql_rank_features_map(),
+            "media_resize": sql_media_resize(),
             "ingest_attachment": sql_ingest_attachment(),
             "query_explain_bool": sql_explain_bool(),
             "query_explain_phrase": sql_explain_phrase(),

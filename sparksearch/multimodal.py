@@ -219,3 +219,167 @@ def sample_frames(decoded: DataFrame, media: DataFrame,
                 rows, columns=[f.name for f in _FRAME_SCHEMA])
 
     return joined.mapInPandas(kernel, schema=_FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real pixel / PCM kernels for the uncompressed containers (BMP BI_RGB,
+# WAV PCM16) — pure bytes + struct, no codec library.  These replace the
+# stub for the formats that don't need one; PNG/JPEG/GIF/WebP decode
+# still routes to the decode_stub plug point (their codecs aren't in
+# this environment).
+# ---------------------------------------------------------------------------
+
+def make_bmp(width: int, height: int, pixel) -> bytes:
+    """24-bit BI_RGB bottom-up BMP; `pixel(x, y) -> (r, g, b)`."""
+    import struct
+    row_size = (width * 3 + 3) // 4 * 4
+    img_size = row_size * height
+    out = bytearray()
+    out += b"BM" + struct.pack("<IHHI", 54 + img_size, 0, 0, 54)
+    out += struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       img_size, 2835, 2835, 0, 0)
+    for y in range(height - 1, -1, -1):        # bottom-up
+        row = bytearray()
+        for x in range(width):
+            r, g, b = pixel(x, y)
+            row += bytes((b & 0xFF, g & 0xFF, r & 0xFF))   # BGR order
+        row += b"\x00" * (row_size - len(row))
+        out += row
+    return bytes(out)
+
+
+def bmp_decode(data: bytes):
+    """(width, height, pixels) — pixels[y][x] = (r, g, b), top-down.
+    24-bit BI_RGB only (compression raises loudly)."""
+    import struct
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    off = struct.unpack_from("<I", data, 10)[0]
+    w, h = struct.unpack_from("<ii", data, 18)
+    bpp, comp = struct.unpack_from("<xxH I", data, 26)
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"only 24-bit BI_RGB BMP decodes here (bpp={bpp}, "
+            f"compression={comp})")
+    bottom_up = h > 0
+    h = abs(h)
+    row_size = (w * 3 + 3) // 4 * 4
+    pixels = []
+    for y in range(h):
+        sy = (h - 1 - y) if bottom_up else y
+        base = off + sy * row_size
+        row = [(data[base + 3 * x + 2], data[base + 3 * x + 1],
+                data[base + 3 * x]) for x in range(w)]
+        pixels.append(row)
+    return w, h, pixels
+
+
+def bmp_resize(data: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resample: src = (x·w_in)//w_out — the exact
+    integer rule the SQL oracle replays."""
+    w, h, px = bmp_decode(data)
+    return make_bmp(out_w, out_h,
+                    lambda x, y: px[y * h // out_h][x * w // out_w])
+
+
+def make_wav(rate: int, channels: int, samples: list) -> bytes:
+    """PCM16 WAV; `samples` = interleaved int16 frames."""
+    import struct
+    payload = struct.pack(f"<{len(samples)}h", *samples)
+    byte_rate = rate * channels * 2
+    return (b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                                    byte_rate, channels * 2, 16)
+            + b"data" + struct.pack("<I", len(payload)) + payload)
+
+
+def wav_decode(data: bytes):
+    """(rate, channels, interleaved int16 samples) — PCM16 only."""
+    import struct
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    i = 12
+    rate = channels = None
+    samples = []
+    while i + 8 <= len(data):
+        cid, size = data[i:i + 4], struct.unpack_from("<I", data, i + 4)[0]
+        body = data[i + 8:i + 8 + size]
+        if cid == b"fmt ":
+            fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if fmt != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"only PCM16 WAV decodes here (fmt={fmt}, bits={bits})")
+        elif cid == b"data":
+            samples = list(struct.unpack(f"<{len(body) // 2}h", body))
+        i += 8 + size + (size & 1)
+    return rate, channels, samples
+
+
+def wav_resample(data: bytes, out_rate: int) -> bytes:
+    """Nearest-frame PCM resample: out frame i ← in frame
+    (i·rate_in)//rate_out, all channels together."""
+    rate, ch, samples = wav_decode(data)
+    n_in = len(samples) // ch
+    n_out = n_in * out_rate // rate
+    out = []
+    for i in range(n_out):
+        src = i * rate // out_rate
+        out.extend(samples[src * ch:(src + 1) * ch])
+    return make_wav(out_rate, ch, out)
+
+
+_RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType(), False),
+    T.StructField("resized", T.BooleanType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("payload", T.BinaryType(), True),
+])
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize stage: REAL nearest-neighbor pixel resample for BMP
+    payloads; compressed containers pass through resized=false (their
+    codec is the decode_stub plug point).  One Arrow mapInPandas pass —
+    bytes never leave the executors."""
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                payload = bytes(r.payload)
+                if payload[:2] == b"BM":
+                    out = bmp_resize(payload, width, height)
+                    rows.append((r.media_id, True, width, height, out))
+                else:
+                    rows.append((r.media_id, False, None, None, payload))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _RESIZED_SCHEMA])
+    return (media.select("media_id", "payload")
+            .mapInPandas(kernel, schema=_RESIZED_SCHEMA))
+
+
+def resample_audio(media: DataFrame, rate: int) -> DataFrame:
+    """Audio resample stage: REAL nearest-frame PCM16 resample for WAV
+    payloads; compressed audio passes through resized=false."""
+    schema = T.StructType([
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("resized", T.BooleanType(), False),
+        T.StructField("rate", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ])
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                payload = bytes(r.payload)
+                if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+                    rows.append((r.media_id, True, rate,
+                                 wav_resample(payload, rate)))
+                else:
+                    rows.append((r.media_id, False, None, payload))
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in schema.fields])
+    return (media.select("media_id", "payload")
+            .mapInPandas(kernel, schema=schema))

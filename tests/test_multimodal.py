@@ -121,3 +121,66 @@ def test_decode_metadata_headers_mode(spark):
     assert (out["aud1"]["duration_ms"], out["aud1"]["channels"]) == (1000, 1)
     assert out["doc1"]["width"] is None         # unknown container -> nulls
     assert out["doc1"]["n_bytes"] == 13         # exact fields still real
+
+
+# ---------------------------------------------------------------------------
+# real pixel / PCM kernels (BMP, WAV PCM16)
+# ---------------------------------------------------------------------------
+
+def _pix(x, y):
+    return ((x * 31) % 256, (y * 13) % 256, (x + y) % 256)
+
+
+def test_bmp_roundtrip_and_resize():
+    from sparksearch.multimodal import bmp_decode, bmp_resize, make_bmp
+    b = make_bmp(8, 6, _pix)
+    w, h, px = bmp_decode(b)
+    assert (w, h) == (8, 6)
+    assert all(px[y][x] == _pix(x, y) for y in range(6) for x in range(8))
+    assert bmp_resize(b, 8, 6) == b          # identity resize byte-exact
+    w2, h2, px2 = bmp_decode(bmp_resize(b, 5, 4))
+    assert (w2, h2) == (5, 4)
+    for y in range(4):
+        for x in range(5):
+            assert px2[y][x] == _pix(x * 8 // 5, y * 6 // 4)
+
+
+def test_bmp_refuses_compressed():
+    import pytest
+    from sparksearch.multimodal import bmp_decode, make_bmp
+    data = bytearray(make_bmp(2, 2, _pix))
+    data[30] = 1                              # BI_RLE8 compression flag
+    with pytest.raises(NotImplementedError):
+        bmp_decode(bytes(data))
+
+
+def test_wav_roundtrip_and_resample():
+    from sparksearch.multimodal import make_wav, wav_decode, wav_resample
+    samples = [i * 100 - 3000 for i in range(160)]     # 80 stereo frames
+    wv = make_wav(8000, 2, samples)
+    assert wav_decode(wv) == (8000, 2, samples)
+    r, ch, s = wav_decode(wav_resample(wv, 4000))
+    assert (r, ch, len(s)) == (4000, 2, 160 // 2)
+    assert s[:4] == samples[0:2] + samples[4:6]        # every other frame
+
+
+def test_resize_images_stage(spark):
+    from sparksearch.multimodal import bmp_decode, make_bmp, resize_images
+    rows = [("a", make_bmp(8, 6, _pix)),
+            ("b", b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    out = {r["media_id"]: r for r in resize_images(df, 4, 3).collect()}
+    assert out["a"]["resized"] and out["a"]["width"] == 4
+    assert bmp_decode(bytes(out["a"]["payload"]))[0] == 4
+    assert not out["b"]["resized"]            # compressed: plug point
+    assert bytes(out["b"]["payload"]) == rows[1][1]
+
+
+def test_resample_audio_stage(spark):
+    from sparksearch.multimodal import make_wav, resample_audio, wav_decode
+    df = spark.createDataFrame(
+        [("a", make_wav(8000, 1, list(range(-40, 40))))],
+        "media_id string, payload binary")
+    r = resample_audio(df, 2000).collect()[0]
+    assert r["resized"] and r["rate"] == 2000
+    assert wav_decode(bytes(r["payload"]))[0] == 2000
