@@ -177,10 +177,15 @@ def run_probe(cores: int, n_docs: int, corpus_dir: str = "",
         env["SPARK_GRAFT_BENCH_REPS"] = str(reps)
     subprocess.run(["sync"], timeout=120)
     time.sleep(10)  # let the previous JVM's writeback/reaping settle
+    # timeout scales with input (450k on a jittery host can exceed a
+    # flat 1800 s: 2 warm reps × ~700-1100 s each + warm-up)
+    probe_timeout = int(os.environ.get(
+        "SPARK_GRAFT_PROBE_TIMEOUT", max(1800, n_docs // 60)))
     r = subprocess.run([sys.executable, os.path.abspath(__file__),
                         "--probe", str(cores), str(n_docs),
                         str(n_executors)],
-                       capture_output=True, text=True, env=env, timeout=1800)
+                       capture_output=True, text=True, env=env,
+                       timeout=probe_timeout)
     for line in reversed(r.stdout.strip().splitlines()):
         try:
             return json.loads(line)
