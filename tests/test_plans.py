@@ -243,3 +243,28 @@ def test_pipeline_windows_not_single_task(spark):
         acc += dc
         want.append(acc)
     assert [r["c"] for r in cum] == want
+
+
+def test_pipeline_windows_short_partitions(spark):
+    """Partitions SHORTER than the trailing window: the rolling carry
+    buffer must splice boundary rows from more than one partition back."""
+    import datetime
+
+    from pyspark.sql import Window, functions as F
+    from sparksearch.aggs import moving_window_aggs
+
+    rows = [(datetime.datetime(2025, 1, 1) + datetime.timedelta(hours=i),
+             (i * 5) % 11 + 1) for i in range(10)]
+    buckets = spark.createDataFrame(rows, "key timestamp, doc_count long")
+    got = moving_window_aggs(buckets, window=5, lag=3,
+                             n_partitions=8).orderBy("key").collect()
+    m = F.col("doc_count").cast("double")
+    w = Window.orderBy("key").rowsBetween(-4, 0)
+    lw = Window.orderBy("key")
+    ref = (buckets
+           .withColumn("moving_avg", F.round(F.avg(m).over(w), 6))
+           .withColumn("moving_max", F.max(m).over(w))
+           .withColumn("serial_diff", (m - F.lag(m, 3).over(lw))
+                       .cast("double"))
+           .orderBy("key").collect())
+    assert [tuple(r) for r in got] == [tuple(r) for r in ref]
