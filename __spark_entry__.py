@@ -136,7 +136,7 @@ _RECORD_FIRST = [
     "knn_ivfpq_served", "ingest_attachment", "query_explain_bool",
     "query_explain_phrase", "tf_metaphone", "tk_icu",
     "completion_regex", "warc_ingest", "robots_filter", "epoch_shuffle",
-    "rank_features_map", "media_resize",
+    "rank_features_map", "media_resize", "mtermvectors",
     "agg_mov_avg_linear", "agg_mov_avg_ewma", "agg_mov_avg_holt",
     "agg_mov_avg_holt_winters", "agg_mov_avg_hw_mult",
     # never-driver-recorded round-1/2/3 entries (rotated into 12-50)
@@ -150,10 +150,10 @@ _RECORD_FIRST = [
     "agg_sampler", "agg_auto_date_histogram", "agg_date_range",
     "agg_ip_range", "agg_moving_fns", "agg_bucket_script_chain",
     "query_common_terms", "query_exists_ids", "query_dsl_bool",
-    "terms_set", "min_score",
+    "terms_set",
     # --- end of the 50 recorded this round; the rest keep local + pytest
     # coverage and rotate up in later rounds
-    "rank_feature", "msearch", "index_stats", "rank_eval_ndcg", "sort_by_script", "search_template", "script_score", "delete_by_query", "expunge_deletes", "hybrid_rrf",
+    "min_score", "rank_feature", "msearch", "index_stats", "rank_eval_ndcg", "sort_by_script", "search_template", "script_score", "delete_by_query", "expunge_deletes", "hybrid_rrf",
     "source_filtering", "pit_search", "runtime_fields",
     "match_bool_prefix", "percolate_queries", "span_first", "span_gap",
     "mapping_copy_to", "term_vectors", "matched_queries",
@@ -215,7 +215,7 @@ _RECORD_FIRST = [
     "query_common_terms", "query_distance_feature_dsl", "query_exists_ids",
     "query_string_multiterm", "query_explain", "query_dsl_bool",
     "terms_set", "min_score", "rank_feature",
-    "msearch", "rank_feature", "msearch", "index_stats", "rank_eval_ndcg", "sort_by_script",
+    "msearch", "min_score", "rank_feature", "msearch", "index_stats", "rank_eval_ndcg", "sort_by_script",
     "search_template", "script_query", "script_fields", "script_score",
     "delete_by_query", "expunge_deletes", "hybrid_rrf",
     "source_filtering", "pit_search", "runtime_fields",

@@ -407,6 +407,33 @@ ORDER BY round(rf.score, 4) DESC, p.docid ASC LIMIT 10
 
 
 # ---------------------------------------------------------------------------
+# _mtermvectors (TransportMultiTermVectorsAction)
+# ---------------------------------------------------------------------------
+
+def q_mtermvectors(spark, sf_dir):
+    """Batched `_mtermvectors`: three docs' vectors from one plan."""
+    from sparksearch import contract as C
+    from sparksearch.fetchops import term_vectors_many
+    ix, _ = C.get_engine(spark, sf_dir)
+    tv = term_vectors_many(ix, C.pages_df(spark, sf_dir),
+                           docids=[3, 7, 11])
+    return tv.withColumn(
+        "positions",
+        F.concat_ws(",", F.col("positions").cast("array<string>")))
+
+
+def sql_mtermvectors() -> str:
+    from sparksearch import contract as C
+    return f"""
+WITH {C._PAGES}, {C._TOKPOS}
+SELECT docid, term, CAST(count(*) AS BIGINT) AS tf,
+       array_to_string(list(pos ORDER BY pos), ',') AS positions
+FROM tokpos WHERE docid IN (3, 7, 11)
+GROUP BY docid, term ORDER BY docid, term
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # real pixel kernel: BMP nearest-neighbor resize (multimodal stage)
 # ---------------------------------------------------------------------------
 
@@ -566,6 +593,7 @@ def queries() -> dict:
             "epoch_shuffle": q_epoch_shuffle,
             "rank_features_map": q_rank_features_map,
             "media_resize": q_media_resize,
+            "mtermvectors": q_mtermvectors,
             "ingest_attachment": q_ingest_attachment,
             "query_explain_bool": q_explain_bool,
             "query_explain_phrase": q_explain_phrase,
@@ -588,6 +616,7 @@ def oracle_sql() -> dict:
             "epoch_shuffle": sql_epoch_shuffle(),
             "rank_features_map": sql_rank_features_map(),
             "media_resize": sql_media_resize(),
+            "mtermvectors": sql_mtermvectors(),
             "ingest_attachment": sql_ingest_attachment(),
             "query_explain_bool": sql_explain_bool(),
             "query_explain_phrase": sql_explain_phrase(),

@@ -1567,9 +1567,9 @@ def ivfpq_build(emb: DataFrame, out_dir: str, n_cells: int = 8,
        `ivfpq_meta.json` holds centroids + codebooks (n_cells×dim +
        m×kc×dim/m doubles — driver/broadcast sized at any corpus).
 
-    Scale shape: one pass to assign+residual+encode (no shuffle — the
-    partitionBy write is the only exchange), training cost bounded by
-    `pq_train`'s m × iters (kc × dim/m)-double collects.
+    Scale shape: one pass to assign+residual+encode whose only exchange
+    is the cell repartition feeding the partitionBy write; training cost
+    bounded by `pq_train`'s m × iters (kc × dim/m)-double collects.
     """
     import json
     import os

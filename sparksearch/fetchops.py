@@ -355,6 +355,27 @@ def term_vectors(ix, pages: DataFrame, docid: int) -> DataFrame:
             .orderBy("term"))
 
 
+def term_vectors_many(ix, pages: DataFrame, docids: list) -> DataFrame:
+    """`_mtermvectors` (TransportMultiTermVectorsAction): per-doc
+    (docid, term, tf, positions) for EVERY requested doc from ONE plan —
+    a docid-isin-pruned docs scan broadcast-joined to its source pages,
+    the Arrow analyzer running only on those rows; the batch is one
+    Spark job, not one per doc."""
+    from sparksearch.build import doc_postings_udf
+    ids = [int(d) for d in docids]
+    doc = (ix.docs.filter(F.col("docid").isin(ids))
+           .select("docid", "url"))
+    src = pages.select("url", "text").join(F.broadcast(doc), "url")
+    tok = src.select(
+        "docid", doc_postings_udf(ix.analyzer)(F.col("text")).alias("_tv"))
+    return (tok.select("docid", F.explode("_tv.entries").alias("e"))
+            .select("docid",
+                    F.col("e.term").alias("term"),
+                    F.col("e.tf").cast("long").alias("tf"),
+                    F.col("e.positions").alias("positions"))
+            .orderBy("docid", "term"))
+
+
 def explain_many(ex, q, docids: list) -> DataFrame:
     """Batched `_explain`: per-term BM25 breakdown rows for EVERY doc in
     `docids` from ONE plan (docid isin over the query-term-pruned
