@@ -331,21 +331,11 @@ def q_warc_ingest(spark, sf_dir):
     pack ~1/8th of the corpus per archive (applyInPandas), then
     `warc_to_pages` parses them back — url, warc_ts, and the extracted
     text must all survive byte-exactly."""
-    import pandas as pd
     from sparksearch.corpus import pages_from_documents
-    from sparksearch.warc import make_warc, warc_to_pages
+    from sparksearch.warc import pages_to_warc, warc_to_pages
 
     pages = pages_from_documents(spark, sf_dir)
-    grouped = pages.withColumn("_g", F.pmod(F.xxhash64("url"), F.lit(8)))
-
-    def pack(pdf):
-        pdf = pdf.sort_values("url")
-        recs = [(u, t.strftime("%Y-%m-%dT%H:%M:%SZ"), bytes(h))
-                for u, t, h in zip(pdf["url"], pdf["warc_ts"],
-                                   pdf["html"])]
-        return pd.DataFrame({"data": [make_warc(recs, compress=True)]})
-
-    warcs = grouped.groupBy("_g").applyInPandas(pack, "data binary")
+    warcs = pages_to_warc(pages, n_files=8, compress=True)
     out = warc_to_pages(warcs)
     return out.select("url", "warc_ts", "text").orderBy("url")
 

@@ -31,10 +31,10 @@ import hashlib
 import zlib
 from datetime import datetime
 
-from pyspark.sql import DataFrame, types as T
+from pyspark.sql import DataFrame, functions as F, types as T
 
 __all__ = ["make_warc", "make_http_response", "iter_warc", "warc_pages",
-           "warc_to_pages"]
+           "warc_to_pages", "pages_to_warc"]
 
 _CRLF = b"\r\n"
 
@@ -140,6 +140,30 @@ def warc_pages(data: bytes) -> list[dict]:
                     "warc_ts": when,
                     "html": _http_body(payload)})
     return out
+
+
+def pages_to_warc(pages: DataFrame, n_files: int = 8,
+                  compress: bool = True,
+                  url_col: str = "url", ts_col: str = "warc_ts",
+                  html_col: str = "html") -> DataFrame:
+    """The write side: pages → (data binary) WARC blobs, ~corpus/n_files
+    records per archive.  Grouping is a hash of the url (deterministic,
+    skew-free), records within an archive sorted by url so output bytes
+    are reproducible.  One applyInPandas stage; pair with an external
+    `.write` (binary files / object store) to export."""
+    import pandas as pd
+
+    def pack(pdf):
+        pdf = pdf.sort_values(url_col)
+        recs = [(u, t.strftime("%Y-%m-%dT%H:%M:%SZ"), bytes(h))
+                for u, t, h in zip(pdf[url_col], pdf[ts_col],
+                                   pdf[html_col])]
+        return pd.DataFrame({"data": [make_warc(recs, compress=compress)]})
+
+    return (pages
+            .withColumn("_g", F.pmod(F.xxhash64(url_col),
+                                     F.lit(int(n_files))))
+            .groupBy("_g").applyInPandas(pack, "data binary"))
 
 
 _PAGES_SCHEMA = T.StructType([

@@ -46,3 +46,22 @@ def test_warc_to_pages_spark(spark):
     assert rows["https://a.example/1"]["text"] == "hello there"
     assert bytes(rows["https://b.example/2"]["html"]) == RECS[1][2]
     assert rows["https://a.example/1"]["lang"] is None
+
+
+def test_pages_to_warc_roundtrip(spark):
+    import datetime
+    from sparksearch.warc import pages_to_warc, warc_to_pages
+    rows = [(f"https://h{i % 3}.example/p/{i:04d}",
+             datetime.datetime(2025, 1, 1, 0, 0, i),
+             f"<html><body>doc {i} words</body></html>".encode())
+            for i in range(30)]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary")
+    warcs = pages_to_warc(pages, n_files=4)
+    assert warcs.count() <= 4
+    back = {r["url"]: r for r in warc_to_pages(warcs).collect()}
+    assert len(back) == 30
+    for i, (u, ts, h) in enumerate(rows):
+        assert bytes(back[u]["html"]) == h
+        assert back[u]["warc_ts"] == ts
+        assert back[u]["text"] == f"doc {i} words"
