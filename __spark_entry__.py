@@ -128,101 +128,31 @@ LIMIT 10 OFFSET 10
 #: locally; this ordering only decides which 50 the official
 #: CORRECTNESS_r04.json captures.
 _RECORD_FIRST = [
-    # round 4: the gate records the FIRST 50 names below — all of them
-    # are either new this round or have never appeared in a
-    # CORRECTNESS_r0{1,2,3}.json (rotation per round-3 VERDICT item 2);
-    # cumulative official coverage after this round ≈ 199 distinct names
-    # new in round 4
-    "knn_ivfpq_served", "ingest_attachment", "query_explain_bool",
-    "query_explain_phrase", "tf_metaphone", "tk_icu",
-    "completion_regex", "warc_ingest", "robots_filter", "epoch_shuffle",
-    "rank_features_map", "media_resize", "mtermvectors",
-    "agg_mov_avg_linear", "agg_mov_avg_ewma", "agg_mov_avg_holt",
-    "agg_mov_avg_holt_winters", "agg_mov_avg_hw_mult",
-    # never-driver-recorded round-1/2/3 entries (rotated into 12-50)
-    "semantic_dedup", "search_analyzer_autocomplete",
-    "tf_word_delimiter", "tk_ngram", "tk_uax_url_email",
-    "index_sorted_topk", "time_partition_search", "terms_sharded",
-    "search_as_you_type", "match_synonym", "analyze_custom",
-    "multi_phrase", "agg_boxplot", "agg_top_metrics", "agg_t_test",
-    "agg_rate", "agg_string_stats", "agg_global", "agg_scripted_metric",
-    "agg_rare_terms", "agg_multi_terms", "agg_adjacency_matrix",
-    "agg_sampler", "agg_auto_date_histogram", "agg_date_range",
-    "agg_ip_range", "agg_moving_fns", "agg_bucket_script_chain",
-    "query_common_terms", "query_exists_ids", "query_dsl_bool",
-    "terms_set",
-    # --- end of the 50 recorded this round; the rest keep local + pytest
-    # coverage and rotate up in later rounds
-    "min_score", "rank_feature", "msearch", "index_stats", "rank_eval_ndcg", "sort_by_script", "search_template", "script_score", "delete_by_query", "expunge_deletes", "hybrid_rrf",
-    "source_filtering", "pit_search", "runtime_fields",
-    "match_bool_prefix", "percolate_queries", "span_first", "span_gap",
-    "mapping_copy_to", "term_vectors", "matched_queries",
-    # new in round 3
-    "match_fuzzy_transpose", "fuzzy_capped",
-    "stem_french", "stem_german", "stem_spanish", "stem_portuguese",
-    "stem_italian", "stem_russian", "stem_arabic", "cjk_bigram_match",
-    "mlt_like_docs", "random_score", "field_masking_span",
-    "highlight_opts", "rank_eval_err", "completion_contexts",
-    "completion_fuzzy", "intervals_allof", "knn_join_lsh_sized",
-    "bpe_merges_local",
-    "stem_swedish", "stem_norwegian", "stem_hindi",
-    "ip_field_cidr", "ip_field_sort", "range_field_rel", "agg_doc_count",
-    "sessionize_events", "agg_ext_stats_bucket", "ingest_pipeline3",
-    "tf_lang_norms", "tf_concat_czech", "stem_snowball_de",
-    "stem_snowball_ru", "stem_snowball_fr", "stem_porter2",
-    "lang_analyzer_fr", "chunk_documents",
-    # VERDICT-named never-driver-recorded round-1/2 entries take the
-    # remaining first-50 slots (knn_join_lsh, dedup_clusters were called
-    # out by name); the rest of the round-3 goldens entries follow and
-    # stay covered by the local gate + pytest
-    "knn_join_lsh", "dedup_clusters", "dedup_embedding", "knn_cosine_ivf",
-    "knn_sq8", "pii_redact", "domain_cap", "similarity_lmdirichlet",
-    "api_knn",
-    "stem_snowball_es", "stem_snowball_nl", "stem_snowball_sv",
-    "stem_snowball_da", "stem_snowball_no", "stem_snowball_it",
-    "stem_snowball_pt", "lang_analyzer_de",
-    "tf_lowercase_turkish", "tf_lowercase_greek",
-    # round-3 continuation (plugin-tier mappers)
-    "mapping_size", "murmur3_hash", "annotated_text", "geoip_enrich",
-    "script_expression",
-    "stem_snowball_ro", "stem_snowball_hu", "stem_snowball_fi",
-    "stem_snowball_tr", "stem_snowball_de2",
-    "stem_indonesian", "stem_galician_min",
-    "lang_analyzer_tr", "lang_analyzer_fi", "tf_cologne", "dsir_weights", "tf_icu_normalizer", "knn_pq_adc",
-    # remaining never-driver-recorded round-1/2 entries
-    "repeated_spans", "hashed_bow",
-    "lm_quality", "pack_sequences", "mixture_sample", "decontaminate",
-    "gopher_repetition",
-    "api_field_sort", "api_search_after", "api_terms_agg",
-    "api_post_filter", "api_scoped_agg", "api_nested_agg", "api_collapse",
-    "api_highlight", "api_rescore", "api_knn", "api_knn_filtered",
-    "api_hybrid", "api_hybrid_minmax", "api_terminate_after",
-    "similarity_lmdirichlet", "similarity_lmjm", "similarity_boolean",
-    "similarity_bm25_tuned", "similarity_scripted",
-    "span_first", "span_or", "span_not", "span_within", "span_containing",
-    "span_multi", "span_gap",
-    "index_sorted_topk", "time_partition_search", "token_count_field",
-    "terms_sharded", "search_as_you_type",
-    "match_synonym", "match_synonym_and", "custom_stop_index",
-    "analyze_custom", "multi_phrase",
-    "agg_boxplot", "agg_top_metrics", "agg_t_test", "agg_rate",
-    "agg_normalize", "agg_string_stats", "agg_global",
-    "agg_percentile_ranks", "agg_bucket_metrics", "agg_percentiles_bucket",
-    "agg_variable_width_histogram", "agg_scripted_metric", "agg_rare_terms",
-    "agg_multi_terms", "agg_adjacency_matrix", "agg_sampler",
-    "agg_diversified_sampler", "agg_auto_date_histogram", "agg_date_range",
-    "agg_ip_range", "agg_moving_fns", "agg_bucket_script_chain",
-    "query_common_terms", "query_distance_feature_dsl", "query_exists_ids",
-    "query_string_multiterm", "query_explain", "query_dsl_bool",
-    "terms_set", "min_score", "rank_feature",
-    "msearch", "min_score", "rank_feature", "msearch", "index_stats", "rank_eval_ndcg", "sort_by_script",
-    "search_template", "script_query", "script_fields", "script_score",
+    # round 5: the gate records the FIRST 50 names below — 8 new this
+    # round + 42 that have never appeared in any CORRECTNESS_r0{1..4}.json
+    # (rotation per VERDICT item 2); cumulative official coverage after
+    # this round ≈ 249 distinct names.  Exactly the 50-name window is
+    # listed (ADVICE #5: keep the recorded-50 window auditable); a
+    # pytest asserts no duplicates.
+    # new in round 5
+    "ip_v6_range", "stem_snowball_ar", "stem_snowball_el",
+    "highlight_fvh", "percolate_many", "painless_methods",
+    "knn_ivfpq_trained", "completion_regex_alt",
+    # never-driver-recorded entries (rounds 1-3), rotated into 9-50
+    "min_score", "rank_feature", "msearch", "index_stats",
+    "rank_eval_ndcg", "sort_by_script", "search_template", "script_score",
     "delete_by_query", "expunge_deletes", "hybrid_rrf",
     "source_filtering", "pit_search", "runtime_fields",
-    "match_bool_prefix", "percolate_queries", "ingest_pipeline2",
-    "english_match_default", "english_docs",
-    "analyze_api", "analyze_goldens", "analyze_adversarial",
-    "url_dedup_sample", "url_dedup_counts",
+    "match_bool_prefix", "percolate_queries",
+    "span_first", "span_gap", "span_or", "span_not", "span_within",
+    "span_containing", "span_multi",
+    "api_field_sort", "api_search_after", "api_terms_agg",
+    "api_post_filter", "api_scoped_agg", "api_nested_agg", "api_collapse",
+    "api_highlight", "api_rescore", "api_knn_filtered",
+    "api_hybrid", "api_hybrid_minmax", "api_terminate_after",
+    "similarity_lmjm", "similarity_boolean", "similarity_bm25_tuned",
+    "similarity_scripted",
+    "query_explain", "script_fields",
 ]
 
 

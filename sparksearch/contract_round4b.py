@@ -166,9 +166,10 @@ def sql_ingest_attachment() -> str:
     return """
 SELECT doc_id,
        'application/pdf' AS ctype,
-       CAST(length(trim(text)) AS BIGINT) AS clen,
+       CAST(length(regexp_replace(text, '^\s+|\s+$', '', 'g')) AS BIGINT)
+         AS clen,
        'doc-' || CAST(doc_id AS VARCHAR) AS title,
-       trim(text) AS content
+       regexp_replace(text, '^\s+|\s+$', '', 'g') AS content
 FROM documents ORDER BY doc_id
 """.strip()
 

@@ -310,6 +310,21 @@ def _regex_literal_head(pattern: str) -> str:
     rest = pattern[len(out):]
     if out and rest[:1] in ("?", "*", "{"):
         out.pop()
+    # a top-level unescaped '|' means the accumulated head only covers the
+    # FIRST alternation branch ('scan|term' must not pre-filter to 'scan');
+    # '|' inside a group is fine because the head already stopped at '('
+    depth, esc = 0, False
+    for ch in rest:
+        if esc:
+            esc = False
+        elif ch == "\\":
+            esc = True
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth = max(0, depth - 1)
+        elif ch == "|" and depth == 0:
+            return ""
     return "".join(out)
 
 

@@ -87,8 +87,14 @@ def robots_rules(robots: DataFrame, agent: str = "*",
             hosts, rules = [], []
             for h, c in zip(pdf[host_col], pdf[content_col]):
                 parsed = parse_robots(c or "", agent)
-                hosts.append(h)
-                rules.append([(_like_of(p), len(p.rstrip("$")),
+                # hostnames are case-insensitive (RFC 3986 §3.2.2) — match
+                # lowercased on both sides so HTTPS://Host.Example still
+                # joins to its rules instead of failing open
+                hosts.append((h or "").lower())
+                # at most ONE trailing '$' is the end anchor; 'path$$' ends
+                # in a literal '$'
+                rules.append([(_like_of(p),
+                               len(p[:-1]) if p.endswith("$") else len(p),
                                1 if a else 0) for p, a in parsed])
             yield pd.DataFrame({"host": hosts, "rules": rules})
 
@@ -105,8 +111,12 @@ def robots_filter(pages: DataFrame, robots: DataFrame, agent: str = "*",
     ordering IS the RFC rule: longest pattern first, Allow over
     Disallow on ties; empty ⇒ allowed."""
     rules = robots_rules(robots, agent, host_col, content_col)
-    host = F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://([^/]*)", 1)
-    path = F.regexp_replace(F.col(url_col), r"^[a-z][a-z0-9+.-]*://[^/]*", "")
+    # scheme + host are case-insensitive; a compliance gate must not fail
+    # open on 'HTTPS://Host.Example/...'
+    host = F.lower(F.regexp_extract(
+        F.col(url_col), r"^(?i)[a-z][a-z0-9+.-]*://([^/]*)", 1))
+    path = F.regexp_replace(
+        F.col(url_col), r"^(?i)[a-z][a-z0-9+.-]*://[^/]*", "")
     tagged = pages.withColumn("_host", host).withColumn(
         "_path", F.when(path == "", "/").otherwise(path))
     joined = tagged.join(

@@ -142,25 +142,44 @@ def warc_pages(data: bytes) -> list[dict]:
     return out
 
 
-def pages_to_warc(pages: DataFrame, n_files: int = 8,
+def pages_to_warc(pages: DataFrame, n_files: int | None = None,
                   compress: bool = True,
                   url_col: str = "url", ts_col: str = "warc_ts",
-                  html_col: str = "html") -> DataFrame:
-    """The write side: pages → (data binary) WARC blobs, ~corpus/n_files
-    records per archive.  Grouping is a hash of the url (deterministic,
-    skew-free), records within an archive sorted by url so output bytes
-    are reproducible.  One applyInPandas stage; pair with an external
-    `.write` (binary files / object store) to export."""
+                  html_col: str = "html",
+                  docs_per_archive: int = 2000) -> DataFrame:
+    """The write side: pages → (data binary) WARC blobs.  Grouping is a
+    hash of the url (deterministic, skew-free), records within an archive
+    sorted by url so output bytes are reproducible.  One applyInPandas
+    stage; pair with an external `.write` (binary files / object store)
+    to export.
+
+    `n_files=None` (default) scales the archive count with the input —
+    ceil(count / docs_per_archive) — so a 100 TB caller never packs
+    corpus/8-sized archives into single pandas groups; pass an explicit
+    n_files to pin the layout.  WARC-Date is stamped from the timestamp's
+    true epoch micros (`unix_micros`, session-timezone-independent) in
+    UTC, with sub-second precision preserved when nonzero — matching the
+    stricter of the two forms `iter_warc` parses."""
     import pandas as pd
+
+    if n_files is None:
+        n_files = max(1, -(-pages.count() // int(docs_per_archive)))
+
+    def _stamp(us: int) -> str:
+        t = datetime.utcfromtimestamp(us // 1_000_000)
+        frac = us % 1_000_000
+        base = t.strftime("%Y-%m-%dT%H:%M:%S")
+        return f"{base}.{frac:06d}Z" if frac else base + "Z"
 
     def pack(pdf):
         pdf = pdf.sort_values(url_col)
-        recs = [(u, t.strftime("%Y-%m-%dT%H:%M:%SZ"), bytes(h))
-                for u, t, h in zip(pdf[url_col], pdf[ts_col],
-                                   pdf[html_col])]
+        recs = [(u, _stamp(int(us)), bytes(h))
+                for u, us, h in zip(pdf[url_col], pdf["_us"],
+                                    pdf[html_col])]
         return pd.DataFrame({"data": [make_warc(recs, compress=compress)]})
 
     return (pages
+            .withColumn("_us", F.unix_micros(F.col(ts_col)))
             .withColumn("_g", F.pmod(F.xxhash64(url_col),
                                      F.lit(int(n_files))))
             .groupBy("_g").applyInPandas(pack, "data binary"))
