@@ -168,6 +168,20 @@ def probe(cores: int, n_docs: int, n_executors: int = 0) -> None:
         spark.stop()
 
 
+def wait_quiet(max_wait: float = 300.0, thresh: float = 6.0) -> float:
+    """Wait (bounded) for co-tenant load to drain before a timed leg —
+    this shared host has documented ~2x same-code swings (BASELINE.md
+    round-4 appendix; BENCH_r04 recorded eff 0.737 vs 0.929 standalone on
+    the identical commit).  Returns the 1-min loadavg actually observed at
+    go-time so the record shows the measurement conditions."""
+    t0 = time.time()
+    la = os.getloadavg()[0]
+    while la >= thresh and time.time() - t0 < max_wait:
+        time.sleep(15)
+        la = os.getloadavg()[0]
+    return round(la, 2)
+
+
 def run_probe(cores: int, n_docs: int, corpus_dir: str = "",
               n_executors: int = 0, reps: int | None = None) -> dict | None:
     env = dict(os.environ)
@@ -177,6 +191,7 @@ def run_probe(cores: int, n_docs: int, corpus_dir: str = "",
         env["SPARK_GRAFT_BENCH_REPS"] = str(reps)
     subprocess.run(["sync"], timeout=120)
     time.sleep(10)  # let the previous JVM's writeback/reaping settle
+    load_at_start = wait_quiet()
     # timeout scales with input (450k on a jittery host can exceed a
     # flat 1800 s: 2 warm reps × ~700-1100 s each + warm-up)
     probe_timeout = int(os.environ.get(
@@ -188,7 +203,9 @@ def run_probe(cores: int, n_docs: int, corpus_dir: str = "",
                        timeout=probe_timeout)
     for line in reversed(r.stdout.strip().splitlines()):
         try:
-            return json.loads(line)
+            d = json.loads(line)
+            d["load_at_start"] = load_at_start
+            return d
         except json.JSONDecodeError:
             continue
     sys.stderr.write(f"probe cores={cores} failed:\n{r.stderr[-2000:]}\n")
@@ -224,17 +241,23 @@ def main() -> None:
     # state a long-running cluster sees — same min-over-warm-reps
     # methodology as the scaling probes (BASELINE.md), and it keeps the
     # figure robust to this shared host's documented ~2x load swings
+    headline_load = wait_quiet(max_wait=180)
     pages = pages_from_documents(spark, SF_DIR)
     n_docs = pages.count()
     build_sec = float("inf")
     build_cold = None
+    build_all = []
     ix_dir = ""
-    for i in range(2):
+    # 2 reps normally; a 3rd when the first two disagree by >25% (noise)
+    reps_build = 2
+    i = 0
+    while i < reps_build:
         d = tempfile.mkdtemp(prefix="sparksearch_bench_ix_")
         shutil.rmtree(d, ignore_errors=True)
         t0 = time.time()
         build_index(pages, d, n_buckets=8, partitions=CPUS)
         sec = time.time() - t0
+        build_all.append(round(sec, 3))
         if i == 0:
             build_cold = sec
         if sec < build_sec:
@@ -244,6 +267,9 @@ def main() -> None:
             ix_dir = d
         else:
             shutil.rmtree(d, ignore_errors=True)
+        i += 1
+        if i == 2 and reps_build == 2 and max(build_all) > 1.25 * min(build_all):
+            reps_build = 3
     # build_sf = min over 2 warm reps (steady state); build_sf_cold = the
     # rep-1 single-shot figure comparable to BENCH_r01's methodology
     results["build_sf"] = round(build_sec, 3)
@@ -297,6 +323,29 @@ def main() -> None:
         # rep (min-of-3) — identical 4x2 runs have measured 82 s and 99 s
         lo = run_probe(ce, PROBE_DOCS, corpus, n_executors=1, reps=2)
         hi = run_probe(4 * ce, PROBE_DOCS, corpus, n_executors=4, reps=3)
+        # Rep escalation under detected noise, SYMMETRIC in both
+        # directions: eff < 0.78 means the 1-exec leg got the quiet window
+        # and the 4-exec leg the noisy one; eff > 1.02 (super-linear) means
+        # the reverse.  Either way the estimator hasn't converged — take
+        # min over additional interleaved reps of BOTH legs (min-over-reps
+        # is the standard steady-state estimator and converges to the
+        # quiet-host truth from above on each leg independently).  Bounded
+        # at 2 extra rounds; every rep time is recorded in the output.
+        extra = 0
+        while (lo and hi and extra < 2
+               and not 0.78 <= (lo["build_sec"] / hi["build_sec"]) / 4.0
+                       <= 1.02):
+            extra += 1
+            lo2 = run_probe(ce, PROBE_DOCS, corpus, n_executors=1, reps=1)
+            hi2 = run_probe(4 * ce, PROBE_DOCS, corpus,
+                            n_executors=4, reps=2)
+            for cur, new in ((lo, lo2), (hi, hi2)):
+                if new:
+                    cur["build_secs_all"] = (cur.get("build_secs_all", [])
+                                             + new.get("build_secs_all", []))
+                    if new["build_sec"] < cur["build_sec"]:
+                        cur["build_sec"] = new["build_sec"]
+                        cur["docs_per_sec"] = new["docs_per_sec"]
         shutil.rmtree(corpus, ignore_errors=True)
         if lo and hi:
             eff = (lo["build_sec"] / hi["build_sec"]) / 4.0
@@ -306,9 +355,14 @@ def main() -> None:
                 "cores_per_executor": ce,
                 "build_sec_n": lo["build_sec"],
                 "build_sec_4n": hi["build_sec"],
+                "build_secs_n_all": lo.get("build_secs_all"),
+                "build_secs_4n_all": hi.get("build_secs_all"),
                 "docs_per_sec_n": lo["docs_per_sec"],
                 "docs_per_sec_4n": hi["docs_per_sec"],
                 "efficiency": round(eff, 3),
+                "extra_rounds": extra,
+                "load_n": lo.get("load_at_start"),
+                "load_4n": hi.get("load_at_start"),
             }
 
     # build_sf_cold is informational (rep-1 figure, comparable to
@@ -324,6 +378,8 @@ def main() -> None:
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "n_docs_sf": n_docs,
         "build_docs_per_sec_sf": round(n_docs / build_sec, 1),
+        "build_secs_sf_all": build_all,
+        "load_headline": headline_load,
         "scaling": scaling,
         "total_bench_sec": round(time.time() - total_t0, 1),
     }
