@@ -714,17 +714,28 @@ def _ip_num(col: Column) -> Column:
 
 def ip_range_agg(df: DataFrame, field: str,
                  ranges: list[tuple[str | None, str | None]]) -> DataFrame:
-    """ip_range: [from, to) dotted-quad buckets, order = range position
+    """ip_range: [from, to) buckets, order = range position
     (IpRangeAggregationBuilder). One pass of conditional sums, like
-    date_range_agg."""
-    v = _ip_num(F.col(field))
+    date_range_agg.  v4-only endpoint lists compare as uint32; any v6
+    endpoint switches every bucket into the shared 16-byte encoded
+    space (fieldtypes.ip16_hex) — the reference buckets both families
+    on the same InetAddressPoint order."""
+    has_v6 = any(b is not None and ":" in b
+                 for lo, hi in ranges for b in (lo, hi))
+    if has_v6:
+        from sparksearch.fieldtypes import ip16_hex, ip16_lit
+        v = ip16_hex(F.col(field))
+        lit = ip16_lit
+    else:
+        v = _ip_num(F.col(field))
+        lit = lambda b: _ip_num(F.lit(b))  # noqa: E731
     rows = []
     for i, (lo, hi) in enumerate(ranges):
         cond = F.lit(True)
         if lo is not None:
-            cond = cond & (v >= _ip_num(F.lit(lo)))
+            cond = cond & (v >= lit(lo))
         if hi is not None:
-            cond = cond & (v < _ip_num(F.lit(hi)))
+            cond = cond & (v < lit(hi))
         key = f"{lo or '*'}-{hi or '*'}"
         rows.append((i, key, F.sum(cond.cast("long")).alias(f"r{i}")))
     agg = df.agg(*[r[2] for r in rows])

@@ -57,18 +57,30 @@ def q_knn_ivfpq_served(spark, sf_dir):
 
 
 def sql_knn_ivfpq_served() -> str:
-    nc, np_, m, kc, q, k, dim = \
-        _N_CELLS, _N_PROBE, _M, _KC, _Q, _K, _DIM
+    return _ivfpq_sql(cc_cte=None, nc=_N_CELLS, np_=_N_PROBE, m=_M,
+                      kc=_KC, q=_Q, k=_K, dim=_DIM)
+
+
+def _ivfpq_sql(cc_cte: str | None, nc: int, np_: int, m: int, kc: int,
+               q: int, k: int, dim: int = _DIM) -> str:
+    """The served-IVFPQ DuckDB unroll, parameterized on the coarse
+    codebook CTE: `cc_cte` must define `cc(ccid, ccv)` (may chain its
+    own CTEs, e.g. a kmeans unroll for the trained quantizer —
+    contract_round5.sql_knn_ivfpq_trained); None keeps the sampled
+    lowest-id codebook."""
     w = dim // m
     l2 = ("list_sum(list_transform(range(1, len({a}) + 1), "
           "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))")
     dfull = l2.format(a="e.v", b="cc.ccv")
     dsql = l2.format(a="s.sv", b="c.cv")
+    if cc_cte is None:
+        cc_cte = f"cc AS ( SELECT vid AS ccid, v AS ccv FROM e " \
+                 f"WHERE vid < {nc} )"
     parts = [f"""
 e AS ( SELECT vec_id AS vid,
               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        FROM embeddings ),
-cc AS ( SELECT vid AS ccid, v AS ccv FROM e WHERE vid < {nc} ),
+{cc_cte},
 asg AS ( SELECT vid, v, ccid AS cell, ccv FROM (
            SELECT e.vid, e.v, cc.ccid, cc.ccv, {dfull} AS d,
                   row_number() OVER (PARTITION BY e.vid

@@ -1,0 +1,323 @@
+"""Driver-contract entries for round 5.
+
+- ip_v6_range        — IPv6 ip-field support (IpFieldMapper.java handles
+                       v6 natively as the 16-byte InetAddressPoint
+                       encoding): CIDR term + range + sort over
+                       synthesized v6 addresses, every comparison in the
+                       shared 32-hex-char comparable space
+                       (fieldtypes.ip16_hex — pure Catalyst, no UDF).
+- completion_regex_alt — regex completion with TOP-LEVEL ALTERNATION
+                       ('sc|ta'): the sargable literal-head guard must
+                       disable itself (ADVICE r4: 'scan|term' must not
+                       pre-filter to the first branch only) while the
+                       anchored rlike still matches both branches.
+- painless_methods   — widened Painless surface (Math.hypot /
+                       Math.toDegrees / Math.PI constants, String
+                       matches/replaceAll/charAt/concat/repeat, static
+                       Integer.parseInt / String.valueOf) compiled to
+                       Catalyst columns; oracle mirrors the arithmetic.
+- knn_ivfpq_trained  — served IVF-PQ with a TRAINED coarse quantizer:
+                       `clustering.kmeans` centroids passed to
+                       `ivfpq_build(coarse=...)` (faiss IndexIVF accepts
+                       any pre-trained quantizer); oracle unrolls the
+                       kmeans iteration + the identical residual-PQ/ADC
+                       arithmetic in DuckDB.
+- percolate_many     — percolator at scale: the candidate pre-filter
+                       (modules/percolator/.../QueryAnalyzer.java term
+                       extraction) turns the doc x query cross join into
+                       an anchor-term equi-join; a large generated query
+                       table is matched and the oracle recomputes every
+                       query class directly in SQL.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# ip_v6_range — v6 CIDR + range + InetAddressPoint-order sort
+# ---------------------------------------------------------------------------
+# events carry no v6 column: synthesize "2001:db8::<hex>" from event_id
+# (user_id tops out at ~150, which would leave the [0x100,0x700) band
+# empty — event_id spans the full modulus) with arithmetic both sides
+# recompute (the contract_round3e pattern).
+# Filter = CIDR 2001:db8::/117 (last-hextet 0..2047) AND range
+# [::100, ::700) (256..1791); order = encoded-space order == the
+# synthesized hextet's numeric order.
+
+_V6_LO, _V6_HI = 0x100, 0x700          # gte / lt bounds (256 / 1792)
+_V6_MOD = 4096
+
+
+def q_ip_v6_range(spark, sf_dir):
+    """IPv6 ip field: CIDR term + range compare + sort in the 16-byte
+    InetAddressPoint order (IpFieldMapper.java — v6 is native there;
+    fieldtypes.ip16_hex realises the same order as 32 hex chars)."""
+    from sparksearch.fieldtypes import ip16_hex, ip_range_cond, ip_term_cond
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ip6 = F.concat(
+        F.lit("2001:db8::"),
+        F.lower(F.conv((F.col("event_id") % _V6_MOD).cast("string"),
+                       10, 16)))
+    ev = ev.withColumn("ip6", ip6)
+    cond = (ip_term_cond(F.col("ip6"), "2001:db8::/117")
+            & ip_range_cond(F.col("ip6"), gte="2001:db8::100",
+                            lt="2001:db8::700"))
+    return (ev.where(cond)
+            .select("event_id", "ip6")
+            .orderBy(ip16_hex(F.col("ip6")), F.col("event_id"))
+            .limit(30))
+
+
+def sql_ip_v6_range() -> str:
+    # /117 network 2001:db8:: covers last-hextet 0..2047; the explicit
+    # range narrows to [256, 1792) — intersection [256, 1791].
+    lo, hi = _V6_LO, min(_V6_HI - 1, 2047)
+    return f"""
+SELECT event_id,
+       '2001:db8::' || lower(to_hex(event_id % {_V6_MOD})) AS ip6
+FROM events
+WHERE (event_id % {_V6_MOD}) BETWEEN {lo} AND {hi}
+ORDER BY (event_id % {_V6_MOD}), event_id LIMIT 30
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# completion_regex_alt — alternation disables the literal-head prefilter
+# ---------------------------------------------------------------------------
+
+_CRA_REGEX = "sc|ta"
+
+
+def q_completion_regex_alt(spark, sf_dir):
+    """Regex completion with top-level alternation: 'sc|ta' must reach
+    BOTH branches — the sargable literal-head guard returns '' for
+    alternation (fetchops._regex_literal_head), leaving the anchored
+    rlike as the only predicate (Lucene RegexCompletionQuery semantics:
+    the automaton is a prefix matcher over the full pattern)."""
+    from sparksearch import contract as C
+    from sparksearch.fetchops import suggest_completion_regex
+    ix, _ = C.get_engine(spark, sf_dir)
+    return suggest_completion_regex(ix, _CRA_REGEX, size=8)
+
+
+def sql_completion_regex_alt() -> str:
+    from sparksearch import contract as C
+    return f"""
+WITH {C._PAGES},
+{C._TOK},
+d AS ( SELECT term, CAST(count(DISTINCT docid) AS BIGINT) AS df
+       FROM tok GROUP BY term )
+SELECT term, df FROM d
+WHERE regexp_matches(term, '^(?:{_CRA_REGEX})')
+ORDER BY df DESC, term ASC LIMIT 8
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# painless_methods — widened Math./String./static surface
+# ---------------------------------------------------------------------------
+
+_PM_SCRIPT = ("_score"
+              " + Math.hypot(3.0, doc['dl'].value / 50.0)"
+              " + doc['url'].value.replaceAll('[aeiou0-9]+', '').length()"
+              " / 100.0"
+              " + Math.toDegrees(Math.PI) / 360.0")
+
+
+def q_painless_methods(spark, sf_dir):
+    """script_score through the widened Painless surface: Math.hypot,
+    Math.toDegrees, the Math.PI constant, and String.replaceAll — all
+    compiled to Catalyst (lang-painless spi allowlists java.lang.Math /
+    java.lang.String: modules/lang-painless/src/main/resources/org/
+    opensearch/painless/spi/java.lang.txt)."""
+    from sparksearch import contract as C
+    from sparksearch.dsl import from_dsl
+    _, ex = C.get_engine(spark, sf_dir)
+    q = from_dsl({"script_score": {
+        "query": {"match": {"text": "join"}},
+        "script": {"source": _PM_SCRIPT}}})
+    return C.topk_rounded(ex, q, k=10)
+
+
+def sql_painless_methods() -> str:
+    from sparksearch import contract as C
+    from sparksearch.contract_round2c import _SC_JOIN
+    expr = ("sc.score + sqrt(9.0 + (dl.dl / 50.0) * (dl.dl / 50.0)) "
+            "+ length(regexp_replace(p.url, '[aeiou0-9]+', '', 'g')) "
+            "/ 100.0 + degrees(pi()) / 360.0")
+    return f"""
+WITH {C._PAGES}, {C._TOK}, {C._DL},
+{_SC_JOIN}
+SELECT p.docid, p.url, round({expr}, 4) AS score
+FROM sc JOIN pages p USING (docid) JOIN dl USING (docid)
+ORDER BY round({expr}, 4) DESC, p.docid ASC LIMIT 10
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# knn_ivfpq_trained — kmeans-trained coarse quantizer
+# ---------------------------------------------------------------------------
+
+_TR_CELLS, _TR_PROBE, _TR_M, _TR_KC, _TR_Q, _TR_K = 8, 3, 4, 8, 7, 10
+_TR_KM_ITERS = 1
+
+_TR_DIRS: dict[str, str] = {}
+
+
+def _trained_index_dir(spark, sf_dir: str) -> str:
+    key = os.path.realpath(sf_dir)
+    if key not in _TR_DIRS:
+        from sparksearch.clustering import kmeans
+        from sparksearch.dataops import ivfpq_build
+        out = os.path.join(
+            tempfile.gettempdir(),
+            "sparksearch_ivfpqtr_" + key.strip("/").replace("/", "_"))
+        if not os.path.exists(os.path.join(out, "ivfpq_meta.json")):
+            emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            _, cents = kmeans(emb, k=_TR_CELLS, iters=_TR_KM_ITERS)
+            ivfpq_build(emb, out, n_cells=_TR_CELLS, m=_TR_M, kc=_TR_KC,
+                        iters=1, coarse=cents)
+        _TR_DIRS[key] = out
+    return _TR_DIRS[key]
+
+
+def q_knn_ivfpq_trained(spark, sf_dir):
+    """Served IVF-PQ whose coarse quantizer is TRAINED
+    (clustering.kmeans Lloyd centroids — the faiss IndexIVFPQ `train()`
+    path, vs the sampled-codebook shortcut of knn_ivfpq_served); the
+    query path is identical: directory-pruned cell scan + ADC."""
+    from sparksearch.dataops import ivfpq_query
+    idx = _trained_index_dir(spark, sf_dir)
+    qv = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+          .where(F.col("vec_id") == _TR_Q).first()["embedding"])
+    out = ivfpq_query(spark, idx, qv, k=_TR_K, n_probe=_TR_PROBE,
+                      exclude_id=_TR_Q)
+    return out.select(F.col("vid").alias("vec_id"), "adc")
+
+
+def sql_knn_ivfpq_trained() -> str:
+    """The served-IVFPQ DuckDB unroll with the coarse codebook replaced
+    by the kmeans(k, iters=1) unroll (init = k lowest-id vectors, means
+    rounded to 6 dp, empty clusters keep previous centroids) — exactly
+    `clustering.kmeans`'s arithmetic."""
+    from sparksearch.contract_round4b import _ivfpq_sql
+    k, t = _TR_CELLS, _TR_KM_ITERS
+    l2 = ("list_sum(list_transform(range(1, len({a}) + 1), "
+          "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))")
+    parts = [f"""
+kc0 AS ( SELECT row_number() OVER (ORDER BY vid) - 1 AS cid, v
+         FROM ( SELECT vid, v FROM e ORDER BY vid LIMIT {k} ) )""".strip()]
+    for n in range(1, t + 1):
+        prev = f"kc{n - 1}"
+        d = l2.format(a="e.v", b="c.v")
+        parts.append(f"""
+kd{n} AS ( SELECT e.vid, e.v, c.cid, {d} AS d FROM e, {prev} c ),
+ka{n} AS ( SELECT vid, v, cid AS cl FROM (
+             SELECT *, row_number() OVER (PARTITION BY vid
+                        ORDER BY d ASC, cid ASC) AS rn FROM kd{n} )
+           WHERE rn = 1 ),
+kcm{n} AS ( SELECT cl AS cid, list(m ORDER BY pos) AS v FROM (
+              SELECT cl, pos, round(avg(val), 6) AS m
+              FROM ( SELECT cl, unnest(v) AS val,
+                            generate_subscripts(v, 1) AS pos FROM ka{n} )
+              GROUP BY cl, pos ) GROUP BY cl ),
+kc{n} AS ( SELECT cid, v FROM kcm{n}
+           UNION ALL
+           SELECT cid, v FROM {prev}
+           WHERE cid NOT IN ( SELECT cid FROM kcm{n} ) )""".strip())
+    km = ",\n".join(parts)
+    cc = (f"{km},\ncc AS ( SELECT cid AS ccid, v AS ccv FROM kc{t} )")
+    return _ivfpq_sql(cc_cte=cc, nc=_TR_CELLS, np_=_TR_PROBE, m=_TR_M,
+                      kc=_TR_KC, q=_TR_Q, k=_TR_K)
+
+
+# ---------------------------------------------------------------------------
+# percolate_many — candidate pre-filter over a generated query table
+# ---------------------------------------------------------------------------
+
+_PM_TERMS = ["hash", "join", "merge", "sort", "scan", "table", "index",
+             "query", "row", "key", "agg", "bloom", "page", "disk",
+             "tree", "log", "read", "write", "lock", "cache"]
+_PM_AND_PAIRS = [("hash", "join"), ("merge", "sort"), ("scan", "table"),
+                 ("index", "key"), ("query", "row"), ("agg", "table"),
+                 ("read", "write"), ("page", "cache"), ("tree", "index"),
+                 ("lock", "log")]
+_PM_PHRASES = [("hash", "join"), ("merge", "sort"), ("query", "plan"),
+               ("b", "tree"), ("row", "group")]
+
+
+def _pm_queries_df(spark):
+    rows = ([(f"t_{t}", "term", [t], None) for t in _PM_TERMS]
+            + [(f"a_{a}_{b}", "match_and", [a, b], None)
+               for a, b in _PM_AND_PAIRS]
+            + [(f"p_{a}_{b}", "phrase", [a, b], None)
+               for a, b in _PM_PHRASES])
+    return spark.createDataFrame(
+        rows, "qid string, kind string, terms array<string>, msm int")
+
+
+def q_percolate_many(spark, sf_dir):
+    """Percolation with the QueryAnalyzer candidate pre-filter: stored
+    queries are anchored on extracted terms (disjunctions: every term;
+    conjunctions/phrases: ONE required term), docs join queries through
+    the anchor-term equi-join, and only the candidates evaluate the full
+    predicate — per-doc work ∝ matches, not #queries
+    (modules/percolator/.../QueryAnalyzer.java)."""
+    from sparksearch import contract as C
+    from sparksearch.percolate import percolate
+    docs = C.pages_df(spark, sf_dir).select("url", "text")
+    return percolate(docs, _pm_queries_df(spark), prefilter=True)
+
+
+def sql_percolate_many() -> str:
+    from sparksearch import contract as C
+    terms_vals = ", ".join(f"('{t}')" for t in _PM_TERMS)
+    and_blocks = "\n  UNION ALL\n".join(f"""
+  SELECT docid, 'a_{a}_{b}' AS qid FROM dt
+    WHERE term IN ('{a}', '{b}')
+    GROUP BY docid HAVING count(DISTINCT term) = 2""".strip()
+                                        for a, b in _PM_AND_PAIRS)
+    ph_blocks = "\n  UNION ALL\n".join(f"""
+  SELECT DISTINCT p0.docid, 'p_{a}_{b}' AS qid
+    FROM tokpos p0 JOIN tokpos p1
+      ON p1.docid = p0.docid AND p1.pos = p0.pos + 1
+     AND p1.term = '{b}'
+    WHERE p0.term = '{a}'""".strip() for a, b in _PM_PHRASES)
+    return f"""
+WITH {C._PAGES},
+{C._TOKPOS},
+dt AS ( SELECT DISTINCT docid, term FROM tokpos ),
+hits AS (
+  SELECT docid, 't_' || t AS qid
+    FROM dt JOIN (VALUES {terms_vals}) v(t) ON dt.term = v.t
+  UNION ALL
+{and_blocks}
+  UNION ALL
+{ph_blocks} )
+SELECT p.url, h.qid FROM hits h JOIN pages p USING (docid)
+ORDER BY p.url, h.qid
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def queries() -> dict:
+    return {"ip_v6_range": q_ip_v6_range,
+            "completion_regex_alt": q_completion_regex_alt,
+            "painless_methods": q_painless_methods,
+            "knn_ivfpq_trained": q_knn_ivfpq_trained,
+            "percolate_many": q_percolate_many}
+
+
+def oracle_sql() -> dict:
+    return {"ip_v6_range": sql_ip_v6_range(),
+            "completion_regex_alt": sql_completion_regex_alt(),
+            "painless_methods": sql_painless_methods(),
+            "knn_ivfpq_trained": sql_knn_ivfpq_trained(),
+            "percolate_many": sql_percolate_many()}

@@ -1547,13 +1547,15 @@ def _l2_expr(col_sql: str, cent: list[float]):
 def ivfpq_build(emb: DataFrame, out_dir: str, n_cells: int = 8,
                 m: int = 8, kc: int = 16, iters: int = 1,
                 id_col: str = "vec_id",
-                vec_col: str = "embedding") -> dict:
+                vec_col: str = "embedding",
+                coarse: list[list[float]] | None = None) -> dict:
     """Build a persistent IVF-PQ index with RESIDUAL encoding.
 
-    1. coarse quantizer: the n_cells lowest-id vectors (a supplied /
-       sampled coarse codebook — faiss IndexIVF accepts an arbitrary
-       pre-trained quantizer; swap in `clustering.kmeans` centroids for
-       a trained one, the layout is identical);
+    1. coarse quantizer: `coarse` if given (an arbitrary pre-trained
+       codebook, e.g. `clustering.kmeans` centroids — faiss IndexIVF
+       accepts any pre-trained quantizer and this is its `train()`
+       path), else the n_cells lowest-id vectors (the sampled
+       shortcut); the downstream layout is identical either way;
     2. cell assignment by squared-L2 argmin (ties → lowest cell) — one
        constant-folded JVM projection;
     3. residual r = v − centroid[cell] (faiss `by_residual=true`): PQ
@@ -1576,10 +1578,17 @@ def ivfpq_build(emb: DataFrame, out_dir: str, n_cells: int = 8,
     e = emb.select(
         F.col(id_col).alias("vid"),
         F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("v"))
-    cents = [list(map(float, r["v"])) for r in
-             e.where(F.col("vid") < n_cells).orderBy("vid").collect()]
-    if len(cents) < n_cells:
-        raise ValueError(f"need >= {n_cells} vectors with id < n_cells")
+    if coarse is not None:
+        cents = [list(map(float, c)) for c in coarse]
+        if len(cents) != n_cells:
+            raise ValueError(
+                f"coarse codebook has {len(cents)} centroids, "
+                f"n_cells={n_cells}")
+    else:
+        cents = [list(map(float, r["v"])) for r in
+                 e.where(F.col("vid") < n_cells).orderBy("vid").collect()]
+        if len(cents) < n_cells:
+            raise ValueError(f"need >= {n_cells} vectors with id < n_cells")
     dim = len(cents[0])
     dists = "array(" + ", ".join(_l2_expr("v", c) for c in cents) + ")"
     cell = (f"CAST(array_position({dists}, "

@@ -107,6 +107,42 @@ _MATH = {
     "tanh": (1, F.tanh),
     # Java Math.round: floor(x + 0.5) as long
     "round": (1, lambda c: F.floor(c + 0.5).cast("long")),
+    # widened surface (java.lang.Math rows of the painless spi allowlist,
+    # modules/lang-painless/src/main/resources/org/opensearch/painless/
+    # spi/java.lang.txt)
+    "hypot": (2, F.hypot),
+    "toRadians": (1, F.radians),
+    "toDegrees": (1, F.degrees),
+    "rint": (1, F.rint),
+    "copySign": (2, lambda a, b: F.abs(a)
+                 * F.when(b < 0, -1.0).otherwise(1.0)),
+}
+
+#: Math.<NAME> constants (java.lang.Math fields in the spi allowlist)
+_MATH_CONSTS = {
+    "PI": 3.141592653589793,
+    "E": 2.718281828459045,
+}
+
+#: static calls on boxed types / String (java.lang.txt allowlist rows:
+#: Integer.parseInt, Long.parseLong, Double.parseDouble,
+#: Boolean.parseBoolean, String.valueOf)
+_STATICS = {
+    ("Integer", "parseInt"): lambda a: a.cast("int"),
+    ("Integer", "toString"): lambda a: a.cast("string"),
+    ("Long", "parseLong"): lambda a: a.cast("long"),
+    ("Float", "parseFloat"): lambda a: a.cast("float"),
+    ("Double", "parseDouble"): lambda a: a.cast("double"),
+    ("Boolean", "parseBoolean"): lambda a: F.lower(a) == "true",
+    ("String", "valueOf"): lambda a: a.cast("string"),
+}
+
+#: static constants on boxed types
+_STATIC_CONSTS = {
+    ("Integer", "MAX_VALUE"): 2147483647,
+    ("Integer", "MIN_VALUE"): -2147483648,
+    ("Long", "MAX_VALUE"): 9223372036854775807,
+    ("Long", "MIN_VALUE"): -9223372036854775808,
 }
 
 _CASTS = {"int": "int", "long": "long", "float": "float",
@@ -256,6 +292,9 @@ class _Parser:
             return F.lit(None)
         if val == "Math":
             return self.math_call()
+        if val in ("Integer", "Long", "Float", "Double", "Boolean",
+                   "String") and self.at("."):
+            return self.static_call(val)
         if val == "doc":
             return self.doc_access()
         if val == "params":
@@ -269,6 +308,8 @@ class _Parser:
     def math_call(self) -> Column:
         self.expect(".")
         _, name = self.next()
+        if name in _MATH_CONSTS and not self.at("("):
+            return F.lit(_MATH_CONSTS[name])
         try:
             arity, fn = _MATH[name]
         except KeyError:
@@ -282,6 +323,23 @@ class _Parser:
             raise PainlessError(
                 f"Math.{name} takes {arity} args, got {len(args)}")
         return fn(*args)
+
+    def static_call(self, cls: str) -> Column:
+        """Static method / constant on a boxed type or String
+        (Integer.parseInt, Long.MAX_VALUE, String.valueOf, ...)."""
+        self.expect(".")
+        _, name = self.next()
+        if (cls, name) in _STATIC_CONSTS and not self.at("("):
+            return F.lit(_STATIC_CONSTS[(cls, name)])
+        try:
+            fn = _STATICS[(cls, name)]
+        except KeyError:
+            raise PainlessError(
+                f"unsupported static {cls}.{name}") from None
+        self.expect("(")
+        arg = self.expr()
+        self.expect(")")
+        return fn(arg)
 
     def doc_access(self) -> Column:
         """doc['field'] followed by .value / .size() / .empty — the
@@ -358,6 +416,19 @@ class _Parser:
                 return col.substr(args[0] + 1, args[1] - args[0])
         if name == "replace" and n == 2:
             return F.replace(col, args[0], args[1])
+        if name == "matches" and n == 1:   # Java matches: FULL match
+            return F.regexp_like(
+                col, F.concat(F.lit("^(?:"), args[0], F.lit(")$")))
+        if name == "replaceAll" and n == 2:
+            return F.regexp_replace(col, args[0], args[1])
+        if name == "charAt" and n == 1:    # 0-based; 1-char string
+            return F.substring(col, args[0] + 1, 1)
+        if name == "concat" and n == 1:
+            return F.concat(col, args[0])
+        if name == "repeat" and n == 1:    # Java 11 String.repeat
+            return F.repeat(col, args[0])
+        if name == "split" and n == 1:
+            return F.split(col, args[0])
         if name in ("getMillis", "toEpochMilli") and n == 0:
             return F.unix_millis(col)
         if name == "toInstant" and n == 0:

@@ -12,6 +12,12 @@ JVM whole-stage-codegen, no Python in the match loop, per-doc work
 ∝ #queries. At 100 TB the docs side streams through map tasks with no
 shuffle at all; the output is (url, qid) pairs.
 
+With `prefilter=True` the QueryAnalyzer candidate step is applied too:
+anchor terms extracted per stored query equi-join the doc's term keys,
+so per-doc work becomes ∝ #doc terms + #candidate queries — the shape
+for 10⁶ stored queries (the reference stores extracted terms in the
+percolator index for exactly this prune).
+
 Supported stored-query kinds (the common percolator registrations):
   term       one required term
   match_or   ≥ msm of the terms present (bool SHOULD)
@@ -24,7 +30,7 @@ Supported stored-query kinds (the common percolator registrations):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from sparksearch.build import doc_postings_udf
@@ -32,13 +38,62 @@ from sparksearch.build import doc_postings_udf
 __all__ = ["percolate"]
 
 
+def _anchor_terms(queries: DataFrame) -> Column:
+    """Extracted anchor terms per stored query — the reference's
+    candidate-selection step (modules/percolator/.../QueryAnalyzer.java):
+    a DISJUNCTION needs every term as an anchor (any one present makes
+    the query a candidate); a CONJUNCTION needs only ONE required term
+    (QueryAnalyzer keeps the "best" required extraction — longest term,
+    the cheapest selective proxy without df stats); a bool anchors on
+    one `must` term when present, else its should terms.  NULL means
+    un-anchorable (pure must_not / empty) — those queries must evaluate
+    against every doc."""
+    longest = F.element_at(
+        F.array_sort(
+            F.col("terms"),
+            lambda a, b: F.when(F.length(a) > F.length(b), -1)
+            .when(F.length(a) < F.length(b), 1)
+            .when(a < b, -1).when(a > b, 1).otherwise(0)), 1)
+    cols = queries.columns
+    must = (F.col("must") if "must" in cols
+            else F.lit(None).cast("array<string>"))
+    longest_must = F.element_at(
+        F.array_sort(
+            must,
+            lambda a, b: F.when(F.length(a) > F.length(b), -1)
+            .when(F.length(a) < F.length(b), 1)
+            .when(a < b, -1).when(a > b, 1).otherwise(0)), 1)
+    some_terms = F.size(F.col("terms")) > 0
+    return (F.when(F.col("kind").isin("term", "match_or"),
+                   F.when(some_terms, F.col("terms")))
+            .when(F.col("kind").isin("match_and", "phrase"),
+                  F.when(some_terms, F.array(longest)))
+            .when(F.col("kind") == "bool",
+                  F.when(F.size(F.coalesce(
+                      must, F.array().cast("array<string>"))) > 0,
+                      F.array(longest_must))
+                  .when(some_terms, F.col("terms"))))
+
+
 def percolate(docs: DataFrame, queries: DataFrame,
-              analyzer: str = "standard", sort: bool = True) -> DataFrame:
+              analyzer: str = "standard", sort: bool = True,
+              prefilter: bool = False) -> DataFrame:
     """(url, qid) for every stored query matching each document.
 
     `docs`: (url, text); `queries`: (qid, kind, terms array<string>, msm).
     `sort=False` skips the final global sort — required on streaming
     inputs (percolate_stream), where a global order is meaningless.
+
+    `prefilter=True` adds the reference's candidate pre-selection
+    (PercolatorFieldMapper extracts query terms at store time;
+    QueryAnalyzer picks anchors): instead of evaluating EVERY stored
+    query per doc, the doc's term keys equi-join the broadcast anchor
+    table and only candidate (doc, query) pairs run the full predicate.
+    Per-doc work drops from O(#queries) to O(#doc terms + #candidates)
+    — the shape that survives 10⁶ stored queries; the only shuffle is
+    the final distinct, ∝ matches.  Queries with no extractable anchor
+    (pure must_not) still evaluate everywhere, exactly like the
+    reference's verified-candidates fallback.
     """
     tok = docs.select(
         "url", doc_postings_udf(analyzer)(F.col("text")).alias("_t"))
@@ -50,7 +105,22 @@ def percolate(docs: DataFrame, queries: DataFrame,
                         lambda e: F.struct(e["term"].alias("k"),
                                            e["positions"].alias("v"))))
         .alias("pmap"))
-    paired = tok.join(F.broadcast(queries))
+    if prefilter:
+        qa = queries.withColumn("_anchor", _anchor_terms(queries))
+        anch = (qa.where(F.col("_anchor").isNotNull())
+                .select("qid", F.explode("_anchor").alias("_aterm"))
+                .distinct())
+        cand = (tok.select("url", "pmap",
+                           F.explode(F.map_keys("pmap")).alias("_aterm"))
+                .join(F.broadcast(anch), "_aterm")
+                .drop("_aterm")
+                .join(F.broadcast(queries), "qid"))
+        unanch = qa.where(F.col("_anchor").isNull()).drop("_anchor")
+        paired = cand
+        if unanch.limit(1).count() > 0:
+            paired = cand.unionByName(tok.join(F.broadcast(unanch)))
+    else:
+        paired = tok.join(F.broadcast(queries))
 
     def pos_of(term):
         return F.coalesce(F.element_at(F.col("pmap"), term),
@@ -94,4 +164,8 @@ def percolate(docs: DataFrame, queries: DataFrame,
                            must_ok & not_ok & should_ok)
     matched = matched.otherwise(F.lit(False))
     out = paired.where(matched).select("url", "qid")
+    if prefilter:
+        # a disjunction with several anchor terms present yields one
+        # candidate row per hit anchor — dedupe; the shuffle is ∝ matches
+        out = out.distinct()
     return out.orderBy("url", "qid") if sort else out

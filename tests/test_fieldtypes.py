@@ -11,7 +11,8 @@ def test_cidr_bounds():
     # non-aligned host bits are masked off (strict=False)
     assert cidr_bounds("10.33.7.9/11") == (lo, hi)
     assert cidr_bounds("192.168.1.5/32") == (3232235781, 3232235781)
-    with pytest.raises(NotImplementedError):
+    # v6 CIDRs are redirected to the 16-byte path
+    with pytest.raises(ValueError):
         cidr_bounds("2001:db8::/32")
 
 

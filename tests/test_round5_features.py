@@ -1,0 +1,300 @@
+"""Round-5 features: IPv6 ip fields (16-byte InetAddressPoint space),
+trained-coarse-quantizer IVF-PQ, percolator candidate pre-filter,
+widened Painless surface.
+
+Reference parity targets:
+- IpFieldMapper.java (v6 native, 16-byte encoding; v4 as the
+  IPv4-mapped block) — fieldtypes.ip16_hex / ip16_lit / cidr_bounds16.
+- modules/percolator/.../QueryAnalyzer.java (candidate extraction) —
+  percolate(prefilter=True).
+- modules/lang-painless spi allowlist (java.lang.Math / String /
+  boxed statics) — painless.compile_painless.
+"""
+
+import ipaddress
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# ip16_hex / ip16_lit / cidr_bounds16
+# ---------------------------------------------------------------------------
+
+_ADDRS = [
+    "0.0.0.0", "9.255.255.255", "10.0.0.1", "192.168.1.5",
+    "255.255.255.255",
+    "::", "::1", "::ffff:1.2.3.4", "2001:db8::", "2001:db8::4a",
+    "2001:0db8:0000:0000:0000:0000:0000:004a",       # full form
+    "2001:db8:85a3::8a2e:370:7334", "fe80::1%0".replace("%0", ""),
+    "ffff:ffff:ffff:ffff:ffff:ffff:ffff:ffff",
+    "64:ff9b::192.0.2.33",                           # embedded v4 tail
+    "1:2:3:4:5:6:7:8",                               # no ::
+]
+
+
+def _py16(a: str) -> str:
+    addr = ipaddress.ip_address(a)
+    if addr.version == 4:
+        addr = ipaddress.ip_address(f"::ffff:{a}")
+    return f"{int(addr):032x}"
+
+
+def test_ip16_lit_matches_ipaddress():
+    from sparksearch.fieldtypes import ip16_lit
+    for a in _ADDRS:
+        assert ip16_lit(a) == _py16(a), a
+
+
+def test_ip16_hex_catalyst_matches_ipaddress(spark):
+    from sparksearch.fieldtypes import ip16_hex
+    df = spark.createDataFrame([(a,) for a in _ADDRS], ["ip"])
+    got = {r["ip"]: r["h"]
+           for r in df.select("ip", ip16_hex(F.col("ip")).alias("h"))
+                      .collect()}
+    for a in _ADDRS:
+        assert got[a] == _py16(a), a
+
+
+def test_ip16_hex_order_is_numeric_order(spark):
+    # lexicographic order of the 32-hex form == 128-bit numeric order,
+    # v4 interleaved in the v4-mapped block
+    from sparksearch.fieldtypes import ip16_hex
+    df = spark.createDataFrame([(a,) for a in _ADDRS], ["ip"])
+    rows = [r["ip"] for r in
+            df.orderBy(ip16_hex(F.col("ip"))).collect()]
+    want = sorted(_ADDRS, key=lambda a: int(_py16(a), 16))
+    assert rows == want
+
+
+def test_cidr_bounds16():
+    from sparksearch.fieldtypes import cidr_bounds16
+    lo, hi = cidr_bounds16("2001:db8::/117")
+    assert lo == _py16("2001:db8::")
+    assert int(hi, 16) - int(lo, 16) == 2**11 - 1
+    # v4 CIDR maps into the v4-mapped block
+    lo4, hi4 = cidr_bounds16("10.0.0.0/8")
+    assert lo4 == _py16("10.0.0.0") and hi4 == _py16("10.255.255.255")
+    # host bits masked (strict=False), same as the v4 path:
+    # ::04ff sits inside the ::/117 block (last 11 bits are host bits)
+    assert cidr_bounds16("2001:db8::4ff/117") == \
+        cidr_bounds16("2001:db8::/117")
+
+
+def test_ip_term_and_range_v6(spark):
+    from sparksearch.fieldtypes import ip_range_cond, ip_term_cond
+    data = ["2001:db8::1", "2001:db8::700", "2001:db8::8f0",
+            "2001:db9::1", "9.0.0.0", "10.0.0.0"]
+    df = spark.createDataFrame([(a,) for a in data], ["ip"])
+    # v6 CIDR term
+    got = {r["ip"] for r in
+           df.where(ip_term_cond(F.col("ip"), "2001:db8::/117"))
+             .collect()}
+    assert got == {"2001:db8::1", "2001:db8::700"}
+    # exact v6 term in a different textual form
+    got = {r["ip"] for r in
+           df.where(ip_term_cond(
+               F.col("ip"),
+               "2001:0db8:0000:0000:0000:0000:0000:0001")).collect()}
+    assert got == {"2001:db8::1"}
+    # mixed-family range: a v6 bound pulls v4 into the mapped block,
+    # where every v4 sorts BELOW every native v6
+    got = {r["ip"] for r in
+           df.where(ip_range_cond(F.col("ip"), gte="9.0.0.0",
+                                  lt="2001:db8::700")).collect()}
+    assert got == {"9.0.0.0", "10.0.0.0", "2001:db8::1"}
+
+
+def test_ip_range_agg_v6_buckets(spark):
+    from sparksearch.aggs import ip_range_agg
+    data = ["2001:db8::1", "2001:db8::64", "2001:db8::c8",
+            "2001:db9::1", "1.2.3.4"]
+    df = spark.createDataFrame([(a,) for a in data], ["ip"])
+    out = ip_range_agg(df, "ip", [
+        (None, "2001:db8::64"),            # ::1 + the v4-mapped addr
+        ("2001:db8::64", "2001:db8::c9"),  # ::64, ::c8
+        ("2001:db8::", None),              # all four v6
+    ]).collect()
+    counts = {r["key"]: r["doc_count"] for r in out}
+    assert counts["*-2001:db8::64"] == 2
+    assert counts["2001:db8::64-2001:db8::c9"] == 2
+    assert counts["2001:db8::-*"] == 4
+
+
+# ---------------------------------------------------------------------------
+# trained coarse quantizer IVF-PQ
+# ---------------------------------------------------------------------------
+
+def _brute_topk(rows, q, k):
+    import math
+    def l2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+    return [vid for vid, v in
+            sorted(rows, key=lambda r: (l2(r[1], q), r[0]))[:k]]
+
+
+def test_ivfpq_trained_coarse_recall(spark, tmp_path):
+    """kmeans-trained coarse quantizer: recall@10 must be >= the
+    sampled-codebook build on the same data/query (VERDICT item 10)."""
+    import random
+    from sparksearch.clustering import kmeans
+    from sparksearch.dataops import ivfpq_build, ivfpq_query
+    rng = random.Random(7)
+    dim, n = 16, 300
+    # five tight clusters + ten PLANTED true neighbors right at the
+    # query, distinctly closer than any cluster member, so recall@10 is
+    # well-posed (near-equidistant cluster mates would make the exact
+    # top-10 arbitrary for ANY quantized index)
+    rows = [(i, [rng.gauss(i % 5, 0.25) for _ in range(dim)])
+            for i in range(n)]
+    q = [2.0] * dim
+    for j in range(10):
+        rows[100 + j] = (100 + j, [2.0 + 0.01 * (j + 1)] * dim)
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    truth = set(_brute_topk(rows, q, 10))
+    assert truth == {100 + j for j in range(10)}
+
+    def recall(out_dir, coarse):
+        meta = ivfpq_build(emb, out_dir, n_cells=5, m=4, kc=16,
+                           iters=4, coarse=coarse)
+        hits = [r["vid"] for r in
+                ivfpq_query(spark, out_dir, q, k=10, n_probe=3)
+                .collect()]
+        return len(set(hits) & truth) / 10.0, meta
+
+    _, cents = kmeans(emb, k=5, iters=8)
+    r_trained, meta_t = recall(str(tmp_path / "trained"), cents)
+    r_sampled, _ = recall(str(tmp_path / "sampled"), None)
+    assert r_trained >= r_sampled
+    assert r_trained >= 0.5
+    assert len(meta_t["centroids"]) == 5
+
+
+def test_ivfpq_coarse_size_validation(spark, tmp_path):
+    from sparksearch.dataops import ivfpq_build
+    emb = spark.createDataFrame(
+        [(i, [float(i)] * 8) for i in range(20)],
+        ["vec_id", "embedding"])
+    with pytest.raises(ValueError):
+        ivfpq_build(emb, str(tmp_path / "x"), n_cells=4, m=4,
+                    coarse=[[0.0] * 8] * 3)
+
+
+# ---------------------------------------------------------------------------
+# percolator candidate pre-filter
+# ---------------------------------------------------------------------------
+
+def _perc_fixture(spark):
+    docs = spark.createDataFrame([
+        ("u1", "quick brown fox jumps"),
+        ("u2", "lazy dog sleeps"),
+        ("u3", "quick dog runs far"),
+        ("u4", "nothing relevant here"),
+    ], ["url", "text"])
+    queries = spark.createDataFrame([
+        ("q_term", "term", ["fox"], 1, None, None),
+        ("q_or", "match_or", ["quick", "lazy"], 1, None, None),
+        ("q_and", "match_and", ["quick", "dog"], 2, None, None),
+        ("q_phrase", "phrase", ["quick", "brown"], 2, None, None),
+        ("q_bool", "bool", ["dog"], 1, ["runs"], None),
+        ("q_not", "bool", ["quick", "lazy", "nothing",
+                           "relevant"], 1, None, ["dog"]),
+    ], "qid string, kind string, terms array<string>, msm int, "
+       "must array<string>, must_not array<string>")
+    return docs, queries
+
+
+def test_percolate_prefilter_same_results(spark):
+    """prefilter=True is a pure optimization: byte-identical matches."""
+    from sparksearch.percolate import percolate
+    docs, queries = _perc_fixture(spark)
+    base = [(r["url"], r["qid"]) for r in
+            percolate(docs, queries).collect()]
+    fast = [(r["url"], r["qid"]) for r in
+            percolate(docs, queries, prefilter=True).collect()]
+    assert base == fast
+    assert ("u1", "q_term") in base
+    assert ("u4", "q_not") in base          # un-anchorable still matches
+
+
+def test_percolate_prefilter_prunes_plan(spark):
+    """The candidate prune is structural: the prefiltered plan joins on
+    the anchor term (equi-join) instead of a pure cross product
+    (VERDICT item 7: 'a plan test asserting the candidate prune')."""
+    from sparksearch.percolate import percolate
+    docs, queries = _perc_fixture(spark)
+    anchored = queries.where(F.col("qid") != "q_not")
+    plan = percolate(docs, anchored, prefilter=True) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # anchor equi-join present → a hash join keyed on _aterm
+    assert "_aterm" in plan
+    plan_base = percolate(docs, anchored) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "_aterm" not in plan_base
+
+
+def test_percolate_anchor_extraction(spark):
+    from sparksearch.percolate import _anchor_terms
+    queries = spark.createDataFrame([
+        ("d", "match_or", ["aa", "bbb"], 1, None),
+        ("c", "match_and", ["aa", "bbb"], 2, None),
+        ("p", "phrase", ["xyzzy", "ab"], 2, None),
+        ("b", "bool", ["s1", "s2"], 1, ["mandatory"]),
+        ("n", "bool", [], 0, None),
+    ], "qid string, kind string, terms array<string>, msm int, "
+       "must array<string>")
+    got = {r["qid"]: r["a"] for r in queries.select(
+        "qid", _anchor_terms(queries).alias("a")).collect()}
+    assert sorted(got["d"]) == ["aa", "bbb"]   # disjunction: every term
+    assert got["c"] == ["bbb"]                 # conjunction: longest one
+    assert got["p"] == ["xyzzy"]
+    assert got["b"] == ["mandatory"]           # must beats should
+    assert got["n"] is None                    # un-anchorable
+
+
+# ---------------------------------------------------------------------------
+# widened Painless surface
+# ---------------------------------------------------------------------------
+
+def _pl(spark, script, rows=(("ab1cd", 4),), params=None):
+    from sparksearch.painless import compile_script
+    df = spark.createDataFrame(list(rows), ["url", "dl"])
+    cs = compile_script(script, params or {})
+    return df.select(cs.col.alias("v")).collect()[0]["v"]
+
+
+def test_painless_math_widened(spark):
+    import math
+    assert _pl(spark, "Math.hypot(3.0, 4.0)") == pytest.approx(5.0)
+    assert _pl(spark, "Math.toDegrees(Math.PI)") == pytest.approx(180.0)
+    assert _pl(spark, "Math.toRadians(180.0)") == pytest.approx(math.pi)
+    assert _pl(spark, "Math.rint(2.5)") == pytest.approx(2.0)  # banker's
+    assert _pl(spark, "Math.copySign(3.0, -0.5)") == pytest.approx(-3.0)
+    assert _pl(spark, "Math.E") == pytest.approx(math.e)
+
+
+def test_painless_statics(spark):
+    assert _pl(spark, "Integer.parseInt('42') + 1") == 43
+    assert _pl(spark, "Long.parseLong('9000000000')") == 9000000000
+    assert _pl(spark, "Double.parseDouble('2.5') * 2") == \
+        pytest.approx(5.0)
+    assert _pl(spark, "Integer.MAX_VALUE") == 2147483647
+    assert _pl(spark, "String.valueOf(7)") == "7"
+
+
+def test_painless_string_methods(spark):
+    assert _pl(spark, "doc['url'].value.replaceAll('[0-9]+', '#')") \
+        == "ab#cd"
+    assert bool(_pl(spark, "doc['url'].value.matches('ab.cd')")) is True
+    # Java matches() is a FULL match, not a find()
+    assert bool(_pl(spark, "doc['url'].value.matches('ab')")) is False
+    assert _pl(spark, "doc['url'].value.charAt(1)") == "b"
+    assert _pl(spark, "doc['url'].value.concat('!')") == "ab1cd!"
+    assert _pl(spark, "doc['url'].value.repeat(2)") == "ab1cdab1cd"
+    assert _pl(spark, "doc['url'].value.split('1')")[1] == "cd"
+
+
+def test_painless_unsupported_static_raises(spark):
+    from sparksearch.painless import PainlessError, compile_script
+    with pytest.raises(PainlessError):
+        compile_script("Integer.bitCount(7)")
