@@ -135,7 +135,7 @@ _RECORD_FIRST = [
     # listed (ADVICE #5: keep the recorded-50 window auditable); a
     # pytest asserts no duplicates.
     # new in round 5
-    "ip_v6_range", "stem_snowball_ar", "stem_snowball_el",
+    "ip_v6_range", "stem_greek", "tf_icu_normalizer",
     "highlight_fvh", "percolate_many", "painless_methods",
     "knn_ivfpq_trained", "completion_regex_alt",
     # never-driver-recorded entries (rounds 1-3), rotated into 9-50

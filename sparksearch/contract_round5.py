@@ -304,6 +304,104 @@ ORDER BY p.url, h.qid
 
 
 # ---------------------------------------------------------------------------
+# stem_greek — Ntais Greek stemmer through the executor Arrow-UDF chain
+# ---------------------------------------------------------------------------
+# The reference routes the plain "greek" stemmer name to Lucene's
+# GreekStemFilter (StemmerTokenFilterFactory.java:196-197), chained
+# after GreekLowerCaseFilter (accent fold + final sigma).  Goldens are
+# hand-traced through the published Ntais rule tables (greekstem.py):
+#   Ομάδες/ομάδα -> ομαδ (rule 1 strip+re-append / rule 21 bare -α)
+#   υπολογιστές  -> υπολογιστ (rule 21 -εσ)
+#   τρέχει/τρέχουν -> τρεχ (rule 21 -ει / -ουν)
+#   ομορφότερη   -> ομορφ (rule 21 -η then rule 22 comparative -οτερ)
+#   γεγονότα     -> γεγον (rule 0 irregular paradigm)
+
+_EL_SETTINGS = {"tokenizer": "whitespace",
+                "filter": [{"type": "lowercase", "language": "greek"},
+                           {"type": "stemmer", "language": "greek"}]}
+_EL_PROBES = [(0, "Ομάδες ομάδα υπολογιστές"),
+              (1, "τρέχει τρέχουν ομορφότερη γεγονότα")]
+_EL_GOLDENS = [(0, "ομαδ", 0), (0, "ομαδ", 1), (0, "υπολογιστ", 2),
+               (1, "τρεχ", 0), (1, "τρεχ", 1), (1, "ομορφ", 2),
+               (1, "γεγον", 3)]
+
+
+def q_stem_greek(spark, sf_dir):
+    from sparksearch.contract_round3d import _q_filter_goldens
+    return _q_filter_goldens(
+        "an_greek_ntais", _EL_SETTINGS, _EL_PROBES,
+        "Greek lowercase + Ntais stemmer chain vs hand-traced goldens "
+        "(StemmerTokenFilterFactory.java:196 GreekStemFilter)")(
+        spark, sf_dir)
+
+
+def sql_stem_greek() -> str:
+    from sparksearch.contract_round3b import _sql_goldens
+    return _sql_goldens(_EL_GOLDENS)
+
+
+# ---------------------------------------------------------------------------
+# highlight_fvh — fragments driven by stored postings positions
+# ---------------------------------------------------------------------------
+
+def q_highlight_fvh(spark, sf_dir):
+    """FVH analogue: match positions come from the index's postings (the
+    stored term vectors), fragments are ±5-word windows greedily anchored
+    at those positions (FastVectorHighlighter.java FieldPhraseList /
+    SimpleFragListBuilder). The oracle recomputes positions from the raw
+    text — agreement proves the stored positions ARE the text's word
+    offsets on this chain."""
+    from sparksearch import contract as C
+    from sparksearch.fetchops import highlight_fvh
+    from sparksearch.queries import Match
+    _, ex = C.get_engine(spark, sf_dir)
+    pages = C.pages_df(spark, sf_dir)
+    topk = C.topk_rounded(ex, Match("text", "join"), k=3)
+    return highlight_fvh(ex, topk, pages, ["join"], fragment_size=80,
+                         number_of_fragments=2)
+
+
+def sql_highlight_fvh() -> str:
+    from sparksearch import contract as C
+    # W = 80 // 16 = 5 words each side, merge gap 10; anchors: first match
+    # position, then the first match more than gap past it (the greedy
+    # selection truncated at number_of_fragments=2). DuckDB positions are
+    # 1-based; Spark's are 0-based token positions — a1/a2 here equal
+    # (anchor+1).
+    return f"""
+WITH topk AS ( {C.match_sql('join', k=3)} ),
+{C._PAGES.replace('pages AS', 'pages2 AS')},
+ws AS ( SELECT t.docid, t.url, t.score, string_split(p.text, ' ') AS w
+        FROM topk t JOIN pages2 p ON p.url = t.url ),
+mp AS ( SELECT docid, url, score, w,
+               list_filter(range(1, len(w) + 1),
+                           i -> w[i] = 'join') AS mpos
+        FROM ws ),
+an AS ( SELECT *, mpos[1] AS a1,
+               list_filter(mpos, p -> p - mpos[1] > 10)[1] AS a2
+        FROM mp WHERE len(mpos) > 0 ),
+fr AS (
+  SELECT docid, url, score, 0 AS frag_idx, w, mpos,
+         greatest(1, a1 - 5) AS s, least(len(w), a1 + 5) AS e
+  FROM an
+  UNION ALL
+  SELECT docid, url, score, 1 AS frag_idx, w, mpos,
+         greatest(1, a2 - 5) AS s, least(len(w), a2 + 5) AS e
+  FROM an WHERE a2 IS NOT NULL )
+SELECT docid, url, score, CAST(frag_idx AS INT) AS frag_idx,
+       array_to_string(
+         list_transform(array_slice(w, s, e),
+                        x -> CASE WHEN x = 'join'
+                             THEN '<em>' || x || '</em>' ELSE x END),
+         ' ') AS fragment,
+       CAST(len(list_filter(mpos, p -> p >= s AND p <= e)) AS INT)
+         AS n_matches
+FROM fr
+ORDER BY score DESC, docid ASC, frag_idx ASC
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -312,7 +410,9 @@ def queries() -> dict:
             "completion_regex_alt": q_completion_regex_alt,
             "painless_methods": q_painless_methods,
             "knn_ivfpq_trained": q_knn_ivfpq_trained,
-            "percolate_many": q_percolate_many}
+            "percolate_many": q_percolate_many,
+            "stem_greek": q_stem_greek,
+            "highlight_fvh": q_highlight_fvh}
 
 
 def oracle_sql() -> dict:
@@ -320,4 +420,6 @@ def oracle_sql() -> dict:
             "completion_regex_alt": sql_completion_regex_alt(),
             "painless_methods": sql_painless_methods(),
             "knn_ivfpq_trained": sql_knn_ivfpq_trained(),
-            "percolate_many": sql_percolate_many()}
+            "percolate_many": sql_percolate_many(),
+            "stem_greek": sql_stem_greek(),
+            "highlight_fvh": sql_highlight_fvh()}

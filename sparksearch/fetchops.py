@@ -616,3 +616,81 @@ def highlight_fragments(topk: DataFrame, pages: DataFrame,
     within = ([F.col("n_matches").desc(), F.col("frag_idx").asc()]
               if order == "score" else [F.col("frag_idx").asc()])
     return out.orderBy(F.col("score").desc(), F.col("docid").asc(), *within)
+
+
+def highlight_fvh(ex, topk: DataFrame, pages: DataFrame,
+                  terms: list[str], fragment_size: int = 80,
+                  number_of_fragments: int = 2,
+                  pre: str = "<em>", post: str = "</em>") -> DataFrame:
+    """Fast-vector-highlighter analogue: fragments are driven by the
+    INDEX's stored postings positions, not by re-scanning the fetched
+    text (sv/search/fetch/subphase/highlight/FastVectorHighlighter.java
+    builds FieldPhraseList from stored term vectors; here the postings
+    ARE the term vectors — term_vectors() generates the same rows).
+
+    Plan shape: one term-pruned postings scan semi-joined to the k-row
+    hit list (broadcast), positions collected per doc (k rows ×
+    per-doc tf — bounded by the hit count, never corpus-sized), then the
+    fragment build is pure Catalyst array algebra over the fetched text.
+    The regex highlighter (`highlight`) rescans text for matches; at a
+    100 TB corpus both touch only the k fetched pages, but this form
+    never re-runs the analyzer, exactly FVH's trade.
+
+    Fragment semantics (SimpleFragListBuilder analogue): greedy anchor
+    selection over the sorted match positions — a match starts a new
+    fragment unless it falls within the previous fragment's window —
+    then each anchor yields a ±W-word window (W = fragment_size // 16,
+    ~8 chars/word) with every query-term occurrence inside it tagged.
+
+    Position contract: the analyzer chain must be position-preserving
+    over whitespace tokens (true for the standard chain on this corpus:
+    token i IS word i of the text). Chains with stopword holes or graph
+    expansion would need stored char offsets in the postings — that
+    variant stores (start, end) per position at build time; same plan
+    otherwise.
+
+    Returns (docid, url, score, frag_idx, fragment, n_matches).
+    """
+    uniq = sorted(set(terms))
+    w_half = max(1, int(fragment_size) // 16)
+    merge_gap = 2 * w_half
+    hits = topk.select("docid", "url", "score")
+    mpos = (ex.ix.postings_for(uniq)
+            .join(F.broadcast(hits.select("docid")), "docid")
+            .select("docid", F.explode("positions").alias("p"))
+            .groupBy("docid")
+            .agg(F.sort_array(F.collect_set("p")).alias("mpos")))
+    fetched = (pages.select("url", "text").join(F.broadcast(hits), "url")
+               .join(F.broadcast(mpos), "docid"))
+    words = F.split(F.col("text"), " ")
+    tagged = F.transform(
+        words,
+        lambda x, i: F.when(F.array_contains(F.col("mpos"), i),
+                            F.concat(F.lit(pre), x, F.lit(post)))
+                      .otherwise(x))
+    anchors = F.slice(
+        F.aggregate(
+            "mpos", F.expr("cast(array() as array<int>)"),
+            lambda acc, p: F.when(
+                (F.size(acc) == 0)
+                | (p - F.element_at(acc, -1) > merge_gap),
+                F.concat(acc, F.array(p))).otherwise(acc)),
+        1, int(number_of_fragments))
+    rows = (fetched
+            .withColumn("_w", tagged)
+            .withColumn("_nw", F.size("_w"))
+            .select("docid", "url", "score", "mpos", "_w", "_nw",
+                    F.posexplode(anchors).alias("frag_idx", "anchor")))
+    start = F.greatest(F.lit(1), F.col("anchor") + 1 - w_half)  # 1-based
+    end = F.least(F.col("_nw"), F.col("anchor") + 1 + w_half)
+    frag = F.concat_ws(
+        " ", F.slice(F.col("_w"), start, end - start + F.lit(1)))
+    n_matches = F.size(F.filter(
+        "mpos", lambda p: (p + 1 >= start) & (p + 1 <= end)))
+    return (rows.select(
+                "docid", "url", "score",
+                F.col("frag_idx").cast("int").alias("frag_idx"),
+                frag.alias("fragment"),
+                n_matches.cast("int").alias("n_matches"))
+            .orderBy(F.col("score").desc(), F.col("docid").asc(),
+                     F.col("frag_idx").asc()))

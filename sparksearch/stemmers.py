@@ -482,6 +482,15 @@ def _snowball2(name: str):
     return load
 
 
+def _greek(s: str) -> str:
+    from sparksearch.greekstem import greek_stem
+    return greek_stem(s)
+
+
+# "greek" routes to the Ntais stemmer, as the reference's factory routes
+# it to GreekStemFilter (StemmerTokenFilterFactory.java:196-197)
+LANGUAGE_STEMMERS["greek"] = _greek
+
 LANGUAGE_STEMMERS["romanian"] = _snowball2("romanian_snowball_stem")
 LANGUAGE_STEMMERS["hungarian"] = _snowball2("hungarian_snowball_stem")
 LANGUAGE_STEMMERS["finnish"] = _snowball2("finnish_snowball_stem")

@@ -298,3 +298,67 @@ def test_painless_unsupported_static_raises(spark):
     from sparksearch.painless import PainlessError, compile_script
     with pytest.raises(PainlessError):
         compile_script("Integer.bitCount(7)")
+
+
+# ---------------------------------------------------------------------------
+# highlight_fvh — fragments from stored postings positions
+# ---------------------------------------------------------------------------
+
+def test_highlight_fvh_positions_drive_fragments(spark, index_sf0001):
+    """FVH fragments anchor at the index's stored positions and agree
+    with a pure-Python recomputation from the raw text."""
+    from sparksearch.corpus import pages_from_documents
+    from sparksearch.exec import Executor
+    from sparksearch.fetchops import highlight_fvh
+    from sparksearch.queries import Match
+    from tests.conftest import TESTDATA
+
+    ex = Executor(index_sf0001)
+    pages = pages_from_documents(spark, f"{TESTDATA}/sf0.001")
+    topk = ex.search(Match("text", "join"), k=3)
+    out = highlight_fvh(ex, topk, pages, ["join"], fragment_size=80,
+                        number_of_fragments=2).collect()
+    assert out, "expected fragments for matching hits"
+    texts = {r.url: r.text for r in
+             pages.join(topk.select("url"), "url").collect()}
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.docid, []).append(r)
+    for docid, frags in by_doc.items():
+        words = texts[frags[0].url].split(" ")
+        mpos = [i for i, w in enumerate(words) if w == "join"]
+        # greedy anchors, gap 2*5
+        anchors = []
+        for p in mpos:
+            if not anchors or p - anchors[-1] > 10:
+                anchors.append(p)
+        anchors = anchors[:2]
+        assert len(frags) == len(anchors)
+        for r, a in zip(sorted(frags, key=lambda x: x.frag_idx), anchors):
+            s, e = max(0, a - 5), min(len(words), a + 6)
+            expect = " ".join(
+                f"<em>{w}</em>" if w == "join" else w
+                for w in words[s:e])
+            assert r.fragment == expect
+            assert r.n_matches == sum(
+                1 for w in words[s:e] if w == "join")
+
+
+def test_highlight_fvh_merges_nearby_matches(spark, index_sf0001):
+    """Two matches inside one window collapse to one fragment with
+    n_matches = 2 (the FieldPhraseList merge)."""
+    from sparksearch.corpus import pages_from_documents
+    from sparksearch.exec import Executor
+    from sparksearch.fetchops import highlight_fvh
+    from sparksearch.queries import Match
+    from tests.conftest import TESTDATA
+
+    ex = Executor(index_sf0001)
+    pages = pages_from_documents(spark, f"{TESTDATA}/sf0.001")
+    topk = ex.search(Match("text", "join"), k=10)
+    out = highlight_fvh(ex, topk, pages, ["join"], fragment_size=3200,
+                        number_of_fragments=1).collect()
+    # with a 200-word half-window every doc's matches merge into one frag
+    for r in out:
+        assert r.frag_idx == 0
+        assert r.fragment.count("<em>") == r.n_matches
