@@ -402,6 +402,75 @@ ORDER BY score DESC, docid ASC, frag_idx ASC
 
 
 # ---------------------------------------------------------------------------
+# dynamic_mapping — DocumentParser type inference over generated JSON
+# ---------------------------------------------------------------------------
+
+def q_dynamic_mapping(spark, sf_dir):
+    """Dynamic mapping inference (DocumentParser.java:695-810): JSON docs
+    generated from events — fixed fields exercise every type rule (long,
+    float, date in both default formats, non-numeric string -> text +
+    .keyword, numeric string stays text because numeric_detection
+    defaults false, object + boolean), and the attr_<k> family is
+    TYPE-CONFLICTING across docs (even event_id -> JSON number, odd ->
+    string), so the first-occurrence rule and the n_types conflict count
+    are both data-dependent."""
+    from sparksearch.dynmapping import infer_dynamic_mapping
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    even = eid % 2 == 0
+    js = F.concat(
+        F.lit('{"eid": '), eid,
+        F.lit(', "val": '), F.format_string("%.2f", F.col("value")),
+        F.lit(', "tag": "t'), F.col("user_id"), F.lit('x"'),
+        F.lit(', "when": "'),
+        F.when(even, F.lit("2025-01-02T03:04:05Z"))
+         .otherwise(F.lit("2025/01/02")),
+        F.lit('"'),
+        F.lit(', "num_str": "123"'),
+        F.lit(', "attr_'), (eid % 3).cast("string"), F.lit('": '),
+        F.when(even, eid.cast("string"))
+         .otherwise(F.concat(F.lit('"s'), eid, F.lit('"'))),
+        F.lit(', "meta": {"flag": '),
+        F.when(even, F.lit("true")).otherwise(F.lit("false")),
+        F.lit("}}"))
+    docs = ev.select(eid.alias("event_id"), js.alias("js"))
+    return infer_dynamic_mapping(docs, "event_id", "js")
+
+
+def sql_dynamic_mapping() -> str:
+    return """
+WITH attrs AS (
+  SELECT 'attr_' || CAST(event_id % 3 AS VARCHAR) AS path,
+         CASE WHEN event_id % 2 = 0 THEN 'long' ELSE 'text' END AS dtype,
+         event_id
+  FROM events ),
+resolved AS (
+  SELECT path, arg_min(dtype, event_id) AS dtype,
+         min(event_id) AS first_id,
+         count(DISTINCT dtype) AS n_types
+  FROM attrs GROUP BY path ),
+kw AS (
+  SELECT path || '.keyword' AS path, 'keyword' AS dtype,
+         min(event_id) AS first_id, 1 AS n_types
+  FROM attrs WHERE dtype = 'text' GROUP BY path ),
+fixed AS (
+  SELECT * FROM (VALUES
+      ('eid', 'long'), ('val', 'float'), ('tag', 'text'),
+      ('tag.keyword', 'keyword'), ('when', 'date'),
+      ('num_str', 'text'), ('num_str.keyword', 'keyword'),
+      ('meta', 'object'), ('meta.flag', 'boolean'))
+    AS v(path, dtype)
+  CROSS JOIN (SELECT min(event_id) AS first_id, 1 AS n_types
+              FROM events) m )
+SELECT path, dtype, CAST(first_id AS BIGINT) AS first_id,
+       CAST(n_types AS INT) AS n_types
+FROM (SELECT * FROM resolved UNION ALL SELECT * FROM kw
+      UNION ALL SELECT * FROM fixed)
+ORDER BY path
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -412,7 +481,8 @@ def queries() -> dict:
             "knn_ivfpq_trained": q_knn_ivfpq_trained,
             "percolate_many": q_percolate_many,
             "stem_greek": q_stem_greek,
-            "highlight_fvh": q_highlight_fvh}
+            "highlight_fvh": q_highlight_fvh,
+            "dynamic_mapping": q_dynamic_mapping}
 
 
 def oracle_sql() -> dict:
@@ -422,4 +492,5 @@ def oracle_sql() -> dict:
             "knn_ivfpq_trained": sql_knn_ivfpq_trained(),
             "percolate_many": sql_percolate_many(),
             "stem_greek": sql_stem_greek(),
-            "highlight_fvh": sql_highlight_fvh()}
+            "highlight_fvh": sql_highlight_fvh(),
+            "dynamic_mapping": sql_dynamic_mapping()}
