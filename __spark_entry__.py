@@ -152,7 +152,7 @@ _RECORD_FIRST = [
     "api_hybrid", "api_hybrid_minmax", "api_terminate_after",
     "similarity_lmjm", "similarity_boolean", "similarity_bm25_tuned",
     "similarity_scripted",
-    "query_explain", "dynamic_mapping",
+    "hard_negative_mining", "dynamic_mapping",
 ]
 
 

@@ -471,6 +471,56 @@ ORDER BY path
 
 
 # ---------------------------------------------------------------------------
+# hard_negative_mining — contrastive-training negatives from the corpus
+# ---------------------------------------------------------------------------
+
+_HN_ANCHORS = [0, 17, 42]
+_HN_K, _HN_DUP = 5, 0.95
+
+
+def q_hard_negatives(spark, sf_dir):
+    """ANCE/DPR-style hard-negative mining: per anchor the top-k most
+    similar vectors that are valid negatives (different label, cosine
+    below the near-duplicate threshold). Brute cosine is the gated
+    baseline; the 10^12-row path pre-filters with ivfpq_query and
+    re-ranks — same contract (dataops.hard_negatives docstring)."""
+    from sparksearch.dataops import hard_negatives
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return hard_negatives(emb, _HN_ANCHORS, k=_HN_K,
+                          dup_threshold=_HN_DUP)
+
+
+def sql_hard_negatives() -> str:
+    ids = ", ".join(str(a) for a in _HN_ANCHORS)
+    return f"""
+WITH a AS ( SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS v,
+                   label AS al
+            FROM embeddings WHERE vec_id IN ({ids}) ),
+e AS ( SELECT vec_id AS neg_id, embedding::DOUBLE[] AS v, label AS nl
+       FROM embeddings ),
+q AS ( SELECT a.anchor_id, e.neg_id, a.al, e.nl,
+              {_COS_HN} AS cosine
+       FROM e CROSS JOIN a
+       WHERE e.neg_id <> a.anchor_id AND e.nl <> a.al ),
+r AS ( SELECT anchor_id, neg_id, cosine,
+              CAST(row_number() OVER (PARTITION BY anchor_id
+                   ORDER BY cosine DESC, neg_id ASC) AS INT) AS rank
+       FROM q WHERE cosine < {_HN_DUP} )
+SELECT anchor_id, neg_id, cosine, rank FROM r
+WHERE rank <= {_HN_K}
+ORDER BY anchor_id, rank
+""".strip()
+
+
+_COS_HN = """
+CAST(round(
+  list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * a.v[i]))
+  / ( sqrt(list_sum(list_transform(e.v, x -> x * x)))
+    * sqrt(list_sum(list_transform(a.v, x -> x * x)))), 6) AS DOUBLE)
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -482,7 +532,8 @@ def queries() -> dict:
             "percolate_many": q_percolate_many,
             "stem_greek": q_stem_greek,
             "highlight_fvh": q_highlight_fvh,
-            "dynamic_mapping": q_dynamic_mapping}
+            "dynamic_mapping": q_dynamic_mapping,
+            "hard_negative_mining": q_hard_negatives}
 
 
 def oracle_sql() -> dict:
@@ -493,4 +544,5 @@ def oracle_sql() -> dict:
             "percolate_many": sql_percolate_many(),
             "stem_greek": sql_stem_greek(),
             "highlight_fvh": sql_highlight_fvh(),
-            "dynamic_mapping": sql_dynamic_mapping()}
+            "dynamic_mapping": sql_dynamic_mapping(),
+            "hard_negative_mining": sql_hard_negatives()}

@@ -1694,3 +1694,50 @@ def epoch_shuffle(df: DataFrame, epoch: int, key_cols: list | None = None,
     return (frame.where(~F.col("_carry"))
             .withColumn(out_col, rank.cast("long"))
             .drop("_pid", "_carry", "_one", "_h", "_k"))
+
+
+def hard_negatives(emb: DataFrame, anchor_ids: list[int], k: int = 5,
+                   dup_threshold: float = 0.95,
+                   exclude_same_label: bool = True,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label") -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the k
+    MOST similar vectors that are still valid negatives — not the anchor
+    itself, not a near-duplicate (cosine >= dup_threshold, which would
+    be a false negative), and (optionally) not sharing the anchor's
+    label (same-source rows are presumed positives).  This is the ANCE /
+    DPR-style "top of the ranking minus the positives" mining rule.
+
+    Plan shape: the anchor set is a bounded broadcast (mine in batches
+    of ~10^3 anchors at corpus scale — each batch is ONE corpus scan);
+    cosine is the JVM zip_with/aggregate expression, the dup/label
+    exclusions are pushed into the same scan's filter, and per-anchor
+    top-k is a window over the candidate set partitioned by anchor.
+    Shuffle is candidates-only (rows surviving the threshold filter),
+    never the full cross product materialized.  For a cheaper first cut
+    at 10^12 rows, pre-filter candidates with ivfpq_query / lsh buckets
+    and re-rank the survivors here — same contract.
+
+    Returns (anchor_id, neg_id, cosine, rank), rank 1 = hardest.
+    """
+    ids = sorted(set(int(a) for a in anchor_ids))
+    anchors = (emb.where(F.col(id_col).isin(ids))
+               .select(F.col(id_col).alias("anchor_id"),
+                       F.col(vec_col).cast("array<double>").alias("_av"),
+                       F.col(label_col).alias("_al")))
+    cand = (emb.select(F.col(id_col).alias("neg_id"),
+                       F.col(vec_col).cast("array<double>").alias("_nv"),
+                       F.col(label_col).alias("_nl"))
+            .crossJoin(F.broadcast(anchors))
+            .where(F.col("neg_id") != F.col("anchor_id")))
+    if exclude_same_label:
+        cand = cand.where(F.col("_nl") != F.col("_al"))
+    scored = (cand.withColumn(
+                  "cosine", F.round(_cosine(F.col("_nv"), F.col("_av")), 6))
+              .where(F.col("cosine") < float(dup_threshold)))
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("neg_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= int(k))
+            .select("anchor_id", "neg_id", "cosine", "rank")
+            .orderBy("anchor_id", "rank"))

@@ -177,3 +177,36 @@ def test_ivfpq_probe_filter_composes(spark):
     again = ivfpq_knn(emb, query_id=3, k=5, n_cells=4, n_probe=2,
                       m=4, kc=4, iters=1).collect()
     assert [r["vec_id"] for r in rows] == [r["vec_id"] for r in again]
+
+
+# ---------------------------------------------------------------------------
+# hard_negatives — contrastive mining rules
+# ---------------------------------------------------------------------------
+
+def test_hard_negatives_rules(spark):
+    import numpy as np
+    from sparksearch.dataops import hard_negatives
+    rng = np.random.RandomState(7)
+    base = rng.randn(8)
+    rows = []
+    # anchor 0 (label 0); near-duplicate 1 (label 1, cos ~1); same-label 2;
+    # valid negatives 3..6 at decreasing similarity
+    rows.append((0, (base / np.linalg.norm(base)).tolist(), 0))
+    rows.append((1, (base * 2.0 + rng.randn(8) * 1e-4).tolist(), 1))
+    rows.append((2, (base + rng.randn(8) * 0.01).tolist(), 0))
+    for i, noise in zip(range(3, 7), (0.3, 0.8, 1.5, 3.0)):
+        v = base + rng.randn(8) * noise
+        rows.append((i, v.tolist(), 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    out = hard_negatives(emb, [0], k=3, dup_threshold=0.95).collect()
+    got = [r.neg_id for r in out]
+    # near-dup 1 excluded by threshold, same-label 2 excluded, rank by cos
+    assert 1 not in got and 2 not in got and 0 not in got
+    assert len(out) == 3
+    assert [r.rank for r in out] == [1, 2, 3]
+    assert (out[0].cosine >= out[1].cosine >= out[2].cosine)
+    # keep_same_label form admits vec 2
+    out2 = hard_negatives(emb, [0], k=3, dup_threshold=1.1,
+                          exclude_same_label=False).collect()
+    assert 2 in [r.neg_id for r in out2]
