@@ -151,7 +151,7 @@ _RECORD_FIRST = [
     "api_highlight", "api_rescore", "api_knn_filtered",
     "api_hybrid", "api_hybrid_minmax", "api_terminate_after",
     "similarity_lmjm", "similarity_boolean", "similarity_bm25_tuned",
-    "similarity_scripted",
+    "highlight_fvh_phrase",
     "hard_negative_mining", "dynamic_mapping",
 ]
 

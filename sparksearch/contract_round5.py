@@ -471,6 +471,65 @@ ORDER BY path
 
 
 # ---------------------------------------------------------------------------
+# highlight_fvh_phrase — phrase-aware FVH from stored positions
+# ---------------------------------------------------------------------------
+
+def q_highlight_fvh_phrase(spark, sf_dir):
+    """Phrase FVH: fragments anchor at 'hash join' PHRASE occurrences
+    (consecutive stored positions — FieldPhraseList), the whole span
+    tagged as one unit. The oracle recomputes phrase starts from raw
+    adjacent words."""
+    from sparksearch import contract as C
+    from sparksearch.fetchops import highlight_fvh_phrase
+    from sparksearch.queries import MatchPhrase
+    _, ex = C.get_engine(spark, sf_dir)
+    pages = C.pages_df(spark, sf_dir)
+    topk = C.topk_rounded(ex, MatchPhrase("text", "hash join"), k=3)
+    return highlight_fvh_phrase(ex, topk, pages, ["hash", "join"],
+                                fragment_size=80, number_of_fragments=2)
+
+
+def sql_highlight_fvh_phrase() -> str:
+    from sparksearch import contract as C
+    # n=2, W=5, merge gap 2W+n-1=11; spark 0-based anchor a ↔ duck 1-based
+    # p=a+1; window [max(1,p-5), min(len, p+5+1)]; open tag at i in mpos,
+    # close at i-1 in mpos; full-phrase count: p>=s and p+1<=e.
+    return f"""
+WITH topk AS ( {C.phrase_sql('hash join', k=3)} ),
+{C._PAGES.replace('pages AS', 'pages2 AS')},
+ws AS ( SELECT t.docid, t.url, t.score, string_split(p.text, ' ') AS w
+        FROM topk t JOIN pages2 p ON p.url = t.url ),
+mp AS ( SELECT docid, url, score, w,
+               list_filter(range(1, len(w)),
+                           i -> w[i] = 'hash' AND w[i+1] = 'join') AS mpos
+        FROM ws ),
+an AS ( SELECT *, mpos[1] AS a1,
+               list_filter(mpos, p -> p - mpos[1] > 11)[1] AS a2
+        FROM mp WHERE len(mpos) > 0 ),
+fr AS (
+  SELECT docid, url, score, 0 AS frag_idx, w, mpos,
+         greatest(1, a1 - 5) AS s, least(len(w), a1 + 6) AS e
+  FROM an
+  UNION ALL
+  SELECT docid, url, score, 1 AS frag_idx, w, mpos,
+         greatest(1, a2 - 5) AS s, least(len(w), a2 + 6) AS e
+  FROM an WHERE a2 IS NOT NULL )
+SELECT docid, url, score, CAST(frag_idx AS INT) AS frag_idx,
+       array_to_string(
+         list_transform(range(s, e + 1),
+           i -> (CASE WHEN list_contains(mpos, i)
+                 THEN '<em>' ELSE '' END) || w[i]
+                || (CASE WHEN list_contains(mpos, i - 1)
+                    THEN '</em>' ELSE '' END)),
+         ' ') AS fragment,
+       CAST(len(list_filter(mpos, p -> p >= s AND p + 1 <= e)) AS INT)
+         AS n_matches
+FROM fr
+ORDER BY score DESC, docid ASC, frag_idx ASC
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # hard_negative_mining — contrastive-training negatives from the corpus
 # ---------------------------------------------------------------------------
 
@@ -533,7 +592,8 @@ def queries() -> dict:
             "stem_greek": q_stem_greek,
             "highlight_fvh": q_highlight_fvh,
             "dynamic_mapping": q_dynamic_mapping,
-            "hard_negative_mining": q_hard_negatives}
+            "hard_negative_mining": q_hard_negatives,
+            "highlight_fvh_phrase": q_highlight_fvh_phrase}
 
 
 def oracle_sql() -> dict:
@@ -545,4 +605,5 @@ def oracle_sql() -> dict:
             "stem_greek": sql_stem_greek(),
             "highlight_fvh": sql_highlight_fvh(),
             "dynamic_mapping": sql_dynamic_mapping(),
-            "hard_negative_mining": sql_hard_negatives()}
+            "hard_negative_mining": sql_hard_negatives(),
+            "highlight_fvh_phrase": sql_highlight_fvh_phrase()}

@@ -694,3 +694,98 @@ def highlight_fvh(ex, topk: DataFrame, pages: DataFrame,
                 n_matches.cast("int").alias("n_matches"))
             .orderBy(F.col("score").desc(), F.col("docid").asc(),
                      F.col("frag_idx").asc()))
+
+
+def phrase_positions(ex, docids_df: DataFrame,
+                     phrase_terms: list[str]) -> DataFrame:
+    """Start positions of exact phrase occurrences per doc, from the
+    INDEX's stored positions only (FieldPhraseList: consecutive term
+    positions chain into phrase matches — FastVectorHighlighter.java's
+    core structure). One term-pruned postings scan, semi-joined to the
+    hit list; the adjacency intersection is Catalyst array algebra
+    (arrays shifted by the member's phrase offset, array_intersect
+    folded across members). Returns (docid, ppos: array<int>).
+    """
+    n = len(phrase_terms)
+    if n == 0:
+        raise ValueError("empty phrase")
+    post = (ex.ix.postings_for(sorted(set(phrase_terms)))
+            .join(F.broadcast(docids_df.select("docid")), "docid"))
+    # per member i: positions shifted to the phrase START (pos - i)
+    legs = []
+    for i, t in enumerate(phrase_terms):
+        legs.append(
+            post.where(F.col("term") == t)
+            .select("docid",
+                    F.transform("positions",
+                                lambda p: p - F.lit(i)).alias(f"_p{i}")))
+    cur = legs[0]
+    for i in range(1, n):
+        cur = (cur.join(legs[i], "docid")
+               .select("docid",
+                       F.array_intersect(F.col("_p0"), F.col(f"_p{i}"))
+                       .alias("_p0")))
+        cur = cur.where(F.size("_p0") > 0)
+    return cur.select("docid", F.sort_array("_p0").alias("ppos"))
+
+
+def highlight_fvh_phrase(ex, topk: DataFrame, pages: DataFrame,
+                         phrase_terms: list[str],
+                         fragment_size: int = 80,
+                         number_of_fragments: int = 2,
+                         pre: str = "<em>",
+                         post: str = "</em>") -> DataFrame:
+    """FVH for a phrase query: fragments anchor at PHRASE occurrences
+    (not bare term hits) and the whole phrase span is tagged as one
+    unit — Lucene FVH's phrase-aware highlighting, driven entirely by
+    stored positions (FastVectorHighlighter.java FieldPhraseList →
+    WeightedPhraseInfo spans). Same plan/cost shape as highlight_fvh.
+
+    Returns (docid, url, score, frag_idx, fragment, n_matches)."""
+    n = len(phrase_terms)
+    w_half = max(1, int(fragment_size) // 16)
+    merge_gap = 2 * w_half + n - 1
+    hits = topk.select("docid", "url", "score")
+    mpos = phrase_positions(ex, hits, phrase_terms) \
+        .withColumnRenamed("ppos", "mpos")
+    fetched = (pages.select("url", "text").join(F.broadcast(hits), "url")
+               .join(F.broadcast(mpos), "docid"))
+    words = F.split(F.col("text"), " ")
+    # tag the phrase span as a unit: open before word at a start
+    # position, close after the start+n-1 word
+    tagged = F.transform(
+        words,
+        lambda x, i: F.concat(
+            F.when(F.array_contains(F.col("mpos"), i), F.lit(pre))
+             .otherwise(F.lit("")),
+            x,
+            F.when(F.array_contains(F.col("mpos"), i - (n - 1)),
+                   F.lit(post)).otherwise(F.lit(""))))
+    anchors = F.slice(
+        F.aggregate(
+            "mpos", F.expr("cast(array() as array<int>)"),
+            lambda acc, p: F.when(
+                (F.size(acc) == 0)
+                | (p - F.element_at(acc, -1) > merge_gap),
+                F.concat(acc, F.array(p))).otherwise(acc)),
+        1, int(number_of_fragments))
+    rows = (fetched
+            .withColumn("_w", tagged)
+            .withColumn("_nw", F.size("_w"))
+            .select("docid", "url", "score", "mpos", "_w", "_nw",
+                    F.posexplode(anchors).alias("frag_idx", "anchor")))
+    start = F.greatest(F.lit(1), F.col("anchor") + 1 - w_half)
+    end = F.least(F.col("_nw"),
+                  F.col("anchor") + 1 + w_half + F.lit(n - 1))
+    frag = F.concat_ws(
+        " ", F.slice(F.col("_w"), start, end - start + F.lit(1)))
+    n_matches = F.size(F.filter(
+        "mpos",
+        lambda p: (p + 1 >= start) & (p + F.lit(n) <= end)))
+    return (rows.select(
+                "docid", "url", "score",
+                F.col("frag_idx").cast("int").alias("frag_idx"),
+                frag.alias("fragment"),
+                n_matches.cast("int").alias("n_matches"))
+            .orderBy(F.col("score").desc(), F.col("docid").asc(),
+                     F.col("frag_idx").asc()))

@@ -362,3 +362,29 @@ def test_highlight_fvh_merges_nearby_matches(spark, index_sf0001):
     for r in out:
         assert r.frag_idx == 0
         assert r.fragment.count("<em>") == r.n_matches
+
+
+def test_highlight_fvh_phrase_spans(spark, index_sf0001):
+    """Phrase FVH: anchors are phrase starts from stored positions; the
+    whole 'hash join' span carries one tag pair."""
+    from sparksearch.corpus import pages_from_documents
+    from sparksearch.exec import Executor
+    from sparksearch.fetchops import highlight_fvh_phrase
+    from sparksearch.queries import MatchPhrase
+    from tests.conftest import TESTDATA
+
+    ex = Executor(index_sf0001)
+    pages = pages_from_documents(spark, f"{TESTDATA}/sf0.001")
+    topk = ex.search(MatchPhrase("text", "hash join"), k=3)
+    out = highlight_fvh_phrase(ex, topk, pages, ["hash", "join"],
+                               fragment_size=80,
+                               number_of_fragments=2).collect()
+    assert out, "expected phrase fragments"
+    for r in out:
+        assert "<em>hash join</em>" in r.fragment
+        assert r.fragment.count("<em>") == r.fragment.count("</em>")
+        assert r.n_matches >= 1
+    # cross-check count vs raw text inside the fragment
+    for r in out:
+        naked = r.fragment.replace("<em>", "").replace("</em>", "")
+        assert r.n_matches <= f" {naked} ".count(" hash join ")
