@@ -268,3 +268,33 @@ def test_pipeline_windows_short_partitions(spark):
                        .cast("double"))
            .orderBy("key").collect())
     assert [tuple(r) for r in got] == [tuple(r) for r in ref]
+
+
+def test_highlight_fvh_plan_broadcasts_hits(engine, spark):
+    """FVH joins are broadcast on the k-row side; no shuffle join of the
+    corpus against the hit list, no cartesian product."""
+    from sparksearch.corpus import pages_from_documents
+    from sparksearch.fetchops import highlight_fvh
+    from sparksearch.queries import Match
+    ix, ex = engine
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001")
+    topk = ex.search(Match("text", "join"), k=3)
+    plan = _plan_str(highlight_fvh(ex, topk, pages, ["join"]))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # match positions come from the postings scan, term-pruned
+    assert "postings" in plan
+
+
+def test_hard_negatives_plan_broadcasts_anchors(spark):
+    """Anchor side is broadcast; per-anchor top-k window partitions by
+    anchor (no global unpartitioned window)."""
+    from sparksearch.dataops import hard_negatives
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = hard_negatives(emb, [0, 1], k=3)
+    plan = _plan_str(df)
+    assert "Broadcast" in plan            # broadcast nested-loop on anchors
+    assert "Window" in plan
+    # the top-k window is partitioned by anchor_id, never a global window
+    opt = _optimized_str(df).lower()
+    assert "windowspecdefinition(anchor_id" in opt
