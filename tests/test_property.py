@@ -154,3 +154,33 @@ def test_turkish_stem_is_prefix_up_to_final_consonant(word):
     assert len(out) <= len(word)
     if out:
         assert word.startswith(out[:-1])
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=0x3B1,
+                                      max_codepoint=0x3C9),
+               min_size=0, max_size=24))
+@settings(max_examples=300, deadline=None)
+def test_greek_stem_total_and_shrinking(word):
+    """greek_stem is total over Greek-alphabet tokens and never grows a
+    word: every rule's re-appended suffix is shorter than what it
+    stripped (Ntais tables)."""
+    from sparksearch.greekstem import greek_stem
+    out = greek_stem(word)
+    assert isinstance(out, str)
+    assert len(out) <= len(word)
+    if len(word) < 4:
+        assert out == word
+
+
+@given(st.text(min_size=0, max_size=40))
+@settings(max_examples=300, deadline=None)
+def test_dynamic_string_typing_total(s):
+    """dynamic_type_of_string is total over arbitrary text and returns
+    only the four legal types under any detection flags."""
+    from sparksearch.dynmapping import dynamic_type_of_string
+    for nd in (False, True):
+        for dd in (False, True):
+            t = dynamic_type_of_string(s, nd, dd)
+            assert t in ("text", "long", "float", "date")
+            if not nd and not dd:
+                assert t == "text"
