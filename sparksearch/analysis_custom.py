@@ -165,6 +165,7 @@ _TOKENIZERS = {
     "uax_url_email": _lazy_tokenizer("uax_url_email"),
     "classic": _lazy_tokenizer("classic"),
     "icu_tokenizer": _lazy_tokenizer("icu_tokenizer"),
+    "thai": _lazy_tokenizer("thai"),
 }
 
 # ---------------------------------------------------------------------------

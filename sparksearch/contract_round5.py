@@ -471,6 +471,36 @@ ORDER BY path
 
 
 # ---------------------------------------------------------------------------
+# tk_thai — Thai tokenizer (dictionary-break + UAX#29 for other scripts)
+# ---------------------------------------------------------------------------
+# ThaiTokenizerFactory -> Lucene ThaiTokenizer (Thai-locale
+# BreakIterator). Goldens hand-derived: Thai runs via greedy
+# longest-match over the supplied dictionary, Latin/number tokens via
+# the UAX#29 rules shared with tk_icu.
+
+_THAI_SETTINGS = {
+    "tokenizer": {"type": "thai",
+                  "dictionary": ["สวัสดี", "ครับ", "ภาษา", "ไทย"]},
+}
+_THAI_PROBES = [(0, "สวัสดีครับ hello ภาษาไทย123")]
+_THAI_GOLDENS = [(0, "สวัสดี", 0), (0, "ครับ", 1), (0, "hello", 2),
+                 (0, "ภาษา", 3), (0, "ไทย", 4), (0, "123", 5)]
+
+
+def q_tk_thai(spark, sf_dir):
+    from sparksearch.contract_round3d import _q_filter_goldens
+    return _q_filter_goldens(
+        "an_thai_tk", _THAI_SETTINGS, _THAI_PROBES,
+        "thai tokenizer: dictionary break for Thai runs + UAX#29 "
+        "elsewhere (ThaiTokenizerFactory)")(spark, sf_dir)
+
+
+def sql_tk_thai() -> str:
+    from sparksearch.contract_round3b import _sql_goldens
+    return _sql_goldens(_THAI_GOLDENS)
+
+
+# ---------------------------------------------------------------------------
 # highlight_fvh_phrase — phrase-aware FVH from stored positions
 # ---------------------------------------------------------------------------
 
@@ -593,7 +623,8 @@ def queries() -> dict:
             "highlight_fvh": q_highlight_fvh,
             "dynamic_mapping": q_dynamic_mapping,
             "hard_negative_mining": q_hard_negatives,
-            "highlight_fvh_phrase": q_highlight_fvh_phrase}
+            "highlight_fvh_phrase": q_highlight_fvh_phrase,
+            "tk_thai": q_tk_thai}
 
 
 def oracle_sql() -> dict:
@@ -606,4 +637,5 @@ def oracle_sql() -> dict:
             "highlight_fvh": sql_highlight_fvh(),
             "dynamic_mapping": sql_dynamic_mapping(),
             "hard_negative_mining": sql_hard_negatives(),
-            "highlight_fvh_phrase": sql_highlight_fvh_phrase()}
+            "highlight_fvh_phrase": sql_highlight_fvh_phrase(),
+            "tk_thai": sql_tk_thai()}

@@ -467,6 +467,22 @@ def icu_tokenizer(cfg: dict) -> Callable[[str], list[str]]:
     return tok
 
 
+def thai_tokenizer(cfg: dict) -> "Callable[[str], list[str]]":
+    """``thai`` tokenizer (ThaiTokenizerFactory -> Lucene ThaiTokenizer,
+    a Thai-locale BreakIterator): Thai runs segment by dictionary
+    longest-match, every other script by the UAX#29 rules — exactly the
+    icu_tokenizer engine here. ICU's bundled Thai frequency dictionary
+    is a binary data file that does not ship in this environment, so a
+    ``dictionary`` word list is REQUIRED — a loud error beats silently
+    emitting whole unsegmented Thai runs."""
+    if not cfg.get("dictionary"):
+        raise ValueError(
+            "thai tokenizer requires a 'dictionary' word list in this "
+            "environment (ICU's Thai dictionary data file is not "
+            "available); supply e.g. {\"dictionary\": [...]} ")
+    return icu_tokenizer(cfg)
+
+
 TOKENIZERS_EXT = {
     "ngram": ngram_tokenizer,
     "edge_ngram": edge_ngram_tokenizer,
@@ -477,4 +493,5 @@ TOKENIZERS_EXT = {
     "uax_url_email": uax_url_email_tokenizer,
     "classic": classic_tokenizer,
     "icu_tokenizer": icu_tokenizer,
+    "thai": thai_tokenizer,
 }
