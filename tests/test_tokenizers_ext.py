@@ -180,3 +180,20 @@ def test_icu_in_custom_analyzer():
         "filter": ["lowercase"]})
     assert [t.term for t in a.analyze("Don't LOGIN 画面")] == \
         ["don't", "login", "画面"]
+
+
+def test_thai_tokenizer_dictionary_and_uax29():
+    from sparksearch.tokenizers_ext import TOKENIZERS_EXT
+    tok = TOKENIZERS_EXT["thai"](
+        {"dictionary": ["สวัสดี", "ครับ", "ภาษา", "ไทย"]})
+    assert tok("สวัสดีครับ hello ภาษาไทย123") == \
+        ["สวัสดี", "ครับ", "hello", "ภาษา", "ไทย", "123"]
+    # unknown Thai span falls back per the documented gap handling
+    assert "hello" in tok("hello ๆๆ")
+
+
+def test_thai_tokenizer_requires_dictionary():
+    import pytest
+    from sparksearch.tokenizers_ext import TOKENIZERS_EXT
+    with pytest.raises(ValueError):
+        TOKENIZERS_EXT["thai"]({})
