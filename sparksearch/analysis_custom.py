@@ -89,10 +89,44 @@ def _cf_mapping(cfg: dict) -> Callable[[str], str]:
     return apply
 
 
+def _java_repl(repl: str) -> str:
+    """Translate a Java ``Matcher.replaceAll`` replacement into Python
+    ``re.sub`` syntax: ``$1``/``${1}`` group refs become ``\\1``, an
+    escaped ``\\$`` stays a literal dollar, and Python-significant
+    backslashes are preserved literally (Java treats ``\\x`` as literal
+    ``x``)."""
+    out = []
+    i, n = 0, len(repl)
+    while i < n:
+        c = repl[i]
+        if c == "\\" and i + 1 < n:
+            nxt = repl[i + 1]
+            # Java: backslash escapes the next char to a literal
+            out.append(nxt if nxt != "\\" else "\\\\")
+            i += 2
+        elif c == "$" and i + 1 < n and repl[i + 1].isdigit():
+            j = i + 1
+            while j < n and repl[j].isdigit():
+                j += 1
+            out.append("\\" + repl[i + 1:j])
+            i = j
+        elif c == "$" and repl[i:i + 2] == "${":
+            j = repl.index("}", i)
+            out.append("\\" + repl[i + 2:j])
+            i = j + 1
+        elif c == "\\":
+            out.append("\\\\")
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
 def _cf_pattern_replace(cfg: dict) -> Callable[[str], str]:
-    # PatternReplaceCharFilterFactory
+    # PatternReplaceCharFilterFactory (Java $N group refs supported)
     rx = re.compile(cfg["pattern"])
-    repl = cfg.get("replacement", "")
+    repl = _java_repl(cfg.get("replacement", ""))
     return lambda s: rx.sub(repl, s)
 
 
@@ -605,6 +639,55 @@ def _lazy_mgmt(name: str):
     return factory
 
 
+def _tf_pattern_replace(cfg: dict):
+    """``pattern_replace`` TOKEN filter (PatternReplaceTokenFilterFactory):
+    regex rewrite applied per token; ``all`` (default true) selects
+    replaceAll vs replaceFirst. Java ``$N`` group refs supported.
+    Documented deviation: Lucene's PatternReplaceFilter keeps a token
+    whose term was rewritten to "" — this chain drops empty terms at
+    assembly (an empty posting term is never useful), but the original
+    POSITIONS of surviving tokens are preserved, so phrase/span
+    semantics across the gap match the reference."""
+    rx = re.compile(cfg["pattern"])
+    repl = _java_repl(cfg.get("replacement", ""))
+    count = 0 if cfg.get("all", True) else 1
+    return lambda toks: [(rx.sub(repl, t, count=count), p)
+                         for t, p in toks]
+
+
+def _tf_legacy_snowball(language: str):
+    """Fixed-language legacy stem filters — ``dutch_stem`` /
+    ``french_stem`` / ``russian_stem`` are SetKeywordMarkerFilter(
+    stem_exclusion) + SnowballFilter(language) in the reference
+    (modules/analysis-common/.../DutchStemTokenFilterFactory.java,
+    FrenchStemTokenFilterFactory.java, RussianStemTokenFilterFactory.java).
+    Honors both the chain's keyword state (earlier keyword_marker /
+    keyword_repeat) and the factory-local ``stem_exclusion`` list."""
+    def factory(cfg: dict, state: dict | None = None):
+        from sparksearch.stemmers import LANGUAGE_STEMMERS
+        fn = LANGUAGE_STEMMERS[language]
+        st = dict(state or {})
+        preds = list(st.get("protected_preds", ()))
+        excl = cfg.get("stem_exclusion") or ()
+        if excl:
+            exset = frozenset(excl)
+            preds.append(lambda t: t in exset)
+        st["protected_preds"] = preds
+        return _keyword_aware_stem(fn, st)
+    factory.wants_state = True
+    return factory
+
+
+def _tf_unsupported(name: str, why: str):
+    """Registered-but-refused filter names: the reference exposes them
+    but their algorithm cannot be faithfully re-derived from public
+    specs available here; raise loudly with the nearest supported
+    alternative rather than silently approximate."""
+    def factory(cfg: dict):
+        raise NotImplementedError(f"token filter {name!r}: {why}")
+    return factory
+
+
 _TOKEN_FILTERS = {
     "lowercase": _tf_lowercase,
     "uppercase": _tf_uppercase,
@@ -647,6 +730,38 @@ _TOKEN_FILTERS = {
     # light stemmer; CzechStemmer IS the Dolamic-Savoy light stemmer)
     "arabic_stem": lambda cfg: _tf_stemmer({"language": "arabic"}),
     "czech_stem": lambda cfg: _tf_stemmer({"language": "czech"}),
+    # legacy snowball-backed stem names (SnowballFilter in the reference
+    # factories; stem_exclusion honored)
+    "dutch_stem": _tf_legacy_snowball("dutch"),
+    "french_stem": _tf_legacy_snowball("french"),
+    "russian_stem": _tf_legacy_snowball("russian"),
+    # registered names whose Lucene algorithm is distinct from anything
+    # re-derivable here from public specs — refuse loudly with guidance
+    "german_stem": _tf_unsupported(
+        "german_stem",
+        "Lucene GermanStemFilter implements the Caumanns algorithm, "
+        "distinct from both Snowball German and the Savoy light stemmer;"
+        " use {'type':'stemmer','language':'german'} (Snowball) or "
+        "'light_german' (Savoy) instead"),
+    "brazilian_stem": _tf_unsupported(
+        "brazilian_stem",
+        "Lucene BrazilianStemmer is an RSLP-derived rule set with its "
+        "own tables; use {'type':'stemmer','language':'portuguese'} "
+        "(Snowball) or 'light_portuguese'/'minimal_portuguese' instead"),
+    "kstem": _tf_unsupported(
+        "kstem",
+        "KStem is a dictionary-driven stemmer (Krovetz); the dictionary "
+        "is not re-derivable — use 'english' (Porter) or 'porter2' "
+        "(Snowball English) instead"),
+    "bengali_normalization": _tf_unsupported(
+        "bengali_normalization",
+        "Lucene BengaliNormalizer's rule tables are not re-derivable "
+        "from public specs available here"),
+    "indic_normalization": _tf_unsupported(
+        "indic_normalization",
+        "Lucene IndicNormalizer's script decomposition tables are not "
+        "re-derivable from public specs available here"),
+    "pattern_replace": _tf_pattern_replace,
     "keyword_marker": _tf_keyword_marker,
     "stemmer_override": _tf_stemmer_override,
     "keyword_repeat": _tf_keyword_repeat,

@@ -610,6 +610,102 @@ CAST(round(
 
 
 # ---------------------------------------------------------------------------
+# tf_legacy_stems — dutch_stem / french_stem / russian_stem filter names
+# ---------------------------------------------------------------------------
+# The reference registers fixed-language stem filters that wrap
+# SnowballFilter with a SetKeywordMarkerFilter(stem_exclusion)
+# (DutchStemTokenFilterFactory.java, FrenchStemTokenFilterFactory.java,
+# RussianStemTokenFilterFactory.java — all in modules/analysis-common).
+# Goldens are the outputs of this repo's snowball stemmers, which are
+# themselves gated against published snowballstem.org sample vectors
+# (stem_french / stem_russian etc. entries); this entry proves the
+# legacy NAME routing, the chain mechanics through the executor
+# Arrow-UDF path, and that stem_exclusion protects a term.
+
+_LEGACY_CHAINS = [
+    # (probe id, analyzer name, settings, text)
+    (0, "an_dutch_stem_legacy",
+     {"tokenizer": "whitespace",
+      "filter": ["lowercase",
+                 {"type": "dutch_stem", "stem_exclusion": ["koninginnen"]}]},
+     "Lichamelijke koninginnen overgegaan"),
+    (1, "an_french_stem_legacy",
+     {"tokenizer": "whitespace", "filter": ["lowercase", "french_stem"]},
+     "Continuellement majestueusement continuité"),
+    (2, "an_russian_stem_legacy",
+     {"tokenizer": "whitespace", "filter": ["lowercase", "russian_stem"]},
+     "Впечатление величайших вагоне"),
+]
+_LEGACY_GOLDENS = [
+    (0, "licham", 0), (0, "koninginnen", 1), (0, "overgegan", 2),
+    (1, "continuel", 0), (1, "majestu", 1), (1, "continu", 2),
+    (2, "впечатлен", 0), (2, "величайш", 1), (2, "вагон", 2),
+]
+
+
+def q_tf_legacy_stems(spark, sf_dir):
+    """Legacy fixed-language stem filters (dutch_stem/french_stem/
+    russian_stem) through the executor chain; dutch leg also exercises
+    stem_exclusion keyword protection."""
+    from functools import reduce
+    import pyspark.sql.functions as F
+    from sparksearch.analysis_custom import get_custom, register_analyzer
+    from sparksearch.build import tokenize_udf
+    outs = []
+    for pid, an_name, settings, text in _LEGACY_CHAINS:
+        if get_custom(an_name) is None:
+            register_analyzer(an_name, settings)
+        df = spark.createDataFrame([(text,)], "text string")
+        tok = df.withColumn("_t", tokenize_udf(an_name)(F.col("text")))
+        outs.append(tok.select(
+            F.lit(pid).alias("probe"),
+            F.explode(F.arrays_zip("_t.terms", "_t.poss")).alias("tp"))
+            .select("probe", F.col("tp.terms").alias("term"),
+                    F.col("tp.poss").cast("int").alias("pos")))
+    return (reduce(lambda a, b: a.unionAll(b), outs)
+            .orderBy("probe", "pos", "term"))
+
+
+def sql_tf_legacy_stems() -> str:
+    from sparksearch.contract_round3b import _sql_goldens
+    return _sql_goldens(_LEGACY_GOLDENS)
+
+
+# ---------------------------------------------------------------------------
+# tf_pattern_replace — pattern_replace TOKEN filter (replaceAll + $N refs)
+# ---------------------------------------------------------------------------
+# PatternReplaceTokenFilterFactory: per-token regex rewrite, Java $N
+# group references, all=true default. Goldens hand-derived: replaceAll
+# scans left-to-right over the original term, so "10-20-30" rewrites the
+# first pair and leaves the dangling "-30" ("20_10-30").
+
+_PR_SETTINGS = {"tokenizer": "whitespace",
+                "filter": [{"type": "pattern_replace",
+                            "pattern": r"(\d+)-(\d+)",
+                            "replacement": "$2_$1"},
+                           "lowercase"]}
+_PR_PROBES = [(0, "AB 12-34 cd"), (1, "x-9 7-7 10-20-30")]
+_PR_GOLDENS = [
+    (0, "ab", 0), (0, "34_12", 1), (0, "cd", 2),
+    (1, "x-9", 0), (1, "7_7", 1), (1, "20_10-30", 2),
+]
+
+
+def q_tf_pattern_replace(spark, sf_dir):
+    from sparksearch.contract_round3d import _q_filter_goldens
+    return _q_filter_goldens(
+        "an_pattern_replace_tf", _PR_SETTINGS, _PR_PROBES,
+        "pattern_replace token filter vs hand-derived goldens "
+        "(PatternReplaceTokenFilterFactory, Java $N replacement refs)")(
+        spark, sf_dir)
+
+
+def sql_tf_pattern_replace() -> str:
+    from sparksearch.contract_round3b import _sql_goldens
+    return _sql_goldens(_PR_GOLDENS)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -624,7 +720,9 @@ def queries() -> dict:
             "dynamic_mapping": q_dynamic_mapping,
             "hard_negative_mining": q_hard_negatives,
             "highlight_fvh_phrase": q_highlight_fvh_phrase,
-            "tk_thai": q_tk_thai}
+            "tk_thai": q_tk_thai,
+            "tf_legacy_stems": q_tf_legacy_stems,
+            "tf_pattern_replace": q_tf_pattern_replace}
 
 
 def oracle_sql() -> dict:
@@ -638,4 +736,6 @@ def oracle_sql() -> dict:
             "dynamic_mapping": sql_dynamic_mapping(),
             "hard_negative_mining": sql_hard_negatives(),
             "highlight_fvh_phrase": sql_highlight_fvh_phrase(),
-            "tk_thai": sql_tk_thai()}
+            "tk_thai": sql_tk_thai(),
+            "tf_legacy_stems": sql_tf_legacy_stems(),
+            "tf_pattern_replace": sql_tf_pattern_replace()}
