@@ -820,6 +820,15 @@ def _resolve(spec, table: dict, named: dict, kind: str,
     return fac(spec)
 
 
+def _spec_name(spec) -> str:
+    """Display name of a component spec for the _analyze explain detail:
+    a referenced name stays itself; an inline definition is
+    ``__anonymous__<type>`` (AnalysisRegistry.java:156)."""
+    if isinstance(spec, str):
+        return spec
+    return "__anonymous__" + str(spec.get("type"))
+
+
 class CustomAnalyzer:
     """char_filter* → tokenizer → filter* (CustomAnalyzerProvider)."""
 
@@ -843,18 +852,25 @@ class CustomAnalyzer:
         self.char_filters = [
             _resolve(cf, _CHAR_FILTERS, ncf, "char_filter")
             for cf in settings.get("char_filter", [])]
+        self.char_filter_names = [
+            _spec_name(cf) for cf in settings.get("char_filter", [])]
         self.tokenizer = _resolve(settings.get("tokenizer", "standard"),
                                   _TOKENIZERS, ntk, "tokenizer")
+        self.tokenizer_name = _spec_name(settings.get("tokenizer",
+                                                      "standard"))
         chain_state: dict = {}
         self.filters = [_resolve(f, _TOKEN_FILTERS, nf, "filter",
                                  chain_state)
                         for f in settings.get("filter", [])]
+        self.filter_names = [
+            _spec_name(f) for f in settings.get("filter", [])]
 
-    def analyze(self, text: str):
-        from sparksearch.analysis import MAX_TOKEN_LENGTH, Token
-        s = text or ""
-        for cf in self.char_filters:
-            s = cf(s)
+    def _tokenize(self, s: str):
+        """Run the tokenizer; returns (toks, glue) where toks is a list
+        of (term, pos) and glue maps original token index → whether the
+        token starts exactly where its predecessor ended in the
+        char-filtered text (Lucene's offset attribute — needed by
+        cjk_bigram to avoid pairing across whitespace)."""
         raw = self.tokenizer(s)
         if getattr(self.tokenizer, "emits_positions", False):
             # tokenizer returned (term, pos) pairs directly
@@ -865,12 +881,9 @@ class CustomAnalyzer:
             toks = [(t, i) for i, t in enumerate(raw)]
         glue = None
         if any(getattr(f, "wants_glue", False) for f in self.filters):
-            # offset contiguity per original token index: glue[i] is True
-            # iff token i starts exactly where token i-1 ended in the
-            # char-filtered text (Lucene's offset attribute — needed by
-            # cjk_bigram to avoid pairing across whitespace). Cursor-find
-            # recovers offsets because tokenizers emit in-order substrings;
-            # a non-substring token (pattern groups) yields glue=False.
+            # Cursor-find recovers offsets because tokenizers emit
+            # in-order substrings; a non-substring token (pattern
+            # groups) yields glue=False.
             glue = {}
             low = s.lower()
             cur = 0
@@ -883,12 +896,65 @@ class CustomAnalyzer:
                 glue[i] = prev_end == j
                 prev_end = j + len(t)
                 cur = j + len(t)
+        return toks, glue
+
+    def analyze(self, text: str):
+        from sparksearch.analysis import MAX_TOKEN_LENGTH, Token
+        s = text or ""
+        for cf in self.char_filters:
+            s = cf(s)
+        toks, glue = self._tokenize(s)
         for f in self.filters:
             if getattr(f, "wants_glue", False):
                 toks = f(toks, glue)
             else:
                 toks = f(toks)
         return [Token(t[:MAX_TOKEN_LENGTH], p) for t, p in toks if t]
+
+    def analyze_detail(self, text: str) -> dict:
+        """``_analyze`` with ``explain: true`` — the DetailAnalyzeResponse
+        shape (TransportAnalyzeAction.detailAnalyze): the char-filtered
+        text after each char filter, the tokenizer's stream, then the
+        stream after EACH token filter stage. Inline component specs are
+        named ``__anonymous__<type>`` like AnalysisRegistry does."""
+        from sparksearch.analysis import MAX_TOKEN_LENGTH, Token
+
+        def stage(toks):
+            return [Token(t[:MAX_TOKEN_LENGTH], p) for t, p in toks if t]
+
+        s = text or ""
+        charfilters = []
+        for cf, nm in zip(self.char_filters, self.char_filter_names):
+            s = cf(s)
+            charfilters.append({"name": nm, "filtered_text": [s]})
+        toks, glue = self._tokenize(s)
+        detail = {
+            "custom_analyzer": True,
+            "charfilters": charfilters,
+            "tokenizer": {"name": self.tokenizer_name,
+                          "tokens": stage(toks)},
+            "tokenfilters": [],
+        }
+        for f, nm in zip(self.filters, self.filter_names):
+            toks = f(toks, glue) if getattr(f, "wants_glue", False) \
+                else f(toks)
+            detail["tokenfilters"].append({"name": nm,
+                                           "tokens": stage(toks)})
+        return detail
+
+
+def analyze_explain(analyzer: str, text: str) -> dict:
+    """``_analyze`` with ``explain: true``. Custom analyzers return the
+    per-stage DetailAnalyzeResponse; prebuilt analyzers return the
+    non-custom branch shape (TransportAnalyzeAction.detailAnalyze):
+    ``{"custom_analyzer": false, "analyzer": {"name", "tokens"}}``."""
+    an = get_custom(analyzer)
+    if an is not None:
+        return an.analyze_detail(text)
+    from sparksearch.analysis import analyze
+    return {"custom_analyzer": False,
+            "analyzer": {"name": analyzer,
+                         "tokens": analyze(text or "", analyzer)}}
 
 
 def register_analyzer(name: str, settings: dict, **named) -> CustomAnalyzer:

@@ -706,6 +706,81 @@ def sql_tf_pattern_replace() -> str:
 
 
 # ---------------------------------------------------------------------------
+# analyze_explain — _analyze with explain:true (DetailAnalyzeResponse)
+# ---------------------------------------------------------------------------
+# TransportAnalyzeAction.detailAnalyze: the char-filtered text after each
+# char filter, the tokenizer stream, then the stream after EACH token
+# filter; inline specs named __anonymous__<type> (AnalysisRegistry.java:156).
+# Flattened to (stage, name, term, pos) rows — stage 0 rows carry the
+# char-filtered TEXT with pos=-1; stage 1 is the tokenizer; 2.. the
+# filters. Runs executor-side (analyzer object shipped in the mapInPandas
+# closure, same mechanism as the build path's tokenize_udf).
+
+_EXPL_SETTINGS = {
+    "char_filter": [{"type": "pattern_replace", "pattern": "-",
+                     "replacement": " "}],
+    "tokenizer": "whitespace",
+    "filter": ["lowercase", {"type": "stop", "stopwords": ["the"]},
+               "porter_stem"]}
+_EXPL_TEXT = "The Quick-Running foxes"
+_EXPL_GOLDENS = [
+    (0, "__anonymous__pattern_replace", "The Quick Running foxes", -1),
+    (1, "whitespace", "The", 0), (1, "whitespace", "Quick", 1),
+    (1, "whitespace", "Running", 2), (1, "whitespace", "foxes", 3),
+    (2, "lowercase", "the", 0), (2, "lowercase", "quick", 1),
+    (2, "lowercase", "running", 2), (2, "lowercase", "foxes", 3),
+    (3, "__anonymous__stop", "quick", 1),
+    (3, "__anonymous__stop", "running", 2),
+    (3, "__anonymous__stop", "foxes", 3),
+    (4, "porter_stem", "quick", 1), (4, "porter_stem", "run", 2),
+    (4, "porter_stem", "fox", 3),
+]
+
+
+def q_analyze_explain(spark, sf_dir):
+    """_analyze?explain=true detail stages, flattened, executor-side."""
+    import pandas as pd
+    from sparksearch.analysis_custom import CustomAnalyzer
+    an = CustomAnalyzer(_EXPL_SETTINGS)
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for text in pdf["text"]:
+                d = an.analyze_detail(text)
+                st = 0
+                for cf in d["charfilters"]:
+                    rows.append((st, cf["name"],
+                                 cf["filtered_text"][0], -1))
+                st += 1
+                for t in d["tokenizer"]["tokens"]:
+                    rows.append((st, d["tokenizer"]["name"],
+                                 t.term, t.pos))
+                for tf in d["tokenfilters"]:
+                    st += 1
+                    for t in tf["tokens"]:
+                        rows.append((st, tf["name"], t.term, t.pos))
+            yield pd.DataFrame(rows,
+                               columns=["stage", "name", "term", "pos"])
+
+    df = spark.createDataFrame([(_EXPL_TEXT,)], "text string")
+    return (df.mapInPandas(run,
+                           "stage int, name string, term string, pos int")
+            .orderBy("stage", "pos", "term"))
+
+
+def sql_analyze_explain() -> str:
+    vals = ", ".join(
+        "({}, '{}', '{}', {})".format(s, n, t.replace("'", "''"), p)
+        for s, n, t, p in _EXPL_GOLDENS)
+    return f"""
+SELECT CAST(stage AS INT) AS stage, name, term, CAST(pos AS INT) AS pos
+FROM (VALUES {vals}) AS v(stage, name, term, pos)
+ORDER BY stage, pos, term
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -722,7 +797,8 @@ def queries() -> dict:
             "highlight_fvh_phrase": q_highlight_fvh_phrase,
             "tk_thai": q_tk_thai,
             "tf_legacy_stems": q_tf_legacy_stems,
-            "tf_pattern_replace": q_tf_pattern_replace}
+            "tf_pattern_replace": q_tf_pattern_replace,
+            "analyze_explain": q_analyze_explain}
 
 
 def oracle_sql() -> dict:
@@ -738,4 +814,5 @@ def oracle_sql() -> dict:
             "highlight_fvh_phrase": sql_highlight_fvh_phrase(),
             "tk_thai": sql_tk_thai(),
             "tf_legacy_stems": sql_tf_legacy_stems(),
-            "tf_pattern_replace": sql_tf_pattern_replace()}
+            "tf_pattern_replace": sql_tf_pattern_replace(),
+            "analyze_explain": sql_analyze_explain()}
