@@ -781,6 +781,103 @@ ORDER BY stage, pos, term
 
 
 # ---------------------------------------------------------------------------
+# index_templates — composable v2 template resolution + simulate
+# ---------------------------------------------------------------------------
+# MetadataIndexTemplateService: findV2Template (glob match, max priority),
+# resolveSettings/collectMappings (composed_of order, own block last),
+# _simulate_index overlapping report. Goldens hand-derived from those
+# rules; the fixture exercises component override order, deep mapping
+# merge, priority win, and the lower-priority overlap listing.
+
+_TPL_GOLDENS = [
+    # (index, kind, key, value)
+    ("logs-2026.08", "winner", "", "logs"),
+    ("logs-2026.08", "setting", "index.number_of_shards", "8"),
+    ("logs-2026.08", "setting", "index.refresh_interval", "30s"),
+    ("logs-2026.08", "setting", "index.number_of_replicas", "2"),
+    ("logs-2026.08", "prop", "url.type", "keyword"),
+    ("logs-2026.08", "prop", "text.type", "text"),
+    ("logs-2026.08", "prop", "text.analyzer", "english"),
+    ("logs-2026.08", "prop", "lang.type", "keyword"),
+    ("logs-2026.08", "prop", "warc_ts.type", "date"),
+    ("logs-2026.08", "overlap", "catchall", ""),
+    ("logs-archive-1", "winner", "", "logs_archive"),
+    ("logs-archive-1", "setting", "index.number_of_shards", "1"),
+    ("logs-archive-1", "overlap", "catchall", ""),
+    ("logs-archive-1", "overlap", "logs", ""),
+    ("web", "winner", "", "catchall"),
+]
+
+
+def _tpl_fixture_registry() -> str:
+    import os
+    import tempfile
+    from sparksearch import templates as T
+    path = os.path.join(tempfile.gettempdir(), "sparksearch_tpl_gate.json")
+    if os.path.exists(path):
+        os.unlink(path)
+    T.put_component_template(path, "ct_base", {"template": {
+        "settings": {"index.number_of_shards": "8",
+                     "index.refresh_interval": "1s"},
+        "mappings": {"properties": {
+            "url": {"type": "keyword"},
+            "text": {"type": "text", "analyzer": "standard"}}}}})
+    T.put_component_template(path, "ct_tuning", {"template": {
+        "settings": {"index.refresh_interval": "30s"},
+        "mappings": {"properties": {
+            "text": {"analyzer": "english"},
+            "lang": {"type": "keyword"}}}}})
+    T.put_index_template(path, "logs", {
+        "index_patterns": ["logs-*"], "priority": 10,
+        "composed_of": ["ct_base", "ct_tuning"],
+        "template": {
+            "settings": {"index.number_of_replicas": "2"},
+            "mappings": {"properties": {"warc_ts": {"type": "date"}}}}})
+    T.put_index_template(path, "logs_archive", {
+        "index_patterns": ["logs-archive-*"], "priority": 20,
+        "template": {"settings": {"index.number_of_shards": "1"}}})
+    T.put_index_template(path, "catchall", {
+        "index_patterns": ["*"], "priority": 0})
+    return path
+
+
+def q_index_templates(spark, sf_dir):
+    """simulate_index over three index names, flattened to (index, kind,
+    key, value) rows — winner, resolved settings, flattened mapping
+    properties, and the overlapping-template report."""
+    from sparksearch import templates as T
+    path = _tpl_fixture_registry()
+    rows = []
+    for idx in ("logs-2026.08", "logs-archive-1", "web"):
+        sim = T.simulate_index(path, idx)
+        rows.append((idx, "winner", "", sim["matched_template"] or ""))
+        if sim["template"] is None:
+            continue
+        for k, v in sim["template"]["settings"].items():
+            rows.append((idx, "setting", k, str(v)))
+        for fld, spec in sim["template"]["mappings"].get(
+                "properties", {}).items():
+            for pk, pv in spec.items():
+                rows.append((idx, "prop", f"{fld}.{pk}", str(pv)))
+        for o in sim["overlapping"]:
+            rows.append((idx, "overlap", o, ""))
+    return (spark.createDataFrame(
+        rows, "index string, kind string, key string, value string")
+        .orderBy("index", "kind", "key", "value"))
+
+
+def sql_index_templates() -> str:
+    vals = ", ".join(
+        "('{}', '{}', '{}', '{}')".format(i, k, key, v)
+        for i, k, key, v in _TPL_GOLDENS)
+    return f"""
+SELECT "index", kind, key, value
+FROM (VALUES {vals}) AS v("index", kind, key, value)
+ORDER BY "index", kind, key, value
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -798,7 +895,8 @@ def queries() -> dict:
             "tk_thai": q_tk_thai,
             "tf_legacy_stems": q_tf_legacy_stems,
             "tf_pattern_replace": q_tf_pattern_replace,
-            "analyze_explain": q_analyze_explain}
+            "analyze_explain": q_analyze_explain,
+            "index_templates": q_index_templates}
 
 
 def oracle_sql() -> dict:
@@ -815,4 +913,5 @@ def oracle_sql() -> dict:
             "tk_thai": sql_tk_thai(),
             "tf_legacy_stems": sql_tf_legacy_stems(),
             "tf_pattern_replace": sql_tf_pattern_replace(),
-            "analyze_explain": sql_analyze_explain()}
+            "analyze_explain": sql_analyze_explain(),
+            "index_templates": sql_index_templates()}
