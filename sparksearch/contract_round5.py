@@ -878,6 +878,89 @@ ORDER BY "index", kind, key, value
 
 
 # ---------------------------------------------------------------------------
+# data_stream_search — data stream over two backing generations
+# ---------------------------------------------------------------------------
+# DataStream.java: ".ds-<name>-%06d" backing indices, rollover appends
+# the next write index; searches span every backing index with
+# DFS-aggregated statistics, so BM25 equals ONE unified index over the
+# same documents — which is exactly what the oracle computes (match_sql
+# over the full corpus), with _index derived from the even/odd doc_id
+# split that routed each page to its generation. Query term 'dup' is the
+# corpus's rarest (df=25 at sf0.01) and k=50 returns the COMPLETE match
+# set, so no top-k boundary tie sensitivity.
+
+_DS_STATE: dict = {}
+
+
+def _ds_fixture(spark, sf_dir: str):
+    import os
+    import shutil
+    import tempfile
+    from sparksearch import contract as C
+    from sparksearch import datastreams as DS
+    from sparksearch import templates as T
+    from sparksearch.build import INDEX_VERSION
+    key = os.path.realpath(sf_dir)
+    if key in _DS_STATE:
+        return _DS_STATE[key]
+    root = os.path.join(tempfile.gettempdir(),
+                        "sparksearch_ds_" + key.strip("/").replace("/", "_"))
+    ds_path = os.path.join(root, "datastreams.json")
+    tpl_path = os.path.join(root, "templates.json")
+    metas = [os.path.join(root, DS.backing_index_name("weblogs", g),
+                          "meta.json") for g in (1, 2)]
+    fresh = all(os.path.exists(m) for m in metas)
+    if fresh:
+        import json as _json
+        for m in metas:
+            with open(m) as f:
+                if _json.load(f).get("version") != INDEX_VERSION:
+                    fresh = False
+    if not fresh:
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root)
+        T.put_index_template(tpl_path, "weblogs_tpl", {
+            "index_patterns": ["weblogs*"], "priority": 10,
+            "data_stream": {"timestamp_field": {"name": "warc_ts"}}})
+        DS.create_data_stream(ds_path, tpl_path, "weblogs", root)
+        pages = C.pages_df(spark, sf_dir)
+        parity = (F.substring("url", -8, 8).cast("int") % 2)
+        DS.data_stream_write(spark, ds_path, "weblogs",
+                             pages.where(parity == 0),
+                             n_buckets=4, partitions=4)
+        DS.data_stream_rollover(ds_path, "weblogs")
+        DS.data_stream_write(spark, ds_path, "weblogs",
+                             pages.where(parity == 1),
+                             n_buckets=4, partitions=4)
+    _DS_STATE[key] = ds_path
+    return ds_path
+
+
+def q_data_stream_search(spark, sf_dir):
+    from sparksearch import datastreams as DS
+    from sparksearch.queries import Match
+    ds_path = _ds_fixture(spark, sf_dir)
+    res = DS.data_stream_search(spark, ds_path, "weblogs",
+                                Match("text", "dup"), k=50)
+    return (res.select(F.col("_index").alias("backing"), "url",
+                       F.round("score", 4).alias("score"))
+            .orderBy(F.col("score").desc(), "url"))
+
+
+def sql_data_stream_search() -> str:
+    from sparksearch import contract as C
+    g1 = "'.ds-weblogs-000001'"
+    g2 = "'.ds-weblogs-000002'"
+    return f"""
+SELECT CASE WHEN CAST(substr(m.url, length(m.url) - 7) AS INT) % 2 = 0
+            THEN {g1} ELSE {g2} END AS backing,
+       m.url, m.score
+FROM ( {C.match_sql('dup', k=50)} ) m
+ORDER BY m.score DESC, m.url
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -896,7 +979,8 @@ def queries() -> dict:
             "tf_legacy_stems": q_tf_legacy_stems,
             "tf_pattern_replace": q_tf_pattern_replace,
             "analyze_explain": q_analyze_explain,
-            "index_templates": q_index_templates}
+            "index_templates": q_index_templates,
+            "data_stream_search": q_data_stream_search}
 
 
 def oracle_sql() -> dict:
@@ -914,4 +998,5 @@ def oracle_sql() -> dict:
             "tf_legacy_stems": sql_tf_legacy_stems(),
             "tf_pattern_replace": sql_tf_pattern_replace(),
             "analyze_explain": sql_analyze_explain(),
-            "index_templates": sql_index_templates()}
+            "index_templates": sql_index_templates(),
+            "data_stream_search": sql_data_stream_search()}
