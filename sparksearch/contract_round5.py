@@ -961,6 +961,60 @@ ORDER BY m.score DESC, m.url
 
 
 # ---------------------------------------------------------------------------
+# ingest_declarative — JSON pipeline through the declarative compiler
+# ---------------------------------------------------------------------------
+# The round-1/3 ingest entries hand-wrote the column chains; this one
+# feeds the SAME processor semantics through the _ingest/pipeline JSON
+# compiler (sparksearch/ingest.py): grok with a typed capture, bytes,
+# set copy_from + gsub, and a Painless script assignment — all compiled
+# to pure Catalyst. Oracle unrolls each processor's definition in SQL.
+
+_DECL_PIPELINE = {"processors": [
+    {"grok": {"field": "_log",
+              "patterns": ["%{WORD:g_type} user=%{INT:g_user:long} "
+                           "k=%{GREEDYDATA:g_k}"]}},
+    {"bytes": {"field": "_sz", "target_field": "sz_b"}},
+    {"set": {"field": "e_vowel", "copy_from": "event_type"}},
+    {"gsub": {"field": "e_vowel", "pattern": "[aeiou]",
+              "replacement": "*"}},
+    {"script": {"source": "ctx.vx = ctx.value * 2 + 1"}},
+]}
+
+
+def q_ingest_declarative(spark, sf_dir):
+    from sparksearch.ingest import run_pipeline
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    staged = (ev
+              .withColumn("_log", F.concat(
+                  F.col("event_type"), F.lit(" user="),
+                  F.col("user_id").cast("string"), F.lit(" k="),
+                  F.get_json_object("props", "$.k")))
+              .withColumn("_sz", F.concat(
+                  (F.col("user_id") % 50).cast("string"), F.lit("kb"))))
+    out = run_pipeline(staged, _DECL_PIPELINE)
+    return (out.select("event_id", "g_type", "g_user", "g_k", "sz_b",
+                       "e_vowel",
+                       F.round("vx", 6).alias("vx"))
+            .orderBy("event_id"))
+
+
+def sql_ingest_declarative() -> str:
+    return r"""
+SELECT event_id,
+       regexp_extract(event_type || ' user=' || CAST(user_id AS VARCHAR)
+                      || ' k=' || (props ->> '$.k'),
+                      '^(\w+) user=', 1) AS g_type,
+       user_id AS g_user,
+       props ->> '$.k' AS g_k,
+       (user_id % 50) * 1024 AS sz_b,
+       regexp_replace(event_type, '[aeiou]', '*', 'g') AS e_vowel,
+       round(value * 2 + 1, 6) AS vx
+FROM events
+ORDER BY event_id
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -980,7 +1034,8 @@ def queries() -> dict:
             "tf_pattern_replace": q_tf_pattern_replace,
             "analyze_explain": q_analyze_explain,
             "index_templates": q_index_templates,
-            "data_stream_search": q_data_stream_search}
+            "data_stream_search": q_data_stream_search,
+            "ingest_declarative": q_ingest_declarative}
 
 
 def oracle_sql() -> dict:
@@ -999,4 +1054,5 @@ def oracle_sql() -> dict:
             "tf_pattern_replace": sql_tf_pattern_replace(),
             "analyze_explain": sql_analyze_explain(),
             "index_templates": sql_index_templates(),
-            "data_stream_search": sql_data_stream_search()}
+            "data_stream_search": sql_data_stream_search(),
+            "ingest_declarative": sql_ingest_declarative()}
