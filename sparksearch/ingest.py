@@ -683,6 +683,68 @@ def _p_pipeline(spec):
     return run
 
 
+#: (name, version-capture regex) — a published-subset of the uap-core
+#: browser families (modules/ingest-user-agent reads the full
+#: regexes.yaml; this registry covers the major families and yields
+#: "Other" for the rest, which is also the reference's unmatched
+#: behavior — documented deviation: exotic families parse as Other).
+_UA_FAMILIES = [
+    ("Edge", r"Edge?/(\d+)"),
+    ("Opera", r"OPR/(\d+)"),
+    ("Chrome", r"Chrome/(\d+)"),
+    ("Firefox", r"Firefox/(\d+)"),
+    ("Safari", r"Version/(\d+)(?:[\d.]*) .*Safari"),
+    ("IE", r"MSIE (\d+)"),
+]
+
+
+def _p_user_agent(spec):
+    def run(df):
+        field = spec["field"]
+        if _missing(spec, df, field, "user_agent"):
+            return df
+        target = spec.get("target_field", "user_agent")
+        src = _c(field)
+        name = F.lit("Other")
+        major = F.lit(None).cast("string")
+        for fam, rx in reversed(_UA_FAMILIES):
+            hit = src.rlike(rx)
+            name = F.when(hit, F.lit(fam)).otherwise(name)
+            major = F.when(hit, F.regexp_extract(src, rx, 1)) \
+                     .otherwise(major)
+        os_ = F.regexp_extract(src, r"\(([^)]*)\)", 1)
+        out = F.struct(name.alias("name"), major.alias("major"),
+                       os_.alias("os"))
+        return _guarded(df, target, out, _cond(spec))
+    return run
+
+
+def _p_geoip(spec):
+    db = spec.get("database")
+    if not db:
+        raise IngestError(
+            "geoip processor requires a 'database' (list of "
+            "{cidr, ...attribute} rows) in this engine — there is no "
+            "bundled GeoLite2 mmdb")
+
+    def run(df):
+        _no_if(spec, "geoip")
+        field = spec["field"]
+        if _missing(spec, df, field, "geoip"):
+            return df
+        target = spec.get("target_field", "geoip")
+        import pandas as pdl
+        from sparksearch.mappers_plugins import geoip_enrich
+        spark = df.sparkSession
+        ranges = spark.createDataFrame(pdl.DataFrame(db))
+        attr_cols = [c for c in ranges.columns if c != "cidr"]
+        enriched = geoip_enrich(df, field, ranges)
+        return (enriched
+                .withColumn(target, F.struct(*[_c(c) for c in attr_cols]))
+                .drop(*attr_cols))
+    return run
+
+
 _PROCESSORS = {
     "set": _p_set, "remove": _p_remove, "rename": _p_rename,
     "append": _p_append, "bytes": _p_bytes, "convert": _p_convert,
@@ -695,6 +757,7 @@ _PROCESSORS = {
     "trim": _case(F.trim), "urldecode": _case(F.url_decode),
     "script": _p_script, "sort": _p_sort, "split": _p_split,
     "pipeline": _p_pipeline,
+    "user_agent": _p_user_agent, "geoip": _p_geoip,
 }
 
 

@@ -310,3 +310,43 @@ def test_put_validates_body(tmp_path):
             {"set": {"field": "a", "value": 1,
                      "on_failure": [{"set": {"field": "e",
                                              "value": 1}}]}}]})
+
+
+# ---------------------------------------------------------------------------
+# plugin-module processors: user_agent / geoip
+# ---------------------------------------------------------------------------
+
+def test_user_agent(spark):
+    p = {"processors": [{"user_agent": {"field": "ua"}}]}
+    rows = [
+        ("Mozilla/5.0 (Windows NT 10.0; Win64) AppleWebKit/537.36 "
+         "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",),
+        ("Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 "
+         "Firefox/115.0",),
+        ("curl/8.0.1",),
+    ]
+    out = _one(spark, p, rows, "ua string")
+    assert out[0]["user_agent"]["name"] == "Chrome"
+    assert out[0]["user_agent"]["major"] == "120"
+    assert out[0]["user_agent"]["os"] == "Windows NT 10.0; Win64"
+    assert out[1]["user_agent"]["name"] == "Firefox"
+    assert out[1]["user_agent"]["major"] == "115"
+    assert out[2]["user_agent"]["name"] == "Other"
+    assert out[2]["user_agent"]["major"] is None
+
+
+def test_geoip(spark):
+    p = {"processors": [{"geoip": {
+        "field": "ip",
+        "database": [
+            {"cidr": "10.0.0.0/8", "country": "A", "city": "alpha"},
+            {"cidr": "192.168.1.0/24", "country": "B", "city": "beta"},
+        ]}}]}
+    out = _one(spark, p, [("10.1.2.3",), ("192.168.1.77",)], "ip string")
+    assert out[0]["geoip"] == {"country": "A", "city": "alpha"}
+    assert out[1]["geoip"] == {"country": "B", "city": "beta"}
+
+
+def test_geoip_requires_database(spark):
+    with pytest.raises(I.IngestError, match="database"):
+        I.compile_pipeline({"processors": [{"geoip": {"field": "ip"}}]})
