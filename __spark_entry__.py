@@ -145,14 +145,19 @@ _RECORD_FIRST = [
     "source_filtering", "pit_search", "runtime_fields",
     "match_bool_prefix", "percolate_queries",
     "span_first", "span_gap", "span_or", "span_not", "span_within",
-    "span_containing", "span_multi",
+    "span_containing",
     "api_field_sort", "api_search_after", "api_terms_agg",
     "api_post_filter", "api_scoped_agg", "api_nested_agg", "api_collapse",
     "api_highlight", "api_rescore", "api_knn_filtered",
-    "api_hybrid", "api_hybrid_minmax", "api_terminate_after",
-    "similarity_lmjm", "similarity_boolean", "similarity_bm25_tuned",
     "highlight_fvh_phrase",
     "hard_negative_mining", "dynamic_mapping",
+    # late round-5 additions (this session): templates/data streams/
+    # declarative ingest/analyze-explain/legacy analysis — recorded in
+    # preference to older loc✓/sweep✓ names since this is the final
+    # round's official gate
+    "tk_thai", "tf_legacy_stems", "tf_pattern_replace",
+    "analyze_explain", "index_templates", "data_stream_search",
+    "ingest_declarative",
 ]
 
 
