@@ -62,7 +62,8 @@ def _entry(reg: dict, name: str) -> dict:
 
 
 def create_data_stream(ds_path: str, template_path: str, name: str,
-                       base_dir: str) -> dict:
+                       base_dir: str,
+                       pipelines_path: str | None = None) -> dict:
     """``PUT _data_stream/<name>``: requires a matching v2 index template
     that declares a ``data_stream`` block; the stream starts at
     generation 1 with one (empty) backing index slot. Name rules follow
@@ -89,6 +90,8 @@ def create_data_stream(ds_path: str, template_path: str, name: str,
         raise ValueError(f"data stream {name!r} already exists")
     first = backing_index_name(name, 1)
     entry = {"timestamp_field": ts_field, "template": tpl_name,
+             "template_path": template_path,
+             "pipelines_path": pipelines_path,
              "generation": 1, "indices": [first],
              "dirs": {first: os.path.join(base_dir, first)}}
     reg[name] = entry
@@ -123,10 +126,35 @@ def data_stream_write(spark: SparkSession, ds_path: str, name: str,
                       pages: DataFrame, **build_kw) -> dict:
     """Append a batch to the stream's WRITE index (the newest backing
     index): first batch of a generation builds the index, later batches
-    add generations within it (the _bulk path)."""
+    add generations within it (the _bulk path).
+
+    The matching template is MATERIALIZED on every write (the create-
+    index path): its settings ``analysis`` block registers the index's
+    analyzers — an analyzer named ``default`` becomes the build
+    analyzer — and ``index.default_pipeline`` (resolved from the
+    stream's stored-pipelines registry) runs over the batch BEFORE the
+    timestamp guard, exactly as IngestService applies the default
+    pipeline ahead of indexing."""
+    from sparksearch import templates as T
     reg = _load(ds_path)
     entry = _entry(reg, name)
+    tpl_path = entry.get("template_path")
+    resolved = (T.materialize_index(tpl_path, name) if tpl_path
+                else {"default_pipeline": None, "default_analyzer": None})
+    if resolved["default_pipeline"]:
+        pp = entry.get("pipelines_path")
+        if not pp:
+            raise ValueError(
+                f"data stream {name!r}: template sets "
+                f"index.default_pipeline="
+                f"{resolved['default_pipeline']!r} but the stream was "
+                f"created without a pipelines_path registry")
+        from sparksearch.ingest import get_pipeline, run_pipeline
+        body = get_pipeline(pp, resolved["default_pipeline"])
+        pages = run_pipeline(pages, body, registry=pp)
     pages = _guard_timestamp(pages, entry["timestamp_field"], name)
+    if resolved["default_analyzer"] and "analyzer" not in build_kw:
+        build_kw["analyzer"] = resolved["default_analyzer"]
     write_ix = entry["indices"][-1]
     out_dir = entry["dirs"][write_ix]
     if os.path.exists(os.path.join(out_dir, "meta.json")):

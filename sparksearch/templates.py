@@ -24,6 +24,7 @@ __all__ = [
     "put_component_template", "delete_component_template",
     "put_index_template", "delete_index_template",
     "find_template", "resolve_template", "simulate_index",
+    "materialize_index",
 ]
 
 
@@ -205,6 +206,38 @@ def resolve_template(path: str, name: str) -> dict:
         mappings = _deep_merge(mappings, b.get("mappings", {}))
         aliases = _deep_merge(aliases, b.get("aliases", {}))
     return {"settings": settings, "mappings": mappings, "aliases": aliases}
+
+
+def materialize_index(path: str, index_name: str) -> dict:
+    """Resolve AND ACTIVATE the winning template for a new index — the
+    create-index path (MetadataCreateIndexService applies the resolved
+    template): the settings ``analysis`` block is registered with the
+    analyzer registry (named filters resolvable exactly like the
+    reference's settings JSON), an analyzer named ``default`` becomes
+    the index's default analyzer (the reference's convention for
+    ``settings.analysis.analyzer.default``), and the
+    ``index.default_pipeline`` setting is surfaced for the write path.
+
+    Returns the resolved blocks plus:
+    ``analyzers`` (names registered), ``default_analyzer`` (name or
+    None), ``default_pipeline`` (pipeline id or None)."""
+    sim = simulate_index(path, index_name)
+    if sim["matched_template"] is None:
+        raise ValueError(
+            f"no index template matches {index_name!r}")
+    resolved = dict(sim["template"])
+    settings = resolved["settings"]
+    registered: list[str] = []
+    analysis = settings.get("analysis")
+    if analysis:
+        from sparksearch.analysis_custom import register_analysis
+        registered = register_analysis(analysis)
+    resolved["analyzers"] = registered
+    resolved["default_analyzer"] = \
+        "default" if "default" in registered else None
+    resolved["default_pipeline"] = settings.get("index.default_pipeline")
+    resolved["matched_template"] = sim["matched_template"]
+    return resolved
 
 
 def simulate_index(path: str, index_name: str) -> dict:

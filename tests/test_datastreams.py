@@ -138,3 +138,55 @@ def test_executors_skip_empty_write_index(paths, spark):
     entry = DS._entry(DS._load(ds), "logs")
     assert all(d.startswith(base) for d in entry["dirs"].values())
     assert os.path.isdir(entry["dirs"][".ds-logs-000001"])
+
+
+def test_template_materialization_end_to_end(tmp_path, spark):
+    """Template declares an analysis block (analyzer named 'default' →
+    becomes the build analyzer) and index.default_pipeline (runs over
+    every batch before indexing) — the full create-index path."""
+    from sparksearch import ingest as I
+    from sparksearch.queries import Match
+    tpl = str(tmp_path / "tpl.json")
+    pp = str(tmp_path / "pipelines.json")
+    ds = str(tmp_path / "ds.json")
+    I.put_pipeline(pp, "clean", {"processors": [
+        {"gsub": {"field": "text", "pattern": "-", "replacement": " "}},
+    ]})
+    T.put_index_template(tpl, "ev_tpl", {
+        "index_patterns": ["events*"], "priority": 7,
+        "data_stream": {"timestamp_field": {"name": "warc_ts"}},
+        "template": {"settings": {
+            "index.default_pipeline": "clean",
+            "analysis": {"analyzer": {"default": {
+                "tokenizer": "whitespace",
+                "filter": ["lowercase"]}}}}}})
+    DS.create_data_stream(ds, tpl, "events", str(tmp_path),
+                          pipelines_path=pp)
+    rows = [(f"https://x.example/e/{i}", "2025-01-01 00:00:00",
+             "Alpha-Beta GAMMA") for i in range(8)]
+    pages = (spark.createDataFrame(rows, "url string, ts string, "
+                                         "text string")
+             .select("url",
+                     F.col("ts").cast("timestamp").alias("warc_ts"),
+                     F.lit(None).cast("binary").alias("html"), "text",
+                     F.lit("en").alias("lang")))
+    DS.data_stream_write(spark, ds, "events", pages,
+                         n_buckets=2, partitions=2)
+    # pipeline split "Alpha-Beta" into two tokens; default analyzer
+    # lowercased them — so 'beta' matches as its own term
+    res = DS.data_stream_search(spark, ds, "events",
+                                Match("text", "beta"), k=20).collect()
+    assert len(res) == 8
+
+
+def test_default_pipeline_without_registry_raises(tmp_path, spark):
+    tpl = str(tmp_path / "tpl.json")
+    ds = str(tmp_path / "ds.json")
+    T.put_index_template(tpl, "ev_tpl", {
+        "index_patterns": ["events*"], "priority": 7,
+        "data_stream": {"timestamp_field": {"name": "warc_ts"}},
+        "template": {"settings": {"index.default_pipeline": "clean"}}})
+    DS.create_data_stream(ds, tpl, "events", str(tmp_path))
+    with pytest.raises(ValueError, match="pipelines_path"):
+        DS.data_stream_write(spark, ds, "events",
+                             _pages(spark, 4), n_buckets=2, partitions=2)
