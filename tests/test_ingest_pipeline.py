@@ -350,3 +350,39 @@ def test_geoip(spark):
 def test_geoip_requires_database(spark):
     with pytest.raises(I.IngestError, match="database"):
         I.compile_pipeline({"processors": [{"geoip": {"field": "ip"}}]})
+
+
+# ---------------------------------------------------------------------------
+# scale shape: compiled pipelines are pure Catalyst
+# ---------------------------------------------------------------------------
+
+def test_compiled_pipeline_is_jvm_only(spark):
+    """Every processor except html_strip compiles to JVM expressions —
+    the physical plan of a representative pipeline must contain no
+    Python evaluation node (BatchEvalPython / ArrowEvalPython), so the
+    whole ingest chain stays inside whole-stage codegen at 100 TB."""
+    p = {"processors": [
+        {"grok": {"field": "m",
+                  "patterns": ["%{WORD:w} %{NUMBER:n:long}"]}},
+        {"bytes": {"field": "sz", "ignore_failure": True}},
+        {"convert": {"field": "n", "type": "long",
+                     "ignore_failure": True}},
+        {"kv": {"field": "q", "field_split": "&", "value_split": "="}},
+        {"set": {"field": "tag", "value": "t", "if": "ctx.n > 1"}},
+        {"gsub": {"field": "m", "pattern": "x", "replacement": "y"}},
+        {"script": {"source": "ctx.d = ctx.n * 2"}},
+    ]}
+    df = spark.createDataFrame([("a 1", "1kb", "k=v")],
+                               "m string, sz string, q string")
+    out = I.run_pipeline(df, p)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan
+    assert out.count() == 1
+
+
+def test_html_strip_is_the_only_python_kernel(spark):
+    p = {"processors": [{"html_strip": {"field": "h"}}]}
+    df = spark.createDataFrame([("<p>x</p>",)], "h string")
+    plan = I.run_pipeline(df, p)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "EvalPython" in plan  # the documented exception
