@@ -154,7 +154,18 @@ def data_stream_write(spark: SparkSession, ds_path: str, name: str,
         pages = run_pipeline(pages, body, registry=pp)
     pages = _guard_timestamp(pages, entry["timestamp_field"], name)
     if resolved["default_analyzer"] and "analyzer" not in build_kw:
-        build_kw["analyzer"] = resolved["default_analyzer"]
+        # pin the template's 'default' analyzer under a STREAM-SCOPED
+        # name: two streams whose templates both define 'default' must
+        # not clobber each other in the global registry (the backing
+        # index's meta.json analyzer_def then re-registers the scoped
+        # name on reopen, and ensure_registered's skip-if-present makes
+        # the analyzer immutable for the stream's lifetime — changing
+        # the analyzer mid-stream would corrupt term semantics)
+        from sparksearch.analysis_custom import ensure_registered, get_custom
+        an = get_custom(resolved["default_analyzer"])
+        scoped = f"ds.{name}.default"
+        ensure_registered(scoped, an.definition)
+        build_kw["analyzer"] = scoped
     write_ix = entry["indices"][-1]
     out_dir = entry["dirs"][write_ix]
     if os.path.exists(os.path.join(out_dir, "meta.json")):

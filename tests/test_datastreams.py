@@ -190,3 +190,54 @@ def test_default_pipeline_without_registry_raises(tmp_path, spark):
     with pytest.raises(ValueError, match="pipelines_path"):
         DS.data_stream_write(spark, ds, "events",
                              _pages(spark, 4), n_buckets=2, partitions=2)
+
+
+def test_two_streams_with_default_analyzers_do_not_collide(tmp_path,
+                                                           spark):
+    """Both templates define an analyzer named 'default'; each stream
+    pins a stream-scoped copy at first write, so a later stream's
+    'default' cannot leak into an earlier stream's add_generation."""
+    from sparksearch.queries import Match
+    tpl = str(tmp_path / "tpl.json")
+    ds = str(tmp_path / "ds.json")
+    # stream A: keeps case (keyword-ish whitespace, NO lowercase)
+    T.put_index_template(tpl, "a_tpl", {
+        "index_patterns": ["aaa*"], "priority": 5,
+        "data_stream": {"timestamp_field": {"name": "warc_ts"}},
+        "template": {"settings": {"analysis": {"analyzer": {
+            "default": {"tokenizer": "whitespace"}}}}}})
+    # stream B: lowercases
+    T.put_index_template(tpl, "b_tpl", {
+        "index_patterns": ["bbb*"], "priority": 5,
+        "data_stream": {"timestamp_field": {"name": "warc_ts"}},
+        "template": {"settings": {"analysis": {"analyzer": {
+            "default": {"tokenizer": "whitespace",
+                        "filter": ["lowercase"]}}}}}})
+    DS.create_data_stream(ds, tpl, "aaa", str(tmp_path))
+    DS.create_data_stream(ds, tpl, "bbb", str(tmp_path))
+
+    def batch(n, start=0):
+        rows = [(f"https://x.example/{start+i}", "2025-01-01 00:00:00",
+                 "Mixed CASE text") for i in range(n)]
+        return (spark.createDataFrame(
+            rows, "url string, ts string, text string")
+            .select("url", F.col("ts").cast("timestamp").alias("warc_ts"),
+                    F.lit(None).cast("binary").alias("html"), "text",
+                    F.lit("en").alias("lang")))
+
+    DS.data_stream_write(spark, ds, "aaa", batch(6),
+                         n_buckets=2, partitions=2)
+    # B's write re-registers a DIFFERENT 'default' globally...
+    DS.data_stream_write(spark, ds, "bbb", batch(6),
+                         n_buckets=2, partitions=2)
+    # ...then A's second batch must still use A's case-keeping analyzer
+    DS.data_stream_write(spark, ds, "aaa", batch(4, start=6),
+                         n_buckets=2, partitions=2)
+    res_cased = DS.data_stream_search(spark, ds, "aaa",
+                                      Match("text", "CASE"),
+                                      k=100).collect()
+    assert len(res_cased) == 10          # both A batches, case-exact
+    res_lower = DS.data_stream_search(spark, ds, "bbb",
+                                      Match("text", "case"),
+                                      k=100).collect()
+    assert len(res_lower) == 6
