@@ -261,7 +261,9 @@ def _dissect_to_regex(pattern: str) -> tuple[str, list[str]]:
             else:
                 names.append(part)
                 rx.append(f"({body})")
-    return "".join(rx), names
+    # dissect is a strict positional parse: the pattern must consume the
+    # WHOLE value (unlike grok's unanchored find)
+    return "^" + "".join(rx) + "$", names
 
 
 # ---------------------------------------------------------------------------
@@ -521,9 +523,11 @@ def _p_grok(spec):
                 if name not in ns:
                     continue
                 gi = ns.index(name) + 1
-                legs.append(F.when(src.rlike(f"^(?:{rx})$"),
-                                   F.regexp_extract(
-                                       src, f"^(?:{rx})$", gi)))
+                # grok matches UNANCHORED (Grok.captures uses find()) —
+                # a pattern may hit anywhere in the value; anchor
+                # explicitly with ^/$ inside the pattern if needed
+                legs.append(F.when(src.rlike(rx),
+                                   F.regexp_extract(src, rx, gi)))
             v = F.coalesce(*legs) if len(legs) > 1 else legs[0]
             if typ:
                 v = v.try_cast(_GROK_CASTS[typ])
@@ -664,10 +668,19 @@ def _p_split(spec):
         if _missing(spec, df, field, "split"):
             return df
         target = spec.get("target_field", field)
-        out = F.split(_c(field), spec["separator"])
+        arr = F.split(_c(field), spec["separator"])
         if not spec.get("preserve_trailing", False):
-            out = F.filter(out, lambda x: x != F.lit(""))
-        return _guarded(df, target, out, _cond(spec))
+            # Java String.split semantics: drop TRAILING empty strings
+            # only — interior empties survive ("a,,b" → [a, "", b])
+            trail = F.aggregate(
+                F.reverse(arr),
+                F.struct(F.lit(0).alias("n"), F.lit(True).alias("run")),
+                lambda acc, x: F.struct(
+                    F.when(acc["run"] & (x == F.lit("")),
+                           acc["n"] + 1).otherwise(acc["n"]).alias("n"),
+                    (acc["run"] & (x == F.lit(""))).alias("run")))["n"]
+            arr = F.slice(arr, F.lit(1), F.size(arr) - trail)
+        return _guarded(df, target, arr, _cond(spec))
     return run
 
 

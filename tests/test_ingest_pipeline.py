@@ -386,3 +386,31 @@ def test_html_strip_is_the_only_python_kernel(spark):
     plan = I.run_pipeline(df, p)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "EvalPython" in plan  # the documented exception
+
+
+def test_grok_unanchored_substring_match(spark):
+    # Grok.captures uses find(): the pattern may match mid-string
+    p = {"processors": [{"grok": {
+        "field": "m", "patterns": ["code=%{INT:code:int}"]}}]}
+    out = _one(spark, p, [("prefix code=7 suffix",)], "m string")
+    assert out[0]["code"] == 7
+
+
+def test_dissect_requires_whole_value(spark):
+    p = {"processors": [{"dissect": {
+        "field": "l", "pattern": "%{a}=%{b}"}}]}
+    # trailing garbage past the last key is consumed by the greedy final
+    # key, but a NON-matching head yields empty captures, not a partial
+    # mid-string parse
+    out = _one(spark, p, [("k=v",)], "l string")
+    assert out[0]["a"] == "k" and out[0]["b"] == "v"
+
+
+def test_split_keeps_interior_drops_trailing_empties(spark):
+    p = {"processors": [{"split": {"field": "s", "separator": ","}}]}
+    out = _one(spark, p, [("a,,b,,",)], "s string")
+    assert out[0]["s"] == ["a", "", "b"]
+    p2 = {"processors": [{"split": {"field": "s", "separator": ",",
+                                    "preserve_trailing": True}}]}
+    out2 = _one(spark, p2, [("a,,b,,",)], "s string")
+    assert out2[0]["s"] == ["a", "", "b", "", ""]
