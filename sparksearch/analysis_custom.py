@@ -112,7 +112,12 @@ def _java_repl(repl: str) -> str:
             i = j
         elif c == "$" and repl[i:i + 2] == "${":
             j = repl.index("}", i)
-            out.append("\\" + repl[i + 2:j])
+            ref = repl[i + 2:j]
+            if not ref.isdigit():
+                raise ValueError(
+                    f"pattern_replace: named group reference "
+                    f"${{{ref}}} is not supported; use numbered $N refs")
+            out.append("\\" + ref)
             i = j + 1
         elif c == "\\":
             out.append("\\\\")

@@ -144,3 +144,9 @@ def test_unsupported_filter_names_raise(name, hint):
     with pytest.raises(NotImplementedError, match=hint):
         register_analyzer(f"lt_bad_{name}",
                           {"tokenizer": "whitespace", "filter": [name]})
+
+
+def test_java_repl_named_group_rejected():
+    with pytest.raises(ValueError, match="named group"):
+        _java_repl("${name}")
+    assert _java_repl("${2}_${1}") == "\\2_\\1"
