@@ -205,6 +205,11 @@ _TOKENIZERS = {
     "classic": _lazy_tokenizer("classic"),
     "icu_tokenizer": _lazy_tokenizer("icu_tokenizer"),
     "thai": _lazy_tokenizer("thai"),
+    # plugin morphological tokenizers — registered refusals (Viterbi
+    # lattice dictionaries unavailable; see tokenizers_ext)
+    "kuromoji_tokenizer": _lazy_tokenizer("kuromoji_tokenizer"),
+    "nori_tokenizer": _lazy_tokenizer("nori_tokenizer"),
+    "smartcn_tokenizer": _lazy_tokenizer("smartcn_tokenizer"),
 }
 
 # ---------------------------------------------------------------------------

@@ -483,7 +483,29 @@ def thai_tokenizer(cfg: dict) -> "Callable[[str], list[str]]":
     return icu_tokenizer(cfg)
 
 
+def _morphological_unsupported(name: str, need: str):
+    """Plugin tokenizers whose algorithm is a Viterbi lattice over a
+    trained cost dictionary (MeCab-style) — NOT a dictionary
+    longest-match, so the thai/icu dictionary-break engine here would
+    be a silently-different algorithm. Refuse loudly with guidance."""
+    def factory(cfg: dict):
+        raise NotImplementedError(
+            f"{name} tokenizer: requires the {need} trained lattice "
+            f"dictionary (not available, and its Viterbi segmentation "
+            f"is not re-derivable from public specs here); the "
+            f"icu_tokenizer with an explicit 'dictionary' word list "
+            f"gives longest-match CJK segmentation as the nearest "
+            f"supported alternative")
+    return factory
+
+
 TOKENIZERS_EXT = {
+    "kuromoji_tokenizer": _morphological_unsupported(
+        "kuromoji", "MeCab-IPADIC Japanese"),
+    "nori_tokenizer": _morphological_unsupported(
+        "nori", "mecab-ko-dic Korean"),
+    "smartcn_tokenizer": _morphological_unsupported(
+        "smartcn", "Chinese HMM model"),
     "ngram": ngram_tokenizer,
     "edge_ngram": edge_ngram_tokenizer,
     "char_group": char_group_tokenizer,

@@ -150,3 +150,13 @@ def test_java_repl_named_group_rejected():
     with pytest.raises(ValueError, match="named group"):
         _java_repl("${name}")
     assert _java_repl("${2}_${1}") == "\\2_\\1"
+
+
+@pytest.mark.parametrize("name,hint", [
+    ("kuromoji_tokenizer", "MeCab-IPADIC"),
+    ("nori_tokenizer", "mecab-ko-dic"),
+    ("smartcn_tokenizer", "HMM"),
+])
+def test_morphological_tokenizers_refuse_with_guidance(name, hint):
+    with pytest.raises(NotImplementedError, match=hint):
+        register_analyzer(f"lt_tk_{name}", {"tokenizer": name})
