@@ -1015,6 +1015,48 @@ ORDER BY event_id
 
 
 # ---------------------------------------------------------------------------
+# indices_boost — per-index score multiplier before the cross-index merge
+# ---------------------------------------------------------------------------
+# SearchRequest.indicesBoost: the query phase multiplies each index's
+# scores by its matching boost before the coordinator merge. Gate: the
+# data-stream fixture's generation-1 backing index boosted ×2 under DFS
+# stats — oracle doubles the unified-corpus BM25 score of exactly the
+# even-doc_id rows (which the fixture routed to generation 1). Per-leg
+# scores are rounded to 4 decimals BEFORE the ×2 on both sides, so the
+# doubling is float-exact.
+
+def q_indices_boost(spark, sf_dir):
+    from sparksearch import datastreams as DS
+    from sparksearch.queries import Match
+    ds_path = _ds_fixture(spark, sf_dir)
+
+    def rounded(gx, qq, kk):
+        return (gx.search(qq, k=kk, fetch=True, mode="plan")
+                .withColumn("score", F.round("score", 4)))
+
+    res = DS.data_stream_search(
+        spark, ds_path, "weblogs", Match("text", "dup"), k=50,
+        search_fn=rounded,
+        indices_boost=[{".ds-weblogs-000001": 2.0}])
+    return (res.select(F.col("_index").alias("backing"), "url", "score")
+            .orderBy(F.col("score").desc(), "url"))
+
+
+def sql_indices_boost() -> str:
+    from sparksearch import contract as C
+    return f"""
+SELECT CASE WHEN CAST(substr(m.url, length(m.url) - 7) AS INT) % 2 = 0
+            THEN '.ds-weblogs-000001' ELSE '.ds-weblogs-000002' END
+         AS backing,
+       m.url,
+       CASE WHEN CAST(substr(m.url, length(m.url) - 7) AS INT) % 2 = 0
+            THEN m.score * 2 ELSE m.score END AS score
+FROM ( {C.match_sql('dup', k=50)} ) m
+ORDER BY score DESC, m.url
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1035,7 +1077,8 @@ def queries() -> dict:
             "analyze_explain": q_analyze_explain,
             "index_templates": q_index_templates,
             "data_stream_search": q_data_stream_search,
-            "ingest_declarative": q_ingest_declarative}
+            "ingest_declarative": q_ingest_declarative,
+            "indices_boost": q_indices_boost}
 
 
 def oracle_sql() -> dict:
@@ -1055,4 +1098,5 @@ def oracle_sql() -> dict:
             "analyze_explain": sql_analyze_explain(),
             "index_templates": sql_index_templates(),
             "data_stream_search": sql_data_stream_search(),
-            "ingest_declarative": sql_ingest_declarative()}
+            "ingest_declarative": sql_ingest_declarative(),
+            "indices_boost": sql_indices_boost()}

@@ -225,13 +225,18 @@ def data_stream_executors(spark: SparkSession, ds_path: str,
 
 
 def data_stream_search(spark: SparkSession, ds_path: str, name: str, q,
-                       k: int = 10, search_fn=None) -> DataFrame:
+                       k: int = 10, search_fn=None,
+                       indices_boost=None) -> DataFrame:
     """Search the whole stream: DFS-aggregated statistics across backing
     indices (multisearch.dfs_msearch_indices), so BM25 scores and ranks
-    equal one unified index over the same documents."""
+    equal one unified index over the same documents. ``indices_boost``
+    ([{backing-index-glob: factor}]) multiplies per-index scores before
+    the merge (the request-body indices_boost feature — e.g. demote
+    older generations)."""
     from sparksearch.multisearch import dfs_msearch_indices
     executors = data_stream_executors(spark, ds_path, name)
-    return dfs_msearch_indices(executors, q, k=k, search_fn=search_fn)
+    return dfs_msearch_indices(executors, q, k=k, search_fn=search_fn,
+                               indices_boost=indices_boost)
 
 
 def data_stream_stats(ds_path: str, name: str) -> dict:

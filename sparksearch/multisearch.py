@@ -37,16 +37,38 @@ def resolve_indices(executors: dict, expression: str) -> dict:
     return out
 
 
+def _boost_of(name: str, indices_boost) -> float:
+    """indices_boost resolution (SearchRequest.indicesBoost → the query
+    phase multiplies every hit's score by the matching boost): entries
+    are {index-or-glob: factor}; FIRST matching entry wins, like
+    SearchService resolves the per-shard boost. Default 1.0."""
+    if not indices_boost:
+        return 1.0
+    for entry in indices_boost:
+        for pat, factor in entry.items():
+            if fnmatch(name, pat):
+                return float(factor)
+    return 1.0
+
+
 def msearch_indices(executors: dict, q, k: int = 10,
-                    expression: str = "*", search_fn=None) -> DataFrame:
+                    expression: str = "*", search_fn=None,
+                    indices_boost=None) -> DataFrame:
     """Merged top-k over every matching index: (_index, docid, url,
     score), score desc then (_index, docid) asc. `search_fn(ex, q, k)`
-    overrides the per-index search (e.g. a rounded-score variant)."""
+    overrides the per-index search (e.g. a rounded-score variant).
+    ``indices_boost`` ([{index-glob: factor}, ...]) multiplies each
+    leg's scores BEFORE the cross-index merge — the request-body
+    indices_boost feature."""
     chosen = resolve_indices(executors, expression)
     run = search_fn or (lambda ex, qq, kk: ex.search(qq, k=kk, fetch=True))
-    legs = [run(ex, q, k)
-            .withColumn("_index", F.lit(name))
-            for name, ex in sorted(chosen.items())]
+    legs = []
+    for name, ex in sorted(chosen.items()):
+        leg = run(ex, q, k)
+        b = _boost_of(name, indices_boost)
+        if b != 1.0:
+            leg = leg.withColumn("score", F.col("score") * F.lit(b))
+        legs.append(leg.withColumn("_index", F.lit(name)))
     union = reduce(DataFrame.unionByName, legs)
     return (union
             .orderBy(F.col("score").desc(), F.col("_index").asc(),
@@ -83,7 +105,7 @@ class _DfsReader:
 
 def dfs_msearch_indices(executors: dict, q, k: int = 10,
                         expression: str = "*",
-                        search_fn=None) -> DataFrame:
+                        search_fn=None, indices_boost=None) -> DataFrame:
     """DFS_QUERY_THEN_FETCH across indices: a DFS phase collects every
     index's exact per-term df/cf and collection statistics
     (sv/search/dfs/DfsPhase.java:57-104), the coordinator sums them
@@ -118,7 +140,11 @@ def dfs_msearch_indices(executors: dict, q, k: int = 10,
     for name, ex in sorted(chosen.items()):
         gx = Executor(_DfsReader(ex.ix, n_total, avgdl, ttf, stats),
                       fixed_now=ex.fixed_now)
-        legs.append(run(gx, q, k).withColumn("_index", F.lit(name)))
+        leg = run(gx, q, k)
+        b = _boost_of(name, indices_boost)
+        if b != 1.0:
+            leg = leg.withColumn("score", F.col("score") * F.lit(b))
+        legs.append(leg.withColumn("_index", F.lit(name)))
     union = reduce(DataFrame.unionByName, legs)
     return (union
             .orderBy(F.col("score").desc(), F.col("_index").asc(),

@@ -241,3 +241,25 @@ def test_two_streams_with_default_analyzers_do_not_collide(tmp_path,
                                       Match("text", "case"),
                                       k=100).collect()
     assert len(res_lower) == 6
+
+
+def test_indices_boost_resolution_and_reorder(paths, spark):
+    from sparksearch.multisearch import _boost_of
+    assert _boost_of("ix-a", [{"ix-*": 3.0}]) == 3.0
+    assert _boost_of("ix-a", [{"ix-a": 2.0}, {"ix-*": 9.0}]) == 2.0
+    assert _boost_of("other", [{"ix-*": 3.0}]) == 1.0
+    assert _boost_of("x", None) == 1.0
+    # end-to-end: boosting the second generation reorders the merge
+    tpl, ds, base = paths
+    DS.create_data_stream(ds, tpl, "logs", base)
+    DS.data_stream_write(spark, ds, "logs", _pages(spark, 10, 0),
+                         n_buckets=2, partitions=2)
+    DS.data_stream_rollover(ds, "logs")
+    DS.data_stream_write(spark, ds, "logs", _pages(spark, 10, 10),
+                         n_buckets=2, partitions=2)
+    from sparksearch.queries import Match
+    res = DS.data_stream_search(spark, ds, "logs", Match("text", "alpha"),
+                                k=5,
+                                indices_boost=[{".ds-logs-000002": 5.0}])
+    rows = res.collect()
+    assert all(r["_index"] == ".ds-logs-000002" for r in rows)
