@@ -96,8 +96,21 @@ def terms_agg(df: DataFrame, field: str, size: int = 10) -> DataFrame:
 
 
 def date_histogram(df: DataFrame, field: str,
-                   interval: str = "day") -> DataFrame:
-    return (df.groupBy(F.date_trunc(interval, F.col(field)).alias("key"))
+                   interval: str = "day",
+                   time_zone: str | None = None) -> DataFrame:
+    """``time_zone`` (DateHistogramAggregationBuilder / Rounding with a
+    timeZone): buckets are aligned to LOCAL day/hour boundaries in the
+    given zone; the bucket key stays the UTC instant of the zoned
+    bucket start — shift into the zone, truncate on the local wall
+    clock, shift back."""
+    ts = F.col(field)
+    if time_zone:
+        key = F.to_utc_timestamp(
+            F.date_trunc(interval, F.from_utc_timestamp(ts, time_zone)),
+            time_zone)
+    else:
+        key = F.date_trunc(interval, ts)
+    return (df.groupBy(key.alias("key"))
             .agg(F.count("*").cast("long").alias("doc_count"))
             .orderBy("key"))
 

@@ -1057,6 +1057,30 @@ ORDER BY score DESC, m.url
 
 
 # ---------------------------------------------------------------------------
+# agg_date_histogram_tz — time_zone-aligned date_histogram buckets
+# ---------------------------------------------------------------------------
+# DateHistogramAggregationBuilder with time_zone: buckets align to LOCAL
+# day boundaries in the zone; keys stay the UTC instant of the zoned
+# bucket start. Fixed offset +05:30 keeps the oracle's interval
+# arithmetic exact (no DST) while shifting every day boundary, so the
+# bucket layout provably differs from the UTC histogram.
+
+def q_agg_date_histogram_tz(spark, sf_dir):
+    from sparksearch.aggs import date_histogram
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return date_histogram(ev, "ts", "day", time_zone="+05:30")
+
+
+def sql_agg_date_histogram_tz() -> str:
+    return """
+SELECT date_trunc('day', ts + INTERVAL 330 MINUTE)
+         - INTERVAL 330 MINUTE AS key,
+       count(*) AS doc_count
+FROM events GROUP BY 1 ORDER BY key
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1078,7 +1102,8 @@ def queries() -> dict:
             "index_templates": q_index_templates,
             "data_stream_search": q_data_stream_search,
             "ingest_declarative": q_ingest_declarative,
-            "indices_boost": q_indices_boost}
+            "indices_boost": q_indices_boost,
+            "agg_date_histogram_tz": q_agg_date_histogram_tz}
 
 
 def oracle_sql() -> dict:
@@ -1099,4 +1124,5 @@ def oracle_sql() -> dict:
             "index_templates": sql_index_templates(),
             "data_stream_search": sql_data_stream_search(),
             "ingest_declarative": sql_ingest_declarative(),
-            "indices_boost": sql_indices_boost()}
+            "indices_boost": sql_indices_boost(),
+            "agg_date_histogram_tz": sql_agg_date_histogram_tz()}

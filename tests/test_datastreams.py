@@ -263,3 +263,18 @@ def test_indices_boost_resolution_and_reorder(paths, spark):
                                 indices_boost=[{".ds-logs-000002": 5.0}])
     rows = res.collect()
     assert all(r["_index"] == ".ds-logs-000002" for r in rows)
+
+
+def test_date_histogram_time_zone_shifts_boundaries(spark):
+    from sparksearch.aggs import date_histogram
+    df = spark.createDataFrame(
+        [("2025-01-01 23:00:00",), ("2025-01-02 01:00:00",)],
+        "ts string").select(F.col("ts").cast("timestamp").alias("ts"))
+    # UTC: two different days
+    utc = date_histogram(df, "ts", "day").collect()
+    assert [r["doc_count"] for r in utc] == [1, 1]
+    # +02:00: both land in local Jan 2 (01:00 and 03:00 local) — one
+    # bucket whose key is the UTC instant of the local midnight
+    tz = date_histogram(df, "ts", "day", time_zone="+02:00").collect()
+    assert len(tz) == 1 and tz[0]["doc_count"] == 2
+    assert str(tz[0]["key"]) == "2025-01-01 22:00:00"
