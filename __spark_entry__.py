@@ -140,7 +140,7 @@ _RECORD_FIRST = [
     "knn_ivfpq_trained", "completion_regex_alt",
     # never-driver-recorded entries (rounds 1-3), rotated into 9-50
     "min_score", "rank_feature", "msearch", "index_stats",
-    "rank_eval_ndcg", "sort_by_script", "search_template", "script_score",
+    "sort_by_script", "script_score",
     "delete_by_query", "expunge_deletes", "hybrid_rrf",
     "source_filtering", "pit_search", "runtime_fields",
     "match_bool_prefix", "percolate_queries",
@@ -157,7 +157,7 @@ _RECORD_FIRST = [
     # round's official gate
     "tk_thai", "tf_legacy_stems", "tf_pattern_replace",
     "analyze_explain", "index_templates", "data_stream_search",
-    "ingest_declarative",
+    "ingest_declarative", "indices_boost", "agg_date_histogram_tz",
 ]
 
 
