@@ -141,7 +141,7 @@ _RECORD_FIRST = [
     # never-driver-recorded entries (rounds 1-3), rotated into 9-50
     "min_score", "rank_feature", "msearch", "index_stats",
     "sort_by_script", "script_score",
-    "delete_by_query", "expunge_deletes", "hybrid_rrf",
+    "delete_by_query", "expunge_deletes",
     "source_filtering", "pit_search", "runtime_fields",
     "match_bool_prefix", "percolate_queries",
     "span_first", "span_gap", "span_or", "span_not", "span_within",
@@ -158,6 +158,7 @@ _RECORD_FIRST = [
     "tk_thai", "tf_legacy_stems", "tf_pattern_replace",
     "analyze_explain", "index_templates", "data_stream_search",
     "ingest_declarative", "indices_boost", "agg_date_histogram_tz",
+    "agg_date_histogram_empty",
 ]
 
 

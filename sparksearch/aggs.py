@@ -97,12 +97,14 @@ def terms_agg(df: DataFrame, field: str, size: int = 10) -> DataFrame:
 
 def date_histogram(df: DataFrame, field: str,
                    interval: str = "day",
-                   time_zone: str | None = None) -> DataFrame:
+                   time_zone: str | None = None,
+                   min_doc_count: int = 1) -> DataFrame:
     """``time_zone`` (DateHistogramAggregationBuilder / Rounding with a
     timeZone): buckets are aligned to LOCAL day/hour boundaries in the
     given zone; the bucket key stays the UTC instant of the zoned
     bucket start — shift into the zone, truncate on the local wall
-    clock, shift back."""
+    clock, shift back. ``min_doc_count=0`` fills empty buckets between
+    the observed extent with doc_count 0."""
     ts = F.col(field)
     if time_zone:
         key = F.to_utc_timestamp(
@@ -110,9 +112,23 @@ def date_histogram(df: DataFrame, field: str,
             time_zone)
     else:
         key = F.date_trunc(interval, ts)
-    return (df.groupBy(key.alias("key"))
-            .agg(F.count("*").cast("long").alias("doc_count"))
-            .orderBy("key"))
+    grouped = (df.groupBy(key.alias("key"))
+               .agg(F.count("*").cast("long").alias("doc_count")))
+    if min_doc_count == 0:
+        # min_doc_count=0 (the reference's empty-bucket fill): emit a
+        # zero bucket for every interval step between the min and max
+        # OBSERVED keys. The spine generates from the 1-row bounds
+        # aggregate — bucket count is bounded by the time range, never
+        # the row count, and the aggregated frame it joins is equally
+        # small, so this adds no corpus-scale shuffle.
+        spine = (grouped.agg(F.min("key").alias("mn"),
+                             F.max("key").alias("mx"))
+                 .select(F.explode(F.expr(
+                     f"sequence(mn, mx, interval 1 {interval})"))
+                     .alias("key")))
+        grouped = (spine.join(grouped, "key", "left")
+                   .fillna(0, subset=["doc_count"]))
+    return grouped.orderBy("key")
 
 
 def histogram(df: DataFrame, field: str, interval: float) -> DataFrame:

@@ -1081,6 +1081,36 @@ FROM events GROUP BY 1 ORDER BY key
 
 
 # ---------------------------------------------------------------------------
+# agg_date_histogram_empty — min_doc_count=0 empty-bucket fill
+# ---------------------------------------------------------------------------
+# DateHistogramAggregationBuilder minDocCount(0): zero buckets emitted
+# for every interval step between the observed extent. The fixture
+# filters out four specific days (day-of-month % 7 == 3) so the fill is
+# provably exercised; the oracle generates the same spine with
+# generate_series and left-joins the counts.
+
+def q_agg_date_histogram_empty(spark, sf_dir):
+    from sparksearch.aggs import date_histogram
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.dayofmonth("ts") % 7 != 3))
+    return date_histogram(ev, "ts", "day", min_doc_count=0)
+
+
+def sql_agg_date_histogram_empty() -> str:
+    return """
+WITH f AS ( SELECT * FROM events WHERE day(ts) % 7 <> 3 ),
+g AS ( SELECT date_trunc('day', ts) AS key, count(*) AS doc_count
+       FROM f GROUP BY 1 ),
+spine AS ( SELECT unnest(generate_series(
+             (SELECT min(key) FROM g), (SELECT max(key) FROM g),
+             INTERVAL 1 DAY)) AS key )
+SELECT s.key, COALESCE(g.doc_count, 0) AS doc_count
+FROM spine s LEFT JOIN g USING (key)
+ORDER BY s.key
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1103,7 +1133,8 @@ def queries() -> dict:
             "data_stream_search": q_data_stream_search,
             "ingest_declarative": q_ingest_declarative,
             "indices_boost": q_indices_boost,
-            "agg_date_histogram_tz": q_agg_date_histogram_tz}
+            "agg_date_histogram_tz": q_agg_date_histogram_tz,
+            "agg_date_histogram_empty": q_agg_date_histogram_empty}
 
 
 def oracle_sql() -> dict:
@@ -1125,4 +1156,5 @@ def oracle_sql() -> dict:
             "data_stream_search": sql_data_stream_search(),
             "ingest_declarative": sql_ingest_declarative(),
             "indices_boost": sql_indices_boost(),
-            "agg_date_histogram_tz": sql_agg_date_histogram_tz()}
+            "agg_date_histogram_tz": sql_agg_date_histogram_tz(),
+            "agg_date_histogram_empty": sql_agg_date_histogram_empty()}

@@ -278,3 +278,18 @@ def test_date_histogram_time_zone_shifts_boundaries(spark):
     tz = date_histogram(df, "ts", "day", time_zone="+02:00").collect()
     assert len(tz) == 1 and tz[0]["doc_count"] == 2
     assert str(tz[0]["key"]) == "2025-01-01 22:00:00"
+
+
+def test_date_histogram_min_doc_count_zero_fills_gaps(spark):
+    from sparksearch.aggs import date_histogram
+    df = spark.createDataFrame(
+        [("2025-01-01 05:00:00",), ("2025-01-04 07:00:00",),
+         ("2025-01-04 08:00:00",)],
+        "ts string").select(F.col("ts").cast("timestamp").alias("ts"))
+    out = date_histogram(df, "ts", "day", min_doc_count=0).collect()
+    assert [(str(r["key"]), r["doc_count"]) for r in out] == [
+        ("2025-01-01 00:00:00", 1), ("2025-01-02 00:00:00", 0),
+        ("2025-01-03 00:00:00", 0), ("2025-01-04 00:00:00", 2)]
+    # default min_doc_count=1 keeps the sparse shape
+    sparse = date_histogram(df, "ts", "day").collect()
+    assert len(sparse) == 2
