@@ -218,6 +218,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from sparksearch import contract_round4 as CR4
     from sparksearch import contract_round4b as CR4B
     from sparksearch import contract_round5 as CR5
+    from sparksearch import contract_round5b as CR5B
+    out.update(CR5B.queries())
     out.update(CR5.queries())
     out.update(CR4.queries())
     out.update(CR4B.queries())
@@ -285,6 +287,8 @@ def oracle_sql() -> dict[str, str]:
     out.update(CR4.oracle_sql())
     out.update(CR4B.oracle_sql())
     from sparksearch import contract_round5 as CR5
+    from sparksearch import contract_round5b as CR5B
+    out.update(CR5B.oracle_sql())
     out.update(CR5.oracle_sql())
     out.update(CR3F.oracle_sql())
     out.update(CR3E.oracle_sql())

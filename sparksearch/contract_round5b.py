@@ -1,0 +1,181 @@
+"""Driver-contract entries, round-5b surface: the remaining
+SimilarityService BUILT_IN members — DFR, DFI, IB.
+
+Reference cites: sv/index/similarity/SimilarityService.java (BUILT_IN
+registry includes "DFR"/"DFI"/"IB"), SimilarityProviders.java:333-384
+(createDfrSimilarity / createDfiSimilarity / createIBSimilarity parse
+basic_model {g,if,in,ine} / after_effect {b,l} / normalization
+{no,h1,h2,h3,z} / independence_measure {standardized,saturated,
+chisquared} / distribution {ll,spl} / lambda {df,ttf}); formulas are
+the published Lucene 9.4 similarity classes (DFRSimilarity,
+DFISimilarity, IBSimilarity and their BasicModel / AfterEffect /
+Normalization / Independence / Distribution / Lambda helpers — see
+sparksearch/similarity.py docstrings for the exact math).
+
+Entry matrix (chosen to cover every implemented knob at least once):
+
+- ``similarity_dfr``      DFR(basic_model=g,  after_effect=b, h2 c=1)
+- ``similarity_dfr_ine``  DFR(basic_model=ine, after_effect=l, h1 c=1)
+- ``similarity_dfr_if``   DFR(basic_model=if, after_effect=b, no)
+- ``similarity_dfi``      DFI(independence_measure=chisquared)
+- ``similarity_ib``       IB(distribution=ll,  lambda=df,  h2 c=1)
+- ``similarity_ib_spl``   IB(distribution=spl, lambda=ttf, h1 c=1)
+
+(basic_model=in and the other two DFI measures are pytest-covered in
+tests/test_similarity_dfr.py.) Each entry runs the same two-term match
+through an Executor with the similarity overridden; the oracle
+recomputes the exact formula in SQL over the same corpus, so a drift in
+any constant (the +0.5/+1/+2 smoothings, the (1+tfn) factor, the clamp)
+fails the gate.
+"""
+
+from __future__ import annotations
+
+from sparksearch import contract as C
+
+_Q = ("hash", "join")
+
+
+def _run(spark, sf_dir, similarity):
+    from sparksearch.exec import Executor
+    from sparksearch.queries import Match
+    ix, _ = C.get_engine(spark, sf_dir)
+    ex = Executor(ix, similarity=similarity)
+    return C.topk_rounded(ex, Match("text", " ".join(_Q)), k=10)
+
+
+def q_dfr_gb(spark, sf_dir):
+    return _run(spark, sf_dir, {"type": "DFR", "basic_model": "g",
+                                "after_effect": "b",
+                                "normalization": "h2"})
+
+
+def q_dfr_ine(spark, sf_dir):
+    return _run(spark, sf_dir, {"type": "DFR", "basic_model": "ine",
+                                "after_effect": "l",
+                                "normalization": "h1"})
+
+
+def q_dfr_if(spark, sf_dir):
+    return _run(spark, sf_dir, {"type": "DFR", "basic_model": "if",
+                                "after_effect": "b",
+                                "normalization": "no"})
+
+
+def q_dfi(spark, sf_dir):
+    return _run(spark, sf_dir,
+                {"type": "DFI", "independence_measure": "chisquared"})
+
+
+def q_ib_ll(spark, sf_dir):
+    return _run(spark, sf_dir, {"type": "IB", "distribution": "ll",
+                                "lambda": "df", "normalization": "h2"})
+
+
+def q_ib_spl(spark, sf_dir):
+    return _run(spark, sf_dir, {"type": "IB", "distribution": "spl",
+                                "lambda": "ttf", "normalization": "h1"})
+
+
+def _per_term(term: str, tag: str, formula: str) -> str:
+    return f"""
+tf{tag} AS ( SELECT docid, count(*) AS tf FROM tok WHERE term = '{term}'
+        GROUP BY docid ),
+cf{tag} AS ( SELECT count(*) AS cf FROM tok WHERE term = '{term}' ),
+df{tag} AS ( SELECT count(*) AS df FROM tf{tag} ),
+sc{tag} AS ( SELECT tf{tag}.docid, {formula} AS s
+        FROM tf{tag} CROSS JOIN cf{tag} CROSS JOIN df{tag}
+        JOIN dlq USING (docid) CROSS JOIN g )""".strip()
+
+
+def _sum_topk(tags: list[str]) -> str:
+    unions = " UNION ALL ".join(f"SELECT * FROM sc{t}" for t in tags)
+    return f"""
+sc AS ( SELECT docid, sum(s) AS score FROM ( {unions} ) GROUP BY docid )
+SELECT p.docid, p.url, round(sc.score, 4) AS score
+FROM sc JOIN pages p USING (docid)
+ORDER BY round(sc.score, 4) DESC, p.docid ASC
+LIMIT 10""".strip()
+
+
+# tfn normalizations as SQL fragments (c = 1)
+_TFN_H2 = "({tf} * log2(1 + 1.0 * g.avgdl / dlq.dl_q))"
+_TFN_H1 = "(1.0 * {tf} * g.avgdl / dlq.dl_q)"
+_TFN_NO = "(CAST({tf} AS DOUBLE))"
+
+
+def sqls() -> dict[str, str]:
+    P, TOK, DL = C._PAGES, C._TOK, C._DL
+
+    def build(formula_for):
+        chains = [_per_term(t, chr(ord('a') + i),
+                            formula_for(chr(ord('a') + i)))
+                  for i, t in enumerate(_Q)]
+        tags = [chr(ord('a') + i) for i in range(len(_Q))]
+        return ("WITH " + ",\n".join([P, TOK, DL] + chains) + ",\n"
+                + _sum_topk(tags))
+
+    def dfr_gb(g):
+        tf, cf, df = f"tf{g}.tf", f"cf{g}.cf", f"df{g}.df"
+        tfn = _TFN_H2.format(tf=tf)
+        lam = f"(({cf} + 1.0) / (g.n + {cf} + 1.0))"
+        model = (f"(log2(1 + {lam}) + {tfn} * "
+                 f"log2((1 + {lam}) / {lam}))")
+        return (f"greatest(0.0, (({cf} + 2.0) / {df}) * {model} "
+                f"/ (1 + {tfn}))")
+
+    def dfr_ine(g):
+        tf, cf = f"tf{g}.tf", f"cf{g}.cf"
+        tfn = _TFN_H1.format(tf=tf)
+        ne = f"(g.n * (1 - pow((g.n - 1.0) / g.n, {cf})))"
+        return (f"greatest(0.0, {tfn} * log2((g.n + 1.0) / ({ne} + 0.5))"
+                f" / (1 + {tfn}))")
+
+    def dfr_if(g):
+        tf, cf, df = f"tf{g}.tf", f"cf{g}.cf", f"df{g}.df"
+        tfn = _TFN_NO.format(tf=tf)
+        return (f"greatest(0.0, (({cf} + 2.0) / {df}) * {tfn} * "
+                f"log2(1 + (g.n + 1.0) / ({cf} + 0.5)) / (1 + {tfn}))")
+
+    def dfi(g):
+        tf, cf = f"tf{g}.tf", f"cf{g}.cf"
+        e = f"(({cf} + 1.0) * dlq.dl_q / (g.ttf + 1.0))"
+        return (f"CASE WHEN {tf} <= {e} THEN 0.0 ELSE "
+                f"log2(({tf} - {e}) * ({tf} - {e}) / {e} + 1) END")
+
+    def ib_ll(g):
+        tf, df = f"tf{g}.tf", f"df{g}.df"
+        tfn = _TFN_H2.format(tf=tf)
+        lam = f"(({df} + 1.0) / (g.n + 1.0))"
+        return f"greatest(0.0, -log2({lam} / ({tfn} + {lam})))"
+
+    def ib_spl(g):
+        tf, cf = f"tf{g}.tf", f"cf{g}.cf"
+        tfn = _TFN_H1.format(tf=tf)
+        lam = f"(({cf} + 1.0) / (g.n + 1.0))"
+        return (f"greatest(0.0, -log2((pow({lam}, {tfn} / ({tfn} + 1.0))"
+                f" - {lam}) / (1.0 - {lam})))")
+
+    return {
+        "similarity_dfr": build(dfr_gb),
+        "similarity_dfr_ine": build(dfr_ine),
+        "similarity_dfr_if": build(dfr_if),
+        "similarity_dfi": build(dfi),
+        "similarity_ib": build(ib_ll),
+        "similarity_ib_spl": build(ib_spl),
+    }
+
+
+def oracle_sql() -> dict:
+    return sqls()
+
+
+def queries() -> dict:
+    return {
+        "similarity_dfr": q_dfr_gb,
+        "similarity_dfr_ine": q_dfr_ine,
+        "similarity_dfr_if": q_dfr_if,
+        "similarity_dfi": q_dfi,
+        "similarity_ib": q_ib_ll,
+        "similarity_ib_spl": q_ib_spl,
+    }

@@ -27,7 +27,7 @@ def test_from_config_parsing():
     assert from_config(s) is s                     # passthrough
     assert from_config(s.to_config()) == s         # round trip
     with pytest.raises(ValueError):
-        from_config({"type": "DFR"})
+        from_config({"type": "no_such_similarity"})
     assert BM25Similarity().is_default_bm25
     assert not BM25Similarity(1.6, 0.9).is_default_bm25
     assert not BooleanSimilarity().is_default_bm25
