@@ -40,6 +40,7 @@ Notable mappings:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -54,6 +55,7 @@ __all__ = [
     "cardinality_agg",
     "top_hits",
     "significant_terms",
+    "significant_text",
     "date_histogram_pipeline",
     "composite_agg",
     "collapse",
@@ -223,6 +225,76 @@ def significant_terms(ex, q, size: int = 5,
     j = fg.join(bg, "term")
     fgp = F.col("fg").cast("double") / float(fg_n)
     bgp = F.col("bg").cast("double") / float(bg_n)
+    score = (fgp - bgp) * (fgp / bgp)
+    return (j.where(F.col("fg") >= min_doc_count)
+            .select("term", "fg", "bg", F.round(score, 6).alias("jlh"))
+            .orderBy(F.col("jlh").desc(), F.col("term").asc())
+            .limit(size))
+
+
+def significant_text(ex, pages: DataFrame, q, size: int = 5,
+                     min_doc_count: int = 3, source_field: str = "text",
+                     analyzer: str | None = None,
+                     filter_duplicate_text: bool = False,
+                     sample_size: int | None = None) -> DataFrame:
+    """significant_text agg: JLH-scored significant terms computed by
+    RE-ANALYZING the _source text of the foreground docs, not from
+    docvalues/postings (sv/search/aggregations/bucket/terms/
+    SignificantTextAggregationBuilder.java,
+    SignificantTextAggregatorFactory.java — the agg "re-analyzes text on
+    the fly", supports an analyzer override, ``filter_duplicate_text``,
+    and a sampled foreground via sampler/shard_size).
+
+    - ``analyzer``: overrides the index analyzer for re-analysis.
+    - ``sample_size``: foreground = top-N scored hits (the reference's
+      recommended sampler composition); None = all matching docs.
+    - ``filter_duplicate_text``: drops exact-duplicate foreground
+      sources (first occurrence by docid wins). The reference's
+      DeDuplicatingTokenFilter also prunes repeated paragraph-level
+      token sequences WITHIN near-dup docs; exact-source dedup is the
+      subset reproducible without its stateful trigram spotter and is
+      documented as such.
+
+    Plan shape: foreground docids (small: a query's match set, or the
+    top-N sample) broadcast against the corpus, re-analysis as an
+    Arrow-batched pandas UDF over only those rows, two groupBys + one
+    join against the per-term stats table — no full-corpus re-analysis
+    and no shuffle of the corpus itself.
+
+    Background is the whole index (df from the stats table), matching
+    the reference's default background_filter=None.
+    """
+    ix = ex.ix
+    an = analyzer or ix.analyzer
+    if sample_size is not None:
+        fg_docs = (ex.search(q, k=sample_size, fetch=False)
+                   .select("docid"))
+    else:
+        fg_docs = ex._plan(q, scored=False).select("docid")
+    src = (ix.docs.select("docid", "url")
+           .join(F.broadcast(fg_docs), "docid")
+           .join(pages.select("url", F.col(source_field).alias("_src")),
+                 "url"))
+    if filter_duplicate_text:
+        w = Window.partitionBy(F.sha2(F.col("_src"), 256)).orderBy("docid")
+        src = (src.withColumn("_rn", F.row_number().over(w))
+               .where(F.col("_rn") == 1).drop("_rn"))
+    from sparksearch.analysis import analyze
+
+    @F.pandas_udf("array<string>")
+    def _distinct_terms(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: sorted({tok[0] for tok in
+                                       analyze(t or "", an)}))
+
+    # one lazy plan: the foreground count rides along as a broadcast
+    # 1-row aggregate instead of a driver-side count() job
+    fgn = src.agg(F.count("*").cast("double").alias("_fgn"))
+    fg = (src.select(F.explode(_distinct_terms("_src")).alias("term"))
+          .groupBy("term").agg(F.count("*").cast("long").alias("fg")))
+    bg = ix.stats.select("term", F.col("df").alias("bg"))
+    j = fg.join(bg, "term").crossJoin(F.broadcast(fgn))
+    fgp = F.col("fg").cast("double") / F.greatest(F.col("_fgn"), F.lit(1.0))
+    bgp = F.col("bg").cast("double") / float(ix.n_docs)
     score = (fgp - bgp) * (fgp / bgp)
     return (j.where(F.col("fg") >= min_doc_count)
             .select("term", "fg", "bg", F.round(score, 6).alias("jlh"))

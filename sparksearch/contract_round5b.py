@@ -77,6 +77,18 @@ def q_ib_spl(spark, sf_dir):
                                 "lambda": "ttf", "normalization": "h1"})
 
 
+def q_significant_text(spark, sf_dir):
+    """significant_text over the corpus source with
+    filter_duplicate_text=true (exact-dup foreground pruning)."""
+    from sparksearch.aggs import significant_text
+    from sparksearch.corpus import pages_from_documents
+    from sparksearch.queries import Match
+    ix, ex = C.get_engine(spark, sf_dir)
+    pages = pages_from_documents(spark, sf_dir)
+    return significant_text(ex, pages, Match("text", "scan"), size=5,
+                            min_doc_count=3, filter_duplicate_text=True)
+
+
 def _per_term(term: str, tag: str, formula: str) -> str:
     return f"""
 tf{tag} AS ( SELECT docid, count(*) AS tf FROM tok WHERE term = '{term}'
@@ -156,7 +168,27 @@ def sqls() -> dict[str, str]:
         return (f"greatest(0.0, -log2((pow({lam}, {tfn} / ({tfn} + 1.0))"
                 f" - {lam}) / (1.0 - {lam})))")
 
+    sig_text = ("WITH " + ",\n".join([P, TOK, DL]) + """
+, m AS ( SELECT DISTINCT docid FROM tok WHERE term = 'scan' ),
+fgd AS ( SELECT min(p.docid) AS docid
+         FROM m JOIN pages p USING (docid) GROUP BY p.text ),
+fgn AS ( SELECT count(*) AS n FROM fgd ),
+fg AS ( SELECT t.term, CAST(count(DISTINCT t.docid) AS BIGINT) AS fg
+        FROM tok t JOIN fgd USING (docid) GROUP BY t.term ),
+bg AS ( SELECT term, CAST(count(DISTINCT docid) AS BIGINT) AS bg
+        FROM tok GROUP BY term ),
+j AS ( SELECT fg.term, fg.fg, bg.bg,
+              (CAST(fg.fg AS DOUBLE) / fgn.n
+               - CAST(bg.bg AS DOUBLE) / g.n)
+              * ((CAST(fg.fg AS DOUBLE) / fgn.n)
+                 / (CAST(bg.bg AS DOUBLE) / g.n)) AS jlh
+       FROM fg JOIN bg USING (term) CROSS JOIN fgn CROSS JOIN g
+       WHERE fg.fg >= 3 )
+SELECT term, fg, bg, CAST(round(jlh, 6) AS DOUBLE) AS jlh FROM j
+ORDER BY jlh DESC, term ASC LIMIT 5""")
+
     return {
+        "agg_significant_text": sig_text,
         "similarity_dfr": build(dfr_gb),
         "similarity_dfr_ine": build(dfr_ine),
         "similarity_dfr_if": build(dfr_if),
@@ -172,6 +204,7 @@ def oracle_sql() -> dict:
 
 def queries() -> dict:
     return {
+        "agg_significant_text": q_significant_text,
         "similarity_dfr": q_dfr_gb,
         "similarity_dfr_ine": q_dfr_ine,
         "similarity_dfr_if": q_dfr_if,
