@@ -89,6 +89,28 @@ def q_significant_text(spark, sf_dir):
                             min_doc_count=3, filter_duplicate_text=True)
 
 
+def q_agg_children(spark, sf_dir):
+    """children agg: parent buckets (site number mod 5) stepped down to
+    child page counts."""
+    from pyspark.sql import functions as F
+    from sparksearch.contract_round2n import _family
+    from sparksearch.relations import children_agg
+    fam = _family(spark, sf_dir)
+    return children_agg(fam, "site", "page",
+                        (F.col("num") % 5).cast("int"), size=10)
+
+
+def q_agg_parent(spark, sf_dir):
+    """parent agg: child lang buckets stepped up to distinct-parent
+    counts (a site with many pages of one lang counts once)."""
+    from pyspark.sql import functions as F
+    from sparksearch.contract_round2n import _family
+    from sparksearch.relations import parent_agg
+    fam = _family(spark, sf_dir)
+    return parent_agg(fam, "site", "page", F.col("lang"), size=10,
+                      child_filter=F.col("lang").isNotNull())
+
+
 def _per_term(term: str, tag: str, formula: str) -> str:
     return f"""
 tf{tag} AS ( SELECT docid, count(*) AS tf FROM tok WHERE term = '{term}'
@@ -187,8 +209,24 @@ j AS ( SELECT fg.term, fg.fg, bg.bg,
 SELECT term, fg, bg, CAST(round(jlh, 6) AS DOUBLE) AS jlh FROM j
 ORDER BY jlh DESC, term ASC LIMIT 5""")
 
+    agg_children = f"WITH {P}" + """
+SELECT CAST(CAST(regexp_extract(split_part(url, '/', 3),
+                 'site(\\d+)', 1) AS INT) % 5 AS INT) AS key,
+       CAST(count(*) AS BIGINT) AS doc_count
+FROM pages GROUP BY 1
+ORDER BY doc_count DESC, key ASC LIMIT 10"""
+
+    agg_parent = f"WITH {P}" + """
+SELECT lang AS key,
+       CAST(count(DISTINCT split_part(url, '/', 3)) AS BIGINT)
+         AS doc_count
+FROM pages WHERE lang IS NOT NULL GROUP BY 1
+ORDER BY doc_count DESC, key ASC LIMIT 10"""
+
     return {
         "agg_significant_text": sig_text,
+        "agg_children": agg_children,
+        "agg_parent": agg_parent,
         "similarity_dfr": build(dfr_gb),
         "similarity_dfr_ine": build(dfr_ine),
         "similarity_dfr_if": build(dfr_if),
@@ -205,6 +243,8 @@ def oracle_sql() -> dict:
 def queries() -> dict:
     return {
         "agg_significant_text": q_significant_text,
+        "agg_children": q_agg_children,
+        "agg_parent": q_agg_parent,
         "similarity_dfr": q_dfr_gb,
         "similarity_dfr_ine": q_dfr_ine,
         "similarity_dfr_if": q_dfr_if,

@@ -33,7 +33,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["has_child", "has_parent", "parent_id"]
+__all__ = ["has_child", "has_parent", "parent_id", "children_agg",
+           "parent_agg"]
 
 
 def _role(docs: DataFrame, name: str,
@@ -83,3 +84,58 @@ def parent_id(docs: DataFrame, child_type: str, pid,
     (ParentIdQueryBuilder.java:47)."""
     return (_role(docs, child_type, join_field)
             .filter(F.col(parent_field) == F.lit(pid)))
+
+
+def children_agg(docs: DataFrame, parent_type: str, child_type: str,
+                 bucket, size: int = 10, parent_filter=None,
+                 id_field: str = "url", join_field: str = "join_name",
+                 parent_field: str = "join_parent") -> DataFrame:
+    """``children`` aggregation (modules/parent-join/src/main/java/org/
+    opensearch/join/aggregations/ChildrenAggregationBuilder.java,
+    ParentToChildrenAggregator.java): buckets computed over PARENT docs
+    step down into the child scope — each bucket's doc_count is the
+    number of CHILD docs whose parent landed in the bucket.
+
+    Spark shape: the bucketed parent table (id, key) is broadcast and
+    the children are joined map-side on join_parent — the child side
+    (the big one at scale) never shuffles; the only exchange is the
+    final per-bucket combine, which is map-side partial-aggregated.
+    ``bucket`` is any Column over the parent rows.
+    """
+    parents = _role(docs, parent_type, join_field)
+    if parent_filter is not None:
+        parents = parents.filter(parent_filter)
+    b = parents.select(F.col(id_field).alias("_pid"),
+                       bucket.alias("key"))
+    ch = (_role(docs, child_type, join_field)
+          .select(F.col(parent_field).alias("_pid")))
+    return (ch.join(F.broadcast(b), "_pid")
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+            .orderBy(F.col("doc_count").desc(), F.col("key").asc())
+            .limit(size))
+
+
+def parent_agg(docs: DataFrame, parent_type: str, child_type: str,
+               bucket, size: int = 10, child_filter=None,
+               join_field: str = "join_name",
+               parent_field: str = "join_parent") -> DataFrame:
+    """``parent`` aggregation (ChildrenToParentAggregator.java /
+    ParentAggregationBuilder.java): buckets computed over CHILD docs
+    step up to the parent scope — each bucket's doc_count is the number
+    of DISTINCT parent docs having at least one child in the bucket
+    (a parent is counted once per bucket even with many children,
+    exactly the reference's one-bit-per-parent ordinal collector).
+
+    One shuffle on (key, parent id) for the exact distinct; ``bucket``
+    is any Column over the child rows.
+    """
+    ch = _role(docs, child_type, join_field)
+    if child_filter is not None:
+        ch = ch.filter(child_filter)
+    return (ch.select(bucket.alias("key"),
+                      F.col(parent_field).alias("_pid"))
+            .groupBy("key")
+            .agg(F.countDistinct("_pid").cast("long").alias("doc_count"))
+            .orderBy(F.col("doc_count").desc(), F.col("key").asc())
+            .limit(size))

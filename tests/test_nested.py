@@ -196,3 +196,29 @@ def test_nested_score_mode_sum_counts_children(spark):
     assert all(len(r["inner_hits"]) == 1 for r in ih)
     assert {r["url"]: r["inner_hits"][0]["name"] for r in ih} == {
         "d1": "bob", "d2": "alice", "d3": "carol"}
+
+
+def test_children_agg_counts_child_docs(spark):
+    """children agg: parent buckets (num odd/even) -> child doc counts;
+    parent_filter narrows the stepped-down scope."""
+    from sparksearch.relations import children_agg
+    fam = _family_df(spark)
+    got = {r.key: r.doc_count for r in children_agg(
+        fam, "site", "page", (F.col("num") % 2).cast("int")).collect()}
+    # odd sites s1(3 pages)+s3(1) = 4; even s2 = 1
+    assert got == {1: 4, 0: 1}
+    filt = {r.key: r.doc_count for r in children_agg(
+        fam, "site", "page", (F.col("num") % 2).cast("int"),
+        parent_filter=F.col("num") <= 2).collect()}
+    assert filt == {1: 3, 0: 1}
+
+
+def test_parent_agg_counts_each_parent_once(spark):
+    """parent agg: a site with two 'de' pages counts ONCE in the de
+    bucket (distinct-parent semantics of ChildrenToParentAggregator)."""
+    from sparksearch.relations import parent_agg
+    fam = _family_df(spark)
+    got = {r.key: r.doc_count for r in parent_agg(
+        fam, "site", "page", F.col("lang")).collect()}
+    # de pages live under s1(x2) + s2 -> 2 parents; en under s1 + s3 -> 2
+    assert got == {"de": 2, "en": 2}
