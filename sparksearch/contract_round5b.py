@@ -111,6 +111,32 @@ def q_agg_parent(spark, sf_dir):
                       child_filter=F.col("lang").isNotNull())
 
 
+def q_dedup_paragraph(spark, sf_dir):
+    """C4-style paragraph dedup over a deterministically duplicated
+    corpus: every doc_id % 10 == 0 page gets the first 16-token
+    paragraph of doc 0 PREPENDED (16 tokens keeps window alignment), so
+    the dedup must strip that paragraph everywhere but its first
+    occurrence and leave every other paragraph untouched."""
+    from pyspark.sql import functions as F
+    from sparksearch.dataops import paragraph_dedup
+    pages = C.pages_df(spark, sf_dir).select("url", "text")
+    did = pages.withColumn(
+        "_did", F.regexp_extract("url", r"([0-9]+)$", 1).cast("int"))
+    dup = (did.where(F.col("_did") == 0)
+           .select(F.array_join(F.slice(F.split("text", " "), 1, 16),
+                                " ").alias("_dpara")))
+    inj = (did.crossJoin(F.broadcast(dup))
+           .withColumn("text",
+                       F.when(F.col("_did") % 10 == 0,
+                              F.concat_ws(" ", "_dpara", "text"))
+                       .otherwise(F.col("text")))
+           .select("url", "text"))
+    out = paragraph_dedup(inj, window=16)
+    return (out.select("url", "n_paras", "n_kept",
+                       F.md5("text").alias("h"))
+            .orderBy("url"))
+
+
 def _per_term(term: str, tag: str, formula: str) -> str:
     return f"""
 tf{tag} AS ( SELECT docid, count(*) AS tf FROM tok WHERE term = '{term}'
@@ -223,10 +249,44 @@ SELECT lang AS key,
 FROM pages WHERE lang IS NOT NULL GROUP BY 1
 ORDER BY doc_count DESC, key ASC LIMIT 10"""
 
+    dedup_para = f"WITH {P}" + """
+, did AS ( SELECT url, CAST(regexp_extract(url, '([0-9]+)$', 1) AS INT)
+                  AS did, text FROM pages ),
+dup AS ( SELECT array_to_string(
+           list_filter(string_split(text, ' '), w -> w <> '')[1:16], ' ')
+           AS dpara FROM did WHERE did = 0 ),
+inj AS ( SELECT url, CASE WHEN did % 10 = 0 THEN dpara || ' ' || text
+                          ELSE text END AS text
+         FROM did CROSS JOIN dup ),
+ws AS ( SELECT url, list_filter(string_split(text, ' '), w -> w <> '')
+               AS ws FROM inj ),
+p0 AS ( SELECT url, ws,
+               unnest(range(0, CAST(ceil(len(ws) / 16.0) AS BIGINT)))
+                 AS pidx FROM ws ),
+paras AS ( SELECT url, pidx,
+                  array_to_string(ws[pidx*16+1 : pidx*16+16], ' ') AS para
+           FROM p0 ),
+keep AS ( SELECT url, pidx, para FROM (
+            SELECT url, pidx, para,
+                   row_number() OVER (PARTITION BY para
+                                      ORDER BY url, pidx) AS rn
+            FROM paras ) WHERE rn = 1 ),
+reb AS ( SELECT url, count(*) AS n_kept,
+                string_agg(para, ' ' ORDER BY pidx) AS text
+         FROM keep GROUP BY url ),
+tot AS ( SELECT url, count(*) AS n_paras FROM paras GROUP BY url )
+SELECT t.url, CAST(t.n_paras AS BIGINT) AS n_paras,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       md5(coalesce(r.text, '')) AS h
+FROM tot t LEFT JOIN reb r USING (url)
+WHERE coalesce(r.n_kept, 0) > 0
+ORDER BY t.url"""
+
     return {
         "agg_significant_text": sig_text,
         "agg_children": agg_children,
         "agg_parent": agg_parent,
+        "dedup_paragraph": dedup_para,
         "similarity_dfr": build(dfr_gb),
         "similarity_dfr_ine": build(dfr_ine),
         "similarity_dfr_if": build(dfr_if),
@@ -245,6 +305,7 @@ def queries() -> dict:
         "agg_significant_text": q_significant_text,
         "agg_children": q_agg_children,
         "agg_parent": q_agg_parent,
+        "dedup_paragraph": q_dedup_paragraph,
         "similarity_dfr": q_dfr_gb,
         "similarity_dfr_ine": q_dfr_ine,
         "similarity_dfr_if": q_dfr_if,

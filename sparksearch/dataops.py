@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "exact_dedup",
+    "paragraph_dedup",
     "shingles",
     "minhash_signatures",
     "minhash_lsh_pairs",
@@ -78,6 +79,62 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
                  F.count("*").cast("long").alias("n_copies"))
             .select(id_col, "n_copies")
             .orderBy(id_col))
+
+
+def paragraph_dedup(docs: DataFrame, text_col: str = "text",
+                    key_col: str = "url", window: int = 16,
+                    drop_empty: bool = True) -> DataFrame:
+    """C4/Dolma-style cross-document PARAGRAPH dedup: the corpus is cut
+    into fixed ``window``-token paragraphs; every paragraph seen before
+    (globally, first occurrence = lowest (key, position)) is removed
+    from later documents, and documents are re-assembled from their
+    surviving paragraphs in order (Raffel et al. 2020 §2.2 dedups exact
+    three-sentence spans; Dolma/RefinedWeb dedup exact paragraphs —
+    same operator with a different span definition).
+
+    Scale shape: paragraphs explode to (hash, key, pidx) rows; the
+    global first-occurrence is ``min(struct(key, pidx))`` per hash — a
+    map-side-combinable aggregation, NOT a row_number window, so a
+    boilerplate paragraph repeated in 10^9 docs combines to one row per
+    map partition instead of a single skewed window group. Survivors
+    re-join on the hash (AQE handles residual skew) and re-assemble
+    with one groupBy on the doc key.
+
+    Returns (key, n_paras, n_kept, text) with the rebuilt text.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    paras = (docs
+             .select(F.col(key_col).alias("_k"), toks.alias("_ws"))
+             .select("_k", F.posexplode(F.expr(
+                 f"CASE WHEN size(_ws) = 0 THEN array() ELSE "
+                 f"transform(sequence(0, CAST(ceil(size(_ws) / {window}.0)"
+                 f" AS INT) - 1), i -> array_join(slice(_ws, i * {window}"
+                 f" + 1, {window}), ' ')) END")).alias("_pidx", "_para")))
+    firsts = (paras.groupBy(F.md5("_para").alias("_h"))
+              .agg(F.min(F.struct("_k", "_pidx")).alias("_first")))
+    keep = (paras.withColumn("_h", F.md5("_para"))
+            .join(firsts, "_h")
+            .where((F.col("_k") == F.col("_first._k"))
+                   & (F.col("_pidx") == F.col("_first._pidx"))))
+    out = (keep.groupBy("_k")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_kept"),
+                F.array_join(
+                    F.transform(F.array_sort(F.collect_list(
+                        F.struct("_pidx", "_para"))), lambda s: s["_para"]),
+                    " ").alias("_text")))
+    counts = (paras.groupBy("_k")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_paras")))
+    totals = (docs.select(F.col(key_col).alias("_k")).distinct()
+              .join(counts, "_k", "left")
+              .withColumn("n_paras",
+                          F.coalesce("n_paras", F.lit(0).cast("long"))))
+    res = (totals.join(out, "_k", "left")
+           .select(F.col("_k").alias(key_col), "n_paras",
+                   F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                   F.coalesce("_text", F.lit("")).alias(text_col)))
+    if drop_empty:
+        res = res.where(F.col("n_kept") > 0)
+    return res
 
 
 # ---------------------------------------------------------------------------

@@ -210,3 +210,40 @@ def test_hard_negatives_rules(spark):
     out2 = hard_negatives(emb, [0], k=3, dup_threshold=1.1,
                           exclude_same_label=False).collect()
     assert 2 in [r.neg_id for r in out2]
+
+
+def test_paragraph_dedup_removes_cross_doc_repeats(spark):
+    """A paragraph repeated across docs survives only at its first
+    (key, position) occurrence; unique paragraphs are untouched; docs
+    reduced to nothing are dropped."""
+    from pyspark.sql import functions as F
+    from sparksearch.dataops import paragraph_dedup
+    w = " ".join  # 4-token window paragraphs
+    boiler = w(["all", "rights", "reserved", "inc"])
+    a = w(["alpha", "beta", "gamma", "delta"])
+    b = w(["eps", "zeta", "eta", "theta"])
+    rows = [("u1", boiler + " " + a),          # first occurrence of boiler
+            ("u2", boiler + " " + b),          # boiler stripped here
+            ("u3", boiler),                    # only boiler -> dropped
+            ("u4", a)]                         # dup of u1's 2nd para -> dropped
+    df = spark.createDataFrame(rows, "url string, text string")
+    out = {r.url: r for r in
+           paragraph_dedup(df, window=4).collect()}
+    assert set(out) == {"u1", "u2"}
+    assert out["u1"].text == boiler + " " + a and out["u1"].n_kept == 2
+    assert out["u2"].text == b
+    assert out["u2"].n_paras == 2 and out["u2"].n_kept == 1
+    # drop_empty=False keeps emptied docs with n_kept=0
+    kept = {r.url: r for r in
+            paragraph_dedup(df, window=4, drop_empty=False).collect()}
+    assert kept["u3"].n_kept == 0 and kept["u3"].text == ""
+
+
+def test_paragraph_dedup_short_tail_and_empty(spark):
+    """Trailing short paragraphs dedup too; empty text doesn't crash."""
+    from sparksearch.dataops import paragraph_dedup
+    rows = [("a", "x y z w tail"), ("b", "x y z w tail"), ("c", "")]
+    df = spark.createDataFrame(rows, "url string, text string")
+    out = {r.url: (r.n_paras, r.n_kept) for r in
+           paragraph_dedup(df, window=4, drop_empty=False).collect()}
+    assert out == {"a": (2, 2), "b": (2, 0), "c": (0, 0)}
