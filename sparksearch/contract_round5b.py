@@ -137,6 +137,25 @@ def q_dedup_paragraph(spark, sf_dir):
             .orderBy("url"))
 
 
+def q_query_profile(spark, sf_dir):
+    """`profile: true` analogue — the rewritten-query ProfileResult
+    tree (preorder DFS) for a representative bool body; timings are
+    wall-clock and excluded from the gated surface (profiler.py)."""
+    from sparksearch.dsl import from_dsl
+    from sparksearch.profiler import profile_df
+    dsl = {"bool": {
+        "must": [{"match": {"text": {"query": "hash join",
+                                     "operator": "and"}}}],
+        "should": [{"match_phrase": {"text": {"query": "fast scan",
+                                              "slop": 1}}},
+                   {"constant_score": {"filter": {
+                       "prefix": {"url": "https://site7"}}}}],
+        "must_not": [{"term": {"lang": "de"}}],
+        "filter": [{"range": {"dl": {"gte": 10, "lt": 200}}},
+                   {"exists": {"field": "lang"}}]}}
+    return profile_df(spark, from_dsl(dsl))
+
+
 def _per_term(term: str, tag: str, formula: str) -> str:
     return f"""
 tf{tag} AS ( SELECT docid, count(*) AS tf FROM tok WHERE term = '{term}'
@@ -282,11 +301,27 @@ FROM tot t LEFT JOIN reb r USING (url)
 WHERE coalesce(r.n_kept, 0) > 0
 ORDER BY t.url"""
 
+    profile = """
+SELECT * FROM (VALUES
+  (0, 0, 'BooleanQuery',
+   '+(+text:hash +text:join) text:"fast scan"~1 (ConstantScore(url:https://site7*)) -lang:de #dl:[10 TO 200} #FieldExistsQuery [field=lang]'),
+  (1, 1, 'BooleanQuery', '+text:hash +text:join'),
+  (2, 2, 'TermQuery', 'text:hash'),
+  (3, 2, 'TermQuery', 'text:join'),
+  (4, 1, 'PhraseQuery', 'text:"fast scan"~1'),
+  (5, 1, 'ConstantScoreQuery', 'ConstantScore(url:https://site7*)'),
+  (6, 2, 'PrefixQuery', 'url:https://site7*'),
+  (7, 1, 'TermQuery', 'lang:de'),
+  (8, 1, 'IndexOrDocValuesQuery', 'dl:[10 TO 200}'),
+  (9, 1, 'FieldExistsQuery', 'FieldExistsQuery [field=lang]')
+) AS t(ord, depth, type, description) ORDER BY ord"""
+
     return {
         "agg_significant_text": sig_text,
         "agg_children": agg_children,
         "agg_parent": agg_parent,
         "dedup_paragraph": dedup_para,
+        "query_profile": profile,
         "similarity_dfr": build(dfr_gb),
         "similarity_dfr_ine": build(dfr_ine),
         "similarity_dfr_if": build(dfr_if),
@@ -306,6 +341,7 @@ def queries() -> dict:
         "agg_children": q_agg_children,
         "agg_parent": q_agg_parent,
         "dedup_paragraph": q_dedup_paragraph,
+        "query_profile": q_query_profile,
         "similarity_dfr": q_dfr_gb,
         "similarity_dfr_ine": q_dfr_ine,
         "similarity_dfr_if": q_dfr_if,
