@@ -156,6 +156,20 @@ def q_query_profile(spark, sf_dir):
     return profile_df(spark, from_dsl(dsl))
 
 
+def q_query_wrapper(spark, sf_dir):
+    """`wrapper` query: base64-serialized inner query must plan and
+    score identically to the plain form
+    (WrapperQueryBuilder.doRewrite)."""
+    import base64
+    import json
+    from sparksearch.dsl import from_dsl
+    ix, ex = C.get_engine(spark, sf_dir)
+    inner = {"match": {"text": {"query": "slow batch group",
+                                "operator": "and"}}}
+    b64 = base64.b64encode(json.dumps(inner).encode()).decode()
+    return C.topk_rounded(ex, from_dsl({"wrapper": {"query": b64}}), k=10)
+
+
 def _per_term(term: str, tag: str, formula: str) -> str:
     return f"""
 tf{tag} AS ( SELECT docid, count(*) AS tf FROM tok WHERE term = '{term}'
@@ -322,6 +336,7 @@ SELECT * FROM (VALUES
         "agg_parent": agg_parent,
         "dedup_paragraph": dedup_para,
         "query_profile": profile,
+        "query_wrapper": C.match_sql("slow batch group", operator="and"),
         "similarity_dfr": build(dfr_gb),
         "similarity_dfr_ine": build(dfr_ine),
         "similarity_dfr_if": build(dfr_if),
@@ -342,6 +357,7 @@ def queries() -> dict:
         "agg_parent": q_agg_parent,
         "dedup_paragraph": q_dedup_paragraph,
         "query_profile": q_query_profile,
+        "query_wrapper": q_query_wrapper,
         "similarity_dfr": q_dfr_gb,
         "similarity_dfr_ine": q_dfr_ine,
         "similarity_dfr_if": q_dfr_if,

@@ -477,14 +477,28 @@ _LEAF = {
 
 
 def _wrapper(body: dict) -> Query:
-    """`wrapper` — base64-encoded JSON query re-parsed through the same
-    registry (sv/index/query/WrapperQueryBuilder.java)."""
+    """`wrapper` — serialized JSON of a full query object re-parsed
+    through the same registry (sv/index/query/WrapperQueryBuilder.java
+    doRewrite). Accepts the REST base64 form plus the Java-client
+    raw-JSON string/bytes forms; junk is rejected loudly instead of
+    surfacing a bare binascii error."""
     import base64
+    import binascii
     import json
-    raw = body["query"]
-    if isinstance(raw, str):
-        raw = json.loads(base64.b64decode(raw))
-    return from_dsl(raw)
+    src = body["query"]
+    if isinstance(src, (bytes, bytearray)):
+        raw = bytes(src)
+    else:
+        s = str(src).strip()
+        if s.startswith("{"):
+            raw = s.encode()
+        else:
+            try:
+                raw = base64.b64decode(s, validate=True)
+            except (binascii.Error, ValueError) as e:
+                raise ValueError(f"wrapper: query is neither JSON nor "
+                                 f"base64: {e}") from None
+    return from_dsl(json.loads(raw))
 
 
 def _boost_of(body: Any) -> float:

@@ -248,3 +248,24 @@ def test_nested_default_score_mode_is_avg():
     q2 = from_dsl({"nested": {"path": "sections", "score_mode": "none",
                               "query": {"term": {"sections.first": "a"}}}})
     assert q2.score_mode == "none"
+
+
+def test_wrapper_query_forms():
+    """wrapper: base64, raw-JSON string, and bytes forms all rewrite to
+    the wrapped query; junk is rejected loudly."""
+    import base64
+    import json
+
+    import pytest
+
+    from sparksearch.dsl import from_dsl
+    from sparksearch.queries import Term
+    inner = {"term": {"lang": "de"}}
+    want = Term("lang", "de")
+    b64 = base64.b64encode(json.dumps(inner).encode()).decode()
+    assert from_dsl({"wrapper": {"query": b64}}) == want
+    assert from_dsl({"wrapper": {"query": json.dumps(inner)}}) == want
+    assert from_dsl({"wrapper": {"query": json.dumps(inner).encode()}}) \
+        == want
+    with pytest.raises(ValueError, match="neither JSON nor base64"):
+        from_dsl({"wrapper": {"query": "!!not-base64!!"}})
