@@ -170,6 +170,24 @@ def q_query_wrapper(spark, sf_dir):
     return C.topk_rounded(ex, from_dsl({"wrapper": {"query": b64}}), k=10)
 
 
+def q_validate_query(spark, sf_dir):
+    """`_validate/query?explain=true` analogue: parse-check bodies
+    without executing; explanations are the rewritten-query toString
+    (TransportValidateQueryAction + the profiler's rewrite)."""
+    from sparksearch.dsl import validate_query
+    cases = [
+        ("ok_bool", {"bool": {"must": [{"match": {"text": "hash join"}}],
+                              "filter": [{"term": {"lang": "en"}}]}}),
+        ("ok_phrase", {"match_phrase": {"text": {"query": "fast scan",
+                                                 "slop": 1}}}),
+        ("bad_empty_match", {"match": {}}),
+        ("bad_unknown", {"no_such_query": {"x": 1}}),
+    ]
+    rows = [(cid,) + validate_query(d) for cid, d in cases]
+    return spark.createDataFrame(
+        rows, "id string, valid boolean, explanation string")
+
+
 def _per_term(term: str, tag: str, formula: str) -> str:
     return f"""
 tf{tag} AS ( SELECT docid, count(*) AS tf FROM tok WHERE term = '{term}'
@@ -337,6 +355,14 @@ SELECT * FROM (VALUES
         "dedup_paragraph": dedup_para,
         "query_profile": profile,
         "query_wrapper": C.match_sql("slow batch group", operator="and"),
+        "validate_query": """
+SELECT * FROM (VALUES
+  ('ok_bool', TRUE, '+(text:hash text:join) #lang:en'),
+  ('ok_phrase', TRUE, 'text:"fast scan"~1'),
+  ('bad_empty_match', FALSE, 'parse error: expected one field key, got []'),
+  ('bad_unknown', FALSE,
+   'parse error: unsupported query type: no_such_query')
+) AS t(id, valid, explanation) ORDER BY id""",
         "similarity_dfr": build(dfr_gb),
         "similarity_dfr_ine": build(dfr_ine),
         "similarity_dfr_if": build(dfr_if),
@@ -358,6 +384,7 @@ def queries() -> dict:
         "dedup_paragraph": q_dedup_paragraph,
         "query_profile": q_query_profile,
         "query_wrapper": q_query_wrapper,
+        "validate_query": q_validate_query,
         "similarity_dfr": q_dfr_gb,
         "similarity_dfr_ine": q_dfr_ine,
         "similarity_dfr_if": q_dfr_if,

@@ -618,4 +618,10 @@ def validate_query(dsl: dict) -> tuple[bool, str]:
         q = from_dsl(dsl)
     except (ValueError, KeyError, TypeError) as e:
         return False, f"parse error: {e}"
-    return True, repr(q)
+    try:
+        # explain=true reports the REWRITTEN Lucene query's toString —
+        # the profiler's description is exactly that form
+        from sparksearch.profiler import rewrite_tree
+        return True, rewrite_tree(q)["description"]
+    except NotImplementedError:
+        return True, repr(q)

@@ -229,7 +229,8 @@ def test_round2e_leaves():
 def test_validate_query():
     from sparksearch.dsl import validate_query
     ok, expl = validate_query({"match": {"text": "hash join"}})
-    assert ok and "Match" in expl
+    # explain returns the rewritten-query toString (profiler form)
+    assert ok and expl == "text:hash text:join"
     bad, msg = validate_query({"knn": {"field": "v"}})
     assert not bad and "unsupported query type" in msg
     bad2, msg2 = validate_query({"match": {}})
