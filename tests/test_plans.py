@@ -298,3 +298,46 @@ def test_hard_negatives_plan_broadcasts_anchors(spark):
     # the top-k window is partitioned by anchor_id, never a global window
     opt = _optimized_str(df).lower()
     assert "windowspecdefinition(anchor_id" in opt
+
+
+def test_dfr_dfi_ib_scoring_stays_catalyst(engine):
+    """Every BUILT_IN similarity's score expression compiles to pure
+    Catalyst columns — no Python escape hatch may appear in any
+    similarity's scoring plan (the formulas are log/pow arithmetic
+    over the same single-scan posting join as BM25)."""
+    from sparksearch.exec import Executor
+    from sparksearch.queries import Match
+    ix, _ = engine
+    sims = [
+        {"type": "DFR", "basic_model": "g", "after_effect": "b",
+         "normalization": "h2"},
+        {"type": "DFI", "independence_measure": "chisquared"},
+        {"type": "IB", "distribution": "spl", "lambda": "ttf",
+         "normalization": "h1"},
+    ]
+    for cfg in sims:
+        ex = Executor(ix, similarity=cfg)
+        plan = _plan_str(ex._plan(Match("text", "hash join"),
+                                  scored=True))
+        assert "BatchEvalPython" not in plan, cfg
+        assert "ArrowEvalPython" not in plan, cfg
+        assert "MapInPandas" not in plan, cfg
+
+
+def test_significant_text_analyzes_only_foreground(engine, spark):
+    """significant_text's re-analysis UDF must sit above the broadcast
+    foreground semi-join, not over the whole corpus scan: the plan
+    joins BEFORE the ArrowEval node's input, so the Python batch sees
+    only matching docs."""
+    from sparksearch.aggs import significant_text
+    from sparksearch.corpus import pages_from_documents
+    from sparksearch.queries import Match
+    ix, ex = engine
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001")
+    df = significant_text(ex, pages, Match("text", "scan"), size=5,
+                          min_doc_count=2)
+    plan = _plan_str(df)
+    # the foreground reaches the UDF through a broadcast join
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # exactly one Arrow eval — the re-analysis itself
+    assert plan.count("ArrowEvalPython") == 1
