@@ -210,11 +210,80 @@ def top_hits(scored: DataFrame, bucket_field: str, n: int = 2) -> DataFrame:
             .orderBy("key", "rank"))
 
 
+def significance_score(fg: Column, fg_n: float, bg: Column, bg_n: float,
+                       heuristic: str = "jlh",
+                       include_negatives: bool = False) -> Column:
+    """Significance heuristics over the 2×2 contingency table
+    (sv/search/aggregations/bucket/terms/heuristic/ — JLHScore,
+    ChiSquare, MutualInformation, GND, PercentageScore; the NXY counts
+    follow NXYSignificanceHeuristic.computeNxys with
+    background_is_superset=true, the REST default):
+
+      N11=fg  N01=fg_n−fg  N10=bg−fg  N00=bg_n−bg−(fg_n−fg)
+      N1_=bg  N0_=bg_n−bg  N_1=fg_n   N_0=bg_n−fg_n  N=bg_n
+
+    - ``jlh``: (fg%−bg%)·(fg%/bg%)
+    - ``chi_square``: N·(N11·N00−N01·N10)² / (N_1·N1_·N0_·N_0);
+      −∞ when the term is rarer in the subset (include_negatives=false)
+    - ``mutual_information``: Σ Nxy/N·log₂(N·Nxy/(Nx_·N_y)) with
+      0-cell terms dropped at the reference's 1e-7 threshold; −∞ on
+      negatives as above
+    - ``gnd``: exp(−(max(ln fx, ln fy)−ln fxy)/(ln N−min(ln fx,
+      ln fy))), 0 on no co-occurrence, 1 on perfect co-occurrence
+      (normalized Google distance, GND.java:97-114)
+    - ``percentage``: fg/bg
+    """
+    f = fg.cast("double")
+    b = bg.cast("double")
+    n11, n01 = f, F.lit(float(fg_n)) - f
+    n10 = b - f
+    n00 = F.lit(float(bg_n)) - b - (F.lit(float(fg_n)) - f)
+    n1_, n0_ = b, F.lit(float(bg_n)) - b
+    n_1, n_0 = F.lit(float(fg_n)), F.lit(float(bg_n - fg_n))
+    n = F.lit(float(bg_n))
+    neg = (n11 / n_1) < (n10 / n_0)
+    if heuristic == "jlh":
+        fgp, bgp = f / float(fg_n), b / float(bg_n)
+        return (fgp - bgp) * (fgp / bgp)
+    if heuristic == "chi_square":
+        s = (n * F.pow(n11 * n00 - n01 * n10, F.lit(2.0))
+             / (n_1 * n1_ * n0_ * n_0))
+        return s if include_negatives else \
+            F.when(neg, F.lit(float("-inf"))).otherwise(s)
+    if heuristic == "mutual_information":
+        def mi_term(nxy, nx_, n_y):
+            num = F.abs(n * nxy)
+            fac = F.abs(nxy / n)
+            return F.when((num < 1e-7) & (fac < 1e-7), F.lit(0.0)) \
+                .otherwise(fac * F.log(num / F.abs(nx_ * n_y)))
+        s = (mi_term(n00, n0_, n_0) + mi_term(n01, n0_, n_1)
+             + mi_term(n10, n1_, n_0) + mi_term(n11, n1_, n_1)) \
+            / F.lit(0.6931471805599453)
+        s = F.when(F.isnan(s), F.lit(float("-inf"))).otherwise(s)
+        return s if include_negatives else \
+            F.when(neg, F.lit(float("-inf"))).otherwise(s)
+    if heuristic == "gnd":
+        fx, fy, fxy = n1_, n_1, n11
+        raw = ((F.greatest(F.log(fx), F.log(fy)) - F.log(fxy))
+               / (F.log(n) - F.least(F.log(fx), F.log(fy))))
+        return (F.when(fxy == 0.0, F.lit(0.0))
+                .when((fx == fy) & (fx == fxy), F.lit(1.0))
+                .otherwise(F.exp(-raw)))
+    if heuristic == "percentage":
+        return F.when(b == 0.0, F.lit(0.0)).otherwise(f / b)
+    raise ValueError(f"unknown significance heuristic: {heuristic!r}")
+
+
 def significant_terms(ex, q, size: int = 5,
-                      min_doc_count: int = 3) -> DataFrame:
-    """JLH-scored significant terms: foreground = docs matching q,
-    background = all docs (sv/search/aggregations/bucket/terms/ — the
-    heuristic (fg% − bg%)·(fg%/bg%))."""
+                      min_doc_count: int = 3,
+                      heuristic: str = "jlh",
+                      include_negatives: bool = False) -> DataFrame:
+    """Significance-scored terms: foreground = docs matching q,
+    background = all docs (sv/search/aggregations/bucket/terms/
+    SignificantTermsAggregationBuilder + the heuristic package — see
+    ``significance_score``). The score column keeps its historical
+    ``jlh`` name for the default heuristic and is ``score``
+    otherwise."""
     ix = ex.ix
     fg_docs = ex._plan(q, scored=False).select("docid")
     fg_n = fg_docs.count()
@@ -223,12 +292,13 @@ def significant_terms(ex, q, size: int = 5,
           .groupBy("term").agg(F.count("*").cast("long").alias("fg")))
     bg = ix.stats.select("term", F.col("df").alias("bg"))
     j = fg.join(bg, "term")
-    fgp = F.col("fg").cast("double") / float(fg_n)
-    bgp = F.col("bg").cast("double") / float(bg_n)
-    score = (fgp - bgp) * (fgp / bgp)
+    score = significance_score(F.col("fg"), fg_n, F.col("bg"), bg_n,
+                               heuristic, include_negatives)
+    name = "jlh" if heuristic == "jlh" else "score"
     return (j.where(F.col("fg") >= min_doc_count)
-            .select("term", "fg", "bg", F.round(score, 6).alias("jlh"))
-            .orderBy(F.col("jlh").desc(), F.col("term").asc())
+            .select("term", "fg", "bg", F.round(score, 6).alias(name))
+            .where(~F.col(name).eqNullSafe(float("-inf")))
+            .orderBy(F.col(name).desc(), F.col("term").asc())
             .limit(size))
 
 

@@ -188,6 +188,18 @@ def q_validate_query(spark, sf_dir):
         rows, "id string, valid boolean, explanation string")
 
 
+def _q_sig(heuristic):
+    def run(spark, sf_dir):
+        from sparksearch.aggs import significant_terms
+        from sparksearch.queries import Match
+        _, ex = C.get_engine(spark, sf_dir)
+        return significant_terms(ex, Match("text", "scan"), size=5,
+                                 min_doc_count=3, heuristic=heuristic)
+    run.__doc__ = (f"significant_terms with the {heuristic} heuristic "
+                   "(heuristic package parity)")
+    return run
+
+
 def _per_term(term: str, tag: str, formula: str) -> str:
     return f"""
 tf{tag} AS ( SELECT docid, count(*) AS tf FROM tok WHERE term = '{term}'
@@ -348,7 +360,55 @@ SELECT * FROM (VALUES
   (9, 1, 'FieldExistsQuery', 'FieldExistsQuery [field=lang]')
 ) AS t(ord, depth, type, description) ORDER BY ord"""
 
+    # NXY table fragments over the shared sig CTE chain
+    _sig_base = ("WITH " + ",\n".join([P, TOK, DL]) + """
+, m AS ( SELECT DISTINCT docid FROM tok WHERE term = 'scan' ),
+fgn AS ( SELECT CAST(count(*) AS DOUBLE) AS n FROM m ),
+fg AS ( SELECT t.term, CAST(count(DISTINCT t.docid) AS BIGINT) AS fg
+        FROM tok t JOIN m USING (docid) GROUP BY t.term ),
+bg AS ( SELECT term, CAST(count(DISTINCT docid) AS BIGINT) AS bg
+        FROM tok GROUP BY term ),
+nxy AS ( SELECT fg.term, fg.fg, bg.bg,
+                CAST(fg.fg AS DOUBLE) AS n11,
+                fgn.n - fg.fg AS n01,
+                CAST(bg.bg - fg.fg AS DOUBLE) AS n10,
+                g.n - bg.bg - (fgn.n - fg.fg) AS n00,
+                CAST(bg.bg AS DOUBLE) AS n1_,
+                CAST(g.n - bg.bg AS DOUBLE) AS n0_,
+                fgn.n AS n_1, g.n - fgn.n AS n_0,
+                CAST(g.n AS DOUBLE) AS nn
+         FROM fg JOIN bg USING (term) CROSS JOIN fgn CROSS JOIN g
+         WHERE fg.fg >= 3 )""")
+
+    def sig(formula, extra_where=""):
+        return (_sig_base + f"""
+SELECT term, fg, bg, CAST(round({formula}, 6) AS DOUBLE) AS score
+FROM nxy WHERE 1=1 {extra_where}
+ORDER BY score DESC, term ASC LIMIT 5""")
+
+    _not_neg = "AND NOT (n11 / n_1 < n10 / n_0)"
+    chi = ("nn * pow(n11 * n00 - n01 * n10, 2.0) "
+           "/ (n_1 * n1_ * n0_ * n_0)")
+    mi_t = ("CASE WHEN abs(nn * {xy}) < 1e-7 AND abs({xy} / nn) < 1e-7 "
+            "THEN 0.0 ELSE abs({xy} / nn) * ln(abs(nn * {xy}) "
+            "/ abs({x_} * {_y})) END")
+    mi = ("(" + " + ".join([
+        mi_t.format(xy="n00", x_="n0_", _y="n_0"),
+        mi_t.format(xy="n01", x_="n0_", _y="n_1"),
+        mi_t.format(xy="n10", x_="n1_", _y="n_0"),
+        mi_t.format(xy="n11", x_="n1_", _y="n_1"),
+    ]) + ") / ln(2)")
+    gnd = ("CASE WHEN n11 = 0 THEN 0.0 "
+           "WHEN n1_ = n_1 AND n1_ = n11 THEN 1.0 "
+           "ELSE exp(-((greatest(ln(n1_), ln(n_1)) - ln(n11)) "
+           "/ (ln(nn) - least(ln(n1_), ln(n_1))))) END")
+    pct = "CASE WHEN bg = 0 THEN 0.0 ELSE n11 / CAST(bg AS DOUBLE) END"
+
     return {
+        "agg_sig_chi_square": sig(chi, _not_neg),
+        "agg_sig_mutual_info": sig(mi, _not_neg),
+        "agg_sig_gnd": sig(gnd),
+        "agg_sig_percentage": sig(pct),
         "agg_significant_text": sig_text,
         "agg_children": agg_children,
         "agg_parent": agg_parent,
@@ -378,6 +438,10 @@ def oracle_sql() -> dict:
 
 def queries() -> dict:
     return {
+        "agg_sig_chi_square": _q_sig("chi_square"),
+        "agg_sig_mutual_info": _q_sig("mutual_information"),
+        "agg_sig_gnd": _q_sig("gnd"),
+        "agg_sig_percentage": _q_sig("percentage"),
         "agg_significant_text": q_significant_text,
         "agg_children": q_agg_children,
         "agg_parent": q_agg_parent,

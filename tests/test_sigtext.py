@@ -56,3 +56,32 @@ def test_significant_text_analyzer_override_and_sample(spark,
     assert r and all(x.fg <= 5 for x in r)
     # english analyzer drops stopwords: none may appear as a bucket
     assert all(x.term not in ("the", "a", "of") for x in r)
+
+
+def test_significance_heuristics_families(spark, index_sf0001):
+    """chi_square/mutual_information exclude subset-rarer terms unless
+    include_negatives; gnd is bounded in (0,1]; percentage = fg/bg."""
+    from sparksearch.aggs import significant_terms
+    from sparksearch.exec import Executor
+    ex = Executor(index_sf0001)
+    q = Match("text", "scan")
+    chi = significant_terms(ex, q, size=50, min_doc_count=1,
+                            heuristic="chi_square").collect()
+    assert chi and all(r.score >= 0 for r in chi)
+    # with include_negatives, subset-rarer terms come back (more rows
+    # survive the -inf filter)
+    chi_neg = significant_terms(ex, q, size=50, min_doc_count=1,
+                                heuristic="chi_square",
+                                include_negatives=True).collect()
+    assert len(chi_neg) >= len(chi)
+    gnd = significant_terms(ex, q, size=50, min_doc_count=1,
+                            heuristic="gnd").collect()
+    assert all(0.0 <= r.score <= 1.0 for r in gnd)
+    pct = {r.term: r for r in significant_terms(
+        ex, q, size=50, min_doc_count=1,
+        heuristic="percentage").collect()}
+    # 'scan' itself: every fg doc contains it -> fg == bg slice of it
+    assert pct["scan"].score == round(pct["scan"].fg / pct["scan"].bg, 6)
+    mi = significant_terms(ex, q, size=10, min_doc_count=1,
+                           heuristic="mutual_information").collect()
+    assert mi and all(r.score == r.score for r in mi)  # no NaN survives
