@@ -188,6 +188,34 @@ def q_validate_query(spark, sf_dir):
         rows, "id string, valid boolean, explanation string")
 
 
+def q_dedup_substring(spark, sf_dir):
+    """Unaligned exact-substring dedup: every doc_id % 10 == 0 page is
+    prepended with 5 literal filler tokens + the first 12 tokens of
+    doc 0, so the duplicated span sits at offset 5 — window-ALIGNED
+    paragraph dedup cannot see it, the shingle-based substring dedup
+    must delete it everywhere except the globally-first occurrence."""
+    from pyspark.sql import functions as F
+    from sparksearch.dataops import substring_dedup
+    pages = C.pages_df(spark, sf_dir).select("url", "text")
+    did = pages.withColumn(
+        "_did", F.regexp_extract("url", r"([0-9]+)$", 1).cast("int"))
+    dup = (did.where(F.col("_did") == 0)
+           .select(F.array_join(F.slice(F.split("text", " "), 1, 12),
+                                " ").alias("_dpara")))
+    inj = (did.crossJoin(F.broadcast(dup))
+           .withColumn("text",
+                       F.when(F.col("_did") % 10 == 0,
+                              F.concat_ws(" ",
+                                          F.lit("zq1 zq2 zq3 zq4 zq5"),
+                                          "_dpara", "text"))
+                       .otherwise(F.col("text")))
+           .select("url", "text"))
+    out = substring_dedup(inj, k=12)
+    return (out.select("url", "n_tokens", "n_removed",
+                       F.md5("text").alias("h"))
+            .orderBy("url"))
+
+
 def _q_sig(heuristic):
     def run(spark, sf_dir):
         from sparksearch.aggs import significant_terms
@@ -404,7 +432,48 @@ ORDER BY score DESC, term ASC LIMIT 5""")
            "/ (ln(nn) - least(ln(n1_), ln(n_1))))) END")
     pct = "CASE WHEN bg = 0 THEN 0.0 ELSE n11 / CAST(bg AS DOUBLE) END"
 
+    dedup_sub = f"WITH {P}" + """
+, did AS ( SELECT url, CAST(regexp_extract(url, '([0-9]+)$', 1) AS INT)
+                  AS did, text FROM pages ),
+dup AS ( SELECT array_to_string(
+           list_filter(string_split(text, ' '), w -> w <> '')[1:12], ' ')
+           AS dpara FROM did WHERE did = 0 ),
+inj AS ( SELECT url, CASE WHEN did % 10 = 0
+                          THEN 'zq1 zq2 zq3 zq4 zq5 ' || dpara || ' ' || text
+                          ELSE text END AS text
+         FROM did CROSS JOIN dup ),
+ws AS ( SELECT url, list_filter(string_split(text, ' '), w -> w <> '')
+               AS ws FROM inj ),
+sh0 AS ( SELECT url, ws,
+                unnest(range(0, greatest(len(ws) - 12 + 1, 0))) AS i
+         FROM ws ),
+sh AS ( SELECT url, i,
+               md5(array_to_string(ws[i+1 : i+12], ' ')) AS h
+        FROM sh0 ),
+dups AS ( SELECT url, i FROM (
+            SELECT url, i,
+                   row_number() OVER (PARTITION BY h ORDER BY url, i)
+                     AS rn
+            FROM sh ) WHERE rn > 1 ),
+tok AS ( SELECT url, ws,
+                unnest(range(0, len(ws))) AS p FROM ws ),
+keeptok AS ( SELECT t.url, t.p, t.ws[t.p + 1] AS tk
+             FROM tok t
+             WHERE NOT EXISTS ( SELECT 1 FROM dups d
+                                WHERE d.url = t.url
+                                  AND d.i <= t.p AND t.p < d.i + 12 ) ),
+reb AS ( SELECT url, string_agg(tk, ' ' ORDER BY p) AS text,
+                count(*) AS n_kept
+         FROM keeptok GROUP BY url ),
+tot AS ( SELECT url, len(ws) AS n_tokens FROM ws )
+SELECT t.url, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       CAST(t.n_tokens - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+       md5(coalesce(r.text, '')) AS h
+FROM tot t LEFT JOIN reb r USING (url)
+ORDER BY t.url"""
+
     return {
+        "dedup_substring": dedup_sub,
         "agg_sig_chi_square": sig(chi, _not_neg),
         "agg_sig_mutual_info": sig(mi, _not_neg),
         "agg_sig_gnd": sig(gnd),
@@ -438,6 +507,7 @@ def oracle_sql() -> dict:
 
 def queries() -> dict:
     return {
+        "dedup_substring": q_dedup_substring,
         "agg_sig_chi_square": _q_sig("chi_square"),
         "agg_sig_mutual_info": _q_sig("mutual_information"),
         "agg_sig_gnd": _q_sig("gnd"),

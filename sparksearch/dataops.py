@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "exact_dedup",
     "paragraph_dedup",
+    "substring_dedup",
     "shingles",
     "minhash_signatures",
     "minhash_lsh_pairs",
@@ -135,6 +136,65 @@ def paragraph_dedup(docs: DataFrame, text_col: str = "text",
     if drop_empty:
         res = res.where(F.col("n_kept") > 0)
     return res
+
+
+def substring_dedup(docs: DataFrame, text_col: str = "text",
+                    key_col: str = "url", k: int = 20) -> DataFrame:
+    """Unaligned exact-substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", §3.2 ExactSubstr): any
+    ``k``-token span whose content already occurred earlier in the
+    corpus (global (key, position) order) is deleted from the later
+    position; the first occurrence survives. Unlike window-aligned
+    paragraph dedup, this catches duplicated spans at ANY offset —
+    the paper's suffix-array construction is replaced by the
+    shuffle-native equivalent: shingle rows + a map-side-combinable
+    global min per shingle hash.
+
+    Plan shape, per stage:
+    1. one row per (doc, shingle start) with md5 of the k-token window
+       — built by a JVM transform over the token array, no token
+       explode;
+    2. first occurrence = min(struct(key, start)) per hash (partial
+       aggregation, skew-safe for boilerplate shingles);
+    3. later occurrences join back (AQE skew-handled) and collect to a
+       per-doc sorted `starts` array;
+    4. kept text = HOF filter over the token array — a token at p is
+       dropped iff some duplicated start s has s <= p < s+k. All
+       Catalyst; the per-token `exists` is linear in the doc's dup-span
+       count, which stays small except for pathological all-duplicate
+       docs (where the doc is deleted anyway).
+
+    Returns (key, n_tokens, n_removed, text).
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    base = docs.select(F.col(key_col).alias("_k"), toks.alias("_ws"))
+    sh = (base
+          .select("_k", F.posexplode(F.expr(
+              f"CASE WHEN size(_ws) < {k} THEN array() ELSE "
+              f"transform(sequence(0, size(_ws) - {k}), i -> "
+              f"md5(array_join(slice(_ws, i + 1, {k}), ' '))) END"))
+           .alias("_i", "_h")))
+    firsts = (sh.groupBy("_h")
+              .agg(F.min(F.struct("_k", "_i")).alias("_first")))
+    dup_starts = (sh.join(firsts, "_h")
+                  .where((F.col("_k") != F.col("_first._k"))
+                         | (F.col("_i") != F.col("_first._i")))
+                  .groupBy("_k")
+                  .agg(F.array_sort(F.collect_list("_i"))
+                       .alias("_starts")))
+    joined = (base.join(dup_starts, "_k", "left")
+              .withColumn("_starts",
+                          F.coalesce("_starts", F.expr("array()"))))
+    kept = F.expr(
+        f"transform(filter(transform(_ws, (t, p) -> struct(t AS t, "
+        f"p AS p)), x -> NOT exists(_starts, s -> s <= x.p AND "
+        f"x.p < s + {k})), x -> x.t)")
+    return (joined
+            .select(F.col("_k").alias(key_col),
+                    F.size("_ws").cast("long").alias("n_tokens"),
+                    (F.size("_ws") - F.size(kept)).cast("long")
+                    .alias("n_removed"),
+                    F.array_join(kept, " ").alias(text_col)))
 
 
 # ---------------------------------------------------------------------------

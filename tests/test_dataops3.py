@@ -247,3 +247,36 @@ def test_paragraph_dedup_short_tail_and_empty(spark):
     out = {r.url: (r.n_paras, r.n_kept) for r in
            paragraph_dedup(df, window=4, drop_empty=False).collect()}
     assert out == {"a": (2, 2), "b": (2, 0), "c": (0, 0)}
+
+
+def test_substring_dedup_unaligned_span(spark):
+    """A k-token span duplicated at a DIFFERENT offset in a later doc
+    is deleted there (the case window-aligned paragraph dedup misses);
+    the first occurrence and all non-duplicated tokens survive."""
+    from sparksearch.dataops import substring_dedup
+    span = "s1 s2 s3 s4"
+    rows = [("a", span + " tail1 tail2"),            # first occurrence
+            ("b", "off1 off2 off3 " + span + " x"),  # span at offset 3
+            ("c", "u1 u2 u3 u4 u5")]                 # untouched
+    df = spark.createDataFrame(rows, "url string, text string")
+    out = {r.url: r for r in substring_dedup(df, k=4).collect()}
+    assert out["a"].text == span + " tail1 tail2"
+    assert out["a"].n_removed == 0
+    assert out["b"].text == "off1 off2 off3 x"
+    assert out["b"].n_removed == 4
+    assert out["c"].text == "u1 u2 u3 u4 u5" and out["c"].n_removed == 0
+
+
+def test_substring_dedup_overlap_and_short_docs(spark):
+    """Overlapping duplicated shingles merge their coverage; docs
+    shorter than k produce no shingles and pass through."""
+    from sparksearch.dataops import substring_dedup
+    rows = [("a", "p q r s t u"),      # owns all shingles
+            ("b", "p q r s t u v"),    # shares 3 overlapping 4-shingles
+            ("c", "tiny doc")]
+    df = spark.createDataFrame(rows, "url string, text string")
+    out = {r.url: r for r in substring_dedup(df, k=4).collect()}
+    # doc b: starts 0,1,2 duplicated -> covers 0..5 -> only 'v' stays
+    assert out["b"].text == "v" and out["b"].n_removed == 6
+    assert out["a"].n_removed == 0
+    assert out["c"].text == "tiny doc" and out["c"].n_tokens == 2
