@@ -216,6 +216,38 @@ def q_dedup_substring(spark, sf_dir):
             .orderBy("url"))
 
 
+_LINED = """
+CASE WHEN _did % 89 = 0 THEN _l0 || '\\nlorem ipsum dolor sit amet.'
+     WHEN _did % 97 = 0 THEN _l0 || '\\nconfig { x } done.'
+     ELSE _l0 END
+""".strip()
+
+
+def q_c4_filters(spark, sf_dir):
+    """C4 line/page cleaning over a deterministically 'lined' corpus:
+    10-token lines, every 4th line left without terminal punctuation
+    (dropped by the line rule), did%89 docs get a lorem-ipsum line and
+    did%97 docs a curly-brace line (page-level kills)."""
+    from pyspark.sql import functions as F
+    from sparksearch.dataops import c4_line_filters
+    pages = C.pages_df(spark, sf_dir).select("url", "text")
+    did = pages.withColumn(
+        "_did", F.regexp_extract("url", r"([0-9]+)$", 1).cast("int"))
+    lined = (did
+             .withColumn("_l0", F.expr(
+                 "array_join(transform(sequence(0, CAST(ceil(size("
+                 "filter(split(text, ' '), w -> w <> '')) / 10.0) AS "
+                 "INT) - 1), i -> array_join(slice(filter(split(text, "
+                 "' '), w -> w <> ''), i * 10 + 1, 10), ' ') || (CASE "
+                 "WHEN i % 4 <> 3 THEN '.' ELSE '' END)), '\\n')"))
+             .withColumn("text", F.expr(_LINED))
+             .select("url", "text"))
+    out = c4_line_filters(lined)
+    return (out.select("url", "n_lines", "n_kept_lines", "sentences",
+                       "kept", F.md5("text").alias("h"))
+            .orderBy("url"))
+
+
 def _q_sig(heuristic):
     def run(spark, sf_dir):
         from sparksearch.aggs import significant_terms
@@ -472,7 +504,56 @@ SELECT t.url, CAST(t.n_tokens AS BIGINT) AS n_tokens,
 FROM tot t LEFT JOIN reb r USING (url)
 ORDER BY t.url"""
 
+    c4 = f"WITH {P}" + """
+, did AS ( SELECT url, CAST(regexp_extract(url, '([0-9]+)$', 1) AS INT)
+                  AS did, text FROM pages ),
+ws AS ( SELECT url, did,
+               list_filter(string_split(text, ' '), w -> w <> '') AS ws
+        FROM did ),
+l0 AS ( SELECT url, did,
+               array_to_string(list_transform(
+                 range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT)),
+                 i -> array_to_string(ws[i*10+1 : i*10+10], ' ') ||
+                      (CASE WHEN i % 4 <> 3 THEN '.' ELSE '' END)),
+                 chr(10)) AS l0
+        FROM ws ),
+lined AS ( SELECT url,
+                  CASE WHEN did % 89 = 0
+                         THEN l0 || chr(10) || 'lorem ipsum dolor sit amet.'
+                       WHEN did % 97 = 0
+                         THEN l0 || chr(10) || 'config { x } done.'
+                       ELSE l0 END AS text
+           FROM l0 ),
+split_l AS ( SELECT url, text, string_split(text, chr(10)) AS lines
+             FROM lined ),
+keptl AS ( SELECT url, text, lines,
+                  list_filter(lines, l ->
+                    regexp_matches(l, '[.!?"]\\s*$')
+                    AND len(list_filter(string_split(l, ' '),
+                                        w -> w <> '')) >= 3
+                    AND NOT regexp_matches(lower(l), 'javascript'))
+                    AS kl
+           FROM split_l ),
+reb AS ( SELECT url, text, lines, kl,
+                array_to_string(kl, chr(10)) AS kept_text
+         FROM keptl )
+SELECT url,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kl) AS BIGINT) AS n_kept_lines,
+       CAST(length(kept_text)
+            - length(replace(replace(replace(kept_text, '.', ''),
+                                     '!', ''), '?', '')) AS BIGINT)
+         AS sentences,
+       ( (length(kept_text)
+          - length(replace(replace(replace(kept_text, '.', ''),
+                                   '!', ''), '?', ''))) >= 5
+         AND NOT contains(lower(text), 'lorem ipsum')
+         AND NOT contains(text, '{') ) AS kept,
+       md5(kept_text) AS h
+FROM reb ORDER BY url"""
+
     return {
+        "c4_filters": c4,
         "dedup_substring": dedup_sub,
         "agg_sig_chi_square": sig(chi, _not_neg),
         "agg_sig_mutual_info": sig(mi, _not_neg),
@@ -507,6 +588,7 @@ def oracle_sql() -> dict:
 
 def queries() -> dict:
     return {
+        "c4_filters": q_c4_filters,
         "dedup_substring": q_dedup_substring,
         "agg_sig_chi_square": _q_sig("chi_square"),
         "agg_sig_mutual_info": _q_sig("mutual_information"),

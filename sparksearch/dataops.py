@@ -27,6 +27,7 @@ __all__ = [
     "exact_dedup",
     "paragraph_dedup",
     "substring_dedup",
+    "c4_line_filters",
     "shingles",
     "minhash_signatures",
     "minhash_lsh_pairs",
@@ -195,6 +196,54 @@ def substring_dedup(docs: DataFrame, text_col: str = "text",
                     (F.size("_ws") - F.size(kept)).cast("long")
                     .alias("n_removed"),
                     F.array_join(kept, " ").alias(text_col)))
+
+
+def c4_line_filters(docs: DataFrame, text_col: str = "text",
+                    key_col: str = "url",
+                    min_words_per_line: int = 3,
+                    min_sentences: int = 5) -> DataFrame:
+    """C4 cleaning heuristics (Raffel et al. 2020 §2.2 — the published
+    rule set behind the C4 corpus):
+
+    line level (applied to ``\\n``-separated lines):
+      - keep only lines ending in a terminal punctuation mark
+        (``. ! ? "``)
+      - drop lines with fewer than ``min_words_per_line`` words
+      - drop lines containing the word "javascript" (case-insensitive)
+    page level (on the ORIGINAL page, as in the paper):
+      - drop pages with fewer than ``min_sentences`` sentences
+        (counted as terminal-punctuation marks in the retained lines)
+      - drop pages containing "lorem ipsum" (case-insensitive)
+      - drop pages containing a curly brace
+    (The paper's bad-words list and its three-sentence-span dedup are
+    separate concerns: pass your own list to a filter, and see
+    ``paragraph_dedup``/``substring_dedup``.)
+
+    Pure Catalyst HOFs over the line array — one narrow projection, no
+    shuffle, no Python. Returns every input row with
+    (key, n_lines, n_kept_lines, sentences, kept, text) where ``text``
+    is the retained-lines join and ``kept`` the page-level verdict.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    keep_line = (
+        f"l -> l rlike '[.!?\"]\\\\s*$' "
+        f"AND size(filter(split(l, ' '), w -> w <> '')) >= "
+        f"{int(min_words_per_line)} "
+        f"AND NOT lower(l) rlike 'javascript'")
+    kept_lines = F.expr(f"filter(split({text_col}, '\\n'), {keep_line})")
+    kept_text = F.array_join(kept_lines, "\n")
+    sentences = (F.length(kept_text)
+                 - F.length(F.translate(kept_text, ".!?", "")))
+    page_ok = ((sentences >= int(min_sentences))
+               & ~F.lower(F.col(text_col)).contains("lorem ipsum")
+               & ~F.col(text_col).contains("{"))
+    return docs.select(
+        F.col(key_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept_lines).cast("long").alias("n_kept_lines"),
+        sentences.cast("long").alias("sentences"),
+        page_ok.alias("kept"),
+        kept_text.alias(text_col))
 
 
 # ---------------------------------------------------------------------------

@@ -280,3 +280,28 @@ def test_substring_dedup_overlap_and_short_docs(spark):
     assert out["b"].text == "v" and out["b"].n_removed == 6
     assert out["a"].n_removed == 0
     assert out["c"].text == "tiny doc" and out["c"].n_tokens == 2
+
+
+def test_c4_line_filters_rules(spark):
+    """Line rules: terminal punctuation required, >=3 words,
+    no 'javascript'; page rules: >=5 sentences, no lorem ipsum, no
+    curly brace (Raffel et al. 2020 section 2.2)."""
+    from sparksearch.dataops import c4_line_filters
+    good = "\n".join([f"alpha beta gamma delta line {i}." for i in
+                      range(6)])
+    rows = [
+        ("good", good),
+        ("badlines", "no punct line here\nok line one two three.\n"
+                     "enable javascript to view this page.\nshort."),
+        ("lorem", good + "\nthis page has Lorem Ipsum in it."),
+        ("brace", good + "\nvar x = { 1 };"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    out = {r.url: r for r in c4_line_filters(df).collect()}
+    assert out["good"].kept and out["good"].n_kept_lines == 6
+    b = out["badlines"]
+    # only 'ok line one two three.' survives: no-punct dropped,
+    # javascript dropped, 'short.' has < 3 words
+    assert b.n_kept_lines == 1 and b.text == "ok line one two three."
+    assert not b.kept and b.sentences == 1
+    assert not out["lorem"].kept and not out["brace"].kept
