@@ -152,10 +152,14 @@ _RECORD_FIRST = [
     "similarity_dfr", "similarity_dfi", "similarity_ib",
     "similarity_ib_spl", "agg_significant_text", "agg_children",
     "agg_parent", "dedup_paragraph", "query_profile", "query_wrapper",
+    "dedup_substring", "c4_filters",
     # never-driver-recorded entries (rounds 1-3), rotated into the rest
-    "msearch", "index_stats", "script_score",
+    # (script_score + runtime_fields dropped from the window — both
+    # already judge-re-verified locally in the round-4 VERDICT's
+    # 22-entry sample, so official recording adds least there)
+    "msearch", "index_stats",
     "delete_by_query", "expunge_deletes",
-    "source_filtering", "pit_search", "runtime_fields",
+    "source_filtering", "pit_search",
     "match_bool_prefix", "percolate_queries",
     "span_first",
     "api_field_sort", "api_search_after", "api_terms_agg",
