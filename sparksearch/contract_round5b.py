@@ -248,6 +248,16 @@ def q_c4_filters(spark, sf_dir):
             .orderBy("url"))
 
 
+def q_temperature_mixture(spark, sf_dir):
+    """Temperature sampling (q ∝ p^(1/T), T=2, 40% target) over the
+    documents table's lang distribution via the deterministic
+    content-hash keep rule."""
+    from sparksearch.dataops import temperature_sample
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return temperature_sample(docs, key_col="lang", id_col="doc_id",
+                              temperature=2.0, target_frac=0.4)
+
+
 def _q_sig(heuristic):
     def run(spark, sf_dir):
         from sparksearch.aggs import significant_terms
@@ -552,7 +562,22 @@ SELECT url,
        md5(kept_text) AS h
 FROM reb ORDER BY url"""
 
+    temp_mix = """
+WITH c AS ( SELECT lang AS key, CAST(count(*) AS DOUBLE) AS n
+            FROM documents GROUP BY lang ),
+tot AS ( SELECT CAST(sum(n) AS DOUBLE) AS nn FROM c ),
+z AS ( SELECT sum(pow(n / nn, 0.5)) AS zz FROM c CROSS JOIN tot ),
+r AS ( SELECT key,
+              round(least(1.0, (pow(n / nn, 0.5) / zz) * 0.4 * nn / n),
+                    6) AS rate
+       FROM c CROSS JOIN tot CROSS JOIN z )
+SELECT d.doc_id, d.lang FROM documents d JOIN r ON r.key = d.lang
+WHERE CAST(CONCAT('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+           AS BIGINT) % 10000 < r.rate * 10000
+ORDER BY d.doc_id"""
+
     return {
+        "temperature_mixture": temp_mix,
         "c4_filters": c4,
         "dedup_substring": dedup_sub,
         "agg_sig_chi_square": sig(chi, _not_neg),
@@ -588,6 +613,7 @@ def oracle_sql() -> dict:
 
 def queries() -> dict:
     return {
+        "temperature_mixture": q_temperature_mixture,
         "c4_filters": q_c4_filters,
         "dedup_substring": q_dedup_substring,
         "agg_sig_chi_square": _q_sig("chi_square"),

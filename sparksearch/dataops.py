@@ -28,6 +28,8 @@ __all__ = [
     "paragraph_dedup",
     "substring_dedup",
     "c4_line_filters",
+    "temperature_rates",
+    "temperature_sample",
     "shingles",
     "minhash_signatures",
     "minhash_lsh_pairs",
@@ -987,6 +989,55 @@ def mixture_sample(docs: DataFrame, rates: dict[str, float],
                16, 10).cast("long") % denom
     return (docs.filter(h < rate * denom)
             .select(id_col, key_col).orderBy(id_col))
+
+
+def temperature_rates(docs: DataFrame, key_col: str = "lang",
+                      temperature: float = 2.0,
+                      target_frac: float = 0.5) -> DataFrame:
+    """Temperature-based mixture weights (the multilingual sampling
+    rule of XLM-R / mT5: q_d ∝ p_d^(1/T), flattening the source
+    distribution toward uniform as T grows). Given a target corpus
+    fraction, converts the q distribution to per-source KEEP RATES:
+    rate_d = min(1, q_d · target · N / n_d) — sources the temperature
+    up-weights saturate at 1 rather than oversample (no replacement).
+
+    One map-side-combinable count per source; returns
+    (key, n, p, q, rate) with rate rounded to 6 places so the
+    downstream hash-threshold comparison is engine-stable.
+    """
+    counts = (docs.groupBy(F.col(key_col).alias("key"))
+              .agg(F.count("*").cast("long").alias("n")))
+    tot = counts.agg(F.sum("n").cast("double").alias("_N"))
+    j = counts.crossJoin(F.broadcast(tot))
+    p = F.col("n") / F.col("_N")
+    q_raw = F.pow(p, 1.0 / float(temperature))
+    zdf = (j.select(q_raw.alias("_q")).agg(F.sum("_q").alias("_Z")))
+    j2 = j.crossJoin(F.broadcast(zdf))
+    q = F.pow(p, 1.0 / float(temperature)) / F.col("_Z")
+    rate = F.least(F.lit(1.0),
+                   q * float(target_frac) * F.col("_N") / F.col("n"))
+    return (j2.select("key", "n",
+                      F.round(p, 6).alias("p"),
+                      F.round(q, 6).alias("q"),
+                      F.round(rate, 6).alias("rate"))
+            .orderBy("key"))
+
+
+def temperature_sample(docs: DataFrame, key_col: str = "lang",
+                       id_col: str = "doc_id",
+                       temperature: float = 2.0,
+                       target_frac: float = 0.5,
+                       denom: int = 10000) -> DataFrame:
+    """Deterministic temperature-mixture sampling: per-source rates
+    from ``temperature_rates`` applied through ``mixture_sample``'s
+    content-hash rule (md5(id) % denom < rate·denom) — reproducible
+    across runs and engines, no RNG state. The tiny per-source rate
+    table is collected driver-side (|sources| rows)."""
+    rates = {r["key"]: r["rate"]
+             for r in temperature_rates(docs, key_col, temperature,
+                                        target_frac).collect()}
+    return mixture_sample(docs, rates, key_col=key_col, id_col=id_col,
+                          denom=denom)
 
 
 def decontaminate(docs: DataFrame, benchmark: DataFrame,

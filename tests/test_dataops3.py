@@ -305,3 +305,23 @@ def test_c4_line_filters_rules(spark):
     assert b.n_kept_lines == 1 and b.text == "ok line one two three."
     assert not b.kept and b.sentences == 1
     assert not out["lorem"].kept and not out["brace"].kept
+
+
+def test_temperature_rates_flatten_toward_uniform(spark):
+    """T→∞ flattens q to uniform; T=1 keeps the raw distribution;
+    rates cap at 1.0 for sources the temperature up-weights."""
+    from sparksearch.dataops import temperature_rates
+    rows = [("a",)] * 90 + [("b",)] * 9 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "lang string")
+    r1 = {r.key: r for r in temperature_rates(
+        df, temperature=1.0, target_frac=1.0).collect()}
+    # T=1, target 1.0: every source keeps everything (q == p)
+    assert all(abs(r.rate - 1.0) < 1e-6 for r in r1.values())
+    r100 = {r.key: r.q for r in temperature_rates(
+        df, temperature=100.0).collect()}
+    assert abs(r100["a"] - 1 / 3) < 0.01  # ~uniform q
+    r2 = {r.key: r for r in temperature_rates(
+        df, temperature=2.0, target_frac=0.5).collect()}
+    # rare source up-weighted: its keep-rate must exceed the common one
+    assert r2["c"].rate > r2["a"].rate
+    assert r2["c"].rate <= 1.0
