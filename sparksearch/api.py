@@ -80,21 +80,29 @@ def _check_body(body: dict) -> None:
                          f"(supported: {sorted(_BODY_KEYS)})")
 
 
-def _parse_sort(spec) -> list[tuple[str, bool]]:
-    """body `sort` → [(field, asc)]; defaults to relevance order."""
+def _parse_sort(spec) -> list[tuple[str, bool, object]]:
+    """body `sort` → [(field, asc, missing)]; defaults to relevance
+    order. ``missing`` follows FieldSortBuilder: "_last" (default —
+    docs without the field sort last regardless of direction),
+    "_first", or a literal substitute value. Note Spark's bare asc()
+    is nulls-FIRST, so the default must be spelled explicitly."""
     if not spec:
-        return [("_score", False), ("_doc", True)]
-    out: list[tuple[str, bool]] = []
+        return [("_score", False, "_last"), ("_doc", True, "_last")]
+    out: list[tuple[str, bool, object]] = []
     for s in (spec if isinstance(spec, list) else [spec]):
         if isinstance(s, str):
-            out.append((s, s != "_score"))
+            out.append((s, s != "_score", "_last"))
         else:
             (field, opts), = s.items()
-            order = (opts.get("order", "asc")
-                     if isinstance(opts, dict) else opts)
-            out.append((field, order != "desc"))
-    if not any(f in ("_doc", "docid") for f, _ in out):
-        out.append(("_doc", True))   # total order for stable pagination
+            if isinstance(opts, dict):
+                order = opts.get("order", "asc")
+                missing = opts.get("missing", "_last")
+            else:
+                order, missing = opts, "_last"
+            out.append((field, order != "desc", missing))
+    if not any(f in ("_doc", "docid") for f, _, _ in out):
+        # total order for stable pagination
+        out.append(("_doc", True, "_last"))
     return out
 
 
@@ -104,6 +112,20 @@ def _sort_col(field: str):
     if field == "_doc":
         return F.col("docid")
     return F.col(field)
+
+
+def _order_col(field: str, asc: bool, missing):
+    """One sort expression honoring the `missing` policy
+    (FieldSortBuilder: _last default / _first / literal substitute)."""
+    c = _sort_col(field)
+    if missing not in ("_first", "_last"):
+        c = F.coalesce(c, F.lit(missing))
+        return c.asc() if asc else c.desc()
+    if asc:
+        return (c.asc_nulls_first() if missing == "_first"
+                else c.asc_nulls_last())
+    return (c.desc_nulls_first() if missing == "_first"
+            else c.desc_nulls_last())
 
 
 def _query_texts(node, field: str | None = None) -> list[str]:
@@ -227,10 +249,11 @@ def _sorted_scan_cond(ex, body, q, sort, needs_score, script_sorts,
             "search_after", "collapse", "rescore", "terminate_after",
             "post_filter", "highlight", "min_score", "script_fields")):
         return None
-    (pf, _), rest = sort[0], sort[1:]
+    pf, rest = sort[0][0], sort[1:]
     if pf != isort["field"]:
         return None
-    if any(f not in ("_doc", "docid") or not asc for f, asc in rest):
+    if any(f not in ("_doc", "docid") or not asc
+           for f, asc, _m in rest):
         return None
     return ex.docvalue_only_cond(q)
 
@@ -300,7 +323,7 @@ def search_df(ex, body: dict, pages: DataFrame | None = None,
     sort = _parse_sort(sort_spec)
     # track_scores: compute scores even under a field sort
     # (sv/search/fetch/subphase/FetchScorePhase.java)
-    needs_score = any(f == "_score" for f, _ in sort) \
+    needs_score = any(f == "_score" for f, *_ in sort) \
         or "min_score" in body or not body.get("sort") \
         or bool(body.get("track_scores"))
 
@@ -352,7 +375,7 @@ def search_df(ex, body: dict, pages: DataFrame | None = None,
         scored = scored.select("docid",
                                _SCORE_4(F.col("score")).alias("score"))
 
-    doc_fields = {f for f, _ in sort
+    doc_fields = {f for f, *_ in sort
                   if f not in ("_score", "_doc") and f not in script_sorts}
     for comp in script_sorts.values():
         doc_fields |= comp.doc_fields
@@ -410,8 +433,7 @@ def search_df(ex, body: dict, pages: DataFrame | None = None,
         # _score inside a script field resolves to the hit's score
         out = out.withColumn(nm, comp.col)
 
-    order = [(_sort_col(f).asc() if asc else _sort_col(f).desc())
-             for f, asc in sort]
+    order = [_order_col(f, asc, missing) for f, asc, missing in sort]
     if "collapse" in body:
         # one best hit per group, chosen by the body's sort order
         # (sv/search/collapse/CollapseBuilder.java)
@@ -429,7 +451,7 @@ def search_df(ex, body: dict, pages: DataFrame | None = None,
         # order (SearchAfterBuilder semantics)
         cond = F.lit(False)
         eqs = F.lit(True)
-        for (f, asc), v in zip(sort, after):
+        for (f, asc, _m), v in zip(sort, after):
             c = _sort_col(f)
             cond = cond | (eqs & ((c > F.lit(v)) if asc
                                   else (c < F.lit(v))))

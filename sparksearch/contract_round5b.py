@@ -248,6 +248,27 @@ def q_c4_filters(spark, sf_dir):
             .orderBy("url"))
 
 
+def q_api_sort_missing(spark, sf_dir):
+    """FieldSortBuilder `missing` policy through the full body path: a
+    nullable runtime field sorted desc with missing=_first — the
+    null docs must lead (Spark's bare desc() would bury them last),
+    real values follow descending, docid tiebreak."""
+    from pyspark.sql import functions as F
+    from sparksearch.api import search_df
+    _, ex = C.get_engine(spark, sf_dir)
+    body = {"query": {"match_all": {}},
+            "runtime_mappings": {
+                "big_dl": "doc['dl'].value > 150 ? doc['dl'].value "
+                          ": null"},
+            "sort": [{"big_dl": {"order": "desc", "missing": "_first"}},
+                     {"_doc": "asc"}],
+            "size": 15, "_source": False,
+            "docvalue_fields": ["big_dl"]}
+    return (search_df(ex, body)
+            .select("docid", "url", F.col("big_dl").cast("long")
+                    .alias("big_dl")))
+
+
 def q_temperature_mixture(spark, sf_dir):
     """Temperature sampling (q ∝ p^(1/T), T=2, 40% target) over the
     documents table's lang distribution via the deterministic
@@ -576,7 +597,15 @@ WHERE CAST(CONCAT('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
            AS BIGINT) % 10000 < r.rate * 10000
 ORDER BY d.doc_id"""
 
+    sort_missing = ("WITH " + ",\n".join([P, TOK, DL]) + """
+, sel AS ( SELECT p.docid, p.url,
+                  CASE WHEN dlq.dl > 150 THEN dlq.dl END AS big_dl
+           FROM pages p JOIN dlq USING (docid) )
+SELECT docid, url, CAST(big_dl AS BIGINT) AS big_dl FROM sel
+ORDER BY big_dl DESC NULLS FIRST, docid ASC LIMIT 15""")
+
     return {
+        "api_sort_missing": sort_missing,
         "temperature_mixture": temp_mix,
         "c4_filters": c4,
         "dedup_substring": dedup_sub,
@@ -613,6 +642,7 @@ def oracle_sql() -> dict:
 
 def queries() -> dict:
     return {
+        "api_sort_missing": q_api_sort_missing,
         "temperature_mixture": q_temperature_mixture,
         "c4_filters": q_c4_filters,
         "dedup_substring": q_dedup_substring,

@@ -6,12 +6,18 @@ from sparksearch.api import _parse_sort, aggs_df, run_search, search_df
 
 
 def test_parse_sort_forms():
-    assert _parse_sort(None) == [("_score", False), ("_doc", True)]
+    L = "_last"
+    assert _parse_sort(None) == [("_score", False, L), ("_doc", True, L)]
     assert _parse_sort([{"dl": {"order": "desc"}}]) == \
-        [("dl", False), ("_doc", True)]
+        [("dl", False, L), ("_doc", True, L)]
     assert _parse_sort([{"dl": "desc"}, "_score"]) == \
-        [("dl", False), ("_score", False), ("_doc", True)]
-    assert _parse_sort(["lang"]) == [("lang", True), ("_doc", True)]
+        [("dl", False, L), ("_score", False, L), ("_doc", True, L)]
+    assert _parse_sort(["lang"]) == [("lang", True, L), ("_doc", True, L)]
+    # FieldSortBuilder missing policy: _first / literal substitute
+    assert _parse_sort([{"dl": {"order": "asc", "missing": "_first"}}]) \
+        == [("dl", True, "_first"), ("_doc", True, L)]
+    assert _parse_sort([{"dl": {"missing": 42}}]) == \
+        [("dl", True, 42), ("_doc", True, L)]
 
 
 @pytest.fixture(scope="module")
@@ -669,3 +675,22 @@ def test_completion_regex(ex):
     assert _regex_literal_head("sc[ae]n") == "sc"
     assert _regex_literal_head("sca?n") == "sc"
     assert _regex_literal_head("(ab)c") == ""
+
+
+def test_sort_missing_policy(spark):
+    """missing=_last default (Spark's bare asc() would put nulls
+    first), _first, and literal-substitute forms."""
+    from sparksearch.api import _order_col
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 5)], "docid int, v int")
+    asc_default = [r.docid for r in
+                   df.orderBy(_order_col("v", True, "_last"),
+                              "docid").collect()]
+    assert asc_default == [3, 1, 2]          # null LAST on asc
+    asc_first = [r.docid for r in
+                 df.orderBy(_order_col("v", True, "_first"),
+                            "docid").collect()]
+    assert asc_first == [2, 3, 1]
+    subst = [r.docid for r in
+             df.orderBy(_order_col("v", True, 7), "docid").collect()]
+    assert subst == [3, 2, 1]                # null counts as 7
