@@ -679,8 +679,13 @@ def run_search(ex, body: dict, pages: DataFrame | None = None,
         resp["suggest"] = {}
         for sname, sspec in body["suggest"].items():
             if "term" in sspec:
-                df = FO.suggest_terms(ex.ix, sspec["text"],
-                                      size=sspec["term"].get("size", 3))
+                t = sspec["term"]
+                df = FO.suggest_terms(
+                    ex.ix, sspec["text"], size=t.get("size", 3),
+                    max_edits=t.get("max_edits", 2),
+                    suggest_mode=t.get("suggest_mode", "missing"),
+                    prefix_length=t.get("prefix_length", 1),
+                    min_doc_freq=t.get("min_doc_freq", 0))
             elif "phrase" in sspec:
                 df = FO.suggest_phrase(ex.ix, sspec["text"],
                                        size=sspec["phrase"].get("size", 3))

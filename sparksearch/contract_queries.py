@@ -270,7 +270,9 @@ dict AS ( SELECT term, CAST(count(DISTINCT docid) AS BIGINT) AS df
 inputs AS ( SELECT unnest(['hask', 'joni']) AS input ),
 cand AS ( SELECT i.input, d.term, levenshtein(i.input, d.term) AS dist, d.df
           FROM inputs i CROSS JOIN dict d
-          WHERE levenshtein(i.input, d.term) BETWEEN 1 AND 2 ),
+          WHERE levenshtein(i.input, d.term) BETWEEN 1 AND 2
+            AND substr(d.term, 1, 1) = substr(i.input, 1, 1)
+            AND i.input NOT IN ( SELECT term FROM dict ) ),
 ranked AS ( SELECT input, term, CAST(dist AS INT) AS dist, df,
             CAST(row_number() OVER (PARTITION BY input
                  ORDER BY dist ASC, df DESC, term ASC) AS INT) AS rank

@@ -248,6 +248,18 @@ def q_c4_filters(spark, sf_dir):
             .orderBy("url"))
 
 
+def q_suggest_modes(spark, sf_dir):
+    """Term suggester suggest_mode=popular over mixed inputs: for the
+    KNOWN term 'join' only strictly-more-frequent dictionary terms at
+    distance <= 2 sharing its first letter qualify; the misspelling
+    'joni' (df 0) admits any candidate (TermSuggestionBuilder
+    SuggestMode.POPULAR)."""
+    from sparksearch.fetchops import suggest_terms
+    ix, _ = C.get_engine(spark, sf_dir)
+    return suggest_terms(ix, "join joni", max_edits=2, size=3,
+                         suggest_mode="popular")
+
+
 def q_api_sort_missing(spark, sf_dir):
     """FieldSortBuilder `missing` policy through the full body path: a
     nullable runtime field sorted desc with missing=_first — the
@@ -604,7 +616,27 @@ ORDER BY d.doc_id"""
 SELECT docid, url, CAST(big_dl AS BIGINT) AS big_dl FROM sel
 ORDER BY big_dl DESC NULLS FIRST, docid ASC LIMIT 15""")
 
+    suggest_modes = ("WITH " + ",\n".join([P, TOK]) + """
+, dict AS ( SELECT term, CAST(count(DISTINCT docid) AS BIGINT) AS df
+            FROM tok GROUP BY term ),
+inputs AS ( SELECT i.input, coalesce(d.df, 0) AS in_df
+            FROM ( SELECT unnest(['join', 'joni']) AS input ) i
+            LEFT JOIN dict d ON d.term = i.input ),
+cand AS ( SELECT i.input, d.term,
+                 levenshtein(i.input, d.term) AS dist, d.df
+          FROM inputs i CROSS JOIN dict d
+          WHERE levenshtein(i.input, d.term) BETWEEN 1 AND 2
+            AND substr(d.term, 1, 1) = substr(i.input, 1, 1)
+            AND d.df > i.in_df ),
+ranked AS ( SELECT input, term, CAST(dist AS INT) AS dist, df,
+            CAST(row_number() OVER (PARTITION BY input
+                 ORDER BY dist ASC, df DESC, term ASC) AS INT) AS rank
+            FROM cand )
+SELECT input, term, dist, df, rank FROM ranked
+WHERE rank <= 3 ORDER BY input, rank""")
+
     return {
+        "query_suggest_modes": suggest_modes,
         "api_sort_missing": sort_missing,
         "temperature_mixture": temp_mix,
         "c4_filters": c4,
@@ -642,6 +674,7 @@ def oracle_sql() -> dict:
 
 def queries() -> dict:
     return {
+        "query_suggest_modes": q_suggest_modes,
         "api_sort_missing": q_api_sort_missing,
         "temperature_mixture": q_temperature_mixture,
         "c4_filters": q_c4_filters,

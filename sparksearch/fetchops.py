@@ -148,8 +148,24 @@ def highlight(topk: DataFrame, pages: DataFrame, terms: list[str],
 
 
 def suggest_terms(ix, text: str, max_edits: int = 2,
-                  size: int = 3) -> DataFrame:
-    """Term-suggester: nearest dictionary terms for each input token."""
+                  size: int = 3, suggest_mode: str = "missing",
+                  prefix_length: int = 1,
+                  min_doc_freq: int = 0) -> DataFrame:
+    """Term-suggester: nearest dictionary terms for each input token.
+
+    Reference parameters (sv/search/suggest/term/
+    TermSuggestionBuilder.java defaults):
+    - ``suggest_mode``: "missing" (default — suggest only for input
+      tokens NOT in the index), "popular" (candidates must have a
+      higher df than the input term), "always";
+    - ``prefix_length`` (default 1): candidates must share the input's
+      first N characters (DirectSpellChecker.prefixLength — the "first
+      letter is rarely mistyped" prune, which also shrinks the
+      dictionary band scan);
+    - ``min_doc_freq``: candidate df floor (0 = off).
+    """
+    if suggest_mode not in ("missing", "popular", "always"):
+        raise ValueError(f"suggest_mode {suggest_mode!r}")
     from sparksearch.analysis import analyze
     toks = sorted({t for t, _ in analyze(text, ix.search_analyzer)})
     if not toks:
@@ -157,19 +173,36 @@ def suggest_terms(ix, text: str, max_edits: int = 2,
             F.lit("").alias("input"), "term", "df").limit(0)
     inputs = ix.spark.createDataFrame([(t,) for t in toks], "input string")
     d = ix.stats.select("term", "df")
+    if suggest_mode in ("missing", "popular"):
+        # df of the input token itself (0 when absent from the index)
+        in_df = (inputs.join(d.withColumnRenamed("term", "input"),
+                             "input", "left")
+                 .select("input", F.coalesce("df", F.lit(0))
+                         .cast("long").alias("_in_df")))
+        if suggest_mode == "missing":
+            inputs = (in_df.where(F.col("_in_df") == 0)
+                      .select("input"))
+        else:
+            inputs = in_df
     # length-band prune BEFORE the levenshtein: |len(term) − len(input)| >
     # max_edits can never be within distance, so the expensive distance runs
     # only on the band (at a 10⁹-term dictionary this cuts the candidate
     # set by ~the dictionary's length distribution, and the cheap length
     # predicate is evaluated first in the joined filter)
-    cand = (d.join(
-                F.broadcast(inputs),
-                (F.length("term") >= F.length("input") - max_edits)
-                & (F.length("term") <= F.length("input") + max_edits))
+    band = ((F.length("term") >= F.length("input") - max_edits)
+            & (F.length("term") <= F.length("input") + max_edits))
+    if prefix_length > 0:
+        band = band & (F.substring("term", 1, prefix_length)
+                       == F.substring("input", 1, prefix_length))
+    cand = (d.join(F.broadcast(inputs), band)
             .withColumn("dist",
                         F.levenshtein(F.col("input"), F.col("term")))
             .where(F.col("dist") <= max_edits)
             .where(F.col("dist") > 0))
+    if min_doc_freq > 0:
+        cand = cand.where(F.col("df") >= min_doc_freq)
+    if suggest_mode == "popular":
+        cand = cand.where(F.col("df") > F.col("_in_df")).drop("_in_df")
     w = Window.partitionBy("input").orderBy(
         F.col("dist").asc(), F.col("df").desc(), F.col("term").asc())
     return (cand.withColumn("rank", F.row_number().over(w))

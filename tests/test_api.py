@@ -694,3 +694,34 @@ def test_sort_missing_policy(spark):
     subst = [r.docid for r in
              df.orderBy(_order_col("v", True, 7), "docid").collect()]
     assert subst == [3, 2, 1]                # null counts as 7
+
+
+def test_term_suggester_modes_and_prefix(ex):
+    """suggest_mode=missing suppresses known inputs; popular requires
+    a strictly more frequent candidate; prefix_length=1 prunes
+    different-first-letter candidates (TermSuggestionBuilder
+    defaults)."""
+    from sparksearch.fetchops import suggest_terms
+    ix = ex.ix
+    # 'join' is indexed -> missing mode yields nothing for it
+    out = suggest_terms(ix, "join", suggest_mode="missing").collect()
+    assert out == []
+    # always mode does suggest alternatives for known terms ('fast' has
+    # dist-2 neighbors hash/part; different first letters, so widen the
+    # prefix prune)
+    alw = suggest_terms(ix, "fast", suggest_mode="always",
+                        prefix_length=0).collect()
+    assert {r.term for r in alw} >= {"hash", "part"}
+    # popular: every suggestion's df exceeds the input's own df
+    pop = suggest_terms(ix, "join", suggest_mode="popular").collect()
+    join_df = {r.term: r.df for r in
+               ix.stats.filter("term = 'join'").collect()}.get("join", 0)
+    assert all(r.df > join_df for r in pop)
+    # prefix_length=0 readmits different-first-letter candidates
+    wide = suggest_terms(ix, "hask", prefix_length=0).collect()
+    narrow = suggest_terms(ix, "hask", prefix_length=1).collect()
+    assert {r.term for r in narrow} <= {r.term for r in wide}
+    assert all(r.term.startswith("h") for r in narrow)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        suggest_terms(ix, "x", suggest_mode="bogus")
