@@ -248,6 +248,16 @@ def q_c4_filters(spark, sf_dir):
             .orderBy("url"))
 
 
+def q_suggest_collate(spark, sf_dir):
+    """Phrase suggester with collate pruning: candidate phrases whose
+    tokens never co-occur in one document are dropped before ranking
+    (PhraseSuggester collate stage)."""
+    from sparksearch.fetchops import suggest_phrase
+    ix, _ = C.get_engine(spark, sf_dir)
+    return suggest_phrase(ix, "joni hask", per_token=3, max_edits=2,
+                          size=3, collate=True)
+
+
 def q_suggest_modes(spark, sf_dir):
     """Term suggester suggest_mode=popular over mixed inputs: for the
     KNOWN term 'join' only strictly-more-frequent dictionary terms at
@@ -635,7 +645,39 @@ ranked AS ( SELECT input, term, CAST(dist AS INT) AS dist, df,
 SELECT input, term, dist, df, rank FROM ranked
 WHERE rank <= 3 ORDER BY input, rank""")
 
+    def _shortlist(i, tok):
+        return f"""
+c{i} AS ( SELECT term, log10(df + 1) - dist AS s FROM (
+    SELECT term, df, levenshtein(term, '{tok}') AS dist,
+           row_number() OVER (ORDER BY levenshtein(term, '{tok}') ASC,
+                              df DESC, term ASC) AS rn
+    FROM dict
+    WHERE abs(length(term) - {len(tok)}) <= 2
+      AND levenshtein(term, '{tok}') <= 2 )
+  WHERE rn <= 3 )""".strip()
+
+    suggest_collate = f"""
+WITH {P}, {TOK},
+dict AS ( SELECT term, CAST(count(DISTINCT docid) AS BIGINT) AS df
+          FROM tok GROUP BY term ),
+{_shortlist(0, 'joni')},
+{_shortlist(1, 'hask')},
+combos AS ( SELECT c0.term AS t0, c1.term AS t1,
+                   c0.term || ' ' || c1.term AS phrase,
+                   CAST(round(c0.s + c1.s, 6) AS DOUBLE) AS score
+            FROM c0 CROSS JOIN c1 ),
+collated AS ( SELECT phrase, score FROM combos
+              WHERE EXISTS ( SELECT 1 FROM tok a JOIN tok b
+                             USING (docid)
+                             WHERE a.term = combos.t0
+                               AND b.term = combos.t1 ) ),
+ranked AS ( SELECT phrase, score,
+            CAST(row_number() OVER (ORDER BY score DESC, phrase ASC)
+                 AS INT) AS rank FROM collated )
+SELECT phrase, score, rank FROM ranked WHERE rank <= 3 ORDER BY rank"""
+
     return {
+        "query_suggest_collate": suggest_collate,
         "query_suggest_modes": suggest_modes,
         "api_sort_missing": sort_missing,
         "temperature_mixture": temp_mix,
@@ -674,6 +716,7 @@ def oracle_sql() -> dict:
 
 def queries() -> dict:
     return {
+        "query_suggest_collate": q_suggest_collate,
         "query_suggest_modes": q_suggest_modes,
         "api_sort_missing": q_api_sort_missing,
         "temperature_mixture": q_temperature_mixture,

@@ -213,7 +213,7 @@ def suggest_terms(ix, text: str, max_edits: int = 2,
 
 
 def suggest_phrase(ix, text: str, per_token: int = 3, max_edits: int = 2,
-                   size: int = 3) -> DataFrame:
+                   size: int = 3, collate: bool = False) -> DataFrame:
     """Phrase suggester: whole-phrase corrections ranked by a simple
     smoothed unigram score (sv/search/suggest/phrase/PhraseSuggester.java —
     candidate generation per token + whole-phrase ranking; the reference's
@@ -225,7 +225,14 @@ def suggest_phrase(ix, text: str, per_token: int = 3, max_edits: int = 2,
     Candidate phrases are the cross product of the per-token shortlists
     (bounded: per_token^n rows, all broadcast-sized), scored by
     Σ (log10(df+1) − dist). Returns (phrase, score, rank).
-    """
+
+    ``collate=True`` prunes candidates with no hits — the reference's
+    collate stage (PhraseSuggester runs the collate query template per
+    suggestion and drops non-matching ones; the standard template is a
+    match of the suggestion, realized here as "all phrase tokens
+    co-occur in >= 1 doc": the tiny candidate set broadcasts against
+    the postings, grouped per (phrase, doc) with a distinct-term count
+    — one shuffle bounded by |candidates| × their df)."""
     from sparksearch.analysis import analyze
     from pyspark.sql import Window
     toks = [t for t, _ in analyze(text, ix.search_analyzer)]
@@ -258,6 +265,20 @@ def suggest_phrase(ix, text: str, per_token: int = 3, max_edits: int = 2,
         score = F.col(f"s{i}") if score is None else score + F.col(f"s{i}")
     scored = cur.select(phrase.alias("phrase"),
                         F.round(score, 6).alias("score"))
+    if collate:
+        cand_terms = (scored
+                      .select("phrase", F.explode(F.array_distinct(
+                          F.split("phrase", " "))).alias("term")))
+        need = (cand_terms.groupBy("phrase")
+                .agg(F.count(F.lit(1)).alias("_need")))
+        hits = (F.broadcast(cand_terms)
+                .join(ix.postings.select("term", "docid"), "term")
+                .groupBy("phrase", "docid")
+                .agg(F.countDistinct("term").alias("_nm"))
+                .join(F.broadcast(need), "phrase")
+                .where(F.col("_nm") == F.col("_need"))
+                .select("phrase").distinct())
+        scored = scored.join(F.broadcast(hits), "phrase", "left_semi")
     w = Window.orderBy(F.col("score").desc(), F.col("phrase").asc())
     return (scored.withColumn("rank",
                               F.row_number().over(w).cast("int"))

@@ -725,3 +725,29 @@ def test_term_suggester_modes_and_prefix(ex):
     import pytest as _pt
     with _pt.raises(ValueError):
         suggest_terms(ix, "x", suggest_mode="bogus")
+
+
+def test_phrase_suggest_collate_prunes_nonmatching(spark, tmp_path):
+    """collate drops candidate phrases whose tokens never co-occur in
+    one doc (the reference's collate-query pruning stage)."""
+    from sparksearch.build import build_index
+    from sparksearch.fetchops import suggest_phrase
+    from sparksearch.index import IndexReader
+    rows = [(f"u{i}", "alpha beta " * 3) for i in range(3)] + \
+           [(f"v{i}", "gamma delta " * 3) for i in range(3)]
+    pages = spark.createDataFrame(
+        [(u, None, None, t, "en") for u, t in rows],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+    out = str(tmp_path / "collix")
+    build_index(pages, out, n_buckets=2, partitions=2)
+    ix = IndexReader(spark, out)
+    # 'alpba gamna' -> candidates alpha/gamma cross beta?&co; only
+    # same-doc pairs survive collate
+    plain = {r.phrase for r in suggest_phrase(
+        ix, "alpba delto", size=10).collect()}
+    coll = {r.phrase for r in suggest_phrase(
+        ix, "alpba delto", size=10, collate=True).collect()}
+    assert "alpha delta" in plain          # cross-doc pair proposed
+    assert "alpha delta" not in coll       # ...and collate-pruned
+    assert coll <= plain
