@@ -248,6 +248,20 @@ def q_c4_filters(spark, sf_dir):
             .orderBy("url"))
 
 
+def q_wand_tuned(spark, sf_dir):
+    """Block-max WAND under TUNED BM25 (k1=1.6, b=0.9): the packed
+    impact pairs are raw (max_tf, min_dlq) statistics, so pruning
+    bounds re-derive exactly for any parameterization — gated against
+    the same SQL formula as the plan-path similarity_bm25_tuned
+    entry."""
+    from sparksearch.contract import wand_topk_rounded
+    from sparksearch.exec import Executor
+    from sparksearch.queries import Match
+    wix, _ = C.get_engine_wand(spark, sf_dir)
+    ex = Executor(wix, similarity={"type": "BM25", "k1": 1.6, "b": 0.9})
+    return wand_topk_rounded(ex, Match("text", "hash join"), k=10)
+
+
 def q_suggest_collate(spark, sf_dir):
     """Phrase suggester with collate pruning: candidate phrases whose
     tokens never co-occur in one document are dropped before ranking
@@ -676,7 +690,9 @@ ranked AS ( SELECT phrase, score,
                  AS INT) AS rank FROM collated )
 SELECT phrase, score, rank FROM ranked WHERE rank <= 3 ORDER BY rank"""
 
+    from sparksearch import contract_round2g as _CR2G
     return {
+        "wand_tuned": _CR2G.sqls()["similarity_bm25_tuned"],
         "query_suggest_collate": suggest_collate,
         "query_suggest_modes": suggest_modes,
         "api_sort_missing": sort_missing,
@@ -716,6 +732,7 @@ def oracle_sql() -> dict:
 
 def queries() -> dict:
     return {
+        "wand_tuned": q_wand_tuned,
         "query_suggest_collate": q_suggest_collate,
         "query_suggest_modes": q_suggest_modes,
         "api_sort_missing": q_api_sort_missing,

@@ -139,11 +139,14 @@ class Executor:
         # mode="wand" trusts the caller (tests that just built segments).
         # fuzziness expands over the dictionary — the WAND path scores
         # exact terms only and would silently drop the expansion
-        # the packed segments' stored impact bounds are default-BM25 upper
-        # bounds — a tuned/non-BM25 similarity must use the plan path
+        # the packed impact pairs are raw (max_tf, min_dlq) statistics,
+        # so WAND stays exact under ANY BM25 (k1, b) — bounds are
+        # re-derived at query time (wand_topk docstring); non-BM25
+        # similarities (LM/DFR/DFI/IB/boolean/scripted) use the plan path
+        from sparksearch.similarity import BM25Similarity
         use_wand = (mode in ("auto", "wand") and isinstance(q, Match)
                     and q.fuzziness is None
-                    and self.sim.is_default_bm25
+                    and isinstance(self.sim, BM25Similarity)
                     and self.ix.use_segments
                     and (mode == "wand" or self.ix.segments_cover_all()))
         if use_wand:
@@ -154,7 +157,7 @@ class Executor:
                 use_wand = False
         if use_wand:
             from sparksearch.wand import wand_topk
-            topk = wand_topk(self.ix, q, k)
+            topk = wand_topk(self.ix, q, k, k1=self.sim.k1, b=self.sim.b)
             if min_score is not None:
                 topk = topk.filter(F.col("score") >= float(min_score))
         else:

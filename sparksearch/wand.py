@@ -54,9 +54,9 @@ _SCORE_SCHEMA = T.StructType([
 ])
 
 
-def _decode_score(widf: dict[str, float], avgdl: float):
+def _decode_score(widf: dict[str, float], avgdl: float,
+                  k1: float, b: float):
     """mapInPandas: packed blocks → (docid, term, w·idf·tfn) rows."""
-    k1, b = bm25.K1, bm25.B
 
     def dec(batches):
         for pdf in batches:
@@ -76,12 +76,23 @@ def _decode_score(widf: dict[str, float], avgdl: float):
     return dec
 
 
-def wand_topk(ix, q: Match, k: int = 10) -> DataFrame:
+def wand_topk(ix, q: Match, k: int = 10,
+              k1: float | None = None,
+              b: float | None = None) -> DataFrame:
     """Exact BM25 top-k for a match query via block-max pruning.
 
     Returns DataFrame(docid, score), score desc / docid asc, ≤ k rows.
     `ix` is an IndexReader with packed segments built.
+
+    ``k1``/``b`` tune the BM25 parameters (default: the reference
+    defaults 1.2/0.75). The stored impact pairs are raw per-block
+    (max_tf, min_dlq) STATISTICS, not precomputed scores, and
+    tf/(tf+k1·(1−b+b·dl/avgdl)) is monotone up in tf / down in dl for
+    any k1>0, 0≤b≤1 — so the same pairs yield exact upper bounds under
+    any parameterization and pruning stays rank-exact.
     """
+    k1 = bm25.K1 if k1 is None else float(k1)
+    b = bm25.B if b is None else float(b)
     toks = analyze(q.text, q.analyzer or ix.search_analyzer)
     terms = [t for t, _ in toks]
     if len({p for _, p in toks}) != len(toks):
@@ -110,7 +121,6 @@ def wand_topk(ix, q: Match, k: int = 10) -> DataFrame:
     # CURRENT global avgdl — tfn is monotone up in tf, down in dl, so this
     # dominates every doc in the block even after avgdl drifted across
     # generations
-    k1, b = bm25.K1, bm25.B
 
     def _tfn_bound(max_tf: float, min_dlq: float) -> float:
         return max_tf / (max_tf + k1 * (1.0 - b + b * min_dlq / ix.avgdl))
@@ -145,7 +155,7 @@ def wand_topk(ix, q: Match, k: int = 10) -> DataFrame:
     idf = {r["term"]: bm25.idf(r["df"], ix.n_docs) for r in srows}
     # (k1+1) folded into the per-term weight: decode emits plain
     # tf/(tf+k1·norm), so score = w·idf·(k1+1)·tfn = LegacyBM25Similarity
-    widf = {t: cnt[t] * idf.get(t, 0.0) * (bm25.K1 + 1.0) for t in uniq}
+    widf = {t: cnt[t] * idf.get(t, 0.0) * (k1 + 1.0) for t in uniq}
     present = [t for t in uniq if t in idf]
     if not present:
         return ix.docs.select("docid", F.lit(0.0).alias("score")).limit(0)
@@ -166,7 +176,7 @@ def wand_topk(ix, q: Match, k: int = 10) -> DataFrame:
                     .agg(F.max("_tfn_ub").alias("gmax")).collect()}
     sum_all = sum(widf[t] * gm.get(t, 0.0) for t in present)
 
-    dec = _decode_score(widf, ix.avgdl)
+    dec = _decode_score(widf, ix.avgdl, k1, b)
     payload = ["term", "docids", "tfs", "norms"]
     # msm is counted over the analyzed token list INCLUDING duplicates (an
     # operator='and' query with a repeated term needs msm = len(terms)), so

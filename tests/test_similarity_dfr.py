@@ -132,3 +132,23 @@ def _idx_stats(ix, term):
     dlq = {r.docid: r.dl_q
            for r in ix.docs.select("docid", "dl_q").collect()}
     return (tf, len(tf), sum(tf.values()), N, ttf, ix.avgdl, dlq)
+
+
+def test_wand_rank_identical_under_tuned_bm25(spark, index_sf0001):
+    """The packed impact pairs are raw (max_tf, min_dlq) statistics, so
+    block-max WAND must stay rank-and-score identical to the plan path
+    under ANY BM25 (k1, b) — and forced-plan vs forced-wand must agree
+    exactly."""
+    from sparksearch.exec import Executor
+    from sparksearch.merge import ensure_segments
+    from sparksearch.queries import Match
+    ensure_segments(spark, index_sf0001.index_dir)
+    ix = index_sf0001.reload()
+    for k1, b in ((1.6, 0.9), (0.5, 0.2), (2.0, 1.0)):
+        ex = Executor(ix, similarity={"type": "BM25", "k1": k1, "b": b})
+        q = Match("text", "hash join table")
+        plan = [(r.docid, round(r.score, 6)) for r in
+                ex.search(q, k=10, fetch=False, mode="plan").collect()]
+        wand = [(r.docid, round(r.score, 6)) for r in
+                ex.search(q, k=10, fetch=False, mode="wand").collect()]
+        assert plan == wand, (k1, b)
