@@ -528,6 +528,21 @@ def search_df(ex, body: dict, pages: DataFrame | None = None,
                                                 f"{pre}$1{post}"))
                    .drop("text")
                    .orderBy(*order))
+    # FieldAndFormat: a docvalue_fields/fields element given as
+    # {"field": f, "format": fmt} returns the value FORMATTED (dates via
+    # the Java-pattern date_format the reference also uses); sorting
+    # above ran on the raw value, as in FetchDocValuesPhase. Non-date
+    # columns refuse loudly rather than mis-format.
+    for fk in ("docvalue_fields", "fields"):
+        for spec in body.get(fk, []):
+            if isinstance(spec, dict) and "format" in spec:
+                f = spec["field"]
+                dt = dict(out.dtypes).get(f)
+                if dt not in ("timestamp", "date"):
+                    raise ValueError(
+                        f"format on {fk} field {f!r}: only date/"
+                        f"timestamp formatting is supported (got {dt})")
+                out = out.withColumn(f, F.date_format(f, spec["format"]))
     return out
 
 

@@ -248,6 +248,20 @@ def q_c4_filters(spark, sf_dir):
             .orderBy("url"))
 
 
+def q_api_fields_format(spark, sf_dir):
+    """FieldAndFormat: docvalue_fields with a date `format` returns the
+    formatted string while the sort runs on the raw timestamp
+    (FetchDocValuesPhase semantics)."""
+    from sparksearch.api import search_df
+    _, ex = C.get_engine(spark, sf_dir)
+    body = {"query": {"match": {"text": "join"}},
+            "sort": [{"warc_ts": {"order": "desc"}}],
+            "size": 10, "_source": False,
+            "docvalue_fields": [{"field": "warc_ts",
+                                 "format": "yyyy-MM-dd HH:mm"}]}
+    return search_df(ex, body).select("docid", "url", "warc_ts")
+
+
 def q_wand_tuned(spark, sf_dir):
     """Block-max WAND under TUNED BM25 (k1=1.6, b=0.9): the packed
     impact pairs are raw (max_tf, min_dlq) statistics, so pruning
@@ -690,8 +704,16 @@ ranked AS ( SELECT phrase, score,
                  AS INT) AS rank FROM collated )
 SELECT phrase, score, rank FROM ranked WHERE rank <= 3 ORDER BY rank"""
 
+    fields_format = f"""
+WITH {P}, {TOK},
+m AS ( SELECT DISTINCT docid FROM tok WHERE term = 'join' )
+SELECT p.docid, p.url, strftime(p.warc_ts, '%Y-%m-%d %H:%M') AS warc_ts
+FROM pages p JOIN m USING (docid)
+ORDER BY p.warc_ts DESC, p.docid ASC LIMIT 10"""
+
     from sparksearch import contract_round2g as _CR2G
     return {
+        "api_fields_format": fields_format,
         "wand_tuned": _CR2G.sqls()["similarity_bm25_tuned"],
         "query_suggest_collate": suggest_collate,
         "query_suggest_modes": suggest_modes,
@@ -732,6 +754,7 @@ def oracle_sql() -> dict:
 
 def queries() -> dict:
     return {
+        "api_fields_format": q_api_fields_format,
         "wand_tuned": q_wand_tuned,
         "query_suggest_collate": q_suggest_collate,
         "query_suggest_modes": q_suggest_modes,
