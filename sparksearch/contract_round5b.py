@@ -248,6 +248,15 @@ def q_c4_filters(spark, sf_dir):
             .orderBy("url"))
 
 
+def q_knn_recall_ivf(spark, sf_dir):
+    """ANN recall harness: recall@10 of IVF(8 cells, 3 probes) vs exact
+    brute force over query vectors 0-4, plus the averaged summary
+    row."""
+    from sparksearch.dataops import ann_recall
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_recall(emb, [0, 1, 2, 3, 4], k=10, n_cells=8, n_probe=3)
+
+
 def q_api_fields_format(spark, sf_dir):
     """FieldAndFormat: docvalue_fields with a date `format` returns the
     formatted string while the sort runs on the raw timestamp
@@ -711,8 +720,58 @@ SELECT p.docid, p.url, strftime(p.warc_ts, '%Y-%m-%d %H:%M') AS warc_ts
 FROM pages p JOIN m USING (docid)
 ORDER BY p.warc_ts DESC, p.docid ASC LIMIT 10"""
 
+    _cosab = ("list_sum(list_transform(range(1, len({a}) + 1), "
+              "i -> {a}[i] * {b}[i])) / "
+              "( sqrt(list_sum(list_transform({a}, x -> x * x))) * "
+              "sqrt(list_sum(list_transform({b}, x -> x * x))))")
+    knn_recall = f"""
+WITH e AS ( SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings ),
+qs AS ( SELECT vec_id AS qid, v AS qv FROM e
+        WHERE vec_id IN (0, 1, 2, 3, 4) ),
+pairs AS ( SELECT q.qid, e.vec_id AS id,
+                  {_cosab.format(a='e.v', b='q.qv')} AS cs
+           FROM e CROSS JOIN qs q WHERE e.vec_id <> q.qid ),
+truth AS ( SELECT qid, id FROM (
+             SELECT qid, id, row_number() OVER (PARTITION BY qid
+                    ORDER BY cs DESC, id ASC) AS rn FROM pairs )
+           WHERE rn <= 10 ),
+cents AS ( SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8 ),
+ac AS ( SELECT e.vec_id AS id, c.cid,
+               {_cosab.format(a='e.v', b='c.cv')} AS cs
+        FROM e CROSS JOIN cents c ),
+assign AS ( SELECT id, cid FROM (
+              SELECT id, cid, row_number() OVER (PARTITION BY id
+                     ORDER BY cs DESC, cid ASC) AS rn FROM ac )
+            WHERE rn = 1 ),
+probes AS ( SELECT id AS qid, cid FROM (
+              SELECT id, cid, row_number() OVER (PARTITION BY id
+                     ORDER BY cs DESC, cid ASC) AS rn
+              FROM ac WHERE id IN (0, 1, 2, 3, 4) )
+            WHERE rn <= 3 ),
+cand AS ( SELECT p.qid, p.id, p.cs
+          FROM pairs p JOIN assign a ON a.id = p.id
+          JOIN probes pr ON pr.qid = p.qid AND pr.cid = a.cid ),
+approx AS ( SELECT qid, id FROM (
+              SELECT qid, id, row_number() OVER (PARTITION BY qid
+                     ORDER BY cs DESC, id ASC) AS rn FROM cand )
+            WHERE rn <= 10 ),
+hits AS ( SELECT t.qid, count(*) AS n FROM truth t
+          JOIN approx ap ON ap.qid = t.qid AND ap.id = t.id
+          GROUP BY t.qid ),
+perq AS ( SELECT q.qid AS query_id, coalesce(h.n, 0) AS n_hits,
+                 round(coalesce(h.n, 0) / 10.0, 4) AS recall
+          FROM ( SELECT DISTINCT qid FROM qs ) q
+          LEFT JOIN hits h ON h.qid = q.qid )
+SELECT CAST(query_id AS INT) AS query_id,
+       CAST(n_hits AS BIGINT) AS n_hits, recall FROM perq
+UNION ALL
+SELECT -1, CAST(sum(n_hits) AS BIGINT), round(avg(recall), 4)
+FROM perq
+ORDER BY query_id"""
+
     from sparksearch import contract_round2g as _CR2G
     return {
+        "knn_recall_ivf": knn_recall,
         "api_fields_format": fields_format,
         "wand_tuned": _CR2G.sqls()["similarity_bm25_tuned"],
         "query_suggest_collate": suggest_collate,
@@ -754,6 +813,7 @@ def oracle_sql() -> dict:
 
 def queries() -> dict:
     return {
+        "knn_recall_ivf": q_knn_recall_ivf,
         "api_fields_format": q_api_fields_format,
         "wand_tuned": q_wand_tuned,
         "query_suggest_collate": q_suggest_collate,

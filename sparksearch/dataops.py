@@ -30,6 +30,7 @@ __all__ = [
     "c4_line_filters",
     "temperature_rates",
     "temperature_sample",
+    "ann_recall",
     "shingles",
     "minhash_signatures",
     "minhash_lsh_pairs",
@@ -989,6 +990,76 @@ def mixture_sample(docs: DataFrame, rates: dict[str, float],
                16, 10).cast("long") % denom
     return (docs.filter(h < rate * denom)
             .select(id_col, key_col).orderBy(id_col))
+
+
+def ann_recall(emb: DataFrame, query_ids: list[int], k: int = 10,
+               n_cells: int = 8, n_probe: int = 3,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Recall@k of IVF-Flat against exact brute force over a query set
+    — the standard ANN quality harness (the k-NN plugin's recall tooling
+    measures exactly this; recall = |approx top-k ∩ exact top-k| / k
+    per query).
+
+    One distributed plan for ALL queries: the query vectors broadcast
+    against the corpus for the exact ranking (|Q|·N score rows — the
+    ground-truth cost every recall harness pays), the IVF ranking
+    reuses the same score frame restricted to the probed cells, and
+    both top-k's are per-query window ranks. No driver loop over
+    queries.
+
+    Returns (query_id, n_hits, recall) per query plus the
+    query-averaged summary row (query_id = -1).
+    """
+    ids = sorted(int(q) for q in query_ids)
+    e = emb.select(F.col(id_col).alias("_id"),
+                   F.col(vec_col).alias("_v"))
+    qs = (e.where(F.col("_id").isin(ids))
+          .select(F.col("_id").alias("_qid"), F.col("_v").alias("_qv")))
+    cos = _cosine(F.col("_v"), F.col("_qv"))
+    pairs = (e.crossJoin(F.broadcast(qs))
+             .where(F.col("_id") != F.col("_qid"))
+             .select("_qid", "_id", cos.alias("_cos")))
+    wq = Window.partitionBy("_qid").orderBy(F.col("_cos").desc(),
+                                            F.col("_id").asc())
+    truth = (pairs.withColumn("_rn", F.row_number().over(wq))
+             .where(F.col("_rn") <= k).select("_qid", "_id"))
+    # IVF side: sampled codebook (vec_id < n_cells, the ivf_knn
+    # convention), argmax-cosine assignment, per-query top-n_probe cells
+    cents = (e.where(F.col("_id") < n_cells)
+             .select(F.col("_id").alias("_cid"),
+                     F.col("_v").alias("_cv")))
+    ac = (e.crossJoin(F.broadcast(cents))
+          .select("_id", "_cid",
+                  _cosine(F.col("_v"), F.col("_cv")).alias("_cs")))
+    wa = Window.partitionBy("_id").orderBy(F.col("_cs").desc(),
+                                           F.col("_cid").asc())
+    assign = (ac.withColumn("_rn", F.row_number().over(wa))
+              .where(F.col("_rn") == 1).select("_id", "_cid"))
+    probes = (ac.where(F.col("_id").isin(ids))
+              .withColumn("_rn", F.row_number().over(
+                  Window.partitionBy("_id").orderBy(
+                      F.col("_cs").desc(), F.col("_cid").asc())))
+              .where(F.col("_rn") <= n_probe)
+              .select(F.col("_id").alias("_qid"), "_cid"))
+    cand = (pairs.join(assign, "_id")
+            .join(F.broadcast(probes), ["_qid", "_cid"], "left_semi"))
+    approx = (cand.withColumn("_rn", F.row_number().over(wq))
+              .where(F.col("_rn") <= k).select("_qid", "_id"))
+    hits = (truth.join(approx, ["_qid", "_id"], "left_semi")
+            .groupBy("_qid").agg(F.count("*").cast("long")
+                                 .alias("n_hits")))
+    per_q = (qs.select("_qid").join(hits, "_qid", "left")
+             .select(F.col("_qid").cast("int").alias("query_id"),
+                     F.coalesce("n_hits", F.lit(0).cast("long"))
+                     .alias("n_hits"))
+             .withColumn("recall",
+                         F.round(F.col("n_hits") / float(k), 4)))
+    summary = per_q.agg(
+        F.lit(-1).cast("int").alias("query_id"),
+        F.sum("n_hits").cast("long").alias("n_hits"),
+        F.round(F.avg("recall"), 4).alias("recall"))
+    return per_q.unionByName(summary).orderBy("query_id")
 
 
 def temperature_rates(docs: DataFrame, key_col: str = "lang",

@@ -325,3 +325,18 @@ def test_temperature_rates_flatten_toward_uniform(spark):
     # rare source up-weighted: its keep-rate must exceed the common one
     assert r2["c"].rate > r2["a"].rate
     assert r2["c"].rate <= 1.0
+
+
+def test_ann_recall_bounds_and_perfect_probe(spark):
+    """recall in [0,1]; probing EVERY cell makes IVF exhaustive, so
+    recall must be exactly 1.0 for every query."""
+    from sparksearch.dataops import ann_recall
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    full = ann_recall(emb, [0, 1], k=5, n_cells=4, n_probe=4).collect()
+    assert all(r.recall == 1.0 for r in full)
+    part = {r.query_id: r.recall for r in
+            ann_recall(emb, [0, 1], k=5, n_cells=4, n_probe=1).collect()}
+    assert all(0.0 <= v <= 1.0 for v in part.values())
+    # summary row is the average of the per-query rows
+    per = [v for q, v in part.items() if q != -1]
+    assert part[-1] == round(sum(per) / len(per), 4)
