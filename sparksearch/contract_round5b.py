@@ -248,6 +248,21 @@ def q_c4_filters(spark, sf_dir):
             .orderBy("url"))
 
 
+def q_intervals_filter(spark, sf_dir):
+    """intervals `filter` block (IntervalFilter): all_of('table' then
+    'scan' within 3 gaps) restricted to spans NOT containing 'value';
+    parsed through the DSL to exercise the filter grammar; the filter
+    side contributes no scoring terms."""
+    from sparksearch.dsl import from_dsl
+    _, ex = C.get_engine(spark, sf_dir)
+    dsl = {"intervals": {"text": {"all_of": {
+        "intervals": [{"match": {"query": "table"}},
+                      {"match": {"query": "scan"}}],
+        "ordered": True, "max_gaps": 3,
+        "filter": {"not_containing": {"match": {"query": "value"}}}}}}}
+    return C.topk_rounded(ex, from_dsl(dsl), k=10)
+
+
 def q_knn_recall_ivf(spark, sf_dir):
     """ANN recall harness: recall@10 of IVF(8 cells, 3 probes) vs exact
     brute force over query vectors 0-4, plus the averaged summary
@@ -769,8 +784,39 @@ SELECT -1, CAST(sum(n_hits) AS BIGINT), round(avg(recall), 4)
 FROM perq
 ORDER BY query_id"""
 
+    _one_idf = (lambda cond:
+                f"(SELECT {C._idf_sql('count(*)', '(SELECT n FROM g)')} "
+                f"FROM (SELECT DISTINCT docid FROM tokpos WHERE {cond}))")
+    _pseudo = " + ".join(_one_idf(f"term = '{t}'")
+                         for t in ("table", "scan"))
+    intervals_filter = f"""
+WITH {C._PAGES},
+{C._TOKPOS},
+tok AS ( SELECT docid, term FROM tokpos ),
+{C._DL},
+p0 AS ( SELECT docid, pos FROM tokpos WHERE term = 'table' ),
+p1 AS ( SELECT docid, pos FROM tokpos WHERE term = 'scan' ),
+mm AS ( SELECT p0.docid, p0.pos AS s, p1.pos AS e FROM p0
+        JOIN p1 ON p1.docid = p0.docid AND p1.pos > p0.pos
+        AND (p1.pos - p0.pos + 1) - 2 <= 3 ),
+filt AS ( SELECT m.docid, m.s, m.e FROM mm m
+          WHERE NOT EXISTS ( SELECT 1 FROM tokpos v
+                             WHERE v.docid = m.docid
+                               AND v.term = 'value'
+                               AND v.pos >= m.s AND v.pos <= m.e ) ),
+ph AS ( SELECT docid, CAST(count(DISTINCT s) AS DOUBLE) AS pf
+        FROM filt GROUP BY docid ),
+sc AS ( SELECT ph.docid,
+               ({_pseudo}) * {C._tfn_sql('ph.pf', 'dlq.dl_q', 'g.avgdl')}
+                 AS score
+        FROM ph JOIN dlq USING (docid) CROSS JOIN g )
+SELECT p.docid, p.url, round(sc.score, 4) AS score
+FROM sc JOIN pages p USING (docid)
+ORDER BY round(sc.score, 4) DESC, p.docid ASC LIMIT 10"""
+
     from sparksearch import contract_round2g as _CR2G
     return {
+        "intervals_filter": intervals_filter,
         "knn_recall_ivf": knn_recall,
         "api_fields_format": fields_format,
         "wand_tuned": _CR2G.sqls()["similarity_bm25_tuned"],
@@ -813,6 +859,7 @@ def oracle_sql() -> dict:
 
 def queries() -> dict:
     return {
+        "intervals_filter": q_intervals_filter,
         "knn_recall_ivf": q_knn_recall_ivf,
         "api_fields_format": q_api_fields_format,
         "wand_tuned": q_wand_tuned,

@@ -379,35 +379,48 @@ def _terms_set(body: dict) -> TermsSet:
 
 def _intervals_source(spec: dict):
     """One IntervalsSourceProvider node (match / prefix / any_of /
-    all_of), recursively (IntervalQueryBuilder.fromXContent)."""
+    all_of, each optionally carrying a `filter` block), recursively
+    (IntervalQueryBuilder.fromXContent; IntervalFilter for the filter
+    kinds containing/contained_by/overlapping/not_*/before/after)."""
     from sparksearch.queries import (IntervalsAllOf, IntervalsAnyOf,
-                                     IntervalsMatch, IntervalsPrefix)
+                                     IntervalsFiltered, IntervalsMatch,
+                                     IntervalsPrefix)
+
+    def filtered(node, body):
+        flt = body.get("filter") if isinstance(body, dict) else None
+        if not flt:
+            return node
+        (kind, fspec), = flt.items()
+        return IntervalsFiltered(node, kind, _intervals_source(fspec))
+
     if "match" in spec:
         m = spec["match"]
-        return IntervalsMatch(m["query"],
-                              max_gaps=int(m.get("max_gaps", -1)),
-                              ordered=bool(m.get("ordered", False)),
-                              analyzer=m.get("analyzer"))
+        return filtered(
+            IntervalsMatch(m["query"],
+                           max_gaps=int(m.get("max_gaps", -1)),
+                           ordered=bool(m.get("ordered", False)),
+                           analyzer=m.get("analyzer")), m)
     if "prefix" in spec:
         pr = spec["prefix"]
         if isinstance(pr, dict):
-            return IntervalsPrefix(pr["prefix"])
+            return filtered(IntervalsPrefix(pr["prefix"]), pr)
         return IntervalsPrefix(pr)
     if "any_of" in spec:
-        return IntervalsAnyOf(tuple(
-            _intervals_source(x) for x in spec["any_of"]["intervals"]))
+        a = spec["any_of"]
+        return filtered(IntervalsAnyOf(tuple(
+            _intervals_source(x) for x in a["intervals"])), a)
     if "all_of" in spec:
         a = spec["all_of"]
-        return IntervalsAllOf(
+        return filtered(IntervalsAllOf(
             tuple(_intervals_source(x) for x in a["intervals"]),
             max_gaps=int(a.get("max_gaps", -1)),
-            ordered=bool(a.get("ordered", False)))
+            ordered=bool(a.get("ordered", False))), a)
     raise ValueError(f"unsupported intervals source: {sorted(spec)}")
 
 
 def _intervals(body: dict) -> Intervals:
     field, spec = _field_body(body)
-    if set(spec) == {"match"}:
+    if set(spec) == {"match"} and "filter" not in spec["match"]:
         # plain match source: the fast span_near text path (legacy form,
         # reference defaults ordered=false/max_gaps=-1 differ — this form
         # keeps the engine's documented text-form defaults)

@@ -1224,7 +1224,38 @@ class Executor:
         """Recursively evaluate an interval source to
         (frame[docid, s, e, dl_q], leaf_terms). None frame = match-none."""
         from sparksearch.queries import (IntervalsAllOf, IntervalsAnyOf,
-                                         IntervalsMatch, IntervalsPrefix)
+                                         IntervalsFiltered, IntervalsMatch,
+                                         IntervalsPrefix)
+        if isinstance(src, IntervalsFiltered):
+            f, terms = self._intervals_frame(src.source)
+            if f is None:
+                return None, []
+            g, _ = self._intervals_frame(src.filter_source)
+            neg = src.kind.startswith("not_")
+            base = src.kind[4:] if neg else src.kind
+            if g is None:
+                # empty filter side: positive relations match nothing,
+                # negated ones are vacuously true
+                return (f, terms) if neg else (None, [])
+            gg = g.select(F.col("docid").alias("_fd"),
+                          F.col("s").alias("_fs"),
+                          F.col("e").alias("_fe"))
+            i_s, i_e = F.col("s"), F.col("e")
+            conds = {
+                "containing": (i_s <= F.col("_fs"))
+                              & (F.col("_fe") <= i_e),
+                "contained_by": (F.col("_fs") <= i_s)
+                                & (i_e <= F.col("_fe")),
+                "overlapping": (i_s <= F.col("_fe"))
+                               & (F.col("_fs") <= i_e),
+                "before": i_e < F.col("_fs"),
+                "after": i_s > F.col("_fe"),
+            }
+            if base not in conds:
+                raise ValueError(f"intervals filter {src.kind!r}")
+            cond = (F.col("docid") == F.col("_fd")) & conds[base]
+            kept = f.join(gg, cond, "left_anti" if neg else "left_semi")
+            return kept, terms
         if isinstance(src, IntervalsMatch):
             terms = [t for t, _ in
                      analyze(src.text, src.analyzer or self.ix.search_analyzer)]

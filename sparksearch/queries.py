@@ -342,6 +342,22 @@ class IntervalsAllOf:
     ordered: bool = False
 
 
+@dataclass(frozen=True)
+class IntervalsFiltered:
+    """A source with a ``filter`` block
+    (IntervalsSourceProvider.IntervalFilter; Lucene IntervalsSource
+    filtering): keeps intervals of ``source`` standing in the given
+    positional relation to SOME interval of ``filter_source`` —
+    ``containing`` / ``contained_by`` / ``overlapping`` (plus their
+    ``not_`` negations), ``before`` (ends before some filter interval
+    starts), ``after``. The filter side constrains matching only; it
+    contributes no scoring terms (as in Lucene, where the filtered
+    source's matchCost/score come from the main source)."""
+    source: object
+    kind: str
+    filter_source: object
+
+
 
 
 @dataclass(frozen=True)

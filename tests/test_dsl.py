@@ -270,3 +270,22 @@ def test_wrapper_query_forms():
         == want
     with pytest.raises(ValueError, match="neither JSON nor base64"):
         from_dsl({"wrapper": {"query": "!!not-base64!!"}})
+
+
+def test_intervals_filter_parsing_and_kinds():
+    """filter blocks parse on match/any_of/all_of; unknown kinds fail
+    at plan time, negated-empty filters are vacuous."""
+    from sparksearch.dsl import from_dsl
+    from sparksearch.queries import (IntervalsAllOf, IntervalsFiltered,
+                                     IntervalsMatch)
+    q = from_dsl({"intervals": {"text": {"match": {
+        "query": "a b", "filter": {"overlapping": {
+            "match": {"query": "c"}}}}}}})
+    assert isinstance(q.source, IntervalsFiltered)
+    assert q.source.kind == "overlapping"
+    assert isinstance(q.source.source, IntervalsMatch)
+    q2 = from_dsl({"intervals": {"text": {"all_of": {
+        "intervals": [{"match": {"query": "a"}}],
+        "filter": {"not_contained_by": {"match": {"query": "b"}}}}}}})
+    assert isinstance(q2.source, IntervalsFiltered)
+    assert isinstance(q2.source.source, IntervalsAllOf)
