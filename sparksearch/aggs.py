@@ -277,20 +277,37 @@ def significance_score(fg: Column, fg_n: float, bg: Column, bg_n: float,
 def significant_terms(ex, q, size: int = 5,
                       min_doc_count: int = 3,
                       heuristic: str = "jlh",
-                      include_negatives: bool = False) -> DataFrame:
+                      include_negatives: bool = False,
+                      background_filter=None) -> DataFrame:
     """Significance-scored terms: foreground = docs matching q,
     background = all docs (sv/search/aggregations/bucket/terms/
     SignificantTermsAggregationBuilder + the heuristic package — see
     ``significance_score``). The score column keeps its historical
     ``jlh`` name for the default heuristic and is ``score``
-    otherwise."""
+    otherwise.
+
+    ``background_filter``: a Query scoping the background set (the
+    builder's backgroundFilter — "uncommonly common" within a narrower
+    context). With a filter the per-term background df comes from a
+    postings⋈filtered-docs aggregation instead of the precomputed
+    stats table; background_is_superset still holds because the
+    foreground is intersected with the background set, exactly the
+    reference's requirement for the NXY table."""
     ix = ex.ix
     fg_docs = ex._plan(q, scored=False).select("docid")
+    if background_filter is not None:
+        bg_docs = (ex._plan(background_filter, scored=False)
+                   .select("docid"))
+        fg_docs = fg_docs.join(bg_docs, "docid", "left_semi")
+        bg_n = bg_docs.count()
+        bg = (ix.postings.join(bg_docs, "docid")
+              .groupBy("term").agg(F.count("*").cast("long").alias("bg")))
+    else:
+        bg_n = ix.n_docs
+        bg = ix.stats.select("term", F.col("df").alias("bg"))
     fg_n = fg_docs.count()
-    bg_n = ix.n_docs
     fg = (ix.postings.join(fg_docs, "docid")
           .groupBy("term").agg(F.count("*").cast("long").alias("fg")))
-    bg = ix.stats.select("term", F.col("df").alias("bg"))
     j = fg.join(bg, "term")
     score = significance_score(F.col("fg"), fg_n, F.col("bg"), bg_n,
                                heuristic, include_negatives)

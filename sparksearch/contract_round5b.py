@@ -248,6 +248,26 @@ def q_c4_filters(spark, sf_dir):
             .orderBy("url"))
 
 
+def q_corpus_report(spark, sf_dir):
+    """Per-language corpus card over the documents table: doc/token
+    volumes, exact p50/p95 token lengths, exact-dup rate, + total."""
+    from sparksearch.dataops import corpus_report
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus_report(docs)
+
+
+def q_sig_background(spark, sf_dir):
+    """significant_terms with background_filter: foreground = docs
+    matching 'scan' WITHIN the lang='en' background; per-term bg df
+    computed over the filtered background, not the whole index."""
+    from sparksearch.aggs import significant_terms
+    from sparksearch.queries import Match, Term
+    _, ex = C.get_engine(spark, sf_dir)
+    return significant_terms(ex, Match("text", "scan"), size=5,
+                             min_doc_count=2,
+                             background_filter=Term("lang", "en"))
+
+
 def q_intervals_filter(spark, sf_dir):
     """intervals `filter` block (IntervalFilter): all_of('table' then
     'scan' within 3 gaps) restricted to spans NOT containing 'value';
@@ -814,8 +834,52 @@ SELECT p.docid, p.url, round(sc.score, 4) AS score
 FROM sc JOIN pages p USING (docid)
 ORDER BY round(sc.score, 4) DESC, p.docid ASC LIMIT 10"""
 
+    sig_bg = ("WITH " + ",\n".join([P, TOK, DL]) + """
+, bgd AS ( SELECT docid FROM pages WHERE lang = 'en' ),
+m AS ( SELECT DISTINCT t.docid FROM tok t
+       JOIN bgd USING (docid) WHERE t.term = 'scan' ),
+fgn AS ( SELECT count(*) AS n FROM m ),
+bgn AS ( SELECT count(*) AS n FROM bgd ),
+fg AS ( SELECT t.term, CAST(count(DISTINCT t.docid) AS BIGINT) AS fg
+        FROM tok t JOIN m USING (docid) GROUP BY t.term ),
+bg AS ( SELECT t.term, CAST(count(DISTINCT t.docid) AS BIGINT) AS bg
+        FROM tok t JOIN bgd USING (docid) GROUP BY t.term ),
+j AS ( SELECT fg.term, fg.fg, bg.bg,
+              (CAST(fg.fg AS DOUBLE) / fgn.n
+               - CAST(bg.bg AS DOUBLE) / bgn.n)
+              * ((CAST(fg.fg AS DOUBLE) / fgn.n)
+                 / (CAST(bg.bg AS DOUBLE) / bgn.n)) AS jlh
+       FROM fg JOIN bg USING (term) CROSS JOIN fgn CROSS JOIN bgn
+       WHERE fg.fg >= 2 )
+SELECT term, fg, bg, CAST(round(jlh, 6) AS DOUBLE) AS jlh FROM j
+ORDER BY jlh DESC, term ASC LIMIT 5""")
+
+    corpus_rep = """
+WITH b AS ( SELECT coalesce(lang, '__null__') AS k,
+                   len(list_filter(string_split(text, ' '),
+                                   w -> w <> '')) AS dl,
+                   md5(text) AS h
+            FROM documents ),
+per AS ( SELECT k AS key, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(dl) AS BIGINT) AS n_tokens,
+                round(quantile_cont(dl, 0.5), 4) AS p50_dl,
+                round(quantile_cont(dl, 0.95), 4) AS p95_dl,
+                round((count(*) - count(DISTINCT h))
+                      / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+         FROM b GROUP BY k ),
+tot AS ( SELECT '__total__' AS key, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(dl) AS BIGINT) AS n_tokens,
+                round(quantile_cont(dl, 0.5), 4) AS p50_dl,
+                round(quantile_cont(dl, 0.95), 4) AS p95_dl,
+                round((count(*) - count(DISTINCT h))
+                      / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+         FROM b )
+SELECT * FROM per UNION ALL SELECT * FROM tot ORDER BY key"""
+
     from sparksearch import contract_round2g as _CR2G
     return {
+        "corpus_report": corpus_rep,
+        "agg_sig_background": sig_bg,
         "intervals_filter": intervals_filter,
         "knn_recall_ivf": knn_recall,
         "api_fields_format": fields_format,
@@ -859,6 +923,8 @@ def oracle_sql() -> dict:
 
 def queries() -> dict:
     return {
+        "corpus_report": q_corpus_report,
+        "agg_sig_background": q_sig_background,
         "intervals_filter": q_intervals_filter,
         "knn_recall_ivf": q_knn_recall_ivf,
         "api_fields_format": q_api_fields_format,

@@ -31,6 +31,7 @@ __all__ = [
     "temperature_rates",
     "temperature_sample",
     "ann_recall",
+    "corpus_report",
     "shingles",
     "minhash_signatures",
     "minhash_lsh_pairs",
@@ -990,6 +991,40 @@ def mixture_sample(docs: DataFrame, rates: dict[str, float],
                16, 10).cast("long") % denom
     return (docs.filter(h < rate * denom)
             .select(id_col, key_col).orderBy(id_col))
+
+
+def corpus_report(docs: DataFrame, text_col: str = "text",
+                  key_col: str = "lang") -> DataFrame:
+    """Per-source corpus card: the summary table a training-data
+    pipeline publishes per crawl snapshot — doc count, token volume,
+    exact token-length percentiles, and the exact-duplicate rate, per
+    source plus a ``__total__`` row.
+
+    One narrow projection (token count + content hash per doc) feeding
+    one map-side-combinable grouped aggregation; percentiles are exact
+    here (the oracle gate) — swap ``percentile`` for
+    ``percentile_approx`` at the 10^12-doc scale, same plan shape.
+
+    Returns (key, n_docs, n_tokens, p50_dl, p95_dl, dup_rate).
+    """
+    base = docs.select(
+        F.coalesce(F.col(key_col), F.lit("__null__")).alias("_k"),
+        F.size(F.filter(F.split(F.col(text_col), " "),
+                        lambda w: w != "")).alias("_dl"),
+        F.md5(F.col(text_col)).alias("_h"))
+
+    def agg(grouped):
+        return grouped.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_dl").cast("long").alias("n_tokens"),
+            F.round(F.expr("percentile(_dl, 0.5)"), 4).alias("p50_dl"),
+            F.round(F.expr("percentile(_dl, 0.95)"), 4).alias("p95_dl"),
+            F.round((F.count("*") - F.countDistinct("_h"))
+                    / F.count("*"), 6).alias("dup_rate"))
+
+    per = agg(base.groupBy(F.col("_k").alias("key")))
+    total = agg(base.groupBy(F.lit("__total__").alias("key")))
+    return per.unionByName(total).orderBy("key")
 
 
 def ann_recall(emb: DataFrame, query_ids: list[int], k: int = 10,

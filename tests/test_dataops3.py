@@ -340,3 +340,21 @@ def test_ann_recall_bounds_and_perfect_probe(spark):
     # summary row is the average of the per-query rows
     per = [v for q, v in part.items() if q != -1]
     assert part[-1] == round(sum(per) / len(per), 4)
+
+
+def test_corpus_report_totals_and_dups(spark):
+    """Per-key rows sum to the total; dup_rate counts exact duplicate
+    texts; null keys bucket as __null__."""
+    from sparksearch.dataops import corpus_report
+    rows = [("en", "a b c"), ("en", "a b c"), ("en", "x y"),
+            ("de", "p q r s"), (None, "z")]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    out = {r.key: r for r in corpus_report(df).collect()}
+    assert set(out) == {"en", "de", "__null__", "__total__"}
+    assert out["en"].n_docs == 3 and out["en"].n_tokens == 8
+    assert out["en"].dup_rate == round(1 / 3, 6)
+    assert out["__total__"].n_docs == 5
+    assert out["__total__"].n_tokens == sum(
+        r.n_tokens for k, r in out.items() if k != "__total__")
+    assert out["de"].dup_rate == 0.0
+    assert out["__null__"].n_docs == 1
