@@ -248,6 +248,22 @@ def q_c4_filters(spark, sf_dir):
             .orderBy("url"))
 
 
+def q_composite_date(spark, sf_dir):
+    """composite agg with a date_histogram source (minute rounding) +
+    a terms source, resumed from a fixed `after` key — the keyset
+    pagination the reference uses to walk unbounded bucket spaces."""
+    import datetime
+    from pyspark.sql import functions as F
+    from sparksearch.aggs import composite_agg
+    pages = (C.pages_df(spark, sf_dir)
+             .withColumn("minute", F.date_trunc("minute",
+                                                F.col("warc_ts")))
+             .where(F.col("lang").isNotNull()))
+    after = (datetime.datetime(2025, 1, 1, 0, 2, 0), "en")
+    return composite_agg(pages, ["minute", "lang"], size=8,
+                         after=after)
+
+
 def q_corpus_report(spark, sf_dir):
     """Per-language corpus card over the documents table: doc/token
     volumes, exact p50/p95 token lengths, exact-dup rate, + total."""
@@ -876,8 +892,18 @@ tot AS ( SELECT '__total__' AS key, CAST(count(*) AS BIGINT) AS n_docs,
          FROM b )
 SELECT * FROM per UNION ALL SELECT * FROM tot ORDER BY key"""
 
+    composite_date = f"WITH {P}" + """
+, b AS ( SELECT date_trunc('minute', warc_ts) AS minute, lang,
+                CAST(count(*) AS BIGINT) AS doc_count
+         FROM pages WHERE lang IS NOT NULL GROUP BY 1, 2 )
+SELECT minute, lang, doc_count FROM b
+WHERE minute > TIMESTAMP '2025-01-01 00:02:00'
+   OR (minute = TIMESTAMP '2025-01-01 00:02:00' AND lang > 'en')
+ORDER BY minute, lang LIMIT 8"""
+
     from sparksearch import contract_round2g as _CR2G
     return {
+        "agg_composite_date": composite_date,
         "corpus_report": corpus_rep,
         "agg_sig_background": sig_bg,
         "intervals_filter": intervals_filter,
@@ -923,6 +949,7 @@ def oracle_sql() -> dict:
 
 def queries() -> dict:
     return {
+        "agg_composite_date": q_composite_date,
         "corpus_report": q_corpus_report,
         "agg_sig_background": q_sig_background,
         "intervals_filter": q_intervals_filter,
