@@ -152,3 +152,33 @@ def test_wand_rank_identical_under_tuned_bm25(spark, index_sf0001):
         wand = [(r.docid, round(r.score, 6)) for r in
                 ex.search(q, k=10, fetch=False, mode="wand").collect()]
         assert plan == wand, (k1, b)
+
+
+def test_dfr_ib_nondecreasing_in_freq(spark):
+    """The post-LUCENE-8015 guarantee: with stats fixed, every DFR and
+    IB configuration's score is non-decreasing in tf (the refactor that
+    introduced the aeTimes1pTfn/(1+tfn) form exists precisely for
+    this)."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from sparksearch.similarity import DFRSimilarity, IBSimilarity
+    base = (spark.createDataFrame([(t,) for t in range(1, 40)],
+                                  "tf long")
+            .withColumn("df", F.lit(10).cast("long"))
+            .withColumn("cf", F.lit(80).cast("long")))
+    sims = [DFRSimilarity(m, e, n)
+            for m, e, n in itertools.product(
+                ("g", "if", "in", "ine"), ("b", "l"),
+                ("no", "h1", "h2"))]
+    sims += [IBSimilarity(d, l, n)
+             for d, l, n in itertools.product(
+                 ("ll", "spl"), ("df", "ttf"), ("no", "h1", "h2"))]
+    for sim in sims:
+        col = sim.score_expr(F.col("tf"), F.lit(40.0).cast("double"),
+                             n_docs=1000, avgdl=50.0, total_tf=50000)
+        vals = [r.s for r in
+                base.select(col.alias("s")).orderBy("tf").collect()]
+        assert all(b >= a - 1e-12 for a, b in zip(vals, vals[1:])), sim
+        assert all(v >= 0.0 for v in vals), sim
