@@ -248,6 +248,24 @@ def q_c4_filters(spark, sf_dir):
             .orderBy("url"))
 
 
+def q_filters_other(spark, sf_dir):
+    """filters agg with other_bucket=true (FiltersAggregationBuilder
+    otherBucket): docs matching NONE of the named filters land in the
+    `_other_` bucket — still one pass, one combinable aggregate."""
+    from pyspark.sql import functions as F
+    _, ex = C.get_engine(spark, sf_dir)
+    d = ex.ix.docs
+    short = F.col("dl") < 30
+    longd = F.col("dl") >= 60
+    en = F.col("lang") == "en"
+    return d.agg(
+        F.sum(short.cast("long")).alias("short_docs"),
+        F.sum(longd.cast("long")).alias("long_docs"),
+        F.sum(en.cast("long")).alias("en_docs"),
+        F.sum((~(short | longd | F.coalesce(en, F.lit(False))))
+              .cast("long")).alias("_other_"))
+
+
 def q_composite_date(spark, sf_dir):
     """composite agg with a date_histogram source (minute rounding) +
     a terms source, resumed from a fixed `after` key — the keyset
@@ -901,8 +919,23 @@ WHERE minute > TIMESTAMP '2025-01-01 00:02:00'
    OR (minute = TIMESTAMP '2025-01-01 00:02:00' AND lang > 'en')
 ORDER BY minute, lang LIMIT 8"""
 
+    filters_other = ("WITH " + ",\n".join([P, TOK, DL]) + """
+, d AS ( SELECT p.docid, p.lang, dlq.dl FROM pages p
+         JOIN dlq USING (docid) )
+SELECT CAST(sum(CASE WHEN dl < 30 THEN 1 ELSE 0 END) AS BIGINT)
+         AS short_docs,
+       CAST(sum(CASE WHEN dl >= 60 THEN 1 ELSE 0 END) AS BIGINT)
+         AS long_docs,
+       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+         AS en_docs,
+       CAST(sum(CASE WHEN NOT (dl < 30 OR dl >= 60
+                               OR coalesce(lang = 'en', FALSE))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS "_other_"
+FROM d""")
+
     from sparksearch import contract_round2g as _CR2G
     return {
+        "agg_filters_other": filters_other,
         "agg_composite_date": composite_date,
         "corpus_report": corpus_rep,
         "agg_sig_background": sig_bg,
@@ -949,6 +982,7 @@ def oracle_sql() -> dict:
 
 def queries() -> dict:
     return {
+        "agg_filters_other": q_filters_other,
         "agg_composite_date": q_composite_date,
         "corpus_report": q_corpus_report,
         "agg_sig_background": q_sig_background,
