@@ -248,6 +248,20 @@ def q_c4_filters(spark, sf_dir):
             .orderBy("url"))
 
 
+def q_terms_order_metric(spark, sf_dir):
+    """terms agg ordered by a sub-aggregation metric
+    (TermsAggregationBuilder order: {"avg_dl": "desc"} instead of
+    _count): buckets ranked by the metric value, key tiebreak."""
+    from pyspark.sql import functions as F
+    _, ex = C.get_engine(spark, sf_dir)
+    d = ex.ix.docs.where(F.col("lang").isNotNull())
+    return (d.groupBy(F.col("lang").alias("key"))
+            .agg(F.count("*").cast("long").alias("doc_count"),
+                 F.round(F.avg("dl"), 6).alias("avg_dl"))
+            .orderBy(F.col("avg_dl").desc(), F.col("key").asc())
+            .limit(5))
+
+
 def q_filters_other(spark, sf_dir):
     """filters agg with other_bucket=true (FiltersAggregationBuilder
     otherBucket): docs matching NONE of the named filters land in the
@@ -933,8 +947,17 @@ SELECT CAST(sum(CASE WHEN dl < 30 THEN 1 ELSE 0 END) AS BIGINT)
                      THEN 1 ELSE 0 END) AS BIGINT) AS "_other_"
 FROM d""")
 
+    terms_order = ("WITH " + ",\n".join([P, TOK, DL]) + """
+SELECT p.lang AS key, CAST(count(*) AS BIGINT) AS doc_count,
+       CAST(round(avg(dlq.dl), 6) AS DOUBLE) AS avg_dl
+FROM pages p JOIN dlq USING (docid)
+WHERE p.lang IS NOT NULL
+GROUP BY p.lang
+ORDER BY avg_dl DESC, key ASC LIMIT 5""")
+
     from sparksearch import contract_round2g as _CR2G
     return {
+        "agg_terms_order_metric": terms_order,
         "agg_filters_other": filters_other,
         "agg_composite_date": composite_date,
         "corpus_report": corpus_rep,
@@ -982,6 +1005,7 @@ def oracle_sql() -> dict:
 
 def queries() -> dict:
     return {
+        "agg_terms_order_metric": q_terms_order_metric,
         "agg_filters_other": q_filters_other,
         "agg_composite_date": q_composite_date,
         "corpus_report": q_corpus_report,
